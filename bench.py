@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the suite's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full physical plan through a no-op sink
+(format("noop")) so timings measure scan+compute+shuffle, not driver
+collect. A warmup query amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deepicedrain_spark.session import get_spark  # noqa: E402
+from deepicedrain_spark import suite  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    run_one(spark, suite.q_height_range, SF_DIR)
+
+    timings: dict[str, float] = {}
+    for name, fn in suite.queries().items():
+        try:
+            timings[name] = round(run_one(spark, fn, SF_DIR), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = 0.1
+    try:
+        sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Table catalog + readers/writers.
+
+Reference analogue: the intake YAML catalog
+(/root/reference/deepicedrain/atlas_catalog.yaml:1-326,
+/root/reference/deepicedrain/__init__.py:31-37) that resolves named,
+parameterized sources. Here the catalog is ``spark.read.parquet`` over
+a scale-factor directory plus registered temp views, which lets every
+downstream operator be written against view names and lets Catalyst
+push projections/predicates into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (SURVEY S1). Catalyst applies projection & predicate
+    pushdown; do NOT pre-select columns here — callers' .select/.filter
+    reach the scan on their own.
+
+    Timestamp columns are INT64 TIMESTAMP(NANOS) in the testdata; they
+    are read as LongType nanoseconds (§1.3 ns-precision convention).
+    The conf is set here too because the driver may hand us a session
+    built without it."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - static conf on some builds
+        pass
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES if os.path.exists(table_path(sf_dir, name))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Catalog shim (SURVEY S11): named sources as temp views."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet sink (SURVEY S2; reference extraload.py:54-128 writes a
+    single snappy parquet). We write partitioned directories — at 100 TB
+    a single file is not an option; partition columns give partition
+    pruning on re-read."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Tab-separated sink with NaN representation (SURVEY S8; reference
+    lake_algorithms.py:219-225 exports tsv time series)."""
+    (
+        df.write.mode(mode)
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("nullValue", "NaN")
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (SURVEY S7 geometry sink uses this shape)."""
+    df.write.mode(mode).json(path)

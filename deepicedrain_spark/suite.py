@@ -1,0 +1,694 @@
+"""Driver-contract query suite: named queries + DuckDB oracle SQL.
+
+Each entry demonstrates one operator family from SURVEY.md §2 on the
+driver's synthetic tables (TESTDATA.md): ``events`` plays the ATL11
+point-cloud time series (user_id ≈ ref_pt, ts ≈ utc_time, value ≈
+h_corr — FIXTURES.md §7), ``embeddings`` provides (x, y) coordinates
+for the spatial operators, and lineitem/orders/customer exercise the
+generic scan/filter/agg/join surface the engine exposes.
+
+Determinism contract with the oracle: every float output column is
+either (a) exact — min/max/first differences of stored doubles, or
+integer math — or (b) rounded to 6 d.p. after being computed from
+identical inputs in both engines (fp accumulation differences are
+~1e-13 relative, far below the rounding quantum), or (c) derived from
+exact DECIMAL/integer aggregates so the final double is bit-identical.
+Money sums use DECIMAL intermediates (sum order never matters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from deepicedrain_spark.io import load_table
+from deepicedrain_spark.region import Region
+from deepicedrain_spark.functions.strings import bin_label, piped_distinct, track_id
+from deepicedrain_spark.functions.timeutils import ns_to_us, us_of
+from deepicedrain_spark.operators import aggregates as agg_ops
+from deepicedrain_spark.operators import filters as filt_ops
+from deepicedrain_spark.operators import windows as win_ops
+from deepicedrain_spark.operators.regression import linregress_aggs
+
+EVENTS_EPOCH = "2024-01-01"
+EVENTS_EPOCH_US = us_of(EVENTS_EPOCH)
+US_PER_DAY = 86_400_000_000
+
+
+def _ts_us(col: str = "ts") -> F.Column:
+    """Event time in exact epoch-µs (ns-long column truncated the same
+    way DuckDB's reader truncates TIMESTAMP_NS to µs)."""
+    return ns_to_us(F.col(col))
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → driver does rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, sql)
+        return fn
+
+    return deco
+
+
+def _dec_sum(col: str, prec: str = "decimal(18,2)") -> F.Column:
+    """Exact money sum: decimal accumulate, cast once to double."""
+    return F.sum(F.col(col).cast(prec)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A2 — flagship: per-point dhdt linear regression (deltamath.py:45-67)
+# ---------------------------------------------------------------------------
+@register(
+    "dhdt_per_point_regression",
+    f"""
+    WITH pts AS (
+      SELECT user_id, value AS h,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '{EVENTS_EPOCH}')) / 86400000000.0 AS t_days
+      FROM events)
+    SELECT user_id,
+           CAST(regr_count(h, t_days) AS BIGINT) AS n,
+           round(regr_slope(h, t_days), 6) AS slope,
+           round(regr_intercept(h, t_days), 6) AS intercept,
+           round(regr_r2(h, t_days), 6) AS r2,
+           round(sqrt((regr_syy(h, t_days) / regr_sxx(h, t_days)
+                       - regr_slope(h, t_days) * regr_slope(h, t_days))
+                      / (regr_count(h, t_days) - 2)), 6) AS stderr
+    FROM pts GROUP BY user_id
+    """,
+)
+def q_dhdt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.col("value").alias("h"),
+        ((_ts_us() - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000.0)).alias("t_days"),
+    )
+    out = pts.groupBy("user_id").agg(*linregress_aggs("h", "t_days"))
+    return out.select(
+        "user_id",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.round("stderr", 6).alias("stderr"),
+    )
+
+
+# A1 — per-point height range (nanptp, deltamath.py:34-42)
+@register(
+    "height_range_per_point",
+    """
+    SELECT user_id, round(max(value) - min(value), 6) AS value_range,
+           count(value) AS n_obs
+    FROM events GROUP BY user_id
+    """,
+)
+def q_height_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # single shuffle: range and count in one grouped aggregation
+    return ev.groupBy("user_id").agg(
+        F.round(F.max("value") - F.min("value"), 6).alias("value_range"),
+        F.count("value").alias("n_obs"),
+    )
+
+
+# P2 — bounding-box Region subset (spatiotemporal.py:135-155)
+@register(
+    "bbox_subset",
+    """
+    SELECT vec_id,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS x,
+           round(CAST(embedding[2] AS DOUBLE), 6) AS y
+    FROM embeddings
+    WHERE CAST(embedding[1] AS DOUBLE) > -0.2 AND CAST(embedding[1] AS DOUBLE) < 0.2
+      AND CAST(embedding[2] AS DOUBLE) > -0.2 AND CAST(embedding[2] AS DOUBLE) < 0.2
+    """,
+)
+def q_bbox_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    region = Region("q", -0.2, 0.2, -0.2, 0.2)
+    return region.subset(pts).select(
+        "vec_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+# P3 — quality mask: null-out, keep row (atl06_to_atl11.py:217)
+@register(
+    "quality_mask",
+    """
+    SELECT event_id,
+           CASE WHEN event_type <> 'error' THEN round(value, 6) END AS value_ok
+    FROM events
+    """,
+)
+def q_quality_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = filt_ops.quality_mask(
+        ev, "value", F.col("event_type") != "error", out_col="value_ok"
+    )
+    return masked.select("event_id", F.round("value_ok", 6).alias("value_ok"))
+
+
+# P6 — null-threshold: keep points with >= N valid obs (atlxi_dhdt.py:111)
+@register(
+    "null_threshold",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type <> 'error' THEN value END) AS n_valid
+    FROM events GROUP BY user_id
+    HAVING count(CASE WHEN event_type <> 'error' THEN value END) >= 55
+    """,
+)
+def q_null_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = filt_ops.quality_mask(
+        ev, "value", F.col("event_type") != "error", out_col="value_ok"
+    )
+    kept = filt_ops.null_threshold(masked, ["user_id"], "value_ok", thresh=55)
+    return kept.groupBy("user_id").agg(F.count("value_ok").alias("n_valid"))
+
+
+# P4 — magnitude / noise-floor filter (atlxi_lake.py:106-110)
+@register(
+    "magnitude_filter",
+    """
+    SELECT event_id, round(value, 6) AS value
+    FROM events WHERE abs(value - 50.0) > 100.0
+    """,
+)
+def q_magnitude_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dv", F.col("value") - F.lit(50.0)
+    )
+    return filt_ops.magnitude_filter(ev, "dv", 100.0).select(
+        "event_id", F.round("value", 6).alias("value")
+    )
+
+
+# P5 — string-expression filter (atlxi_dhdt.py:426-451 df.query strings)
+@register(
+    "expression_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+    """,
+)
+def q_expression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter("l_returnflag = 'R' AND l_quantity > 45").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# P8 — outlier clip to mean ± 3σ (atlxi_lake.py:115-120). DECIMAL-exact
+# moments so both engines derive bit-identical clip bounds.
+@register(
+    "outlier_clip_sigma",
+    """
+    WITH st AS (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           round(least(greatest(l_extendedprice,
+                                s/n - 3*sqrt((ss - s*s/n)/(n-1))),
+                       s/n + 3*sqrt((ss - s*s/n)/(n-1))), 2) AS price_clipped
+    FROM lineitem, st
+    """,
+)
+def q_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_extendedprice").cast("decimal(18,2)")
+    st = li.agg(
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("ss"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mu = F.col("s") / F.col("n")
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    return (
+        li.crossJoin(F.broadcast(st))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.least(
+                    F.greatest(F.col("l_extendedprice"), mu - 3 * sd), mu + 3 * sd
+                ),
+                2,
+            ).alias("price_clipped"),
+        )
+    )
+
+
+# P9 — adaptive per-group median threshold (atlxi_lake.py:199-203)
+@register(
+    "adaptive_median_filter",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(abs(value), 0.5) AS gmed
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    WHERE abs(e.value) > 3 * m.gmed
+    """,
+)
+def q_adaptive_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kept = filt_ops.adaptive_median_filter(ev, ["event_type"], "value", k=3.0)
+    return kept.select("event_id", "event_type", F.round("value", 6).alias("value"))
+
+
+# P7/F8 — JSON field extract + null-drop (atlxi_lake.py:364-369)
+@register(
+    "json_extract_filter",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).na.drop(subset=["k"]).filter(
+        F.col("k") > 50
+    )
+
+
+# P11 — dedup (atlxi_xover.py:242)
+@register("dedup_distinct", "SELECT DISTINCT lang, source FROM documents")
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("lang", "source").dropDuplicates()
+
+
+# A3 — cycle-to-cycle delta (deltamath.py:10-31), weekly "cycles"
+@register(
+    "cycle_delta",
+    f"""
+    WITH c AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '{EVENTS_EPOCH}'))
+                        / 604800000000.0) AS BIGINT) + 1 AS cycle,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           round(max(CASE WHEN cycle = 4 THEN v END)
+                 - max(CASE WHEN cycle = 1 THEN v END), 6) AS delta_h
+    FROM c GROUP BY user_id
+    """,
+)
+def q_cycle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cycle = (
+        F.floor((_ts_us() - F.lit(EVENTS_EPOCH_US)) / F.lit(604800000000.0)) + 1
+    ).alias("cycle")
+    per_cycle = ev.groupBy("user_id", cycle).agg(F.avg("value").alias("v"))
+    delta = agg_ops.cycle_delta_long(
+        per_cycle, ["user_id"], "cycle", "v", old=1, new=4, out="delta_h"
+    )
+    return delta.select("user_id", F.round("delta_h", 6).alias("delta_h"))
+
+
+# A4 — describe summary stats (atlxi_xover.py:177)
+@register(
+    "describe_stats",
+    """
+    SELECT count(value) AS value_count,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS value_mean,
+           round(stddev_samp(value), 6) AS value_std,
+           round(min(value), 6) AS value_min,
+           round(quantile_cont(value, 0.25), 6) AS value_p25,
+           round(quantile_cont(value, 0.5), 6) AS value_p50,
+           round(quantile_cont(value, 0.75), 6) AS value_p75,
+           round(max(value), 6) AS value_max
+    FROM events
+    """,
+)
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("value").alias("value_count"),
+        F.round(_dec_sum("value") / F.count("value"), 6).alias("value_mean"),
+        F.round(F.stddev("value"), 6).alias("value_std"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.expr("percentile(value, 0.25D)"), 6).alias("value_p25"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("value_p50"),
+        F.round(F.expr("percentile(value, 0.75D)"), 6).alias("value_p75"),
+        F.round(F.max("value"), 6).alias("value_max"),
+    )
+
+
+# A5 — grouped median + MAD (atlxi_lake.py:257-265)
+@register(
+    "grouped_median_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(any_value(m.m), 6) AS value_median,
+           round(quantile_cont(abs(e.value - m.m), 0.5), 6) AS value_mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = agg_ops.grouped_median_mad(ev, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.round("value_median", 6).alias("value_median"),
+        F.round("value_mad", 6).alias("value_mad"),
+    )
+
+
+# A9 — 2D raster aggregation / datashade (spatiotemporal.py:109-133)
+@register(
+    "raster_datashade",
+    """
+    SELECT CAST(floor((CAST(embedding[1] AS DOUBLE) - (-0.5)) / 0.1) AS BIGINT) AS px,
+           CAST(floor((CAST(embedding[2] AS DOUBLE) - (-0.5)) / 0.1) AS BIGINT) AS py,
+           round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS z_mean,
+           count(*) AS n
+    FROM embeddings
+    WHERE CAST(embedding[1] AS DOUBLE) > -0.5 AND CAST(embedding[1] AS DOUBLE) < 0.5
+      AND CAST(embedding[2] AS DOUBLE) > -0.5 AND CAST(embedding[2] AS DOUBLE) < 0.5
+    GROUP BY 1, 2
+    """,
+)
+def q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    region = Region("emb", -0.5, 0.5, -0.5, 0.5)
+    shaded = region.datashade(pts, width=10, height=10)
+    return shaded.select(
+        "px", "py", F.round("z_mean", 6).alias("z_mean"), "n"
+    )
+
+
+# A10 — block-median gridding (spatiotemporal.py:426-430)
+@register(
+    "block_median",
+    """
+    SELECT CAST(floor((CAST(embedding[1] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cx,
+           CAST(floor((CAST(embedding[2] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cy,
+           round(quantile_cont(CAST(embedding[1] AS DOUBLE), 0.5), 6) AS x_med,
+           round(quantile_cont(CAST(embedding[2] AS DOUBLE), 0.5), 6) AS y_med,
+           round(quantile_cont(CAST(embedding[3] AS DOUBLE), 0.5), 6) AS z_med
+    FROM embeddings GROUP BY 1, 2
+    """,
+)
+def q_block_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    out = agg_ops.raster_aggregate(pts, "x", "y", "z", -0.5, -0.5, 0.25, agg="median")
+    return out.select(
+        F.col("cx"),
+        F.col("cy"),
+        F.round("x_med", 6).alias("x_med"),
+        F.round("y_med", 6).alias("y_med"),
+        F.round("z_med", 6).alias("z_med"),
+    )
+
+
+# A8/F6 — sorted distinct collect, pipe-joined (atlxi_lake.py:281-283)
+@register(
+    "piped_distinct_tracks",
+    """
+    SELECT user_id, string_agg(event_type, '|' ORDER BY event_type) AS event_types
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id
+    """,
+)
+def q_piped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(piped_distinct("event_type").alias("event_types"))
+
+
+# F5 — binning (pd.cut; extraload.py:162-166)
+@register(
+    "bin_labels",
+    """
+    SELECT CASE WHEN value <= 25.0 THEN 'low'
+                WHEN value <= 75.0 THEN 'mid'
+                ELSE 'high' END AS bin,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_bin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.withColumn(
+        "bin", bin_label(F.col("value"), [25.0, 75.0], ["low", "mid", "high"])
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), _dec_sum("value").alias("sum_value")
+    )
+
+
+# W1 — trailing time-range rolling mean (lake_algorithms.py:181-194)
+@register(
+    "rolling_time_mean",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 6)
+             AS roll_mean
+    FROM events
+    """,
+)
+def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rolled = win_ops.rolling_mean_std(
+        ev, _ts_us(), "value", days=1, partition_by=["user_id"]
+    )
+    return rolled.select(
+        "user_id", "event_id", F.round("value_roll_mean", 6).alias("roll_mean")
+    )
+
+
+# W2 — anomaly vs first observation per series (atlxi_xover.py:293-294)
+@register(
+    "anomaly_vs_first",
+    """
+    SELECT user_id, event_id,
+           round(value - first_value(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS anom
+    FROM events
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = win_ops.anomaly_vs_first(
+        ev, _ts_us(), "value", partition_by=["user_id"], tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_id", F.round("anom", 6).alias("anom"))
+
+
+# W4 — argmax top-1 row (atlxi_xover.py:179-180)
+@register(
+    "argmax_top1",
+    """
+    SELECT event_id, user_id, round(value, 6) AS value
+    FROM events ORDER BY abs(value) DESC, event_id LIMIT 1
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    top = win_ops.top1_by(ev, [F.abs(F.col("value")).desc(), F.col("event_id")])
+    return top.select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+# Top-k per group (window row_number; OLAP pattern over W4)
+@register(
+    "topk_per_segment",
+    """
+    SELECT * FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rk <= 3
+    """,
+)
+def q_topk_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# TPC-H Q1-shaped pricing summary (grouped aggs A6; DECIMAL-exact)
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp_ntz(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * disc1).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(ep).cast("double") / cnt, 6).alias("avg_price"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# Broadcast-join chain: revenue per region (J-surface; §2.3 note)
+@register(
+    "regional_revenue",
+    """
+    SELECT r.r_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            _dec_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# J5 — labeled row-wise union (atlxi_lake.py:225 draining+filling)
+@register(
+    "union_split_labels",
+    """
+    SELECT 'low' AS label, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE value < 25.0 GROUP BY event_type
+    UNION ALL
+    SELECT 'high' AS label, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE value > 75.0 GROUP BY event_type
+    """,
+)
+def q_union_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    low = ev.filter(F.col("value") < 25.0).withColumn("label", F.lit("low"))
+    high = ev.filter(F.col("value") > 75.0).withColumn("label", F.lit("high"))
+    return (
+        low.unionByName(high)
+        .groupBy("label", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value").alias("sum_value"))
+    )
+
+
+# F1 — GPS epoch delta-time round trip (spatiotemporal.py:158-176)
+@register(
+    "gps_time_convert",
+    """
+    SELECT event_id,
+           (epoch_us(ts) - epoch_us(TIMESTAMP '2018-01-01')) * 1000 AS delta_ns,
+           epoch_us(ts) AS recon_us
+    FROM events
+    """,
+)
+def q_gps_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gps_epoch_us = us_of("2018-01-01")
+    delta = (_ts_us() - F.lit(gps_epoch_us)) * F.lit(1000)
+    recon = ((delta.cast("decimal(38,0)") / F.lit(1000)).cast("long")) + F.lit(gps_epoch_us)
+    return ev.select("event_id", delta.alias("delta_ns"), recon.alias("recon_us"))
+
+
+# F6 — track-id formatting (extraload.py:170)
+@register(
+    "track_id_format",
+    """
+    SELECT event_id, printf('%04d_%s', CAST(user_id % 1387 AS INTEGER), event_type) AS track
+    FROM events
+    """,
+)
+def q_track_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        track_id(F.col("user_id") % 1387, F.col("event_type")).alias("track"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -1,0 +1,65 @@
+"""Golden-value tests for the flagship per-group regression (SURVEY A2),
+mirroring /root/reference/deepicedrain/tests/test_nanlinregress.py:31-42."""
+
+import math
+
+from pyspark.sql import Row
+
+from deepicedrain_spark.operators.regression import grouped_linregress
+
+
+def test_linregress_golden(spark):
+    # reference micro-fixture: NaN pair masked out
+    rows = [
+        Row(g=1, x=100.0, y=20.0),
+        Row(g=1, x=200.0, y=35.0),
+        Row(g=1, x=None, y=None),
+        Row(g=1, x=400.0, y=25.0),
+        Row(g=1, x=500.0, y=30.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = grouped_linregress(df, ["g"], "y", "x").collect()[0]
+    assert out["n"] == 4
+    assert math.isclose(out["slope"], 0.01, rel_tol=1e-9)
+    assert math.isclose(out["intercept"], 24.5, rel_tol=1e-9)
+    assert math.isclose(out["rvalue"], 0.28284271247461906, rel_tol=1e-9)
+    assert math.isclose(out["stderr"], 0.023979157616563596, rel_tol=1e-9)
+
+
+def test_linregress_perfect_fit(spark):
+    rows = [Row(g=1, x=float(i), y=2.0 * i + 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    out = grouped_linregress(df, ["g"], "y", "x").collect()[0]
+    assert math.isclose(out["slope"], 2.0, rel_tol=1e-12)
+    assert math.isclose(out["intercept"], 1.0, rel_tol=1e-12)
+    assert math.isclose(out["r2"], 1.0, rel_tol=1e-12)
+
+
+def test_linregress_scipy_parity(spark):
+    try:
+        from scipy import stats
+    except ImportError:
+        import pytest
+
+        pytest.skip("scipy not available")
+    import random
+
+    random.seed(42)
+    rows = [
+        Row(g=g, x=float(i), y=random.uniform(0, 100))
+        for g in range(3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: r for r in grouped_linregress(df, ["g"], "y", "x").collect()}
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r.g].append((r.x, r.y))
+    for g, pts in by_g.items():
+        ref = stats.linregress([p[0] for p in pts], [p[1] for p in pts])
+        assert math.isclose(got[g]["slope"], ref.slope, rel_tol=1e-9)
+        assert math.isclose(got[g]["intercept"], ref.intercept, rel_tol=1e-9)
+        assert math.isclose(got[g]["rvalue"], ref.rvalue, rel_tol=1e-9)
+        assert math.isclose(got[g]["stderr"], ref.stderr, rel_tol=1e-9)
