@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deepicedrain_spark import suite  # noqa: E402
+from deepicedrain_spark import suite_custom  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

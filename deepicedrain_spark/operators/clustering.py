@@ -1,0 +1,297 @@
+"""Density clustering — DBSCAN (SURVEY M1).
+
+Reference: ``find_clusters`` at
+/root/reference/deepicedrain/lake_algorithms.py:13-73 runs cuML/
+sklearn DBSCAN(eps=3000 m, min_samples=250) on [x, y, dhdt_slope] per
+drainage basin, separately for draining (labels negated) and filling;
+noise (−1) → null.
+
+Spark-first: the reference's unit of work is ONE BASIN (≤ a few
+million points), so the natural distribution is ``groupBy(basin).
+applyInPandas(local_dbscan)`` — each basin fits one task comfortably
+and results are bit-identical to a single-node run (no cross-
+partition merge ambiguity). The local kernel is a vectorized numpy
+grid-bucket DBSCAN (O(n·k) with eps-cell hashing, no sklearn needed).
+
+For clouds where one group exceeds a task (no such case in the
+reference), ``dbscan_distributed`` shards a group into eps-grid
+blocks with halo replication and merges local clusters whose core
+points fall within eps across block borders via iterative
+label-propagation joins (connected components).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dbscan_numpy(X: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Exact DBSCAN labels (−1 = noise) via eps-cell bucketing.
+
+    Semantics match sklearn/cuML: a point is core iff it has
+    ≥ min_samples neighbors within eps INCLUDING itself; border points
+    join the first core cluster that reaches them; noise stays −1.
+    """
+    n = len(X)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    cells = np.floor(X / eps).astype(np.int64)
+    buckets: dict[tuple, np.ndarray] = {}
+    order = np.lexsort(cells.T[::-1])
+    sorted_cells = cells[order]
+    boundaries = np.flatnonzero(
+        np.any(np.diff(sorted_cells, axis=0) != 0, axis=1)
+    )
+    starts = np.concatenate(([0], boundaries + 1))
+    ends = np.concatenate((boundaries + 1, [n]))
+    for s, e in zip(starts, ends):
+        buckets[tuple(sorted_cells[s])] = order[s:e]
+
+    d = X.shape[1]
+    offsets = np.array(np.meshgrid(*([[-1, 0, 1]] * d))).T.reshape(-1, d)
+
+    def neighbors(i: int) -> np.ndarray:
+        c = cells[i]
+        cand_list = [
+            buckets[key]
+            for off in offsets
+            if (key := tuple(c + off)) in buckets
+        ]
+        cand = np.concatenate(cand_list)
+        diff = X[cand] - X[i]
+        return cand[np.einsum("ij,ij->i", diff, diff) <= eps * eps]
+
+    labels = np.full(n, -1, dtype=np.int64)
+    visited = np.zeros(n, dtype=bool)
+    cluster = -1
+    for i in range(n):
+        if visited[i]:
+            continue
+        visited[i] = True
+        nbrs = neighbors(i)
+        if len(nbrs) < min_samples:
+            continue
+        cluster += 1
+        labels[i] = cluster
+        seeds = list(nbrs[labels[nbrs] == -1])
+        labels[nbrs[labels[nbrs] == -1]] = cluster
+        labels[i] = cluster
+        while seeds:
+            j = seeds.pop()
+            if visited[j]:
+                continue
+            visited[j] = True
+            jn = neighbors(j)
+            if len(jn) >= min_samples:
+                new = jn[(labels[jn] == -1)]
+                labels[new] = cluster
+                seeds.extend(new)
+    return labels
+
+
+def find_clusters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    feature_cols: Sequence[str],
+    eps: float = 3000.0,
+    min_samples: int = 250,
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """M1: per-group DBSCAN via applyInPandas.
+
+    Output: input columns + ``label_col`` (long; 1-based like the
+    reference's cluster labels at lake_algorithms.py:66-68, NULL for
+    noise). One shuffle on group key; each group is clustered locally
+    and deterministically.
+    """
+    group_cols = list(group_cols)
+    feature_cols = list(feature_cols)
+    out_schema = df.schema.simpleString()[7:-1] + f", {label_col} long"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[feature_cols].to_numpy(dtype=np.float64)
+        mask = ~np.isnan(X).any(axis=1)
+        labels = np.full(len(pdf), -1, dtype=np.int64)
+        if mask.sum() > 0:
+            labels[mask] = dbscan_numpy(X[mask], eps, min_samples)
+        out = pdf.copy()
+        # 1-based labels, noise → <NA> (reference: cluster_label = labels+1,
+        # zero masked to NaN at lake_algorithms.py:66-69)
+        lab = pd.array(labels + 1, dtype="Int64")
+        lab[lab == 0] = pd.NA
+        out[label_col] = lab
+        return out
+
+    return df.groupBy(*group_cols).applyInPandas(run, schema=out_schema)
+
+
+def find_clusters_signed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    feature_cols: Sequence[str],
+    sign_col: str,
+    eps: float = 3000.0,
+    min_samples: int = 250,
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Reference semantics (atlxi_lake.py:212-227): cluster draining
+    (sign<0) and filling (sign>0) populations separately; draining
+    cluster ids are NEGATED so signs encode direction."""
+    base = df.withColumn("_sign", F.signum(F.col(sign_col)))
+    split = base.filter(F.col("_sign") != 0)
+    clustered = find_clusters(
+        split,
+        [*group_cols, "_sign"],
+        feature_cols,
+        eps,
+        min_samples,
+        label_col,
+    )
+    return clustered.withColumn(
+        label_col, (F.col(label_col) * F.col("_sign")).cast("long")
+    ).drop("_sign")
+
+
+def dbscan_distributed(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    eps: float,
+    min_samples: int,
+    block_cells: int = 64,
+    label_col: str = "cluster_id",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Scale-out DBSCAN for a single huge cloud (beyond-reference).
+
+    1. Shard space into blocks of ``block_cells``·eps per side; each
+       point goes to its home block and is REPLICATED into neighbor
+       blocks when within eps of the border (halo).
+    2. Local numpy DBSCAN per block (applyInPandas).
+    3. Merge: halo points carrying two block-local core labels witness
+       that the clusters are one; iterate min-label propagation over
+       the witness edges until fixpoint (connected components).
+
+    Only 2-D supported here (x, y = feature_cols[:2]); higher dims
+    cluster per-group via find_clusters.
+    """
+    x, y = feature_cols[0], feature_cols[1]
+    bsize = block_cells * eps
+
+    # home + halo replication (≤4 copies in 2-D corner case)
+    def block_assignments(df: DataFrame) -> DataFrame:
+        bx = F.floor(F.col(x) / bsize)
+        by = F.floor(F.col(y) / bsize)
+        fx = F.col(x) - bx * bsize
+        fy = F.col(y) - by * bsize
+        bxs = F.array_distinct(
+            F.array(
+                bx,
+                F.when(fx < eps, bx - 1).otherwise(bx),
+                F.when(fx > bsize - eps, bx + 1).otherwise(bx),
+            )
+        )
+        bys = F.array_distinct(
+            F.array(
+                by,
+                F.when(fy < eps, by - 1).otherwise(by),
+                F.when(fy > bsize - eps, by + 1).otherwise(by),
+            )
+        )
+        return (
+            df.withColumn("_bx", F.explode(bxs))
+            .withColumn("_by", F.explode(bys))
+            .withColumn(
+                "_is_home",
+                (F.col("_bx") == F.floor(F.col(x) / bsize))
+                & (F.col("_by") == F.floor(F.col(y) / bsize)),
+            )
+        )
+
+    pts = block_assignments(df)
+
+    schema = pts.schema.simpleString()[7:-1] + ", _local long, _is_core boolean"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[[x, y]].to_numpy(dtype=np.float64)
+        labels = dbscan_numpy(X, eps, min_samples)
+        # core flags: recompute neighbor counts (cheap second pass)
+        out = pdf.copy()
+        out["_local"] = labels
+        core = np.zeros(len(pdf), dtype=bool)
+        if len(pdf):
+            cells = np.floor(X / eps).astype(np.int64)
+            from collections import defaultdict
+
+            b = defaultdict(list)
+            for i, c in enumerate(map(tuple, cells)):
+                b[c].append(i)
+            for i in range(len(pdf)):
+                cnt = 0
+                ci = cells[i]
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for j in b.get((ci[0] + dx, ci[1] + dy), ()):
+                            if (X[j, 0] - X[i, 0]) ** 2 + (X[j, 1] - X[i, 1]) ** 2 <= eps * eps:
+                                cnt += 1
+                core[i] = cnt >= min_samples
+        out["_is_core"] = core
+        return out
+
+    local = pts.groupBy("_bx", "_by").applyInPandas(run, schema=schema)
+    local = local.filter(F.col("_local") >= 0).withColumn(
+        "_gid",
+        F.concat_ws("_", F.col("_bx"), F.col("_by"), F.col("_local")),
+    )
+    local = local.persist()
+
+    # witness edges: same point id clustered in two blocks, core in ≥1
+    copies = local.select(id_col, "_gid", "_is_core")
+    edges = (
+        copies.alias("a")
+        .join(copies.alias("b"), on=id_col)
+        .filter(F.col("a._gid") < F.col("b._gid"))
+        .filter(F.col("a._is_core") | F.col("b._is_core"))
+        .select(F.col("a._gid").alias("src"), F.col("b._gid").alias("dst"))
+        .distinct()
+    )
+
+    # connected components: the fragment graph has one node per
+    # (block, local-cluster) — O(blocks), microscopic next to the point
+    # table even at 100 TB — so union-find on the driver + broadcast of
+    # the root map back beats iterative label-propagation joins (whose
+    # unbounded lineage cripples planning)
+    parent: dict[str, str] = {}
+
+    def find(a: str) -> str:
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for row in edges.collect():
+        ra, rb = find(row["src"]), find(row["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_gids = [r["gid"] for r in local.select(F.col("_gid").alias("gid")).distinct().collect()]
+    mapping = [(g, find(g)) for g in all_gids]
+    labels = df.sparkSession.createDataFrame(mapping, "gid string, root string")
+
+    out = (
+        local.filter(F.col("_is_home"))
+        .join(F.broadcast(labels), local._gid == labels.gid)
+        .withColumnRenamed("root", label_col)
+        .drop("gid", "_gid", "_local", "_is_core", "_bx", "_by", "_is_home")
+    )
+    noise = (
+        pts.filter(F.col("_is_home"))
+        .join(out.select(id_col), on=id_col, how="left_anti")
+        .drop("_bx", "_by", "_is_home")
+        .withColumn(label_col, F.lit(None).cast("string"))
+    )
+    return out.unionByName(noise)

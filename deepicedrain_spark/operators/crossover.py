@@ -1,0 +1,154 @@
+"""Crossover (track-intersection) join — SURVEY J3, the hardest op.
+
+Reference: /root/reference/atlxi_xover.py:118-146 iterates
+``itertools.combinations`` of track pairs, prunes same-RGT pairs and
+non-intersecting LineStrings with shapely, then shells into GMT's
+``x2sys_cross`` per pair (temp files, C library) to find exact
+intersection points and linearly interpolate per-track height/time at
+the crossing. Gap semantics: segments longer than 250 m are not
+crossed (X2SYS/ICESAT2.tag:6 ``-Wd250e``).
+
+Spark-first rewrite — the whole thing is ONE declarative plan, no
+driver-side pair loop, no subprocess:
+
+1. ``lead()`` window per track → consecutive-point segments
+   (one shuffle, partitioned by track — reused from ingest sort).
+2. Drop segments with gap > max_gap (−Wd250e).
+3. Assign each segment to every spatial grid cell its bbox touches
+   (cell ≥ max_gap ⇒ ≤4 cells/segment), **equi-join on cell** with
+   ``track1 < track2`` — this replaces the reference's shapely
+   pre-filter with a hash join Catalyst can shuffle-partition; the
+   same-RGT prune is a join predicate.
+4. Exact segment-intersection solve + linear h/t interpolation as
+   pure SQL arithmetic (whole-stage codegen).
+5. Dedup crossings discovered in multiple shared cells.
+
+At 100 TB the only shuffles are the lead() window and the cell-keyed
+join; cell keys are uniform (ground tracks), so no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def track_segments(
+    df: DataFrame,
+    track_col: str = "track_id",
+    order_col: str = "t",
+    x: str = "x",
+    y: str = "y",
+    h: str = "h",
+    t: str | None = None,
+    max_gap: float | None = 250.0,
+) -> DataFrame:
+    """Consecutive-point segments per track via lead().
+
+    ``order_col`` defines along-track order; ``t`` (defaults to
+    ``order_col``) is the time attribute interpolated at crossings.
+    Output: (track_id, x1, y1, x2, y2, h1, h2, t1, t2). ``max_gap``
+    drops segments whose euclidean length exceeds it (x2sys -Wd)."""
+    t = t or order_col
+    w = Window.partitionBy(track_col).orderBy(order_col)
+    seg = df.select(
+        F.col(track_col),
+        F.col(x).alias("x1"),
+        F.col(y).alias("y1"),
+        F.col(h).alias("h1"),
+        F.col(t).alias("t1"),
+        F.lead(x).over(w).alias("x2"),
+        F.lead(y).over(w).alias("y2"),
+        F.lead(h).over(w).alias("h2"),
+        F.lead(t).over(w).alias("t2"),
+    ).filter(F.col("x2").isNotNull())
+    if max_gap is not None:
+        dx = F.col("x2") - F.col("x1")
+        dy = F.col("y2") - F.col("y1")
+        seg = seg.filter(dx * dx + dy * dy <= F.lit(max_gap * max_gap))
+    return seg
+
+
+def _explode_cells(seg: DataFrame, cell: float) -> DataFrame:
+    """Replicate each segment into every grid cell its bbox covers."""
+    cx_lo = F.floor(F.least("x1", "x2") / cell)
+    cx_hi = F.floor(F.greatest("x1", "x2") / cell)
+    cy_lo = F.floor(F.least("y1", "y2") / cell)
+    cy_hi = F.floor(F.greatest("y1", "y2") / cell)
+    return seg.withColumn("cx", F.explode(F.sequence(cx_lo, cx_hi))).withColumn(
+        "cy", F.explode(F.sequence(cy_lo, cy_hi))
+    )
+
+
+def crossover_join(
+    segments: DataFrame,
+    cell: float = 1000.0,
+    track_col: str = "track_id",
+    rgt_of=None,
+) -> DataFrame:
+    """Find all pairwise track crossings with interpolated h/t.
+
+    Output: (track1, track2, x, y, h_1, h_2, t_1, t_2) — the
+    x2sys_cross 'xyht' format (X2SYS/ICESAT2/xyht.fmt:10-14).
+    ``rgt_of(col)`` optionally maps a track id to its repeat-ground-
+    track so same-RGT pairs are pruned (atlxi_xover.py:126-127).
+    """
+    a = _explode_cells(segments, cell).alias("a")
+    b = _explode_cells(segments, cell).alias("b")
+
+    cond = (
+        (F.col("a.cx") == F.col("b.cx"))
+        & (F.col("a.cy") == F.col("b.cy"))
+        & (F.col(f"a.{track_col}") < F.col(f"b.{track_col}"))
+    )
+    if rgt_of is not None:
+        cond = cond & (rgt_of(F.col(f"a.{track_col}")) != rgt_of(F.col(f"b.{track_col}")))
+
+    j = a.join(b, cond)
+
+    # exact 2-D segment intersection: P = A1 + s·(A2−A1) = B1 + u·(B2−B1)
+    rx = F.col("a.x2") - F.col("a.x1")
+    ry = F.col("a.y2") - F.col("a.y1")
+    sx = F.col("b.x2") - F.col("b.x1")
+    sy = F.col("b.y2") - F.col("b.y1")
+    qpx = F.col("b.x1") - F.col("a.x1")
+    qpy = F.col("b.y1") - F.col("a.y1")
+    denom = rx * sy - ry * sx
+    s = (qpx * sy - qpy * sx) / denom
+    u = (qpx * ry - qpy * rx) / denom
+
+    crossed = (
+        j.filter(denom != 0)
+        .withColumn("_s", s)
+        .withColumn("_u", u)
+        .filter(
+            (F.col("_s") >= 0) & (F.col("_s") <= 1) & (F.col("_u") >= 0) & (F.col("_u") <= 1)
+        )
+    )
+
+    out = crossed.select(
+        F.col(f"a.{track_col}").alias("track1"),
+        F.col(f"b.{track_col}").alias("track2"),
+        (F.col("a.x1") + F.col("_s") * rx).alias("x"),
+        (F.col("a.y1") + F.col("_s") * ry).alias("y"),
+        (F.col("a.h1") + F.col("_s") * (F.col("a.h2") - F.col("a.h1"))).alias("h_1"),
+        (F.col("b.h1") + F.col("_u") * (F.col("b.h2") - F.col("b.h1"))).alias("h_2"),
+        (F.col("a.t1") + F.col("_s") * (F.col("a.t2") - F.col("a.t1"))).alias("t_1"),
+        (F.col("b.t1") + F.col("_u") * (F.col("b.t2") - F.col("b.t1"))).alias("t_2"),
+    )
+    # the same crossing surfaces once per shared cell → dedup
+    return out.dropDuplicates(["track1", "track2", "x", "y"])
+
+
+def crossover_errors(xovers: DataFrame, seconds_per_year: float = 365.25 * 86400) -> DataFrame:
+    """Derived crossover metrics (atlxi_xover.py:170-173):
+    h_X = h_2 − h_1 (later minus earlier), t_D = t_2 − t_1,
+    dhdt = h_X / (t_D in years). Track order already guarantees
+    track1 < track2; the reference sorts so track2 is the later pass —
+    callers control ordering via track ids."""
+    t_d = F.col("t_2") - F.col("t_1")
+    return (
+        xovers.withColumn("h_X", F.col("h_2") - F.col("h_1"))
+        .withColumn("t_D", t_d)
+        .withColumn("dhdt", F.col("h_X") / (t_d / F.lit(seconds_per_year)))
+    )

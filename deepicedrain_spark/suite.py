@@ -476,24 +476,31 @@ def q_bin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# W1 — trailing time-range rolling mean (lake_algorithms.py:181-194)
+# W1 — trailing time-range rolling mean (lake_algorithms.py:181-194).
+# The window sum accumulates in DECIMAL so both engines derive
+# bit-identical means (2-d.p. inputs make float means land on exact
+# decimal boundaries where cross-engine rounding diverges).
 @register(
     "rolling_time_mean",
     """
     SELECT user_id, event_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 6)
-             AS roll_mean
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(value) OVER w AS roll_mean
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    rolled = win_ops.rolling_mean_std(
-        ev, _ts_us(), "value", days=1, partition_by=["user_id"]
-    )
-    return rolled.select(
-        "user_id", "event_id", F.round("value_roll_mean", 6).alias("roll_mean")
+    w = win_ops.trailing_time_window(_ts_us(), days=1, partition_by=["user_id"])
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("roll_mean"),
     )
 
 

@@ -1,0 +1,305 @@
+"""Driver-contract queries for the custom operators (SURVEY §2.3 J1/J3,
+§2.4 A12/A13, §2.5 W5, §2.9 M1) mapped onto the driver testdata.
+
+The embeddings table provides (x, y) point coordinates
+(embedding[1], embedding[2] — FIXTURES.md §7); tracks for the
+crossover query are synthesized deterministically from events row
+order so the DuckDB oracle can rebuild the identical geometry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.io import load_table
+from deepicedrain_spark.operators import windows as win_ops
+from deepicedrain_spark.operators.clustering import find_clusters
+from deepicedrain_spark.operators.crossover import (
+    crossover_errors,
+    crossover_join,
+    track_segments,
+)
+from deepicedrain_spark.operators.spatial import (
+    close_ring,
+    convex_hulls,
+    point_in_polygon,
+    polygons_df,
+    ring_area,
+)
+from deepicedrain_spark.suite import _ts_us, register
+
+# --- literal polygon layer (a convex pentagon + a concave chevron) ---
+PIP_POLYGONS = [
+    {
+        "poly_id": "pentagon",
+        "xs": [0.00, 0.18, 0.11, -0.11, -0.18],
+        "ys": [0.20, 0.04, -0.16, -0.16, 0.04],
+    },
+    {
+        "poly_id": "chevron",
+        "xs": [-0.35, -0.15, 0.05, -0.15, -0.35],
+        "ys": [-0.30, -0.30, -0.10, -0.18, -0.10],
+    },
+]
+
+
+def _edges_values() -> str:
+    """Polygon edges as a SQL VALUES list (poly_id, xa, ya, xb, yb)."""
+    rows = []
+    for p in PIP_POLYGONS:
+        xs, ys = close_ring(p["xs"], p["ys"])
+        for i in range(len(xs) - 1):
+            rows.append(
+                f"('{p['poly_id']}', {xs[i]!r}, {ys[i]!r}, {xs[i+1]!r}, {ys[i+1]!r})"
+            )
+    return ",\n       ".join(rows)
+
+
+@register(
+    "point_in_polygon",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    edges(poly_id, xa, ya, xb, yb) AS (VALUES
+       {_edges_values()}),
+    par AS (
+      SELECT p.vec_id, e.poly_id, count(*) AS c
+      FROM pts p JOIN edges e
+        ON ((e.yb > p.y) <> (e.ya > p.y))
+       AND (p.x < (e.xa - e.xb) * (p.y - e.yb) / (e.ya - e.yb) + e.xb)
+      GROUP BY 1, 2)
+    SELECT vec_id, poly_id FROM par WHERE c % 2 = 1
+    """,
+)
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    polys = polygons_df(spark, PIP_POLYGONS)
+    return point_in_polygon(pts, polys).select("vec_id", "poly_id")
+
+
+@register("convex_hull_per_label", None)  # hull not SQL-expressible → rows-only
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    hulls = convex_hulls(pts, ["label"])
+    return hulls.select(
+        "label",
+        (F.size("hull") - 1).alias("hull_vertices"),
+        F.round(ring_area("hull"), 6).alias("hull_area"),
+    )
+
+
+@register("dbscan_clusters", None)  # iterative/UDF op → rows-only check
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    ).withColumn("all", F.lit(1))
+    clustered = find_clusters(pts, ["all"], ["x", "y"], eps=0.05, min_samples=5)
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cluster_id")
+    )
+
+
+# --- crossover: 4 synthetic straight tracks derived from events ------
+_TRACK_Y = {
+    0: (0.37, 0.123),
+    1: (-0.53, 1201.77),
+    2: (0.11, 300.41),
+    3: (0.93, -200.33),
+}
+_Y_CASE_SQL = (
+    "CASE tid WHEN 0 THEN 0.37*rn + 0.123 WHEN 1 THEN 1201.77 - 0.53*rn "
+    "WHEN 2 THEN 0.11*rn + 300.41 ELSE 0.93*rn - 200.33 END"
+)
+
+
+def _tracks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.col("user_id") % 4).orderBy(_ts_us(), "event_id")
+    base = ev.select(
+        (F.col("user_id") % 4).alias("tid"),
+        F.row_number().over(w).cast("double").alias("rn"),
+        F.col("value").alias("h"),
+        _ts_us().cast("double").alias("t"),
+    )
+    y = (
+        F.when(F.col("tid") == 0, F.lit(0.37) * F.col("rn") + F.lit(0.123))
+        .when(F.col("tid") == 1, F.lit(1201.77) - F.lit(0.53) * F.col("rn"))
+        .when(F.col("tid") == 2, F.lit(0.11) * F.col("rn") + F.lit(300.41))
+        .otherwise(F.lit(0.93) * F.col("rn") - F.lit(200.33))
+    )
+    return base.select("tid", F.col("rn").alias("x"), y.alias("y"), "h", "t")
+
+
+@register(
+    "crossover_track_intersections",
+    f"""
+    WITH pts AS (
+      SELECT user_id % 4 AS tid,
+             CAST(row_number() OVER (PARTITION BY user_id % 4
+                                     ORDER BY ts, event_id) AS DOUBLE) AS rn,
+             value AS h, CAST(epoch_us(ts) AS DOUBLE) AS t
+      FROM events),
+    tracks AS (
+      SELECT tid, rn AS x, {_Y_CASE_SQL} AS y, h, t FROM pts),
+    segs AS (
+      SELECT tid, x AS x1, y AS y1, h AS h1, t AS t1,
+             lead(x) OVER w AS x2, lead(y) OVER w AS y2,
+             lead(h) OVER w AS h2, lead(t) OVER w AS t2
+      FROM tracks WINDOW w AS (PARTITION BY tid ORDER BY x)),
+    s2 AS (SELECT * FROM segs WHERE x2 IS NOT NULL),
+    hits AS (
+      SELECT a.tid AS track1, b.tid AS track2,
+             ((b.x1-a.x1)*(b.y2-b.y1) - (b.y1-a.y1)*(b.x2-b.x1))
+               / ((a.x2-a.x1)*(b.y2-b.y1) - (a.y2-a.y1)*(b.x2-b.x1)) AS s,
+             ((b.x1-a.x1)*(a.y2-a.y1) - (b.y1-a.y1)*(a.x2-a.x1))
+               / ((a.x2-a.x1)*(b.y2-b.y1) - (a.y2-a.y1)*(b.x2-b.x1)) AS u,
+             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             a.h1 AS ah1, a.h2 AS ah2, a.t1 AS at1, a.t2 AS at2,
+             b.h1 AS bh1, b.h2 AS bh2, b.t1 AS bt1, b.t2 AS bt2
+      FROM s2 a JOIN s2 b ON a.tid < b.tid
+      WHERE ((a.x2-a.x1)*(b.y2-b.y1) - (a.y2-a.y1)*(b.x2-b.x1)) <> 0)
+    SELECT DISTINCT track1, track2,
+           round(ax1 + s*(ax2-ax1), 6) AS x,
+           round(ay1 + s*(ay2-ay1), 6) AS y,
+           round((bh1 + u*(bh2-bh1)) - (ah1 + s*(ah2-ah1)), 6) AS h_x,
+           round((bt1 + u*(bt2-bt1)) - (at1 + s*(at2-at1)), 6) AS t_d
+    FROM hits
+    WHERE s >= 0 AND s <= 1 AND u >= 0 AND u <= 1
+    """,
+)
+def q_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tracks = _tracks_df(spark, sf_dir)
+    segs = track_segments(tracks, track_col="tid", order_col="x", t="t", max_gap=None)
+    xo = crossover_join(segs, cell=500.0, track_col="tid")
+    errs = crossover_errors(xo)
+    return errs.select(
+        "track1",
+        "track2",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("h_X", 6).alias("h_x"),
+        F.round("t_D", 6).alias("t_d"),
+    ).dropDuplicates()
+
+
+# --- A12: per-group trend (vizplots.py:413-418) -----------------------
+@register(
+    "grouped_trend",
+    """
+    WITH pts AS (
+      SELECT event_type, value AS h,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0 AS t_days
+      FROM events)
+    SELECT event_type, round(regr_slope(h, t_days) * 365.25, 6) AS trend
+    FROM pts GROUP BY event_type
+    """,
+)
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.aggregates import grouped_trend
+    from deepicedrain_spark.suite import EVENTS_EPOCH_US
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.col("value").alias("h"),
+        ((_ts_us() - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000.0)).alias("t_days"),
+    )
+    out = grouped_trend(pts, ["event_type"], "h", "t_days", scale=365.25)
+    return out.select("event_type", F.round("trend", 6).alias("trend"))
+
+
+# --- A8: distinct locations count (atlxi_xover.py:161-165) ------------
+@register(
+    "distinct_locations",
+    "SELECT count(DISTINCT (l_partkey, l_suppkey)) AS n_locations FROM lineitem",
+)
+def q_distinct_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count_distinct("l_partkey", "l_suppkey").alias("n_locations"))
+
+
+# --- W5: ice-volume-over-time composite (lake_algorithms.py:76-227) ---
+# Determinism note: event values are 2-d.p. doubles, so rolling means
+# land on exact decimal rationals where cross-engine ROUNDING of
+# near-boundary doubles diverges. Both sides therefore accumulate the
+# window sums in DECIMAL (exact) and derive identical doubles — no
+# rounding at all in the output.
+@register(
+    "volume_time_series",
+    """
+    WITH rolled AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / count(value) OVER w AS roll_mean,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ss,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+             count(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+    anom AS (
+      SELECT event_type, t,
+             CASE WHEN n > 1 THEN sqrt((ss - s*s/n)/(n-1)) END AS dh_std,
+             roll_mean - first_value(roll_mean) OVER
+               (PARTITION BY event_type ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dh
+      FROM rolled)
+    SELECT event_type, t, dh, dh_std,
+           dh * 0.002 AS dvol_km3,
+           dh_std * 0.002 AS dvol_std_km3
+    FROM anom
+    """,
+)
+def q_volume_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    w = win_ops.trailing_time_window(_ts_us(), days=1, partition_by=["event_type"])
+    rolled = ev.select(
+        "event_type",
+        "event_id",
+        _ts_us().alias("t"),
+        (F.sum(dec).over(w).cast("double") / F.count("value").over(w)).alias("roll_mean"),
+        F.sum(dec * dec).over(w).cast("double").alias("ss"),
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.count("value").over(w).alias("n"),
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anom = rolled.select(
+        "event_type",
+        "t",
+        F.when(
+            F.col("n") > 1,
+            F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+        ).alias("dh_std"),
+        (F.col("roll_mean") - F.first("roll_mean").over(wf)).alias("dh"),
+    )
+    return anom.select(
+        "event_type",
+        "t",
+        "dh",
+        "dh_std",
+        (F.col("dh") * F.lit(0.002)).alias("dvol_km3"),
+        (F.col("dh_std") * F.lit(0.002)).alias("dvol_std_km3"),
+    )
