@@ -1,0 +1,218 @@
+"""Deduplication operators for LLM data pipelines (beyond-reference
+extension): exact hash dedup, MinHash+LSH near-dup, SimHash, n-gram
+Jaccard verification, embedding-cosine near-dup.
+
+Scale design (100 TB corpora):
+- exact dedup: one shuffle on the content hash; keeper = min(id) per
+  group via window over the same partitioning.
+- MinHash: shingling and per-hash minima are a single exploded
+  aggregation (shuffle keyed on doc); LSH banding turns candidate
+  generation into an equi-join on (band_idx, band_hash) — no O(n²)
+  anywhere; only candidates are Jaccard-verified.
+- hash functions are md5-derived (seeded by prefixing the band/perm
+  index), so results are deterministic and reproducible in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, " +", " ")))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: rows whose normalized text already appeared; output
+    (id, keep_id) pairs mapping each duplicate to its keeper (min id).
+    One shuffle (hash partition on the digest)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("_h")
+    w = Window.partitionBy("_h")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(id_col, "keep_id")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per document (map-side only)."""
+    toks = f"filter(split({text_col}, ' '), x -> x != '')"
+    parts = " || ' ' || ".join(f"_ws[i+{j}]" for j in range(n))
+    # guard: sequence(0, negative) DESCENDS in Spark instead of being
+    # empty, so short docs must short-circuit to an empty array
+    return df.withColumn("_ws", F.expr(toks)).withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN size(_ws) >= {n} THEN "
+            f"array_distinct(transform(sequence(0, size(_ws) - {n}), i -> {parts})) "
+            f"ELSE array() END"
+        ),
+    ).drop("_ws")
+
+
+def minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature: for permutation k, min over shingles of
+    md5('<k>:' || shingle). Computed as ONE aggregation over the
+    exploded shingle table — num_hashes mins in a single shuffle."""
+    exploded = df.select(id_col, F.explode(shingle_col).alias("_s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("_s")))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: hash each band of r = num_hashes/bands signature
+    slots; docs sharing any band bucket become candidate pairs.
+    Equi-join on (band_idx, band_hash) — linear shuffle, no O(n²)."""
+    r = num_hashes // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("_b"),
+    ).select(id_col, "_b.band_idx", "_b.band_hash")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (LSH is a filter, not an
+    oracle): J = |A∩B| / |A∪B| computed via array intersection on the
+    joined shingle sets. Shingle arrays are joined in (dims are the
+    candidate docs only — a small fraction of the corpus)."""
+    sh = shingled.select(F.col(id_col), F.col(shingle_col))
+    j = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(shingle_col, "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(shingle_col, "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH bands →
+    exact-Jaccard verify. Output (id_a, id_b, jaccard)."""
+    shingled = word_shingles(df, text_col, n)
+    sigs = minhash_signature(shingled, "shingles", id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over distinct whitespace tokens.
+
+    Token hash = first 15 md5 hex digits as int (60 usable bits);
+    fingerprint bit i set iff Σ_tokens (bit_i(h)·2−1) > 0. Exploding
+    (token × bit) rows keeps everything in Catalyst; the aggregation
+    is one shuffle keyed on (doc, bit)... folded into doc via pivot-free
+    conditional sums."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.expr(f"filter(split({text_col}, ' '), x -> x != '')"))
+        ).alias("_t"),
+    )
+    h = F.expr("cast(conv(substring(md5(_t), 1, 15), 16, 10) as long)")
+    hashed = toks.withColumn("_h", h)
+    # one aggregate: per doc, per bit, sum of ±1 → fingerprint
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ k. Quadratic join — use on a
+    pre-bucketed subset (e.g. band on high bits) at scale."""
+    a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, all-pairs). For 100 TB
+    use the LSH-bucketed variant in similarity.py to pre-filter."""
+    from deepicedrain_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators for LLM data pipelines (beyond-reference
+extension per BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All hot-path logic is Catalyst expressions (split / regexp /
+higher-order functions) — no Python UDFs, so whole-stage codegen
+applies and the same formulas are reproducible in the DuckDB oracle.
+Division outputs are ratios of small integers (denominator ≤ doc
+length), which can never land exactly on a 6-d.p. half-quantum, so
+round(…, 6) is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ASCII-explicit classes so JVM and DuckDB regex semantics agree.
+WORD_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+PUNCT_CLASS = "[^.,;:!?]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+}
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (split on a
+    leading/trailing separator yields '')."""
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def regex_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization: word runs and single non-word marks."""
+    return F.expr(f"regexp_extract_all(text, '{WORD_RE}', 0)")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def stopword_hits(tokens_col: str, lang: str) -> Column:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter({tokens_col}, t -> array_contains(array({words}), lower(t))))"
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword-hit counts (n-gram/stopword heuristic)."""
+    out = df.withColumn("_toks", whitespace_tokens(F.col(text_col)))
+    for lang in STOPWORDS:
+        out = out.withColumn(f"score_{lang}", stopword_hits("_toks", lang))
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Argmax of stopword scores; deterministic tie-break by language
+    name order (en > de > fr > es precedence on equal scores)."""
+    scored = lang_scores(df, text_col)
+    langs = list(STOPWORDS)
+    expr = None
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return scored.withColumn(out, expr).drop("_toks")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length features
+    (quality-scoring basis for filtering training data)."""
+    t = F.col(text_col)
+    toks = whitespace_tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    stop_en = F.expr(
+        "size(filter(filter(split(text, ' '), x -> x != ''), "
+        "t -> array_contains(array('the','a','of','and','to','in','is','it'), lower(t))))"
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio", F.round(punct.cast("double") / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(stop_en.cast("double") / n_tokens, 6))
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                F.expr("aggregate(filter(split(text, ' '), x -> x != ''), 0L, (a, t) -> a + length(t))")
+                .cast("double")
+                / n_tokens,
+                6,
+            ),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Composite heuristic quality in [0, 1]: long enough, some
+    punctuation, sane stopword density, mid-length words."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("punct_ratio") * F.lit(20.0), F.lit(1.0)) * 0.2
+        + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.2
+        + F.least(F.col("mean_token_len") / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    # NOT rounded: the composite lands on dyadic values (denominators
+    # 64/8/…) that sit exactly on decimal rounding boundaries, where
+    # engines' rounding diverges; the unrounded double is bit-identical
+    # per-row math in any engine.
+    return feats.withColumn(out, score)
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint of normalized text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, " +", " "))))
+
+
+def rolling_hash(tokens_expr: str = "filter(split(text, ' '), x -> x != '')",
+                 base: int = 1_000_003, mod: int = (1 << 31) - 1) -> Column:
+    """Karp–Rabin rolling hash over tokens (document fingerprinting):
+    h = fold(h·B + hash(tok)) mod p, with hash(tok) the first 15 hex
+    digits of md5 — deterministic and engine-agnostic."""
+    return F.expr(
+        f"""
+        aggregate({tokens_expr}, 0L,
+          (acc, t) -> (acc * {base} + cast(conv(substring(md5(t), 1, 15), 16, 10) as long) % {mod}) % {mod})
+        """
+    )

@@ -1,0 +1,173 @@
+"""Structured Streaming operators (SURVEY §2.11 — extension beyond the
+batch-only reference, per BASELINE.json north star): windowed
+aggregates with watermarks, stateful dedup, session windows.
+
+The same aggregates the batch engine exposes (A9 raster counts, W1
+rolling means) are re-expressed as streaming plans: ``readStream`` →
+watermark → window agg → sink. Tests and the driver contract run them
+to completion over bounded parquet with ``Trigger.AvailableNow`` into
+a memory sink — the identical plan runs unbounded against Kafka/files
+in production (swap the source/sink, keep the plan).
+
+Watermark notes: 'complete' output mode is used for windowed aggs so
+bounded replays emit every window (append mode would hold back the
+final watermark-open windows — correct for unbounded streams,
+surprising for finite ones). Stateful dedup uses append (first
+occurrence wins, emitted immediately).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns (nanosAsLong — §1.3)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a DIRECTORY; the testdata is
+    a single parquet file, so stage a symlink dir under /tmp."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/deepicedrain_stream_{key}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (bounded replay; in
+    production point this at a directory Kafka/Firehose appends to)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn(
+            "event_time",
+            F.timestamp_micros((F.col("ts").cast("decimal(38,0)") / 1000).cast("long")),
+        )
+    )
+
+
+def run_to_batch(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a (bounded) streaming plan to completion via
+    Trigger.AvailableNow into a memory sink; return the result table."""
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_minutes: int = 60,
+    watermark_minutes: int = 60,
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Decimal sums so the
+    result is exactly reproducible by a batch oracle."""
+    return (
+        events.withWatermark("event_time", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.window("event_time", f"{window_minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_means(
+    events: DataFrame,
+    window_minutes: int = 120,
+    slide_minutes: int = 60,
+    watermark_minutes: int = 60,
+) -> DataFrame:
+    """Sliding-window mean per event_type (each event lands in
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark("event_time", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.window(
+                "event_time", f"{window_minutes} minutes", f"{slide_minutes} minutes"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("mean_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "mean_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, keys: list[str], watermark_minutes: int = 60) -> DataFrame:
+    """Streaming exactly-once dedup: first occurrence of each key wins;
+    watermark bounds the dedup state for unbounded streams."""
+    return events.withWatermark("event_time", f"{watermark_minutes} minutes").dropDuplicates(keys)
+
+
+def session_counts(events: DataFrame, gap_minutes: int = 5, watermark_minutes: int = 60) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other
+    merge into one session (stateful session_window aggregation)."""
+    return (
+        events.withWatermark("event_time", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.session_window("event_time", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
+        )
+    )

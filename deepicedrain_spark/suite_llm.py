@@ -1,0 +1,411 @@
+"""Driver-contract queries for the LLM-data-pipeline operators
+(dedup / similarity / text analysis / multimodal — BASELINE.json
+north-star extensions) over the documents and embeddings tables.
+
+Determinism: per-row scalar math produces bit-identical doubles in
+both engines (same expression tree over the same inputs), so most
+outputs are UNROUNDED; ratios of small integers (Jaccard, per-doc
+stats) are safe to round. Hashes are md5-based — engine-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.io import load_table
+from deepicedrain_spark.operators import textstats as ts_ops
+from deepicedrain_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+    jaccard_verify,
+)
+from deepicedrain_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_image_features,
+    sample_frames,
+)
+from deepicedrain_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    ivf_topk,
+)
+from deepicedrain_spark.suite import register
+
+# hex→bigint in DuckDB (no conv()): digit-shift sum over the first 15
+# md5 hex chars — equals Spark's conv(substring(md5(x),1,15),16,10).
+_HEX15 = (
+    "(SELECT sum(CAST(strpos('0123456789abcdef', substring({h}, j+1, 1)) - 1 AS BIGINT)"
+    " << (4*(14-j))) FROM generate_series(0, 14) g(j))"
+)
+
+
+# --- exact dedup ------------------------------------------------------
+@register(
+    "exact_dedup_pairs",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+    hashed AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h
+      FROM all_docs),
+    keep AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS keep_id FROM hashed)
+    SELECT doc_id, keep_id FROM keep WHERE doc_id <> keep_id
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table has no exact dups, so the query unions a
+    shifted copy — every shifted doc must map to its original keeper."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    return exact_duplicates(doubled)
+
+
+# --- MinHash + LSH near-dup ------------------------------------------
+# Oracle = exact all-pairs trigram Jaccard ≥ 0.8. The planted near-dups
+# sit at J ∈ {0.9, 1.0} where the 16-band/4-row LSH recall is
+# 1 − (1 − J⁴)¹⁶ ≥ 1 − 4e-8, and J=1 pairs collide in every band, so
+# the LSH+verify output equals the exact join on this data
+# (verified by tools/check.py).
+@register(
+    "minhash_near_dup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.8)
+
+
+# --- direct n-gram Jaccard on a subset --------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingled = word_shingles(docs)
+    pairs = (
+        shingled.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(shingled.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return jaccard_verify(pairs, shingled, threshold=0.5)
+
+
+# --- SimHash ----------------------------------------------------------
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        FROM documents)),
+    hashed AS (
+      SELECT doc_id, {_HEX15.format(h='md5(t)')} AS h FROM toks),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, generate_series(0, 31) g(i)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        FROM documents)),
+    hashed AS (
+      SELECT doc_id, {_HEX15.format(h='md5(t)')} AS h FROM toks
+      WHERE doc_id < 300),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, generate_series(0, 31) g(i)
+      GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fps = simhash(docs, bits=32)
+    return simhash_near_pairs(fps, max_hamming=2)
+
+
+# --- cosine top-k similarity search ------------------------------------
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / sqrt(
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                 * list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) AS cos
+      FROM c, q WHERE query_id <> cand_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+    return out.select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+@register("cosine_topk_lsh", None)  # approximate variant → rows-only
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb.filter(F.col("vec_id") < 20), emb, k=3, planes=4)
+
+
+@register("ivf_topk", None)  # centroid pipeline → rows-only
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # codebook: per-label mean embedding (deterministic k-means stand-in)
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.expr("transform(_pm, x -> cast(x.m as float))").alias("embedding"),
+        )
+    )
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, cent, k=3, nprobe=2)
+
+
+# --- text analysis -----------------------------------------------------
+@register(
+    "token_count_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS n_regex_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts_ops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(ts_ops.regex_tokens(F.col("text"))).cast("long").alias("n_regex_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+        len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) AS score_en,
+        len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein','zu','mit'], lower(t)))) AS score_de,
+        len(list_filter(ws, t -> list_contains(['le','la','les','et','est','un','une','dans'], lower(t)))) AS score_fr,
+        len(list_filter(ws, t -> list_contains(['el','la','los','y','es','un','una','en'], lower(t)))) AS score_es
+      FROM toks)
+    SELECT doc_id, score_en, score_de, score_fr, score_es,
+           CASE WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ts_ops.lang_id(docs)
+    return out.select(
+        "doc_id",
+        F.col("score_en").cast("long").alias("score_en"),
+        F.col("score_de").cast("long").alias("score_de"),
+        F.col("score_fr").cast("long").alias("score_fr"),
+        F.col("score_es").cast("long").alias("score_es"),
+        "lang_pred",
+    )
+
+
+@register(
+    "quality_scores",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 t -> t != '' AND list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) AS n_stop,
+             list_sum(list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+                      t -> length(t))) AS tok_chars
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS mean_token_len,
+           least(n_tokens / 64.0, 1.0) * 0.4
+             + least(round(CAST(n_punct AS DOUBLE) / n_chars, 6) * 20.0, 1.0) * 0.2
+             + least(round(CAST(n_stop AS DOUBLE) / n_tokens, 6) * 5.0, 1.0) * 0.2
+             + least(round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) / 8.0, 1.0) * 0.2 AS quality
+    FROM feats
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ts_ops.quality_score(docs)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality",
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp_md5,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts_ops.md5_fingerprint(F.col("text")).alias("fp_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "rolling_hash_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    trows AS (
+      SELECT doc_id, unnest(ws) AS t,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM toks),
+    hrows AS (
+      SELECT doc_id, pos, {_HEX15.format(h='md5(t)')} % 2147483647 AS h
+      FROM trows),
+    seqs AS (
+      SELECT doc_id, list(h ORDER BY pos) AS hs FROM hrows GROUP BY doc_id)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, h) -> (acc * 1000003 + h) % 2147483647) AS roll_hash
+    FROM seqs
+    """,
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts_ops.rolling_hash().alias("roll_hash"))
+
+
+# --- multimodal plumbing ------------------------------------------------
+@register(
+    "multimodal_decode_features",
+    None,  # mapInPandas stub pipeline → rows-only check
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return decode_image_features(media, mode="fake")
+
+
+@register("multimodal_frame_sample", None)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    frames = sample_frames(media, every_n_bytes=64, mode="fake")
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
+    )

@@ -1,0 +1,99 @@
+"""Driver-contract queries for the Structured Streaming operators.
+
+Each query builds a real streaming plan (readStream → watermark →
+stateful op), runs it to completion with Trigger.AvailableNow into a
+memory sink, and returns the materialized result — so the driver's
+batch-style contract can exercise genuinely streaming execution paths.
+Oracles are the batch-SQL equivalents of the streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.streaming.windows import (
+    read_events_stream,
+    run_to_batch,
+    session_counts,
+    sliding_means,
+    stateful_dedup,
+    tumbling_counts,
+)
+from deepicedrain_spark.suite import register
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "streaming_tumbling_counts",
+    f"""
+    SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_batch(tumbling_counts(events, window_minutes=60), "complete")
+
+
+@register(
+    "streaming_sliding_means",
+    f"""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) AS t,
+             (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS s0
+      FROM events),
+    assigned AS (
+      SELECT event_type, value, unnest([s0 - {_HOUR_US}, s0]) AS window_start_us
+      FROM ev)
+    SELECT window_start_us, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_batch(
+        sliding_means(events, window_minutes=120, slide_minutes=60), "complete"
+    )
+
+
+@register(
+    "streaming_stateful_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    deduped = stateful_dedup(events, ["user_id", "event_type"])
+    return run_to_batch(deduped, "append").select("user_id", "event_type")
+
+
+@register(
+    "streaming_session_counts",
+    """
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > 300000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, t,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered)
+    SELECT min(t) AS session_start_us,
+           max(t) + 300000000 AS session_end_us,
+           user_id,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_batch(session_counts(events, gap_minutes=5), "complete")

@@ -1,0 +1,112 @@
+"""Unit tests for the LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+from deepicedrain_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_image_features,
+    resize_image,
+    sample_frames,
+)
+from deepicedrain_spark.operators.similarity import cosine_topk
+from deepicedrain_spark.operators.textstats import lang_id, quality_score
+
+
+DOCS = [
+    Row(doc_id=0, text="the quick brown fox jumps over the lazy dog near the river bank"),
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog near the river bank"),  # dup of 0
+    Row(doc_id=2, text="the quick brown fox jumps over the lazy dog near the river delta"),  # near-dup
+    Row(doc_id=3, text="completely different words about spark catalyst optimizer plans and shuffles here"),
+]
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = exact_duplicates(df).collect()
+    assert [(r["doc_id"], r["keep_id"]) for r in pairs] == [(1, 0)]
+
+
+def test_word_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="two words"), Row(doc_id=1, text="a b c d")])
+    out = {r["doc_id"]: r["shingles"] for r in word_shingles(df).collect()}
+    assert out[0] == []
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_minhash_near_duplicates(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_near_duplicates(df, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_and_distinct(spark):
+    df = spark.createDataFrame(DOCS)
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert fps[0] == fps[1]
+    pairs = simhash_near_pairs(simhash(df), max_hamming=4).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 and r["hamming"] == 0 for r in pairs)
+
+
+def test_cosine_topk_ranking(spark):
+    vecs = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # orthogonal
+        Row(vec_id=3, embedding=[0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs)
+    out = cosine_topk(df.filter(F.col("vec_id") == 0), df, k=3).collect()
+    order = [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 3, 2]
+    assert math.isclose(out[0]["cos"], 0.993884, abs_tol=1e-6)
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat is in the house and it is warm"),
+            Row(doc_id=1, text="der hund ist ein tier und das haus ist warm"),
+        ]
+    )
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert langs == {0: "en", 1: "de"}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(DOCS)
+    media = attach_fake_media(docs, "doc_id", "text")
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+
+    feats = {r["media_id"]: r for r in decode_image_features(media, mode="fake").collect()}
+    assert feats["0"]["n_bytes"] == len(DOCS[0].text.encode())
+    assert 0 < feats["0"]["mean_byte"] < 256
+
+    resized = resize_image(media, width=8, height=4, mode="fake").collect()
+    assert all(len(r["payload"]) == 32 for r in resized)
+
+    frames = sample_frames(media, every_n_bytes=16, mode="fake")
+    counts = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == (len(DOCS[0].text.encode()) + 15) // 16
+
+
+def test_multimodal_real_mode_is_stubbed(spark):
+    docs = spark.createDataFrame(DOCS)
+    media = attach_fake_media(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        decode_image_features(media, mode="real").collect()
