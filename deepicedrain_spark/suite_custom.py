@@ -200,6 +200,106 @@ def q_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates()
 
 
+# --- full dhdt pipeline (SURVEY §3.1) on the events point cloud -------
+@register(
+    "dhdt_pipeline",
+    """
+    WITH pts AS (
+      SELECT user_id, value AS h,
+             CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) * 1000 AS DOUBLE) AS t_ns,
+             CAST(user_id AS DOUBLE) AS x, 0.0 AS y
+      FROM events),
+    valid AS (
+      SELECT *, count(h) OVER w AS n_valid,
+             max(h) OVER w - min(h) OVER w AS hrange
+      FROM pts WINDOW w AS (PARTITION BY user_id)),
+    f AS (SELECT * FROM valid WHERE n_valid >= 2 AND hrange > 0.25)
+    SELECT user_id,
+           round(any_value(hrange), 6) AS h_range,
+           avg(x) AS x, avg(y) AS y,
+           CAST(regr_count(h, t_ns) AS BIGINT) AS n,
+           round(regr_slope(h, t_ns) * 31557600000000000.0, 6) AS dhdt_slope,
+           round(regr_r2(h, t_ns), 6) AS r2
+    FROM f GROUP BY user_id
+    """,
+)
+def q_dhdt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.plans.dhdt import compute_dhdt
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.col("value").alias("h_corr"),
+        ((_ts_us() - F.unix_micros(F.to_timestamp(F.lit("2024-01-01")))) * 1000)
+        .cast("double")
+        .alias("delta_time_ns"),
+        F.col("user_id").cast("double").alias("x"),
+        F.lit(0.0).alias("y"),
+    )
+    out = compute_dhdt(pts, point_cols=["user_id"])
+    return out.select(
+        "user_id",
+        F.round("h_range", 6).alias("h_range"),
+        "x",
+        "y",
+        "n",
+        F.round("dhdt_slope", 6).alias("dhdt_slope"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+# --- full lake-finder pipeline (SURVEY §3.2) — DBSCAN → rows-only ------
+@register("lake_finder_pipeline", None)
+def q_lake_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.spatial import polygons_df
+    from deepicedrain_spark.plans.lakes import find_lakes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic point cloud from vec_id: a 25-wide grid (20 m pitch)
+    # with a filling strip (ids 0-99 → +2 m/yr), a draining strip
+    # (ids 300-399 → −3), and an active-but-diffuse background — the
+    # dhdt_points fixture shape from FIXTURES.md §2
+    pts = emb.select(
+        ((F.col("vec_id") % 25) * 20).cast("double").alias("x"),
+        (F.floor(F.col("vec_id") / 25) * 20).cast("double").alias("y"),
+        F.when(F.col("vec_id") < 100, F.lit(2.0))
+        .when((F.col("vec_id") >= 300) & (F.col("vec_id") < 400), F.lit(-3.0))
+        .otherwise(0.15 + (F.col("vec_id") % 10) * 0.01)
+        .alias("dhdt_slope"),
+        F.col("label").alias("referencegroundtrack"),
+    )
+    basins = polygons_df(
+        spark,
+        [{"poly_id": "basin", "xs": [-100.0, 2000.0, 2000.0, -100.0],
+          "ys": [-100.0, -100.0, 2000.0, 2000.0]}],
+    ).withColumnRenamed("poly_id", "basin_name")
+    lakes = find_lakes(pts, basins, eps=45.0, min_samples=10, basin_col="basin_name")
+    return lakes.select(
+        "basin_name",
+        "cluster_id",
+        "num_points",
+        F.round("inner_dhdt", 6).alias("inner_dhdt"),
+        F.round("area_m2", 6).alias("area_m2"),
+    )
+
+
+# --- surface interpolation (SURVEY A11) — pandas-UDF IDW → rows-only ---
+@register("surface_interpolation_idw", None)
+def q_surface_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.gridding import interpolate_grid
+    from deepicedrain_spark.region import Region
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    region = Region("emb", -0.5, 0.5, -0.5, 0.5)
+    grid = interpolate_grid(pts, region, spacing=0.05, search_cells=2, block_cells=8)
+    return grid.select("gx", "gy", F.round("zi", 6).alias("zi"))
+
+
 # --- A12: per-group trend (vizplots.py:413-418) -----------------------
 @register(
     "grouped_trend",

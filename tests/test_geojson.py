@@ -1,0 +1,52 @@
+"""GeoJSON source/sink roundtrip (SURVEY S6/S7)."""
+
+import json
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.operators.spatial import convex_hulls, point_in_polygon
+from deepicedrain_spark.sources.geojson import (
+    read_geojson_polygons,
+    write_geojson,
+    write_geojsonl,
+)
+
+
+def test_geojson_roundtrip(spark, tmp_path):
+    pts = spark.createDataFrame(
+        [Row(g="lake1", x=float(i % 5), y=float(i // 5)) for i in range(25)]
+    )
+    hulls = convex_hulls(pts, ["g"]).withColumn("num_points", F.lit(25))
+
+    out = str(tmp_path / "lakes.geojson")
+    write_geojson(hulls, "hull", ["g", "num_points"], out)
+    doc = json.load(open(out))
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 1
+    feat = doc["features"][0]
+    assert feat["properties"] == {"g": "lake1", "num_points": 25}
+    ring = feat["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]  # closed
+
+    # read back and use as a PIP layer
+    polys = read_geojson_polygons(spark, out, id_property="g")
+    probe = spark.createDataFrame([Row(pid=1, x=2.0, y=2.0), Row(pid=2, x=9.0, y=9.0)])
+    inside = point_in_polygon(probe, polys).collect()
+    assert [r["pid"] for r in inside] == [1]
+    assert inside[0]["poly_id"] == "lake1"
+
+
+def test_geojsonl_distributed_sink(spark, tmp_path):
+    pts = spark.createDataFrame(
+        [Row(g=f"lake{k}", x=float(i % 3) + 10 * k, y=float(i // 3)) for k in range(3) for i in range(9)]
+    )
+    hulls = convex_hulls(pts, ["g"])
+    out = str(tmp_path / "lakes_jsonl")
+    write_geojsonl(hulls, "hull", ["g"], out)
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += [json.loads(line) for line in open(os.path.join(out, f)) if line.strip()]
+    assert len(lines) == 3
+    assert all(line["type"] == "Feature" for line in lines)
