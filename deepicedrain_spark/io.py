@@ -87,3 +87,13 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (SURVEY S7 geometry sink uses this shape)."""
     df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, dtypes: dict[str, str] | None = None) -> DataFrame:
+    """CSV scan with an optional dtype-coercion map (SURVEY S9/F10;
+    reference atl06_to_atl11.py:257-269 coerces dtypes from an external
+    CSV dictionary). Explicit schema beats inferSchema (no extra pass)."""
+    if dtypes:
+        schema = ", ".join(f"`{c}` {t}" for c, t in dtypes.items())
+        return spark.read.csv(path, header=True, schema=schema)
+    return spark.read.csv(path, header=True, inferSchema=True)

@@ -59,12 +59,13 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 64,
 ) -> DataFrame:
-    """MinHash signature: for permutation k, min over shingles of
-    md5('<k>:' || shingle). Computed as ONE aggregation over the
-    exploded shingle table — num_hashes mins in a single shuffle."""
+    """MinHash signature: permutation k = min over shingles of
+    xxhash64(k, shingle) — JVM-native seeded hashing (no md5/hex
+    round-trips, ANSI-safe), ``num_hashes`` minima in ONE aggregation
+    shuffle over the exploded shingle table."""
     exploded = df.select(id_col, F.explode(shingle_col).alias("_s"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("_s")))).alias(f"mh_{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("_s"))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -81,7 +82,7 @@ def lsh_candidate_pairs(
     Equi-join on (band_idx, band_hash) — linear shuffle, no O(n²)."""
     r = num_hashes // bands
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
+        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = signatures.select(id_col, *band_cols)
@@ -143,8 +144,12 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands →
-    exact-Jaccard verify. Output (id_a, id_b, jaccard)."""
-    shingled = word_shingles(df, text_col, n)
+    exact-Jaccard verify. Output (id_a, id_b, jaccard).
+
+    The shingle table feeds both the signature path and the verify
+    path — persist it so shingling (regex + explode over the full
+    corpus) runs once, not twice."""
+    shingled = word_shingles(df, text_col, n).persist()
     sigs = minhash_signature(shingled, "shingles", id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)

@@ -693,6 +693,92 @@ def q_track_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P10/P12 — deterministic exact-n sample (reference seeded df.sample /
+# row slice; distributed exact-n = key-ordered limit)
+@register(
+    "deterministic_sample",
+    "SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 500",
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return filt_ops.deterministic_sample(ev, 500, ["event_id"]).select(
+        "event_id", "user_id"
+    )
+
+
+# F11 — wide↔long reshape roundtrip (extraload.py:176-200): pivot the
+# per-(order, linenumber) prices wide, then unpivot back to long
+@register(
+    "wide_long_roundtrip",
+    """
+    WITH wide AS (
+      SELECT l_orderkey,
+             max(CASE WHEN l_linenumber = 1 THEN l_extendedprice END) AS price_1,
+             max(CASE WHEN l_linenumber = 2 THEN l_extendedprice END) AS price_2,
+             max(CASE WHEN l_linenumber = 3 THEN l_extendedprice END) AS price_3
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey, cycle_number, price FROM (
+      SELECT l_orderkey, 1 AS cycle_number, price_1 AS price FROM wide
+      UNION ALL SELECT l_orderkey, 2, price_2 FROM wide
+      UNION ALL SELECT l_orderkey, 3, price_3 FROM wide)
+    WHERE price IS NOT NULL
+    """,
+)
+def q_wide_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.functions.reshape import long_to_wide, wide_to_long
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 3)
+        # (orderkey, linenumber) is NOT unique in the synthetic data —
+        # pre-aggregate so the pivot cell is deterministic (max, as in
+        # the oracle)
+        .groupBy("l_orderkey", F.col("l_linenumber").alias("cycle_number"))
+        .agg(F.max("l_extendedprice").alias("price"))
+    )
+    wide = long_to_wide(li, ["l_orderkey"], "cycle_number", ["price"], cycles=[1, 2, 3])
+    return wide_to_long(wide, ["price"], i=["l_orderkey"]).select(
+        "l_orderkey", "cycle_number", "price"
+    )
+
+
+# F12 — array → suffixed scalar columns (extraload.py:14-51)
+@register(
+    "array_to_columns",
+    """
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) AS embedding_0,
+           CAST(embedding[2] AS DOUBLE) AS embedding_1,
+           CAST(embedding[3] AS DOUBLE) AS embedding_2,
+           CAST(embedding[4] AS DOUBLE) AS embedding_3
+    FROM embeddings
+    """,
+)
+def q_array_to_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.functions.reshape import array_to_columns
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = array_to_columns(emb, "embedding", n=4, start=0)
+    return out.select(
+        "vec_id",
+        *[F.col(f"embedding_{i}").cast("double").alias(f"embedding_{i}") for i in range(4)],
+    )
+
+
+# F7 — filename pattern parse via input_file_name (atlxi_dhdt.py:65-70);
+# the oracle has no file-path concept → rows-only check
+@register("filename_parse", None)
+def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.functions.strings import filename_field
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(filename_field(r"sf([0-9.]+)/events", 1).alias("sf_label"))
+        .groupBy("sf_label")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
