@@ -61,14 +61,20 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature: permutation k = min over shingles of
     xxhash64(k, shingle) — JVM-native seeded hashing (no md5/hex
-    round-trips, ANSI-safe), ``num_hashes`` minima in ONE aggregation
-    shuffle over the exploded shingle table."""
-    exploded = df.select(id_col, F.explode(shingle_col).alias("_s"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(k), F.col("_s"))).alias(f"mh_{k}")
+    round-trips, ANSI-safe). Computed entirely MAP-SIDE with
+    ``array_min(transform(...))`` over the per-doc shingle array:
+    zero shuffles, zero explode — at 100 TB the signature stage is
+    a pure scan."""
+    def perm(k):
+        # NB: must close over k via factory — a 2-arg lambda would be
+        # read by F.transform as (element, index) and shadow the seed
+        return lambda s: F.xxhash64(F.lit(k), s)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col(shingle_col), perm(k))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return df.select(id_col, *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -81,30 +87,43 @@ def lsh_candidate_pairs(
     slots; docs sharing any band bucket become candidate pairs.
     Equi-join on (band_idx, band_hash) — linear shuffle, no O(n²)."""
     r = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(id_col, *band_cols)
-    stacked = banded.select(
+    stacked = signatures.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(
+                        "band_hash"
+                    ),
+                )
                 for b in range(bands)
             ])
         ).alias("_b"),
     ).select(id_col, "_b.band_idx", "_b.band_hash")
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # bucket once, expand i<j pairs inside each bucket — the signature
+    # subtree is evaluated ONCE (a self-join would compute it twice) and
+    # the only shuffles are this groupBy and the final distinct
+    buckets = (
+        stacked.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ids") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("_ids") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("_ids"), i + 1).alias("id_a"),
+                    F.element_at(F.col("_ids"), j + 1).alias("id_b"),
+                ),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
 
