@@ -47,6 +47,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # queries persist intermediates reused inside their own plan;
+        # drop them so later queries aren't squeezed by stale caches
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = 0.1

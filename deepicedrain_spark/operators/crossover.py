@@ -93,8 +93,11 @@ def crossover_join(
     ``rgt_of(col)`` optionally maps a track id to its repeat-ground-
     track so same-RGT pairs are pruned (atlxi_xover.py:126-127).
     """
-    a = _explode_cells(segments, cell).alias("a")
-    b = _explode_cells(segments, cell).alias("b")
+    # both join sides are the same exploded-segment table — persist so
+    # the lead() window + cell explode runs once, not per side
+    cells = _explode_cells(segments, cell).persist()
+    a = cells.alias("a")
+    b = cells.alias("b")
 
     cond = (
         (F.col("a.cx") == F.col("b.cx"))

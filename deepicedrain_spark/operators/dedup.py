@@ -65,16 +65,15 @@ def minhash_signature(
     ``array_min(transform(...))`` over the per-doc shingle array:
     zero shuffles, zero explode — at 100 TB the signature stage is
     a pure scan."""
-    def perm(k):
-        # NB: must close over k via factory — a 2-arg lambda would be
-        # read by F.transform as (element, index) and shadow the seed
-        return lambda s: F.xxhash64(F.lit(k), s)
-
-    sig_cols = [
-        F.array_min(F.transform(F.col(shingle_col), perm(k))).alias(f"mh_{k}")
-        for k in range(num_hashes)
-    ]
-    return df.select(id_col, *sig_cols)
+    # one array column instead of num_hashes scalar columns keeps the
+    # generated code small (fast codegen compile) and the row narrow
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col(shingle_col), lambda s: F.xxhash64(k, s))
+        ),
+    )
+    return df.select(id_col, sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -89,18 +88,13 @@ def lsh_candidate_pairs(
     r = num_hashes // bands
     stacked = signatures.select(
         id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(
-                        "band_hash"
-                    ),
-                )
-                for b in range(bands)
-            ])
-        ).alias("_b"),
-    ).select(id_col, "_b.band_idx", "_b.band_hash")
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
     # bucket once, expand i<j pairs inside each bucket — the signature
     # subtree is evaluated ONCE (a self-join would compute it twice) and
     # the only shuffles are this groupBy and the final distinct

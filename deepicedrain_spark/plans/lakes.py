@@ -77,7 +77,10 @@ def lake_attributes_and_significance(
     test against the surrounding points, and the reference's attribute
     set (num_points, maxabsdhdt, inner/outer medians, outer std/MAD,
     piped refgtracks)."""
-    members = clustered.filter(F.col("cluster_id").isNotNull())
+    # the cluster table is the root of FOUR downstream subtrees (stats,
+    # hulls→rings, two donut passes); persist so the expensive
+    # PIP-join + DBSCAN chain runs once, not once per subtree
+    members = clustered.filter(F.col("cluster_id").isNotNull()).persist()
 
     aggs = [
         F.count(F.lit(1)).alias("num_points"),
@@ -94,7 +97,7 @@ def lake_attributes_and_significance(
     stats = members.groupBy(basin_col, "cluster_id").agg(*aggs)
 
     hulls = convex_hulls(members, [basin_col, "cluster_id"])
-    rings = buffered(hulls, "hull", donut_m)
+    rings = buffered(hulls, "hull", donut_m).persist()
 
     # donut membership: inside buffered hull, outside hull
     from deepicedrain_spark.operators.spatial import bbox_predicate
@@ -116,30 +119,31 @@ def lake_attributes_and_significance(
         F.col("xs").alias("xs_in"),
         F.col("ys").alias("ys_in"),
     )
-    donut = (
+    # narrow donut point set, computed ONCE (the MAD pass needs
+    # deviations from the outer median → two aggregations over it)
+    donut_pts = (
         in_outer.join(
             F.broadcast(inner_polys),
             (F.col("_b") == F.col("_b2")) & (F.col("_c") == F.col("_c2")),
         )
         .filter(~inner_pred)
-        .groupBy(F.col("_b").alias(basin_col), F.col("_c").alias("cluster_id"))
-        .agg(
-            F.expr(f"percentile({dhdt}, 0.5D)").alias("outer_dhdt"),
-            F.stddev(dhdt).alias("outer_std"),
-        )
+        .select("_b", "_c", dhdt)
+        .persist()
     )
-    # MAD needs deviations from the outer median → second pass
+    donut = donut_pts.groupBy(
+        F.col("_b").alias(basin_col), F.col("_c").alias("cluster_id")
+    ).agg(
+        F.expr(f"percentile({dhdt}, 0.5D)").alias("outer_dhdt"),
+        F.stddev(dhdt).alias("outer_std"),
+    )
     donut_mad = (
-        in_outer.join(
-            F.broadcast(inner_polys),
-            (F.col("_b") == F.col("_b2")) & (F.col("_c") == F.col("_c2")),
-        )
-        .filter(~inner_pred)
-        .join(
-            donut.select(
-                F.col(basin_col).alias("_b3"),
-                F.col("cluster_id").alias("_c3"),
-                "outer_dhdt",
+        donut_pts.join(
+            F.broadcast(
+                donut.select(
+                    F.col(basin_col).alias("_b3"),
+                    F.col("cluster_id").alias("_c3"),
+                    "outer_dhdt",
+                )
             ),
             (F.col("_b") == F.col("_b3")) & (F.col("_c") == F.col("_c3")),
         )
@@ -173,6 +177,7 @@ def find_lakes(
 ) -> DataFrame:
     """Full pipeline: PIP basins → filters → signed DBSCAN → hulls +
     donut significance → lake attribute table."""
-    labeled = label_basins(points, basins)
+    # labeled feeds both the cluster path and the donut all_points scan
+    labeled = label_basins(points, basins).persist()
     clustered = find_lake_clusters(labeled, basin_col, eps=eps, min_samples=min_samples)
     return lake_attributes_and_significance(clustered, labeled, basin_col)

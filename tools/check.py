@@ -116,6 +116,7 @@ def main() -> int:
         else:
             print(f"FAIL {name}: " + "; ".join(msgs))
             n_fail += 1
+        spark.catalog.clearCache()  # drop per-query persisted intermediates
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
     return 1 if n_fail else 0
