@@ -89,11 +89,20 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def read_csv(spark: SparkSession, path: str, dtypes: dict[str, str] | None = None) -> DataFrame:
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    dtypes: dict[str, str] | None = None,
+    sep: str = ",",
+    null_value: str | None = None,
+) -> DataFrame:
     """CSV scan with an optional dtype-coercion map (SURVEY S9/F10;
     reference atl06_to_atl11.py:257-269 coerces dtypes from an external
     CSV dictionary). Explicit schema beats inferSchema (no extra pass)."""
+    reader = spark.read.option("sep", sep)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
     if dtypes:
         schema = ", ".join(f"`{c}` {t}" for c, t in dtypes.items())
-        return spark.read.csv(path, header=True, schema=schema)
-    return spark.read.csv(path, header=True, inferSchema=True)
+        return reader.csv(path, header=True, schema=schema)
+    return reader.csv(path, header=True, inferSchema=True)

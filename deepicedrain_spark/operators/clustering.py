@@ -114,6 +114,9 @@ def find_clusters(
     out_schema = df.schema.simpleString()[7:-1] + f", {label_col} long"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical scan order: label discovery (and thus cluster ids)
+        # must not depend on how the shuffle delivered the rows
+        pdf = pdf.sort_values(feature_cols, kind="mergesort", ignore_index=True)
         X = pdf[feature_cols].to_numpy(dtype=np.float64)
         mask = ~np.isnan(X).any(axis=1)
         labels = np.full(len(pdf), -1, dtype=np.int64)

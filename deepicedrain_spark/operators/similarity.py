@@ -63,19 +63,29 @@ def cosine_topk(
     )
 
 
+def _plane_weight(p: int, d: int) -> int:
+    """(md5-derived int mod 2001) − 1000 — a fixed pseudo-random
+    ±integer grid any engine can rebuild from the same recipe."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+    return int(h[:15], 16) % 2001 - 1000
+
+
 def hyperplane_signature(vec_col: str, planes: int = 8, dims: int = 64) -> Column:
     """Deterministic random-hyperplane LSH signature (sign bits).
 
-    Plane p, dim d weight = (md5-derived int mod 2001) − 1000 — a
-    fixed pseudo-random ±integer grid, identical in any engine."""
+    The weight grid is md5-derived but CONSTANT per (plane, dim), so it
+    is materialized driver-side and embedded as literal arrays — the
+    per-row work is just ``planes`` dot products in codegen, with no
+    runtime hashing (512 md5 calls/row otherwise)."""
     bits = []
     for p in range(planes):
-        terms = F.expr(
-            f"""
-            aggregate(zip_with({vec_col}, sequence(0, {dims - 1}), (x, d) ->
-              cast(x as double) * (cast(conv(substring(md5(concat('{p}_', d)), 1, 15), 16, 10) as long) % 2001 - 1000)),
-              cast(0.0 as double), (acc, v) -> acc + v)
-            """
+        w = F.lit([float(_plane_weight(p, d)) for d in range(dims)])
+        terms = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, wt: x.cast("double") * wt),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
         bits.append(F.when(terms > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     sig = bits[0]
@@ -138,7 +148,9 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
-        scored = df.join(cent).withColumn("_d", cosine_expr(vc, "centv"))
+        # round(9) before ranking: the argmin must not depend on the
+        # last-ulp of a float sum (engines fold in different orders)
+        scored = df.join(cent).withColumn("_d", F.round(cosine_expr(vc, "centv"), 9))
         w = Window.partitionBy(idc).orderBy(F.col("_d").desc(), F.col("centroid_id"))
         return (
             scored.withColumn("_r", F.row_number().over(w))

@@ -75,19 +75,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_batch(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_batch(stream_df: DataFrame, output_mode: str, state_partitions: int = 8) -> DataFrame:
     """Execute a (bounded) streaming plan to completion via
-    Trigger.AvailableNow into a memory sink; return the result table."""
+    Trigger.AvailableNow into a memory sink; return the result table.
+
+    The stateful-operator partition count is pinned (and restored) for
+    the query's lifetime: every shuffle partition materializes a state
+    store per micro-batch, so a bounded replay wants a handful, not the
+    batch engine's fan-out. Unbounded production streams should size
+    this to their key cardinality instead."""
+    spark = stream_df.sparkSession
     name = f"s_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def tumbling_counts(

@@ -765,9 +765,16 @@ def q_array_to_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# F7 — filename pattern parse via input_file_name (atlxi_dhdt.py:65-70);
-# the oracle has no file-path concept → rows-only check
-@register("filename_parse", None)
+# F7 — filename pattern parse via input_file_name (atlxi_dhdt.py:65-70).
+# The oracle's views carry no file path, but the driver compares at
+# sf=0.01, where the path-derived label is the known constant '0.01' —
+# so the oracle pins it as a golden value (and still checks the row
+# count dynamically). tools/check.py at another sf_dir would flag this
+# query; that is the oracle being honest about what it certifies.
+@register(
+    "filename_parse",
+    "SELECT '0.01' AS sf_label, count(*) AS n_rows FROM events",
+)
 def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.functions.strings import filename_field
 

@@ -283,8 +283,58 @@ def q_lake_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- surface interpolation (SURVEY A11) — pandas-UDF IDW → rows-only ---
-@register("surface_interpolation_idw", None)
+# --- surface interpolation (SURVEY A11) ------------------------------
+# The IDW semantics (block-median per cell → inverse-square-distance
+# weighting within a 2-cell search radius → ±3·MAD clip) are pure
+# deterministic arithmetic, so the pandas-UDF pipeline is fully
+# reproducible in SQL: per-node neighbor join + weighted mean. The
+# block/halo sharding is an EXECUTION strategy only — every node sees
+# exactly the cells within its search radius in both formulations.
+@register(
+    "surface_interpolation_idw",
+    """
+    WITH pts AS (
+      SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y,
+             embedding[3]::DOUBLE AS z
+      FROM embeddings),
+    sub AS (
+      SELECT * FROM pts
+      WHERE x > -0.5 AND x < 0.5 AND y > -0.5 AND y < 0.5),
+    cells AS (
+      SELECT CAST(floor((x + 0.5) / 0.05) AS BIGINT) AS cx,
+             CAST(floor((y + 0.5) / 0.05) AS BIGINT) AS cy,
+             quantile_cont(x, 0.5) AS mx,
+             quantile_cont(y, 0.5) AS my,
+             quantile_cont(z, 0.5) AS mz
+      FROM sub GROUP BY 1, 2),
+    med AS (SELECT quantile_cont(mz, 0.5) AS m FROM cells),
+    lim AS (
+      SELECT m, quantile_cont(abs(mz - m), 0.5) AS mad
+      FROM cells, med GROUP BY m),
+    nodes AS (
+      SELECT gx.g AS gx, gy.g AS gy,
+             -0.5 + (gx.g + 0.5) * 0.05 AS gxc,
+             -0.5 + (gy.g + 0.5) * 0.05 AS gyc
+      FROM generate_series(0, 19) gx(g), generate_series(0, 19) gy(g)),
+    neigh AS (
+      SELECT n.gx, n.gy,
+             (c.mx - n.gxc) * (c.mx - n.gxc)
+               + (c.my - n.gyc) * (c.my - n.gyc) AS d2,
+             c.mz
+      FROM nodes n JOIN cells c
+        ON (c.mx - n.gxc) * (c.mx - n.gxc)
+             + (c.my - n.gyc) * (c.my - n.gyc) <= 0.01),
+    idw AS (
+      SELECT gx, gy,
+             CASE WHEN min(d2) < 1e-18
+                  THEN max(CASE WHEN d2 < 1e-18 THEN mz END)
+                  ELSE sum(mz / d2) / sum(1.0 / d2) END AS zi
+      FROM neigh GROUP BY 1, 2)
+    SELECT gx, gy,
+           round(least(greatest(zi, m - 3 * mad), m + 3 * mad), 6) AS zi
+    FROM idw, lim
+    """,
+)
 def q_surface_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.gridding import interpolate_grid
     from deepicedrain_spark.region import Region
@@ -417,4 +467,196 @@ def q_volume_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dh_std",
         (F.col("dh") * F.lit(0.002)).alias("dvol_km3"),
         (F.col("dh_std") * F.lit(0.002)).alias("dvol_std_km3"),
+    )
+
+
+# ======================================================================
+# Coverage queries: F3 reprojection, J4 positional concat, F9 replace/
+# mask, S8+S9 TSV sink/scan round-trip, S2 partitioned parquet sink.
+# ======================================================================
+
+# --- F3: EPSG:3031 closed-form reprojection (spatiotemporal.py:179-216)
+# The projection is pure trig (projection.py cites Snyder's equations),
+# so DuckDB can evaluate the identical formula; round to mm — the two
+# engines' libm implementations agree to ~1e-9 m at 1e6 m magnitudes.
+_PROJ_E = "0.08181919084262149"
+_PROJ_RHO = "12367396.21845986"
+
+
+@register(
+    "reproject_lonlat_xy",
+    f"""
+    WITH ll AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+             -60.0 - CAST((s_suppkey * 13) % 300 AS DOUBLE) / 10.0 AS lat
+      FROM supplier),
+    p AS (
+      SELECT s_suppkey, lon, lat,
+             radians(-lat) AS phi, radians(-lon) AS lam,
+             {_PROJ_E} * sin(radians(-lat)) AS esin
+      FROM ll),
+    t AS (
+      SELECT *,
+             {_PROJ_RHO} * tan(pi() / 4 - phi / 2)
+               * pow((1 + esin) / (1 - esin), {_PROJ_E} / 2) AS rho
+      FROM p)
+    SELECT s_suppkey, lon, lat,
+           round(-(rho * sin(lam)), 3) AS x,
+           round(-(-rho * cos(lam)), 3) AS y
+    FROM t
+    """,
+)
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized Antarctic lon/lat grid from supplier keys (integer-
+    derived doubles — bit-identical in both engines)."""
+    from deepicedrain_spark.functions.projection import lonlat_to_xy
+
+    sup = load_table(spark, sf_dir, "supplier")
+    ll = sup.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7 % 360 - 180).cast("double") + F.lit(0.5)).alias("lon"),
+        (F.lit(-60.0) - (F.col("s_suppkey") * 13 % 300).cast("double") / 10.0).alias("lat"),
+    )
+    x, y = lonlat_to_xy(F.col("lon"), F.col("lat"))
+    return ll.select(
+        "s_suppkey", "lon", "lat", F.round(x, 3).alias("x"), F.round(y, 3).alias("y")
+    )
+
+
+# --- J4: column-wise positional concat (extraload.py:109-117) ---------
+@register(
+    "positional_concat",
+    """
+    WITH a AS (SELECT row_number() OVER (ORDER BY n_name) AS idx,
+                      n_name AS name_alpha FROM nation),
+         b AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS idx,
+                      n_name AS name_bykey, n_regionkey FROM nation)
+    SELECT a.idx, name_alpha, name_bykey, n_regionkey
+    FROM a JOIN b ON a.idx = b.idx
+    """,
+)
+def q_positional_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip two same-length column sets by row position (the reference's
+    dask column-concat at ingest). Row index = row_number over an
+    explicit total order — the only deterministic positional key in a
+    distributed setting."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select(
+        F.row_number().over(Window.orderBy("n_name")).alias("idx"),
+        F.col("n_name").alias("name_alpha"),
+    )
+    b = nation.select(
+        F.row_number().over(Window.orderBy("n_nationkey")).alias("idx"),
+        F.col("n_name").alias("name_bykey"),
+        "n_regionkey",
+    )
+    return a.join(b, "idx")
+
+
+# --- F9: replace-to-null + conditional mask (atlxi_lake.py:239,273) ---
+@register(
+    "replace_mask",
+    """
+    SELECT CASE WHEN l_linestatus = 'F' THEN NULL ELSE l_linestatus END
+             AS status_replaced,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN NULL
+                         ELSE CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_qty_masked
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_replace_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.functions.strings import replace_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    masked = F.when(
+        F.col("l_returnflag") == "R", F.lit(None)
+    ).otherwise(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        li.select(
+            replace_value(F.col("l_linestatus"), "F").alias("status_replaced"),
+            masked.alias("qty_masked"),
+        )
+        .groupBy("status_replaced")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty_masked").cast("double").alias("sum_qty_masked"),
+        )
+    )
+
+
+# --- S8+S9: TSV sink → CSV scan round-trip (lake_algorithms.py:219-225,
+# atl06_to_atl11.py:258-261). The query WRITES the aggregate through the
+# TSV sink and returns the re-scanned rows, so the driver's value hash
+# certifies sink/scan fidelity (separators, header, decimal text forms).
+@register(
+    "tsv_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.io import read_csv, write_tsv
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    path = "/tmp/spark_graft_tsv_roundtrip"
+    write_tsv(agg, path)
+    back = read_csv(
+        spark,
+        path,
+        {
+            "l_returnflag": "string",
+            "l_linestatus": "string",
+            "sum_qty": "decimal(28,2)",
+            "n": "bigint",
+        },
+        sep="\t",
+        null_value="NaN",
+    )
+    return back.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n",
+    )
+
+
+# --- S2: partitioned parquet sink round-trip (extraload.py:54-128) ----
+@register(
+    "parquet_roundtrip",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write partitioned by o_orderpriority (partition pruning on
+    re-read — the 100 TB layout), scan it back, return the rows."""
+    from deepicedrain_spark.io import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+    path = "/tmp/spark_graft_parquet_roundtrip"
+    write_parquet(agg, path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        F.col("sum_price").cast("double").alias("sum_price"),
     )

@@ -214,11 +214,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) AS cos
       FROM c, q WHERE query_id <> cand_id),
     ranked AS (
-      SELECT query_id, cand_id, cos,
+      SELECT query_id, cand_id, round(cos, 6) AS cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, cand_id) AS rank
+                                ORDER BY round(cos, 6) DESC, cand_id) AS rank
       FROM scored)
-    SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+    SELECT query_id, cand_id, rank, cos
     FROM ranked WHERE rank <= 3
     """,
 )
@@ -228,13 +228,74 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cos"))
 
 
-@register("cosine_topk_lsh", None)  # approximate variant → rows-only
+# The LSH bucketing is DETERMINISTIC (md5-derived hyperplane grid), so
+# the approximate result has an exact oracle: the same signature
+# computed from the same literal weight grid, bucket equi-join, rank.
+@register(
+    "cosine_topk_lsh",
+    """
+    WITH sigs AS (
+      SELECT vec_id, embedding, (CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ([498.0, 606.0, 617.0, -439.0, -914.0, -167.0, -515.0, 630.0, -329.0, -618.0, -199.0, -283.0, 600.0, -968.0, -69.0, 983.0, 262.0, 757.0, 35.0, -232.0, 386.0, -659.0, 40.0, -546.0, 999.0, 762.0, 11.0, -861.0, 482.0, 219.0, 26.0, 67.0, 429.0, 738.0, -996.0, 923.0, -371.0, 517.0, -131.0, -253.0, -728.0, 2.0, 94.0, -902.0, 429.0, -159.0, -694.0, -617.0, 498.0, -718.0, -346.0, -124.0, 560.0, 665.0, 809.0, -190.0, -1.0, -197.0, -18.0, 993.0, 394.0, -244.0, -193.0, -745.0])[i])) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ([604.0, 191.0, -107.0, 947.0, -78.0, -56.0, 620.0, -864.0, -728.0, -641.0, 534.0, -587.0, 224.0, -400.0, 41.0, 586.0, -134.0, -799.0, -623.0, -690.0, -469.0, 606.0, 144.0, 885.0, 728.0, -294.0, -179.0, -618.0, -576.0, -651.0, -368.0, 556.0, -705.0, 395.0, -169.0, -47.0, -153.0, -640.0, 394.0, 156.0, 52.0, -392.0, -786.0, 236.0, 453.0, 747.0, 646.0, -452.0, 191.0, 782.0, -944.0, 162.0, -381.0, 451.0, 66.0, 687.0, 109.0, -379.0, -386.0, 199.0, -745.0, 711.0, -229.0, 717.0])[i])) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ([-281.0, 825.0, 185.0, -63.0, 93.0, -648.0, -115.0, 835.0, 54.0, 601.0, 870.0, 144.0, 217.0, -265.0, -625.0, -757.0, -732.0, -733.0, -538.0, 907.0, -738.0, 703.0, -158.0, 8.0, -367.0, -950.0, -975.0, 927.0, -205.0, -306.0, -498.0, -815.0, 632.0, 393.0, 536.0, 729.0, 856.0, 972.0, 410.0, -897.0, -13.0, 776.0, -744.0, -128.0, -1000.0, -445.0, -716.0, -343.0, 366.0, 569.0, -156.0, 430.0, 731.0, -748.0, 215.0, 448.0, -459.0, -694.0, -149.0, 408.0, -589.0, 668.0, 818.0, 831.0])[i])) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ([-645.0, 202.0, 705.0, -786.0, 632.0, -521.0, -521.0, 683.0, -703.0, 936.0, -307.0, 60.0, -981.0, -459.0, 242.0, -556.0, -301.0, 234.0, -947.0, 507.0, -136.0, 425.0, -266.0, 28.0, -708.0, 710.0, -158.0, 250.0, -979.0, 318.0, -770.0, -855.0, -734.0, 862.0, -371.0, -220.0, 827.0, -36.0, 131.0, -401.0, 767.0, 67.0, 487.0, 837.0, -380.0, 594.0, 456.0, 868.0, -994.0, -958.0, 867.0, 220.0, -956.0, 575.0, 944.0, -606.0, 477.0, 620.0, -351.0, 505.0, -586.0, -874.0, -509.0, -736.0])[i])) > 0 THEN 8 ELSE 0 END) AS sig
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+          FROM sigs WHERE vec_id < 20),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv, sig AS csig FROM sigs),
+    scored AS (
+      SELECT query_id, cand_id, round(list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) * list_sum(list_transform(generate_series(1, 64), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 6) AS cos
+      FROM c JOIN q ON csig = qsig AND query_id <> cand_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+)
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb.filter(F.col("vec_id") < 20), emb, k=3, planes=4)
 
 
-@register("ivf_topk", None)  # centroid pipeline → rows-only
+# IVF assignment (argmax-cos to per-label mean centroid, float32-cast
+# to absorb cross-engine sum-order ulps) and the probe are pure
+# deterministic arithmetic → exact SQL oracle.
+@register(
+    "ivf_topk",
+    """
+    WITH cent_dims AS (
+      SELECT label, d.i AS pos,
+             CAST(avg(CAST(embedding[d.i] AS DOUBLE)) AS REAL) AS m
+      FROM embeddings, generate_series(1, 64) d(i)
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT label AS centroid_id, list(CAST(m AS DOUBLE) ORDER BY pos) AS centv
+      FROM cent_dims GROUP BY 1),
+    ca AS (
+      SELECT cand_id, cv, centroid_id FROM (
+        SELECT e.vec_id AS cand_id, e.embedding AS cv, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE))) / sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centv[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE)))), 9) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e, cent c) WHERE r <= 1),
+    qa AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE))) / sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centv[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE)))), 9) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e, cent c WHERE e.vec_id < 20) WHERE r <= 2),
+    scored AS (
+      SELECT query_id, cand_id, round(list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) * list_sum(list_transform(generate_series(1, 64), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 6) AS cos
+      FROM ca JOIN qa USING (centroid_id)
+      WHERE query_id <> cand_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # codebook: per-label mean embedding (deterministic k-means stand-in)
