@@ -40,7 +40,10 @@ def get_spark(app_name: str = "deepicedrain-spark", cpus: int | None = None) -> 
         # as LongType ns (§1.3 ns-precision convention; DuckDB's reader
         # truncates the same values to µs timestamps)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts driver + all executor threads in ONE JVM, so the
+        # heap must hold the whole suite's shuffle/broadcast state; 8g
+        # GC-thrashed (the full bench ran 3.9x slower than with 32g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
