@@ -85,7 +85,59 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon(pts, polys).select("vec_id", "poly_id")
 
 
-@register("convex_hull_per_label", None)  # hull not SQL-expressible → rows-only
+# The hull ring IS SQL-expressible for points in general position (the
+# float testdata has no collinear triples): a point is the source of a
+# CCW hull edge iff every other point lies strictly left of it (O(n³)
+# anti-join), the CCW boundary order is the centroid-angle order, and
+# the shoelace fold replays ring_area's exact left-fold (same start
+# vertex = min (x,y), same term order) so even round(area, 6) is
+# bit-identical to the Spark HOF aggregate.
+@register(
+    "convex_hull_per_label",
+    """
+    WITH dpts AS (
+      SELECT DISTINCT label, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    hullv AS (
+      SELECT DISTINCT p.label, p.x, p.y
+      FROM dpts p JOIN dpts q
+        ON p.label = q.label AND (p.x != q.x OR p.y != q.y)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dpts r
+        WHERE r.label = p.label
+          AND (r.x != p.x OR r.y != p.y)
+          AND (r.x != q.x OR r.y != q.y)
+          AND (q.x-p.x)*(r.y-p.y) - (q.y-p.y)*(r.x-p.x) <= 0)),
+    ang AS (
+      SELECT label, x, y,
+             atan2(y - avg(y) OVER (PARTITION BY label),
+                   x - avg(x) OVER (PARTITION BY label)) AS th,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM hullv),
+    rk AS (
+      SELECT label, x, y, n,
+             row_number() OVER (PARTITION BY label ORDER BY th) AS r,
+             row_number() OVER (PARTITION BY label ORDER BY x, y) AS xyrank
+      FROM ang),
+    pos AS (
+      SELECT a.label, a.x, a.y, a.n, (a.r - s.r0 + a.n) % a.n AS p
+      FROM rk a
+      JOIN (SELECT label, r AS r0 FROM rk WHERE xyrank = 1) s
+        ON a.label = s.label),
+    terms AS (
+      SELECT a.label, a.p, a.x * b.y - b.x * a.y AS t
+      FROM pos a JOIN pos b
+        ON a.label = b.label AND b.p = (a.p + 1) % a.n),
+    folded AS (
+      SELECT label, list(t ORDER BY p) AS ts FROM terms GROUP BY label)
+    SELECT label,
+           CAST(len(ts) AS INT) AS hull_vertices,
+           round(abs(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+                                 (acc, t) -> acc + t)) / 2, 6) AS hull_area
+    FROM folded
+    """,
+)
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
@@ -101,7 +153,56 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dbscan_clusters", None)  # iterative/UDF op → rows-only check
+# find_clusters is deterministic enough for a VALUE-EXACT oracle:
+# cluster ids rank components by their first (x,y)-sorted core point,
+# and — because expansion runs cluster-at-a-time in id order — a border
+# point contested between clusters always lands in the LOWEST cluster
+# id among its core neighbors. Both rules are SQL: connected components
+# over core-core eps-edges via a recursive CTE, dense_rank on min core
+# rid, then min(cid) over each border point's core neighbors.
+@register(
+    "dbscan_clusters",
+    """
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    ord AS (
+      SELECT vec_id, x, y, row_number() OVER (ORDER BY x, y) AS rid FROM pts),
+    nbr AS (
+      SELECT a.rid AS ia, b.rid AS ib
+      FROM ord a JOIN ord b
+        ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.05*0.05),
+    core AS (
+      SELECT ia AS rid FROM nbr GROUP BY ia HAVING count(*) >= 5),
+    cedge AS (
+      SELECT n.ia, n.ib FROM nbr n
+      JOIN core c1 ON n.ia = c1.rid
+      JOIN core c2 ON n.ib = c2.rid),
+    reach AS (
+      WITH RECURSIVE r(src, v) AS (
+        SELECT rid, rid FROM core
+        UNION
+        SELECT r.src, e.ib FROM r JOIN cedge e ON e.ia = r.v)
+      SELECT src AS rid, min(v) AS root FROM r GROUP BY src),
+    clusters AS (
+      SELECT rid, dense_rank() OVER (ORDER BY root) AS cid FROM reach),
+    border AS (
+      SELECT n.ia AS rid, min(c.cid) AS cid
+      FROM nbr n
+      JOIN clusters c ON n.ib = c.rid
+      LEFT JOIN core k ON n.ia = k.rid
+      WHERE k.rid IS NULL
+      GROUP BY n.ia),
+    labeled AS (
+      SELECT o.rid, COALESCE(cl.cid, b.cid) AS cid
+      FROM ord o
+      LEFT JOIN clusters cl ON cl.rid = o.rid
+      LEFT JOIN border b ON b.rid = o.rid)
+    SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_points
+    FROM labeled GROUP BY cid ORDER BY cid
+    """,
+)
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(

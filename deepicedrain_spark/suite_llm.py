@@ -451,9 +451,22 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- multimodal plumbing ------------------------------------------------
+# The fake decode is pure deterministic byte math over utf-8 payloads
+# (documents.text is ASCII in the testdata), so DuckDB can recompute the
+# identical features char-by-char — the mapInPandas plumbing gets a full
+# value-exact oracle, not just a rows-only check. mean_byte divides two
+# exact integers on both sides (Python int/int vs DOUBLE sum/count).
 @register(
     "multimodal_decode_features",
-    None,  # mapInPandas stub pipeline → rows-only check
+    """
+    WITH chars AS (
+      SELECT doc_id, ascii(unnest(split(text, ''))) AS b FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(b) AS DOUBLE) / count(*) AS mean_byte,
+           CAST(max(b) AS INT) AS max_byte
+    FROM chars GROUP BY doc_id
+    """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -461,7 +474,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media, mode="fake")
 
 
-@register("multimodal_frame_sample", None)
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
+           CAST(length(text) AS BIGINT) AS total_bytes
+    FROM documents WHERE length(text) > 0
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
