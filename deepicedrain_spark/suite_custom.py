@@ -350,7 +350,147 @@ def q_dhdt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- full lake-finder pipeline (SURVEY §3.2) — DBSCAN → rows-only ------
-@register("lake_finder_pipeline", None)
+# The full pipeline is value-exact SQL because every stage is
+# deterministic arithmetic on an integer-grid fixture (all doubles are
+# exact): PIP = the same parity ray cast; the activity threshold uses
+# the same interpolated median; DBSCAN labels follow the recursive-CTE
+# component scheme proven for `dbscan_clusters` (ids rank components by
+# first (x,y)-sorted core point, border → lowest reaching cluster);
+# the donut test needs only hull-boundary parity, which is invariant
+# under collinear subdivision of ring edges (a subdivided edge
+# straddles py exactly when the original does, and axis-aligned
+# intercepts are exact), so the weak-edge-test hull (all boundary
+# points, centroid-angle order) reproduces the monotone-chain hull's
+# ray cast bit-for-bit; the buffered ring (5 km ≫ 600 m data extent)
+# contains every point, so in-buffer membership is WHERE true; and the
+# shoelace terms are exact integers, so the unordered SUM equals the
+# engine's left fold. Output: the two strips survive significance
+# (|inner−outer| ≈ 1.8/3.2 ≫ 3·MAD ≈ 0.1).
+_LAKE_DBSCAN = """
+    WITH pts AS (
+      SELECT vec_id,
+             CAST((vec_id % 25) * 20 AS DOUBLE) AS x,
+             CAST((vec_id // 25) * 20 AS DOUBLE) AS y,
+             CASE WHEN vec_id < 100 THEN 2.0
+                  WHEN vec_id >= 300 AND vec_id < 400 THEN -3.0
+                  ELSE 0.15 + (vec_id % 10) * 0.01 END AS dhdt
+      FROM embeddings),
+    bedges(xa, ya, xb, yb) AS (VALUES
+      (-100.0, -100.0, 2000.0, -100.0),
+      (2000.0, -100.0, 2000.0, 2000.0),
+      (2000.0, 2000.0, -100.0, 2000.0),
+      (-100.0, 2000.0, -100.0, -100.0)),
+    basin_pts AS (
+      SELECT p.* FROM pts p
+      WHERE (SELECT count(*) FROM bedges e
+             WHERE ((e.yb > p.y) <> (e.ya > p.y))
+               AND (p.x < (e.xa - e.xb) * (p.y - e.yb) / (e.ya - e.yb) + e.xb)
+            ) % 2 = 1),
+    active AS (
+      SELECT * FROM basin_pts
+      WHERE abs(dhdt) > 0.105
+        AND abs(dhdt) > 3 * (SELECT quantile_cont(abs(dhdt), 0.5)
+                             FROM basin_pts WHERE abs(dhdt) > 0.105)),
+    ord AS (
+      SELECT vec_id, x, y, dhdt,
+             CASE WHEN dhdt > 0 THEN 1 ELSE -1 END AS s,
+             row_number() OVER (ORDER BY sign(dhdt), x, y) AS rid
+      FROM active),
+    nbr AS (
+      SELECT a.rid AS ia, b.rid AS ib
+      FROM ord a JOIN ord b
+        ON a.s = b.s
+       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 45.0*45.0),
+    core AS (
+      SELECT ia AS rid FROM nbr GROUP BY ia HAVING count(*) >= 10),
+    cedge AS (
+      SELECT n.ia, n.ib FROM nbr n
+      JOIN core c1 ON n.ia = c1.rid
+      JOIN core c2 ON n.ib = c2.rid),
+    reach AS (
+      WITH RECURSIVE r(src, v) AS (
+        SELECT rid, rid FROM core
+        UNION
+        SELECT r.src, e.ib FROM r JOIN cedge e ON e.ia = r.v)
+      SELECT src AS rid, min(v) AS root FROM r GROUP BY src),
+    comp AS (
+      SELECT r.rid, o.s,
+             dense_rank() OVER (PARTITION BY o.s ORDER BY r.root) AS k
+      FROM reach r JOIN ord o ON o.rid = r.rid),
+    border AS (
+      SELECT n.ia AS rid, min(c.k) AS k
+      FROM nbr n
+      JOIN comp c ON n.ib = c.rid
+      LEFT JOIN core ck ON n.ia = ck.rid
+      WHERE ck.rid IS NULL
+      GROUP BY n.ia),
+    members AS (
+      SELECT o.vec_id, o.x, o.y, o.dhdt,
+             CAST(o.s * COALESCE(c.k, b.k) AS BIGINT) AS cluster_id
+      FROM ord o
+      LEFT JOIN comp c ON c.rid = o.rid
+      LEFT JOIN border b ON b.rid = o.rid
+      WHERE COALESCE(c.k, b.k) IS NOT NULL),
+    mpts AS (SELECT DISTINCT cluster_id, x, y FROM members),
+    hullb AS (
+      SELECT DISTINCT p.cluster_id, p.x, p.y
+      FROM mpts p JOIN mpts q
+        ON p.cluster_id = q.cluster_id AND (p.x != q.x OR p.y != q.y)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM mpts r
+        WHERE r.cluster_id = p.cluster_id
+          AND (q.x-p.x)*(r.y-p.y) - (q.y-p.y)*(r.x-p.x) < 0)),
+    ang AS (
+      SELECT cluster_id, x, y,
+             atan2(y - avg(y) OVER (PARTITION BY cluster_id),
+                   x - avg(x) OVER (PARTITION BY cluster_id)) AS th,
+             count(*) OVER (PARTITION BY cluster_id) AS n
+      FROM hullb),
+    ring AS (
+      SELECT cluster_id, x, y, n,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY th) - 1 AS p
+      FROM ang),
+    ringe AS (
+      SELECT a.cluster_id, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM ring a JOIN ring b
+        ON a.cluster_id = b.cluster_id AND b.p = (a.p + 1) % a.n),
+    donut AS (
+      SELECT e.cluster_id, p.vec_id, p.dhdt
+      FROM basin_pts p CROSS JOIN (SELECT DISTINCT cluster_id FROM ringe) cl
+      JOIN ringe e ON e.cluster_id = cl.cluster_id
+      GROUP BY e.cluster_id, p.vec_id, p.dhdt
+      HAVING count(*) FILTER (
+               ((e.yb > p.y) <> (e.ya > p.y))
+               AND (p.x < (e.xa - e.xb) * (p.y - e.yb) / (e.ya - e.yb) + e.xb)
+             ) % 2 = 0),
+    dstats AS (
+      SELECT cluster_id, quantile_cont(dhdt, 0.5) AS outer_dhdt
+      FROM donut GROUP BY cluster_id),
+    dmad AS (
+      SELECT d.cluster_id,
+             quantile_cont(abs(d.dhdt - s.outer_dhdt), 0.5) AS outer_mad
+      FROM donut d JOIN dstats s ON d.cluster_id = s.cluster_id
+      GROUP BY d.cluster_id),
+    area AS (
+      SELECT cluster_id, abs(sum(xa * yb - xb * ya)) / 2 AS area_m2
+      FROM ringe GROUP BY cluster_id),
+    stats AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS num_points,
+             quantile_cont(dhdt, 0.5) AS inner_dhdt
+      FROM members GROUP BY cluster_id)
+    SELECT 'basin' AS basin_name, s.cluster_id, s.num_points,
+           round(s.inner_dhdt, 6) AS inner_dhdt,
+           round(a.area_m2, 6) AS area_m2
+    FROM stats s
+    JOIN area a ON s.cluster_id = a.cluster_id
+    LEFT JOIN dstats ds ON s.cluster_id = ds.cluster_id
+    LEFT JOIN dmad dm ON s.cluster_id = dm.cluster_id
+    WHERE dm.outer_mad IS NULL
+       OR abs(s.inner_dhdt - ds.outer_dhdt) >= 3 * dm.outer_mad
+"""
+
+
+@register("lake_finder_pipeline", _LAKE_DBSCAN)
 def q_lake_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.spatial import polygons_df
     from deepicedrain_spark.plans.lakes import find_lakes
