@@ -78,9 +78,14 @@ def lake_attributes_and_significance(
     set (num_points, maxabsdhdt, inner/outer medians, outer std/MAD,
     piped refgtracks)."""
     # the cluster table is the root of FOUR downstream subtrees (stats,
-    # hulls→rings, two donut passes); persist so the expensive
-    # PIP-join + DBSCAN chain runs once, not once per subtree
-    members = clustered.filter(F.col("cluster_id").isNotNull()).persist()
+    # hulls→rings, two donut passes). localCheckpoint (not persist):
+    # besides running the PIP-join + DBSCAN chain once, it TRUNCATES
+    # the lineage, so Catalyst analyzes each subtree against a tiny
+    # LogicalRDD instead of re-carrying the whole upstream tree —
+    # driver planning time dominated this query's wall clock. members
+    # is the post-threshold active set (a small fraction of the input
+    # by construction), so executor-local storage holds it at scale.
+    members = clustered.filter(F.col("cluster_id").isNotNull()).localCheckpoint()
 
     aggs = [
         F.count(F.lit(1)).alias("num_points"),
@@ -96,8 +101,10 @@ def lake_attributes_and_significance(
         )
     stats = members.groupBy(basin_col, "cluster_id").agg(*aggs)
 
+    # one row per cluster — checkpoint so the three ring consumers
+    # (outer polys, inner polys, final join) plan against a leaf
     hulls = convex_hulls(members, [basin_col, "cluster_id"])
-    rings = buffered(hulls, "hull", donut_m).persist()
+    rings = buffered(hulls, "hull", donut_m).localCheckpoint()
 
     # donut membership: inside buffered hull, outside hull
     from deepicedrain_spark.operators.spatial import bbox_predicate

@@ -367,20 +367,20 @@ def q_dhdt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine's left fold. Output: the two strips survive significance
 # (|inner−outer| ≈ 1.8/3.2 ≫ 3·MAD ≈ 0.1).
 _LAKE_DBSCAN = """
-    WITH pts AS (
+    WITH pts AS MATERIALIZED (
       SELECT vec_id,
              CAST((vec_id % 25) * 20 AS DOUBLE) AS x,
              CAST((vec_id // 25) * 20 AS DOUBLE) AS y,
-             CASE WHEN vec_id < 100 THEN 2.0
+             CAST(CASE WHEN vec_id < 100 THEN 2.0
                   WHEN vec_id >= 300 AND vec_id < 400 THEN -3.0
-                  ELSE 0.15 + (vec_id % 10) * 0.01 END AS dhdt
+                  ELSE 0.15 + (vec_id % 10) * 0.01 END AS DOUBLE) AS dhdt
       FROM embeddings),
     bedges(xa, ya, xb, yb) AS (VALUES
       (-100.0, -100.0, 2000.0, -100.0),
       (2000.0, -100.0, 2000.0, 2000.0),
       (2000.0, 2000.0, -100.0, 2000.0),
       (-100.0, 2000.0, -100.0, -100.0)),
-    basin_pts AS (
+    basin_pts AS MATERIALIZED (
       SELECT p.* FROM pts p
       WHERE (SELECT count(*) FROM bedges e
              WHERE ((e.yb > p.y) <> (e.ya > p.y))
@@ -391,19 +391,19 @@ _LAKE_DBSCAN = """
       WHERE abs(dhdt) > 0.105
         AND abs(dhdt) > 3 * (SELECT quantile_cont(abs(dhdt), 0.5)
                              FROM basin_pts WHERE abs(dhdt) > 0.105)),
-    ord AS (
+    ord AS MATERIALIZED (
       SELECT vec_id, x, y, dhdt,
              CASE WHEN dhdt > 0 THEN 1 ELSE -1 END AS s,
              row_number() OVER (ORDER BY sign(dhdt), x, y) AS rid
       FROM active),
-    nbr AS (
+    nbr AS MATERIALIZED (
       SELECT a.rid AS ia, b.rid AS ib
       FROM ord a JOIN ord b
         ON a.s = b.s
        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 45.0*45.0),
-    core AS (
+    core AS MATERIALIZED (
       SELECT ia AS rid FROM nbr GROUP BY ia HAVING count(*) >= 10),
-    cedge AS (
+    cedge AS MATERIALIZED (
       SELECT n.ia, n.ib FROM nbr n
       JOIN core c1 ON n.ia = c1.rid
       JOIN core c2 ON n.ib = c2.rid),
@@ -413,7 +413,7 @@ _LAKE_DBSCAN = """
         UNION
         SELECT r.src, e.ib FROM r JOIN cedge e ON e.ia = r.v)
       SELECT src AS rid, min(v) AS root FROM r GROUP BY src),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT r.rid, o.s,
              dense_rank() OVER (PARTITION BY o.s ORDER BY r.root) AS k
       FROM reach r JOIN ord o ON o.rid = r.rid),
@@ -424,15 +424,15 @@ _LAKE_DBSCAN = """
       LEFT JOIN core ck ON n.ia = ck.rid
       WHERE ck.rid IS NULL
       GROUP BY n.ia),
-    members AS (
+    members AS MATERIALIZED (
       SELECT o.vec_id, o.x, o.y, o.dhdt,
              CAST(o.s * COALESCE(c.k, b.k) AS BIGINT) AS cluster_id
       FROM ord o
       LEFT JOIN comp c ON c.rid = o.rid
       LEFT JOIN border b ON b.rid = o.rid
       WHERE COALESCE(c.k, b.k) IS NOT NULL),
-    mpts AS (SELECT DISTINCT cluster_id, x, y FROM members),
-    hullb AS (
+    mpts AS MATERIALIZED (SELECT DISTINCT cluster_id, x, y FROM members),
+    hullb AS MATERIALIZED (
       SELECT DISTINCT p.cluster_id, p.x, p.y
       FROM mpts p JOIN mpts q
         ON p.cluster_id = q.cluster_id AND (p.x != q.x OR p.y != q.y)
@@ -446,15 +446,15 @@ _LAKE_DBSCAN = """
                    x - avg(x) OVER (PARTITION BY cluster_id)) AS th,
              count(*) OVER (PARTITION BY cluster_id) AS n
       FROM hullb),
-    ring AS (
+    ring AS MATERIALIZED (
       SELECT cluster_id, x, y, n,
              row_number() OVER (PARTITION BY cluster_id ORDER BY th) - 1 AS p
       FROM ang),
-    ringe AS (
+    ringe AS MATERIALIZED (
       SELECT a.cluster_id, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
       FROM ring a JOIN ring b
         ON a.cluster_id = b.cluster_id AND b.p = (a.p + 1) % a.n),
-    donut AS (
+    donut AS MATERIALIZED (
       SELECT e.cluster_id, p.vec_id, p.dhdt
       FROM basin_pts p CROSS JOIN (SELECT DISTINCT cluster_id FROM ringe) cl
       JOIN ringe e ON e.cluster_id = cl.cluster_id
@@ -463,7 +463,7 @@ _LAKE_DBSCAN = """
                ((e.yb > p.y) <> (e.ya > p.y))
                AND (p.x < (e.xa - e.xb) * (p.y - e.yb) / (e.ya - e.yb) + e.xb)
              ) % 2 = 0),
-    dstats AS (
+    dstats AS MATERIALIZED (
       SELECT cluster_id, quantile_cont(dhdt, 0.5) AS outer_dhdt
       FROM donut GROUP BY cluster_id),
     dmad AS (

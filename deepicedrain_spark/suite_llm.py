@@ -228,6 +228,57 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cos"))
 
 
+# Embedding-cosine near-dup pairs. The fixture has no natural pairs
+# above 0.9 (max cross-cosine ≈ 0.44), so the query plants them the
+# way exact_dedup_pairs does: a shifted-id copy of each vector nudged
+# by ±0.05 on a 3-periodic dimension mask — cosines land in
+# [0.946, 0.966], 4σ clear of both the 0.9 threshold and 1.0, and the
+# filter runs on the round-6 value both engines agree on.
+@register(
+    "embedding_near_dup",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 100),
+    planted AS (
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + 0.05 * ((i % 3) - 1)) AS v
+      FROM embeddings WHERE vec_id < 100),
+    pool AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> a.v[i] * b.v[i]))
+                   / sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> a.v[i] * a.v[i]))
+                        * list_sum(list_transform(generate_series(1, 64),
+                            i -> b.v[i] * b.v[i]))), 6) AS cos
+      FROM pool a JOIN pool b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.9
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import embedding_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05D * (((i + 1) % 3) - 1))"
+        ).alias("embedding"),
+    )
+    return embedding_near_duplicates(base.unionByName(planted), threshold=0.9)
+
+
 # The LSH bucketing is DETERMINISTIC (md5-derived hyperplane grid), so
 # the approximate result has an exact oracle: the same signature
 # computed from the same literal weight grid, bucket equi-join, rank.
