@@ -93,9 +93,11 @@ def crossover_join(
     ``rgt_of(col)`` optionally maps a track id to its repeat-ground-
     track so same-RGT pairs are pruned (atlxi_xover.py:126-127).
     """
-    # both join sides are the same exploded-segment table — persist so
-    # the lead() window + cell explode runs once, not per side
-    cells = _explode_cells(segments, cell).persist()
+    # both join sides are the same exploded-segment table —
+    # localCheckpoint runs the lead() window + cell explode once AND
+    # truncates lineage so Catalyst doesn't re-analyze the upstream
+    # tree per join side (cold planning dominated small-SF wall time)
+    cells = _explode_cells(segments, cell).localCheckpoint()
     a = cells.alias("a")
     b = cells.alias("b")
 

@@ -160,9 +160,13 @@ def minhash_near_duplicates(
     exact-Jaccard verify. Output (id_a, id_b, jaccard).
 
     The shingle table feeds both the signature path and the verify
-    path — persist it so shingling (regex + explode over the full
-    corpus) runs once, not twice."""
-    shingled = word_shingles(df, text_col, n).persist()
+    path — localCheckpoint materializes it once AND truncates the
+    lineage, so the signature/band/verify subtrees are planned against
+    a leaf instead of re-carrying the text-parse tree (driver planning
+    was most of this query's cold wall clock). Storage is
+    MEMORY_AND_DISK on executors, the same footprint persist() would
+    reach once hot."""
+    shingled = word_shingles(df, text_col, n).localCheckpoint()
     sigs = minhash_signature(shingled, "shingles", id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)

@@ -659,6 +659,35 @@ def q_union_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §2.7 — set operations. The reference only unions (J5), but the
+# engine exposes Spark's intersect/except builtins (SURVEY §2.7 "expose
+# Spark's builtins anyway"): customers ordering in BOTH 1995 and 1996
+# (INTERSECT = distinct-and semantics) vs only in 1995 (EXCEPT).
+@register(
+    "set_ops_customers",
+    """
+    SELECT 'both' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    UNION ALL
+    SELECT 'only_1995' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("_y")
+    )
+    in95 = od.filter(F.col("_y") == 1995).select("o_custkey")
+    in96 = od.filter(F.col("_y") == 1996).select("o_custkey")
+    both = in95.intersect(in96).withColumn("op", F.lit("both"))
+    only = in95.subtract(in96).withColumn("op", F.lit("only_1995"))
+    return both.unionByName(only).select("op", "o_custkey")
+
+
 # F1 — GPS epoch delta-time round trip (spatiotemporal.py:158-176)
 @register(
     "gps_time_convert",
