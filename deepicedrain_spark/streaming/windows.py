@@ -166,6 +166,56 @@ def stateful_dedup(events: DataFrame, keys: list[str], watermark_minutes: int = 
     return events.withWatermark("event_time", f"{watermark_minutes} minutes").dropDuplicates(keys)
 
 
+def running_anomaly(events: DataFrame, watermark_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    anomaly vs the first-seen value (the streaming form of W2,
+    reference atlxi_xover.py:293-294 ``h - h.iloc[0]``).
+
+    State = the user's first value (one double), carried across
+    micro-batches; each incoming event emits ``value - first``. Rows
+    inside a batch are sorted by (ts, event_id) before folding so the
+    result is independent of shuffle delivery order. Output is one row
+    per event (append mode) with bounded state — the 100 TB-stream
+    shape for any "relative to series start" analytics."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("anom", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("first", DoubleType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        if state.exists:
+            (first,) = state.get
+        else:
+            first = float(rows.iloc[0]["value"])
+        state.update((first,))
+        yield pd.DataFrame(
+            {
+                "user_id": rows["user_id"].astype("int64"),
+                "event_id": rows["event_id"].astype("int64"),
+                "ts_us": rows["ts"].astype("int64") // 1000,
+                "anom": rows["value"].astype("float64") - first,
+            }
+        )
+
+    return (
+        events.withWatermark("event_time", f"{watermark_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap_minutes: int = 5, watermark_minutes: int = 60) -> DataFrame:
     """Session windows per user: events within ``gap`` of each other
     merge into one session (stateful session_window aggregation)."""

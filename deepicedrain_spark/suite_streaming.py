@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from deepicedrain_spark.streaming.windows import (
     read_events_stream,
     run_to_batch,
+    running_anomaly,
     session_counts,
     sliding_means,
     stateful_dedup,
@@ -70,6 +71,29 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     deduped = stateful_dedup(events, ["user_id", "event_type"])
     return run_to_batch(deduped, "append").select("user_id", "event_type")
+
+
+# applyInPandasWithState custom stateful operator: per-user anomaly vs
+# first-seen value (streaming W2). Bounded replay = one micro-batch, so
+# "first" is the (ts, event_id)-min row per user, which the batch
+# window oracle reproduces; the subtraction is a single IEEE op on the
+# same doubles, so values match unrounded.
+@register(
+    "streaming_running_anomaly",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           value - first_value(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anom
+    FROM events WHERE user_id < 100
+    """,
+)
+def q_stream_running_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # user subset bounds the per-group state-op overhead in the demo
+    # (each group pays a Python state round-trip); the operator itself
+    # is cardinality-general
+    events = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 100)
+    return run_to_batch(running_anomaly(events), "append")
 
 
 @register(
