@@ -117,3 +117,97 @@ def ice_volume_over_time(
         (F.col("dh") * F.lit(surface_area_m2) / F.lit(m3_per_km3)).alias("dvol_km3"),
         (F.col("elev_roll_std") * F.lit(surface_area_m2) / F.lit(m3_per_km3)).alias("dvol_std_km3"),
     )
+
+
+def trailing_range_sums_prefix(
+    df: DataFrame,
+    part_cols: list[str],
+    t_col: str,
+    sum_cols: list[str],
+    range_micros: int,
+) -> DataFrame:
+    """Trailing RANGE-frame sums at scale: prefix sums + as-of boundary.
+
+    Spark's sliding RANGE frame (SlidingWindowFunctionFrame) re-aggregates
+    the ENTIRE frame for every row — O(n·w) per partition, quadratic when
+    the frame spans most of a dense series. This helper produces the same
+    frame sums in O(n log n):
+
+      1. pre-aggregate per distinct (part, t)  — one keyed shuffle;
+      2. cumulative sums over t  — one window sort, O(n);
+      3. boundary prefix at t - R via an as-of merge: union the cum rows
+         with "query" rows keyed at t - R, one more window pass carries
+         the last data prefix forward (query rows sort BEFORE data rows
+         at the same key, so the frame's inclusive lower bound t' >= t-R
+         is honored);
+      4. frame sum = cum - boundary prefix (exact integer/decimal math —
+         callers must pass overflow-safe exactly-summable columns so the
+         subtraction is bit-identical to a direct frame aggregation).
+
+    Returns one row per distinct (part, t): frame sums aliased
+    ``<col>_w`` plus row count ``n_w``. Callers join back on
+    (part, t) to restore per-row granularity — a co-partitioned join on
+    the same keys the groupBy already shuffled on.
+    """
+    per_t = df.groupBy(*part_cols, t_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(c).alias(f"_s_{c}") for c in sum_cols],
+    )
+    wcum = (
+        Window.partitionBy(*part_cols)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_t.select(
+        *part_cols,
+        t_col,
+        F.sum("_n").over(wcum).alias("_cn"),
+        *[F.sum(f"_s_{c}").over(wcum).alias(f"_c_{c}") for c in sum_cols],
+    )
+    data = cum.select(
+        *part_cols,
+        F.col(t_col).alias("_k"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("long").alias("_qt"),
+        "_cn",
+        *[f"_c_{c}" for c in sum_cols],
+    )
+    query = cum.select(
+        *part_cols,
+        (F.col(t_col) - F.lit(range_micros)).alias("_k"),
+        F.lit(0).alias("_kind"),
+        F.col(t_col).alias("_qt"),
+        F.lit(None).cast("long").alias("_cn"),
+        *[F.lit(None).cast(dict(cum.dtypes)[f"_c_{c}"]).alias(f"_c_{c}") for c in sum_cols],
+    )
+    wff = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_k", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bounds = (
+        data.unionByName(query)
+        .select(
+            *part_cols,
+            "_qt",
+            "_kind",
+            F.last("_cn", ignorenulls=True).over(wff).alias("_pn"),
+            *[
+                F.last(f"_c_{c}", ignorenulls=True).over(wff).alias(f"_p_{c}")
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col("_kind") == 0)
+        .select(
+            *part_cols,
+            F.col("_qt").alias(t_col),
+            F.coalesce("_pn", F.lit(0)).alias("_pn"),
+            *[F.coalesce(f"_p_{c}", F.lit(0)).alias(f"_p_{c}") for c in sum_cols],
+        )
+    )
+    return cum.join(bounds, [*part_cols, t_col]).select(
+        *part_cols,
+        t_col,
+        (F.col("_cn") - F.col("_pn")).alias("n_w"),
+        *[(F.col(f"_c_{c}") - F.col(f"_p_{c}")).alias(f"{c}_w") for c in sum_cols],
+    )

@@ -44,6 +44,14 @@ def get_spark(app_name: str = "deepicedrain-spark", cpus: int | None = None) -> 
         # heap must hold the whole suite's shuffle/broadcast state; 8g
         # GC-thrashed (the full bench ran 3.9x slower than with 32g)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # 68 distinct queries generate hundreds of whole-stage-codegen
+        # classes; the JVM default 240m code cache fills mid-suite, the
+        # JIT shuts off, and late queries run interpreted (3-5x slower
+        # than the same query in a fresh JVM). 1g keeps C2 alive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -663,6 +663,13 @@ def q_distinct_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_volume_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame sums come from win_ops.trailing_range_sums_prefix, not a
+    # RANGE frame: Spark re-aggregates the whole frame per row (O(n·w)),
+    # quadratic on a dense per-type series. The prefix-sum path is
+    # O(n log n) and bit-identical because the cent sums are exact longs
+    # (subtraction of prefixes == direct frame sum). s/ss depend only on
+    # (event_type, t), so they are computed once per distinct t and
+    # joined back to restore per-event-row multiplicity.
     ev = load_table(spark, sf_dir, "events")
     cents = ev.select(
         "event_type",
@@ -670,26 +677,26 @@ def q_volume_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ts_us().alias("t"),
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("t")
-        .rangeBetween(-86_400_000_000, 0)
-    )
-    rolled = cents.select(
-        "event_type",
-        "event_id",
+    rolled_t = win_ops.trailing_range_sums_prefix(
+        cents.withColumn("c2", F.col("c") * F.col("c")),
+        ["event_type"],
         "t",
-        F.sum("c").over(w).cast("double").alias("s"),
-        (F.sum(F.col("c") * F.col("c")).over(w)).cast("double").alias("ss"),
-        F.count("c").over(w).alias("n"),
+        ["c", "c2"],
+        86_400_000_000,
+    ).select(
+        "event_type",
+        "t",
+        F.col("c_w").cast("double").alias("s"),
+        F.col("c2_w").cast("double").alias("ss"),
+        F.col("n_w").alias("n"),
     )
     wf = (
         Window.partitionBy("event_type")
-        .orderBy("t", "event_id")
+        .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     roll_mean = F.col("s") / F.col("n") / 100
-    anom = rolled.select(
+    anom_t = rolled_t.select(
         "event_type",
         "t",
         F.when(
@@ -701,6 +708,7 @@ def q_volume_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dh_std"),
         (roll_mean - F.first(roll_mean).over(wf)).alias("dh"),
     )
+    anom = cents.select("event_type", "t").join(anom_t, ["event_type", "t"])
     return anom.select(
         "event_type",
         "t",
