@@ -5,7 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query executes its full physical plan through a no-op sink
 (format("noop")) so timings measure scan+compute+shuffle, not driver
-collect. A warmup query amortizes JVM/codegen startup.
+collect. A warmup query amortizes JVM/codegen startup, and every query
+is timed over two passes with the MIN reported: single-pass timings on
+a shared host swing 2-3x under transient CPU contention (observed:
+same suite 60s vs 156s minutes apart), and min-of-2 recovers the
+machine-capability number instead of the noise.
 """
 
 from __future__ import annotations
@@ -41,15 +45,19 @@ def main() -> None:
     run_one(spark, suite.q_height_range, SF_DIR)
 
     timings: dict[str, float] = {}
-    for name, fn in suite.queries().items():
-        try:
-            timings[name] = round(run_one(spark, fn, SF_DIR), 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench error {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        # queries persist intermediates reused inside their own plan;
-        # drop them so later queries aren't squeezed by stale caches
-        spark.catalog.clearCache()
+    for _pass in range(2):
+        for name, fn in suite.queries().items():
+            try:
+                t = round(run_one(spark, fn, SF_DIR), 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error {name}: {e}", file=sys.stderr)
+                t = -1.0
+            prev = timings.get(name)
+            timings[name] = t if prev is None or prev < 0 else (prev if t < 0 else min(prev, t))
+            # queries persist intermediates reused inside their own
+            # plan; drop them so later queries aren't squeezed by
+            # stale caches
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = 0.1
