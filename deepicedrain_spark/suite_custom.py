@@ -909,3 +909,43 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+# --- skew-salted aggregation (scale operator, 100 TB surface) --------
+# The salted two-phase plan must be RESULT-identical to a plain
+# GROUP BY; sums run on exact long cents so the recombination is
+# order-insensitive and the oracle hash matches bit-for-bit.
+@register(
+    "salted_skew_counts",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                 / count(*), 6) AS avg_value,
+           min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+           max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed groupBy via operators.scale.salted_aggregate: phase 1
+    spreads each key over 16 salt reducers, phase 2 recombines the
+    algebraic partials — a straggler-proof shape for hot keys that AQE
+    cannot fix (AQE splits skewed JOIN partitions, not aggregations)."""
+    from deepicedrain_spark.operators.scale import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    agg = salted_aggregate(
+        ev, ["event_type"], {"c": ["sum", "count", "min", "max"]}, salt_buckets=16
+    )
+    return agg.select(
+        "event_type",
+        F.col("count_c").alias("n"),
+        F.col("sum_c").alias("sum_cents"),
+        F.round(F.col("sum_c") / F.lit(100.0) / F.col("count_c"), 6).alias("avg_value"),
+        F.col("min_c").alias("min_cents"),
+        F.col("max_c").alias("max_cents"),
+    )
