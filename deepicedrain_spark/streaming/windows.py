@@ -233,3 +233,53 @@ def session_counts(events: DataFrame, gap_minutes: int = 5, watermark_minutes: i
             "n_events",
         )
     )
+
+
+def interval_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    key: str = "user_id",
+    within_minutes: int = 30,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Stream-stream interval join: each ``left_type`` event matched to
+    the ``right_type`` events of the same key within
+    ``[t_left, t_left + within]``.
+
+    Both sides carry watermarks and the join condition bounds the
+    right side's event time relative to the left's, so the state store
+    evicts rows once the watermark passes (bounded state on unbounded
+    streams — the canonical Structured Streaming join shape). Append
+    mode emits each match exactly once.
+    """
+    lhs = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key),
+            F.col("event_id").alias("left_id"),
+            F.col("event_time").alias("lt"),
+        )
+        .withWatermark("lt", f"{watermark_minutes} minutes")
+    )
+    rhs = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key).alias("_rk"),
+            F.col("event_id").alias("right_id"),
+            F.col("event_time").alias("rt"),
+        )
+        .withWatermark("rt", f"{watermark_minutes} minutes")
+    )
+    return lhs.join(
+        rhs,
+        (F.col(key) == F.col("_rk"))
+        & (F.col("rt") >= F.col("lt"))
+        & (F.col("rt") <= F.col("lt") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+        "inner",
+    ).select(
+        key,
+        "left_id",
+        "right_id",
+        (F.unix_micros(F.col("rt")) - F.unix_micros(F.col("lt"))).alias("delta_us"),
+    )

@@ -542,3 +542,51 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
     )
+
+
+# --- near-dup groups: connected components over the near-dup edges ---
+# The edge set is the minhash_near_dup pair list (exact on this data —
+# see that query's recall note); components collapse pairwise edges
+# into dedup GROUPS, the shape a 100 TB pipeline actually keeps (one
+# keeper per group). Component id = min doc_id in the group, which the
+# oracle reproduces with a recursive CTE over the same edges.
+@register(
+    "near_dup_components",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      WITH RECURSIVE r(src, v) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.src, s.b FROM r JOIN sym s ON s.a = r.v)
+      SELECT src AS doc_id, min(v) AS component_id FROM r GROUP BY src)
+    SELECT doc_id, component_id FROM reach
+    """,
+)
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )

@@ -121,3 +121,31 @@ def q_stream_running_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return run_to_batch(session_counts(events, gap_minutes=5), "complete")
+
+
+# --- stream-stream interval join (view → purchase attribution) -------
+# Bounded replay of an append-mode watermarked interval join emits
+# exactly the batch join's rows: every (view, purchase) of one user
+# with the purchase inside [view_t, view_t + 30 min].
+@register(
+    "streaming_interval_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS left_id,
+           p.event_id AS right_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS delta_us
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND v.event_type = 'view'
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.streaming.windows import interval_join
+
+    events = read_events_stream(spark, sf_dir)
+    joined = interval_join(events, "view", "purchase", within_minutes=30)
+    return run_to_batch(joined, "append")
