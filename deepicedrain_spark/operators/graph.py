@@ -14,9 +14,10 @@ Algorithm: min-label propagation with pointer jumping. Each round
      contracts label chains so convergence needs O(log n) rounds on a
      path instead of O(n) — the same doubling idea as the
      large-star/small-star MapReduce formulation (Kiveris et al. 2014).
-Every round persists its label table, unpersists the previous one, and
-localCheckpoints periodically so the logical plan doesn't grow
-unboundedly across iterations.
+Every round localCheckpoints its label table (eager) and drops the
+previous one, so each round's plan is O(1) — without truncation the
+logical plan re-carries both the whole upstream edge-producing subtree
+and every earlier round.
 """
 
 from __future__ import annotations
@@ -30,24 +31,27 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    checkpoint_every: int = 4,
     out_node: str = "node",
     out_comp: str = "component",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the minimum node id in the component (stable,
     engine-independent)."""
+    # localCheckpoint (not persist): every round's plan would otherwise
+    # re-carry the upstream edge-producing subtree (e.g. a full
+    # minhash pipeline), and per-round driver planning dominates on
+    # small graphs
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # labels only ever decrease, so the label sum is a strictly
     # decreasing convergence metric — one cheap agg per round instead
@@ -79,10 +83,10 @@ def connected_components(
             stepped.join(parents, stepped.label == parents.p)
             .select("node", F.col("pl").alias("label"))
         )
-        if (it + 1) % checkpoint_every == 0:
-            jumped = jumped.localCheckpoint(eager=True)
-        else:
-            jumped = jumped.persist()
+        # checkpoint every round: label tables are tiny (one row per
+        # node in the edge set) and a truncated plan keeps round
+        # planning O(1) instead of O(iterations)
+        jumped = jumped.localCheckpoint(eager=True)
         new_sum = jumped.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = jumped
