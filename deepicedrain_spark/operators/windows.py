@@ -211,3 +211,27 @@ def trailing_range_sums_prefix(
         (F.col("_cn") - F.col("_pn")).alias("n_w"),
         *[(F.col(f"_c_{c}") - F.col(f"_p_{c}")).alias(f"{c}_w") for c in sum_cols],
     )
+
+
+def sessionize(
+    df: DataFrame,
+    part_cols: list[str],
+    t_col: str,
+    gap: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch gap-based sessionization (batch parity with
+    streaming.session_counts): a new session starts when the time since
+    the previous event in the partition exceeds ``gap`` (same units as
+    ``t_col``). session_id = cumulative count of session starts, so ids
+    are 1-based and ordered by time within each partition.
+
+    One window sort per partition key — the same single shuffle a
+    groupBy would need; no iterative logic.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(t_col)
+    is_start = F.when(
+        (F.col(t_col) - F.lag(t_col).over(w)) > F.lit(gap), 1
+    ).otherwise(F.when(F.lag(t_col).over(w).isNull(), 1).otherwise(0))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(is_start).over(wc))

@@ -949,3 +949,77 @@ def q_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_c").alias("min_cents"),
         F.col("max_c").alias("max_cents"),
     )
+
+
+# --- batch sessionization (gap-based, batch parity with streaming
+# session windows). Ties: events sharing a timestamp sort arbitrarily
+# within the window, but session BOUNDARIES depend only on distinct
+# time values, so per-session aggregates keyed by (user, session) are
+# deterministic; the oracle replays the same lag-over-time logic.
+@register(
+    "session_batch",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > 1800000000
+                  OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  THEN 1 ELSE 0 END AS s
+      FROM ev),
+    sess AS (
+      SELECT user_id, t,
+             sum(s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(t) AS t_start,
+           max(t) AS t_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", _ts_us().alias("t"))
+    sess = win_ops.sessionize(ev, ["user_id"], "t", gap=1_800_000_000)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+    )
+
+
+# --- multi-resolution rollup (hypertable-style continuous aggregate:
+# per (type, hour), per type, grand total in ONE pass via ROLLUP —
+# Catalyst expands grouping sets without rescanning the input)
+@register(
+    "time_rollup",
+    """
+    SELECT event_type,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(grouping(event_type) AS INT) * 2
+             + CAST(grouping((epoch_us(ts) // 3600000000) * 3600000000) AS INT)
+             AS grouping_level
+    FROM events
+    GROUP BY ROLLUP (event_type, hour_us)
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((_ts_us() / F.lit(3_600_000_000)).cast("long") * F.lit(3_600_000_000)).alias(
+            "hour_us"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    return ev.rollup("event_type", "hour_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sum_cents"),
+        (
+            F.grouping("event_type").cast("int") * F.lit(2)
+            + F.grouping("hour_us").cast("int")
+        ).alias("grouping_level"),
+    )
