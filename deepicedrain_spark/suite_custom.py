@@ -1023,3 +1023,81 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.grouping("hour_us").cast("int")
         ).alias("grouping_level"),
     )
+
+
+# --- spatiotemporal cube: one grid per stacking key (reference
+# spatiotemporal_cube at spatiotemporal.py:310-477 stacks a per-cycle
+# grid sequence into a (cycle, y, x) cube; label is the stacking
+# dimension here). Grid = block median per cell, exactly the
+# blockmedian pre-pass the reference feeds its surface fit.
+@register(
+    "raster_cube",
+    """
+    SELECT label,
+           CAST(floor((CAST(embedding[1] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cx,
+           CAST(floor((CAST(embedding[2] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cy,
+           count(*) AS n,
+           round(quantile_cont(CAST(embedding[3] AS DOUBLE), 0.5), 6) AS z_med
+    FROM embeddings GROUP BY 1, 2, 3
+    """,
+)
+def q_raster_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    cell = lambda c: F.floor((F.col(c) - F.lit(-0.5)) / F.lit(0.25)).cast("long")  # noqa: E731
+    return (
+        pts.groupBy("label", cell("x").alias("cx"), cell("y").alias("cy"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(z, 0.5)"), 6).alias("z_med"),
+        )
+    )
+
+
+# --- S6/S7 vector IO roundtrip: hulls → geojsonl sink → scan back ----
+# The sink serializes each hull ring as a GeoJSON Feature (to_json of
+# doubles is shortest-roundtrip, so the re-read ring is bit-identical)
+# and the re-scan recomputes vertex count + shoelace area from the
+# ring that survived the roundtrip. Oracle = the convex-hull oracle
+# (roundtrip is identity), reused verbatim from the registry.
+def _register_geojson_roundtrip():
+    from deepicedrain_spark.suite import REGISTRY
+
+    hull_oracle = REGISTRY["convex_hull_per_label"].sql
+
+    @register("geojson_roundtrip", hull_oracle)
+    def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deepicedrain_spark.sources.geojson import write_geojsonl
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pts = emb.select(
+            "label",
+            F.element_at("embedding", 1).cast("double").alias("x"),
+            F.element_at("embedding", 2).cast("double").alias("y"),
+        )
+        hulls = convex_hulls(pts, ["label"])
+        path = "/tmp/spark_graft_geojson_roundtrip"
+        write_geojsonl(hulls, "hull", ["label"], path)
+        feats = spark.read.json(path)
+        ring = F.expr(
+            "transform(geometry.coordinates[0], "
+            "p -> struct(p[0] as x, p[1] as y))"
+        )
+        back = feats.select(
+            F.col("properties.label").alias("label"), ring.alias("hull")
+        )
+        return back.select(
+            "label",
+            (F.size("hull") - 1).alias("hull_vertices"),
+            F.round(ring_area("hull"), 6).alias("hull_area"),
+        )
+
+    return q_geojson_roundtrip
+
+
+q_geojson_roundtrip = _register_geojson_roundtrip()
