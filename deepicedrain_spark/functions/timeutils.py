@@ -22,15 +22,17 @@ SECONDS_PER_DAY = 86_400
 
 
 def deltatime_to_utctime(delta_ns: Column, epoch: str = ATLAS_EPOCH) -> Column:
-    """ns offset since epoch → TimestampType (µs truncation)."""
-    epoch_us = F.unix_micros(F.to_timestamp(F.lit(epoch)))
-    return F.timestamp_micros(epoch_us + (delta_ns / F.lit(1000)).cast("long"))
+    """ns offset since epoch → TimestampType (µs truncation).
+
+    The epoch literal is resolved to UTC epoch-µs python-side:
+    ``to_timestamp(lit)`` would interpret it in the session timezone,
+    which the driver's vanilla session does not pin to UTC."""
+    return F.timestamp_micros(F.lit(us_of(epoch)) + (delta_ns / F.lit(1000)).cast("long"))
 
 
 def utctime_to_deltans(ts: Column, epoch: str = ATLAS_EPOCH) -> Column:
     """TimestampType → ns offset since epoch (exact at µs resolution)."""
-    epoch_us = F.unix_micros(F.to_timestamp(F.lit(epoch)))
-    return (F.unix_micros(ts) - epoch_us) * F.lit(1000)
+    return (F.unix_micros(ts) - F.lit(us_of(epoch))) * F.lit(1000)
 
 
 def ts_to_epoch_days(ts: Column, epoch: str) -> Column:
@@ -38,8 +40,7 @@ def ts_to_epoch_days(ts: Column, epoch: str) -> Column:
 
     Built from exact int64 µs so Spark and any oracle engine produce
     bit-identical doubles (int subtraction exact, one fp division)."""
-    epoch_us = F.unix_micros(F.to_timestamp(F.lit(epoch)))
-    return (F.unix_micros(ts) - epoch_us) / F.lit(86_400_000_000.0)
+    return (F.unix_micros(ts) - F.lit(us_of(epoch))) / F.lit(86_400_000_000.0)
 
 
 def slope_per_ns_to_per_year(slope: Column) -> Column:
@@ -56,6 +57,40 @@ def ns_to_us(col: Column) -> Column:
     truncates toward zero — matching how DuckDB's parquet reader
     truncates TIMESTAMP_NS to µs."""
     return (col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+
+
+def ntz_epoch_us(col: Column) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ wall-clock, treating the
+    wall time as UTC — **independent of the session timezone**.
+
+    ``cast(ntz AS timestamp)`` interprets the wall clock in the session
+    timezone, so under the driver's vanilla (local-TZ) session it would
+    shift every instant by the UTC offset; field extraction
+    (date / hour / minute / fractional second) never consults a
+    timezone. All integer/decimal math — exact."""
+    days = F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    return (
+        days * F.lit(86_400_000_000)
+        + F.hour(col).cast("long") * F.lit(3_600_000_000)
+        + F.minute(col).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast("long")
+    )
+
+
+def timestamp_to_ns(col: Column, dtype) -> Column:
+    """Normalize a parquet timestamp column to the engine's canonical
+    epoch-ns LongType (§1.3), handling every encoding the testdata has
+    shipped: LongType = already ns; TIMESTAMP_NTZ = wall-as-UTC via
+    ``ntz_epoch_us``; TIMESTAMP (instant) = ``unix_micros``."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, LongType):
+        return col
+    if isinstance(dtype, TimestampNTZType):
+        return ntz_epoch_us(col) * F.lit(1000)
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(col) * F.lit(1000)
+    raise TypeError(f"unsupported timestamp encoding: {dtype}")
 
 
 def us_of(iso: str) -> int:

@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -40,15 +42,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown; do NOT pre-select columns here — callers' .select/.filter
     reach the scan on their own.
 
-    Timestamp columns are INT64 TIMESTAMP(NANOS) in the testdata; they
-    are read as LongType nanoseconds (§1.3 ns-precision convention).
-    The conf is set here too because the driver may hand us a session
-    built without it."""
+    Engine convention (§1.3): ``events.ts`` is epoch NANOSECONDS as
+    LongType. The testdata has shipped both encodings — INT64
+    TIMESTAMP(NANOS) (read as ns-long via ``nanosAsLong``) and plain
+    TIMESTAMP(MICROS) — so normalize here at the load boundary with
+    session-timezone-independent math (the driver's session may not
+    be UTC; see timeutils.timestamp_to_ns)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - static conf on some builds
         pass
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, (TimestampType, TimestampNTZType)
+    ):
+        from deepicedrain_spark.functions.timeutils import timestamp_to_ns
+
+        df = df.withColumn(
+            "ts", timestamp_to_ns(F.col("ts"), df.schema["ts"].dataType)
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -45,7 +45,15 @@ def linregress_aggs(y: str, x: str, suffix: str = "") -> list[Column]:
     syy = F.expr(f"regr_syy({y}, {x})")
     # rvalue carries the slope's sign (scipy returns signed r).
     rvalue = F.signum(slope) * F.sqrt(r2)
-    stderr = F.sqrt((syy / sxx - slope * slope) / (n - F.lit(2)))
+    # Guarded: ANSI mode (the default, and the driver session's) turns
+    # sxx=0 (constant x, incl. fp-underflow of tiny spreads) or n=2
+    # into DIVIDE_BY_ZERO errors; those groups have no defined stderr →
+    # NULL. greatest(.,0) absorbs fp cancellation driving the residual
+    # variance a hair negative on exact-fit groups.
+    stderr = F.when(
+        (n > F.lit(2)) & (sxx != F.lit(0.0)),
+        F.sqrt(F.greatest(syy / sxx - slope * slope, F.lit(0.0)) / (n - F.lit(2))),
+    )
     return [
         n.alias(f"n{suffix}"),
         slope.alias(f"slope{suffix}"),

@@ -30,16 +30,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns (nanosAsLong — §1.3)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Stream-source schema = the batch reader's parquet footer schema
+    (file streams need an explicit schema; deriving it from the footer
+    keeps the stream correct under either ``ts`` encoding — INT64 ns
+    or TIMESTAMP(MICROS) — see io.load_table)."""
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -65,13 +63,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover
         pass
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(_stream_dir(sf_dir))
-        .withColumn(
-            "event_time",
-            F.timestamp_micros((F.col("ts").cast("decimal(38,0)") / 1000).cast("long")),
-        )
+    from deepicedrain_spark.functions.timeutils import timestamp_to_ns
+
+    schema = _events_schema(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
+    # One convention downstream regardless of the parquet encoding:
+    # ts = epoch-ns LongType; event_time = the µs-truncated instant
+    # (timestamp_micros is timezone-independent — epoch in, epoch out).
+    stream = stream.withColumn(
+        "ts", timestamp_to_ns(F.col("ts"), schema["ts"].dataType)
+    )
+    return stream.withColumn(
+        "event_time",
+        F.timestamp_micros((F.col("ts").cast("decimal(38,0)") / 1000).cast("long")),
     )
 
 

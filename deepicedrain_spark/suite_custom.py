@@ -27,6 +27,7 @@ from deepicedrain_spark.operators.spatial import (
     polygons_df,
     ring_area,
 )
+from deepicedrain_spark.functions.timeutils import us_of
 from deepicedrain_spark.suite import _ts_us, register
 
 # --- literal polygon layer (a convex pentagon + a concave chevron) ---
@@ -331,7 +332,9 @@ def q_dhdt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(
         "user_id",
         F.col("value").alias("h_corr"),
-        ((_ts_us() - F.unix_micros(F.to_timestamp(F.lit("2024-01-01")))) * 1000)
+        # epoch literal precomputed in UTC python-side: to_timestamp on a
+        # string literal would shift with the driver session's timezone
+        ((_ts_us() - F.lit(us_of("2024-01-01"))) * 1000)
         .cast("double")
         .alias("delta_time_ns"),
         F.col("user_id").cast("double").alias("x"),
