@@ -1104,3 +1104,150 @@ def _register_geojson_roundtrip():
 
 
 q_geojson_roundtrip = _register_geojson_roundtrip()
+
+
+# --- as-of (point-in-time) join: extension op Spark lacks natively ----
+# Each click gets the user's most recent purchase at-or-before it,
+# within a 2-day tolerance. The oracle is DuckDB's native ASOF JOIN;
+# the Spark side is operators/asof.py's union+window formulation (one
+# shuffle, no join state — see that module's 100 TB notes).
+_ASOF_TOL_US = 2 * 86_400_000_000
+
+
+@register(
+    "asof_last_purchase",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS p_us, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT c.user_id, c.click_id, c.t_us,
+           CASE WHEN c.t_us - p.p_us <= {_ASOF_TOL_US}
+                THEN p.purchase_value END AS purchase_value,
+           CASE WHEN c.t_us - p.p_us <= {_ASOF_TOL_US}
+                THEN p.p_us END AS purchase_t_us
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.t_us >= p.p_us
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), _ts_us().alias("t_us")
+    )
+    # pre-aggregate the right side so equal-instant duplicates cannot
+    # make the match nondeterministic (same dedup in the oracle)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", _ts_us().alias("p_us"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join_backward(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_time="t_us",
+        right_time="p_us",
+        value_cols=["purchase_value"],
+        tolerance=_ASOF_TOL_US,
+        matched_time_alias="purchase_t_us",
+    )
+
+
+# --- TPC-H Q3 shape: top-k unshipped-order revenue (generic SQL surface)
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp_ntz(F.lit("1998-01-01"))
+    )
+    # exact decimal revenue (sum order never matters), tie-broken top-k
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    from deepicedrain_spark.functions.timeutils import ntz_epoch_us
+
+    return (
+        li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+                .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            ntz_epoch_us(F.col("o_orderdate")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q18 shape: customers with very large orders -----------------
+@register(
+    "large_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 220)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.functions.timeutils import ntz_epoch_us
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # l_quantity is an integral double (1..50): plain sum is exact
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 220)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ntz_epoch_us(F.col("o_orderdate")).alias("orderdate_us"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
