@@ -30,16 +30,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dbscan_numpy(X: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+def dbscan_numpy(
+    X: np.ndarray, eps: float, min_samples: int, return_core: bool = False
+):
     """Exact DBSCAN labels (−1 = noise) via eps-cell bucketing.
 
     Semantics match sklearn/cuML: a point is core iff it has
     ≥ min_samples neighbors within eps INCLUDING itself; border points
     join the first core cluster that reaches them; noise stays −1.
+    With ``return_core`` also returns the core mask — free, because the
+    sweep computes every point's neighborhood exactly once.
     """
     n = len(X)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, np.zeros(0, dtype=bool)) if return_core else empty
     cells = np.floor(X / eps).astype(np.int64)
     buckets: dict[tuple, np.ndarray] = {}
     order = np.lexsort(cells.T[::-1])
@@ -67,6 +72,7 @@ def dbscan_numpy(X: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
         return cand[np.einsum("ij,ij->i", diff, diff) <= eps * eps]
 
     labels = np.full(n, -1, dtype=np.int64)
+    core = np.zeros(n, dtype=bool)
     visited = np.zeros(n, dtype=bool)
     cluster = -1
     for i in range(n):
@@ -74,6 +80,7 @@ def dbscan_numpy(X: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
             continue
         visited[i] = True
         nbrs = neighbors(i)
+        core[i] = len(nbrs) >= min_samples
         if len(nbrs) < min_samples:
             continue
         cluster += 1
@@ -87,11 +94,12 @@ def dbscan_numpy(X: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
                 continue
             visited[j] = True
             jn = neighbors(j)
+            core[j] = len(jn) >= min_samples
             if len(jn) >= min_samples:
                 new = jn[(labels[jn] == -1)]
                 labels[new] = cluster
                 seeds.extend(new)
-    return labels
+    return (labels, core) if return_core else labels
 
 
 def find_clusters(
@@ -221,27 +229,9 @@ def dbscan_distributed(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         X = pdf[[x, y]].to_numpy(dtype=np.float64)
-        labels = dbscan_numpy(X, eps, min_samples)
-        # core flags: recompute neighbor counts (cheap second pass)
+        labels, core = dbscan_numpy(X, eps, min_samples, return_core=True)
         out = pdf.copy()
         out["_local"] = labels
-        core = np.zeros(len(pdf), dtype=bool)
-        if len(pdf):
-            cells = np.floor(X / eps).astype(np.int64)
-            from collections import defaultdict
-
-            b = defaultdict(list)
-            for i, c in enumerate(map(tuple, cells)):
-                b[c].append(i)
-            for i in range(len(pdf)):
-                cnt = 0
-                ci = cells[i]
-                for dx in (-1, 0, 1):
-                    for dy in (-1, 0, 1):
-                        for j in b.get((ci[0] + dx, ci[1] + dy), ()):
-                            if (X[j, 0] - X[i, 0]) ** 2 + (X[j, 1] - X[i, 1]) ** 2 <= eps * eps:
-                                cnt += 1
-                core[i] = cnt >= min_samples
         out["_is_core"] = core
         return out
 
@@ -285,16 +275,17 @@ def dbscan_distributed(
     mapping = [(g, find(g)) for g in all_gids]
     labels = df.sparkSession.createDataFrame(mapping, "gid string, root string")
 
-    out = (
-        local.filter(F.col("_is_home"))
-        .join(F.broadcast(labels), local._gid == labels.gid)
-        .withColumnRenamed("root", label_col)
-        .drop("gid", "_gid", "_local", "_is_core", "_bx", "_by", "_is_home")
+    # Per-point label = min root over ALL copies, not just the home
+    # copy: a border point can be reached by a cluster only in the
+    # neighbor block where that cluster's core lives (its home-block
+    # copy stays noise there), so keeping only home labels silently
+    # drops it to noise. min() also makes contested border points
+    # (reachable from two clusters) deterministic — lowest root wins,
+    # independent of local scan order.
+    point_labels = (
+        local.join(F.broadcast(labels), local["_gid"] == labels["gid"])
+        .groupBy(id_col)
+        .agg(F.min("root").alias(label_col))
     )
-    noise = (
-        pts.filter(F.col("_is_home"))
-        .join(out.select(id_col), on=id_col, how="left_anti")
-        .drop("_bx", "_by", "_is_home")
-        .withColumn(label_col, F.lit(None).cast("string"))
-    )
-    return out.unionByName(noise)
+    home = pts.filter(F.col("_is_home")).drop("_bx", "_by", "_is_home")
+    return home.join(point_labels, on=id_col, how="left")

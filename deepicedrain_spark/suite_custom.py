@@ -1251,3 +1251,106 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --- scale-path variants of J1 and M1 ---------------------------------
+# The same semantics as `point_in_polygon` / `dbscan_clusters`, through
+# the operators built for clouds too big for a broadcast nested loop /
+# a single task: grid-cell equi-join PIP and block+halo distributed
+# DBSCAN. Exercising them under the driver oracle proves the scale
+# paths return the SAME answers as the small-data paths.
+@register(
+    "point_in_polygon_gridded",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    edges(poly_id, xa, ya, xb, yb) AS (VALUES
+       {_edges_values()}),
+    par AS (
+      SELECT p.vec_id, e.poly_id, count(*) AS c
+      FROM pts p JOIN edges e
+        ON ((e.yb > p.y) <> (e.ya > p.y))
+       AND (p.x < (e.xa - e.xb) * (p.y - e.yb) / (e.ya - e.yb) + e.xb)
+      GROUP BY 1, 2)
+    SELECT vec_id, poly_id FROM par WHERE c % 2 = 1
+    """,
+)
+def q_point_in_polygon_gridded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.spatial import point_in_polygon_gridded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    polys = polygons_df(spark, PIP_POLYGONS)
+    return point_in_polygon_gridded(pts, polys, cell=0.25).select("vec_id", "poly_id")
+
+
+# DBSCAN cluster IDs depend on scan order for contested border points,
+# but three aggregates are scan-order-INVARIANT (a point is clustered
+# iff core or within eps of a core; components are core-connectivity):
+# cluster count, clustered-point count, noise count — so the block+halo
+# distributed path can be value-checked against the same recursive-CTE
+# oracle as the single-task path.
+@register(
+    "dbscan_distributed_summary",
+    """
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    ord AS (
+      SELECT vec_id, x, y, row_number() OVER (ORDER BY x, y) AS rid FROM pts),
+    nbr AS (
+      SELECT a.rid AS ia, b.rid AS ib
+      FROM ord a JOIN ord b
+        ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.05*0.05),
+    core AS (
+      SELECT ia AS rid FROM nbr GROUP BY ia HAVING count(*) >= 5),
+    cedge AS (
+      SELECT n.ia, n.ib FROM nbr n
+      JOIN core c1 ON n.ia = c1.rid
+      JOIN core c2 ON n.ib = c2.rid),
+    reach AS (
+      WITH RECURSIVE r(src, v) AS (
+        SELECT rid, rid FROM core
+        UNION
+        SELECT r.src, e.ib FROM r JOIN cedge e ON e.ia = r.v)
+      SELECT src AS rid, min(v) AS root FROM r GROUP BY src),
+    border AS (
+      SELECT DISTINCT n.ia AS rid
+      FROM nbr n
+      JOIN reach c ON n.ib = c.rid
+      LEFT JOIN core k ON n.ia = k.rid
+      WHERE k.rid IS NULL),
+    stats AS (
+      SELECT (SELECT count(DISTINCT root) FROM reach) AS n_clusters,
+             (SELECT count(*) FROM reach) + (SELECT count(*) FROM border) AS n_clustered,
+             (SELECT count(*) FROM ord) AS n_total)
+    SELECT CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_clustered AS BIGINT) AS n_clustered,
+           CAST(n_total - n_clustered AS BIGINT) AS n_noise
+    FROM stats
+    """,
+)
+def q_dbscan_distributed_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.clustering import dbscan_distributed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    labeled = dbscan_distributed(
+        pts, ["x", "y"], eps=0.05, min_samples=5, block_cells=4
+    )
+    return labeled.agg(
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.count("cluster_id").alias("n_clustered"),
+        F.sum(F.when(F.col("cluster_id").isNull(), 1).otherwise(0)).alias("n_noise"),
+    )
