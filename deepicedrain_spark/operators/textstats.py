@@ -132,3 +132,64 @@ def rolling_hash(tokens_expr: str = "filter(split(text, ' '), x -> x != '')",
           (acc, t) -> (acc * {base} + cast(conv(substring(md5(t), 1, 15), 16, 10) as long) % {mod}) % {mod})
         """
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 use line/ngram repetition filters; the testdata documents are
+    single-line token streams, so the token-level analogues apply):
+
+    - ``distinct_ratio``   — type/token ratio (low = repetitive)
+    - ``top_token_frac``   — fraction of tokens that are the modal token
+    - ``top_bigram_frac``  — fraction of bigrams that are the modal bigram
+
+    Shape: explode → two-level aggregation — the canonical wordcount
+    plan (map-side partial counts, one shuffle keyed (doc, token), one
+    keyed doc). All ratios are int/int doubles: bit-identical in any
+    engine, no rounding needed.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("tok")
+    )
+    tok_stats = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_n"),
+        )
+    )
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"zip_with(slice(filter(split({text_col}, ' '), x -> x != ''), 1, "
+                f"greatest(size(filter(split({text_col}, ' '), x -> x != '')) - 1, 0)), "
+                f"slice(filter(split({text_col}, ' '), x -> x != ''), 2, "
+                f"greatest(size(filter(split({text_col}, ' '), x -> x != '')) - 1, 0)), "
+                f"(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bg_n"))
+    )
+    return (
+        tok_stats.join(bg_stats, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("top_n") / F.col("n_tokens")).alias("top_token_frac"),
+            F.when(
+                F.col("n_bigrams") > 0, F.col("top_bg_n") / F.col("n_bigrams")
+            ).alias("top_bigram_frac"),
+        )
+    )

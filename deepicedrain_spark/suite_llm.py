@@ -590,3 +590,39 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+# --- Gopher-style repetition quality signals --------------------------
+@register(
+    "repetition_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+    ts AS (
+      SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct, max(n) AS top_n
+      FROM tc GROUP BY 1),
+    ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS b
+      FROM ws),
+    bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_bg_n FROM bc GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio,
+           CAST(t.top_n AS DOUBLE) / t.n_tokens AS top_token_frac,
+           CASE WHEN b.n_bigrams > 0
+                THEN CAST(b.top_bg_n AS DOUBLE) / b.n_bigrams END AS top_bigram_frac
+    FROM ts t LEFT JOIN bs b ON t.doc_id = b.doc_id
+    """,
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.textstats import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
