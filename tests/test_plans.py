@@ -1,0 +1,43 @@
+"""Physical-plan shape assertions for the newer suite queries: the
+point is not that they run, but that Catalyst produced the plan we
+designed for 100 TB (pushdown reaching the scan, dims broadcast, the
+as-of join collapsing to a single exchange)."""
+
+from __future__ import annotations
+
+from deepicedrain_spark import suite_custom
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shipping_priority_pushdown_and_broadcast(spark):
+    df = suite_custom.q_shipping_priority(spark, SF_SMALL)
+    plan = plan_of(df)
+    # the l_shipdate range predicate must reach the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # customer (the dim side) must build a broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan
+    # only lineitem columns actually used are read
+    assert "l_comment" not in plan
+
+
+def test_asof_join_single_exchange(spark):
+    df = suite_custom.q_asof_last_purchase(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exchanges: one for the right-side pre-aggregation groupBy
+    # (user_id, p_us) and one keying the union'd window on user_id —
+    # never more (no join operator, no range-join explosion)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_gridded_pip_is_equi_join(spark):
+    df = suite_custom.q_point_in_polygon_gridded(spark, SF_SMALL)
+    plan = plan_of(df)
+    # the scale path must not fall back to a nested-loop cross join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
