@@ -1354,3 +1354,37 @@ def q_dbscan_distributed_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cluster_id").alias("n_clustered"),
         F.sum(F.when(F.col("cluster_id").isNull(), 1).otherwise(0)).alias("n_noise"),
     )
+
+
+# --- S3/S4: Zarr sink → scan roundtrip --------------------------------
+# The reference's canonical store is per-track Zarr
+# (atl06_to_atl11.py:299-303); this engine treats parquet as primary
+# but ships a distributed pure-numpy Zarr v2 source/sink
+# (sources/zarr.py). The query writes a numeric projection of events
+# to a Zarr group, reads it back chunk-parallel, and aggregates — the
+# oracle aggregates the original table, so any loss in the store (row
+# loss, dtype corruption, chunk misalignment) breaks the match.
+@register(
+    "zarr_roundtrip",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(epoch_us(ts)) AS first_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", _ts_us().alias("t_us")
+    )
+    path = "/tmp/spark_graft_zarr_roundtrip"
+    write_zarr(ev, path, chunk_rows=4096)
+    back = read_zarr(spark, path)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("t_us").alias("first_us"),
+    )

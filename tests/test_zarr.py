@@ -1,0 +1,50 @@
+"""Zarr v2 source/sink roundtrip (pure numpy/stdlib implementation)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.sources.zarr import read_zarr, write_zarr
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_zarr_roundtrip_values_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "ev.zarr")
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    write_zarr(ev, path, chunk_rows=100)
+
+    # metadata is spec-shaped
+    with open(os.path.join(path, "value", ".zarray")) as f:
+        meta = json.load(f)
+    assert meta["dtype"] == "<f8" and meta["chunks"] == [100]
+
+    back = read_zarr(spark, path)
+    assert back.count() == ev.count()
+    # value multiset identical (global index is an artifact of layout)
+    a = sorted(r["value"] for r in back.select("value").collect())
+    b = sorted(r["value"] for r in ev.select("value").collect())
+    assert a == b
+    # per-event join-back equality via event_id
+    j = back.alias("z").join(ev.alias("p"), on="event_id")
+    n_bad = j.filter(
+        (F.col("z.value") != F.col("p.value"))
+        | (F.col("z.user_id") != F.col("p.user_id"))
+    ).count()
+    assert n_bad == 0
+
+    pruned = read_zarr(spark, path, columns=["user_id"])
+    assert set(pruned.columns) == {"row_index", "user_id"}
+
+    # the real zarr lib, if present, must accept our store
+    try:
+        import zarr  # noqa: F401
+    except ImportError:
+        return
+    g = zarr.open_group(path, mode="r")
+    assert int(g["value"][:].shape[0]) == ev.count()
