@@ -193,3 +193,30 @@ def repetition_features(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def clean_text(col: Column) -> Column:
+    """Training-corpus text normalization: drop URLs, strip non-ASCII
+    control bytes, lowercase, collapse whitespace runs, trim. ASCII-
+    explicit regexes so JVM and DuckDB (RE2) agree byte-for-byte."""
+    no_url = F.regexp_replace(col, "https?://[^ ]+", " ")
+    no_ctl = F.regexp_replace(no_url, "[\\x00-\\x1f]", " ")
+    collapsed = F.regexp_replace(F.lower(no_ctl), "  +", " ")
+    return F.trim(collapsed)
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Corpus-level vocabulary with counts (BPE/vocab-building stage of
+    a training pipeline): the canonical wordcount — map-side partial
+    counts, ONE shuffle on token. ``top_k`` applies a deterministic
+    (count desc, token asc) cut."""
+    counts = (
+        df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("n"), "token").limit(top_k)
+    return counts

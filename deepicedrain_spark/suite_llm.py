@@ -626,3 +626,57 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_features(docs)
+
+
+# --- text cleaning (URL strip / lowercase / whitespace collapse) ------
+@register(
+    "text_cleaning",
+    """
+    WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(
+               regexp_replace(regexp_replace(text, 'https?://[^ ]+', ' ', 'g'),
+                              '[\\x00-\\x1f]', ' ', 'g')),
+               '  +', ' ', 'g')) AS ctext,
+             len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls
+      FROM documents)
+    SELECT doc_id, n_urls,
+           length(ctext) AS clean_chars,
+           md5(ctext) AS clean_md5
+    FROM cleaned
+    """,
+)
+def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, 'https?://[^ ]+', 0)"))
+        .cast("long")
+        .alias("n_urls"),
+        ts_ops.clean_text(F.col("text")).alias("ctext"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_urls",
+        F.length("ctext").cast("long").alias("clean_chars"),
+        F.md5("ctext").alias("clean_md5"),
+    )
+
+
+# --- corpus vocabulary (top-k token counts, vocab-building stage) -----
+@register(
+    "corpus_vocabulary",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      FROM documents)
+    SELECT token, count(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.textstats import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary(docs, top_k=100)
