@@ -1388,3 +1388,109 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         F.min("t_us").alias("first_us"),
     )
+
+
+# --- §3.1 wide path: per-point regression with ZERO shuffles ----------
+# The long-format flagship pays one exchange on the point key; when the
+# data is already wide at rest (per-cycle suffixed columns, the
+# reference's parquet layout at extraload.py:54-128), the same
+# regression is a pure map: scan → per-row closed-form fit → sink, no
+# Exchange anywhere (asserted in tests/test_plans.py). Setup
+# materializes the wide table once (that pivot is the one-time ingest
+# cost, not the query); both engines then run the identical fixed-order
+# double arithmetic, so outputs are bit-comparable unrounded.
+_WC = 6  # observations per point in the wide fixture
+
+
+def _wide_fixture_sql(with_stats: bool) -> str:
+    hs = ", ".join(
+        f"max(CASE WHEN rn = {i} THEN h END) AS h_{i}, "
+        f"max(CASE WHEN rn = {i} THEN t END) AS t_{i}"
+        for i in range(1, _WC + 1)
+    )
+    n = " + ".join(f"(CASE WHEN h_{i} IS NOT NULL THEN 1 ELSE 0 END)" for i in range(1, _WC + 1))
+    s_t = " + ".join(f"COALESCE(t_{i}, 0)" for i in range(1, _WC + 1))
+    s_h = " + ".join(f"COALESCE(h_{i}, 0)" for i in range(1, _WC + 1))
+    s_th = " + ".join(f"COALESCE(t_{i} * h_{i}, 0)" for i in range(1, _WC + 1))
+    s_tt = " + ".join(f"COALESCE(t_{i} * t_{i}, 0)" for i in range(1, _WC + 1))
+    return f"""
+    WITH obs AS (
+      SELECT user_id, value AS h,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0 AS t,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    wide AS (
+      SELECT user_id, {hs} FROM obs WHERE rn <= {_WC} GROUP BY user_id),
+    sums AS (
+      SELECT user_id,
+             CAST({n} AS BIGINT) AS n,
+             CAST({s_t} AS DOUBLE) AS s_t, CAST({s_h} AS DOUBLE) AS s_h,
+             CAST({s_th} AS DOUBLE) AS s_th, CAST({s_tt} AS DOUBLE) AS s_tt
+      FROM wide)
+    SELECT user_id, n,
+           CASE WHEN n >= 2 AND n * s_tt - s_t * s_t != 0
+                THEN (n * s_th - s_t * s_h) / (n * s_tt - s_t * s_t) END AS slope,
+           CASE WHEN n >= 2 AND n * s_tt - s_t * s_t != 0
+                THEN (s_h - (n * s_th - s_t * s_h) / (n * s_tt - s_t * s_t) * s_t) / n
+                END AS intercept
+    FROM sums
+    """
+
+
+@register("dhdt_wide_maponly", _wide_fixture_sql(True))
+def q_dhdt_wide_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = build_wide_events(spark, sf_dir)
+    path = "/tmp/spark_graft_wide_events"
+    wide.write.mode("overwrite").parquet(path)
+    return wide_regression(spark.read.parquet(path))
+
+
+def build_wide_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time ingest pivot: first _WC observations per point into
+    h_i/t_i suffixed columns (reference extraload.py:36-40 naming)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(_ts_us(), "event_id")
+    obs = ev.select(
+        "user_id",
+        F.col("value").alias("h"),
+        ((_ts_us() - F.lit(us_of("2024-01-01"))) / F.lit(86_400_000_000.0)).alias("t"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= _WC)
+    aggs = []
+    for i in range(1, _WC + 1):
+        aggs.append(F.max(F.when(F.col("rn") == i, F.col("h"))).alias(f"h_{i}"))
+        aggs.append(F.max(F.when(F.col("rn") == i, F.col("t"))).alias(f"t_{i}"))
+    return obs.groupBy("user_id").agg(*aggs)
+
+
+def wide_regression(wide: DataFrame) -> DataFrame:
+    """Closed-form per-row least squares over suffixed cycle columns —
+    the SHUFFLE-FREE wide path (map-only; fixed left-to-right term
+    order so any engine reproduces the doubles exactly)."""
+    def chain(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    n = chain([F.when(F.col(f"h_{i}").isNotNull(), 1).otherwise(0) for i in range(1, _WC + 1)]).cast("long")
+    s_t = chain([F.coalesce(F.col(f"t_{i}"), F.lit(0.0)) for i in range(1, _WC + 1)])
+    s_h = chain([F.coalesce(F.col(f"h_{i}"), F.lit(0.0)) for i in range(1, _WC + 1)])
+    s_th = chain([F.coalesce(F.col(f"t_{i}") * F.col(f"h_{i}"), F.lit(0.0)) for i in range(1, _WC + 1)])
+    s_tt = chain([F.coalesce(F.col(f"t_{i}") * F.col(f"t_{i}"), F.lit(0.0)) for i in range(1, _WC + 1)])
+    base = (
+        wide.withColumn("n", n)
+        .withColumn("s_t", s_t.cast("double"))
+        .withColumn("s_h", s_h.cast("double"))
+        .withColumn("s_th", s_th.cast("double"))
+        .withColumn("s_tt", s_tt.cast("double"))
+    )
+    denom = F.col("n") * F.col("s_tt") - F.col("s_t") * F.col("s_t")
+    ok = (F.col("n") >= 2) & (denom != 0)
+    slope = (F.col("n") * F.col("s_th") - F.col("s_t") * F.col("s_h")) / denom
+    return base.select(
+        "user_id",
+        "n",
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, (F.col("s_h") - slope * F.col("s_t")) / F.col("n")).alias("intercept"),
+    )

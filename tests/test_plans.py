@@ -41,3 +41,16 @@ def test_gridded_pip_is_equi_join(spark):
     # the scale path must not fall back to a nested-loop cross join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_wide_regression_is_map_only(spark, tmp_path):
+    from deepicedrain_spark.suite_custom import build_wide_events, wide_regression
+
+    path = str(tmp_path / "wide")
+    build_wide_events(spark, SF_SMALL).write.parquet(path)
+    plan = plan_of(wide_regression(spark.read.parquet(path)))
+    # the wide-at-rest path must be scan -> project, nothing else
+    assert "Exchange" not in plan
+    # "*(1)" is toString()'s whole-stage-codegen marker: one codegen
+    # stage wrapping the whole plan
+    assert plan.startswith("*(1) Project")
