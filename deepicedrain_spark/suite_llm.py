@@ -680,3 +680,30 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocabulary(docs, top_k=100)
+
+
+# --- multimodal resize plumbing (fake codec, byte-exact oracle) -------
+@register(
+    "multimodal_resize",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           32 AS width, 16 AS height,
+           CAST(512 AS BIGINT) AS payload_len,
+           md5(substring(repeat(text, CAST(ceil(512.0 / length(text)) AS BIGINT)),
+                         1, 512)) AS payload_md5
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.multimodal import attach_fake_media, resize_image
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = attach_fake_media(docs, "doc_id", "text")
+    resized = resize_image(media, width=32, height=16, mode="fake")
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
