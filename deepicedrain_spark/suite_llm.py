@@ -707,3 +707,36 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("long").alias("payload_len"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# --- deterministic dataset split (train/val/test) ---------------------
+# Content-free, key-hash-based assignment (md5 low bits mod 10 →
+# 8/1/1): reproducible across runs, engines, and cluster sizes —
+# the property a training pipeline needs so a document never migrates
+# between splits when the corpus grows. Pure map-side.
+@register(
+    "dataset_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 29, 4) AS INT) % 10 AS INT) AS bucket
+      FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 29, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return docs.groupBy(
+        "lang", split.alias("split")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
