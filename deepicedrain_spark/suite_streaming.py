@@ -149,3 +149,47 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     joined = interval_join(events, "view", "purchase", within_minutes=30)
     return run_to_batch(joined, "append")
+
+
+# --- streaming raster: the A9 datashade aggregate on a stream ---------
+# The reference rasterizes point clouds into (cell_x, cell_y) mean
+# grids (spatiotemporal.py:109-133, batch). The streaming form bins
+# each event into a 2-D cell and a tumbling hour, maintaining per-cell
+# counts/means under a watermark — the live-dashboard version of the
+# same aggregate. Decimal sums keep the means oracle-exact.
+@register(
+    "streaming_raster_counts",
+    f"""
+    SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
+           CAST(floor(value / 10.0) AS BIGINT) AS cell_v,
+           CAST(user_id % 8 AS BIGINT) AS cell_u,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    binned = (
+        events.withWatermark("event_time", "60 minutes")
+        .groupBy(
+            F.window("event_time", "60 minutes").alias("w"),
+            F.floor(F.col("value") / 10.0).cast("long").alias("cell_v"),
+            (F.col("user_id") % 8).cast("long").alias("cell_u"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "cell_v",
+            "cell_u",
+            "n",
+            "mean_value",
+        )
+    )
+    return run_to_batch(binned, "complete")
