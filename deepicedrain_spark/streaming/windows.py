@@ -287,3 +287,75 @@ def interval_join(
         "right_id",
         (F.unix_micros(F.col("rt")) - F.unix_micros(F.col("lt"))).alias("delta_us"),
     )
+
+
+def asof_attach(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    tolerance_us: int | None = None,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Streaming as-of join on one keyed stream: every ``left_type``
+    event is emitted with the latest ``right_type`` value at-or-before
+    it (the streaming form of operators/asof.py's backward join —
+    feature-store "latest feature value" semantics).
+
+    Custom stateful operator via ``applyInPandasWithState``: state per
+    user = (last right time, last right value) — O(1) per key forever,
+    the minimal state any as-of needs. Rows inside a micro-batch are
+    folded in (ts, event_id) order; equal-instant right duplicates keep
+    the max value (same tie rule as the batch query's pre-aggregation).
+    Cross-batch correctness assumes time-ordered arrival (guaranteed in
+    the bounded replay; production sources need the watermark to bound
+    disorder)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("t_us", LongType()),
+            StructField("purchase_value", DoubleType()),
+            StructField("purchase_t_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("rt", LongType()), StructField("rv", DoubleType())]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        last_rt, last_rv = state.get if state.exists else (None, None)
+        out = {k: [] for k in ("user_id", "click_id", "t_us", "purchase_value", "purchase_t_us")}
+        for _, r in rows.iterrows():
+            t_us = int(r["ts"]) // 1000
+            if r["event_type"] == right_type:
+                v = float(r["value"])
+                if last_rt == t_us:
+                    last_rv = max(last_rv, v)
+                else:
+                    last_rt, last_rv = t_us, v
+            elif r["event_type"] == left_type:
+                ok = last_rt is not None and (
+                    tolerance_us is None or t_us - last_rt <= tolerance_us
+                )
+                out["user_id"].append(int(key[0]))
+                out["click_id"].append(int(r["event_id"]))
+                out["t_us"].append(t_us)
+                out["purchase_value"].append(last_rv if ok else None)
+                out["purchase_t_us"].append(last_rt if ok else None)
+        if last_rt is not None:
+            state.update((last_rt, last_rv))
+        yield pd.DataFrame(out)
+
+    filtered = events.filter(F.col("event_type").isin([left_type, right_type]))
+    return (
+        filtered.withWatermark("event_time", f"{watermark_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -193,3 +193,39 @@ def q_streaming_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_batch(binned, "complete")
+
+
+# --- streaming as-of join (per-key latest-right state) ----------------
+# Same semantics and ORACLE as the batch `asof_last_purchase` (DuckDB
+# native ASOF JOIN): clicks pick up the user's most recent purchase
+# within 2 days — here maintained as streaming state instead of a
+# window over data at rest.
+_ASOF_TOL_US = 2 * 86_400_000_000
+
+
+@register(
+    "streaming_asof_join",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS p_us, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT c.user_id, c.click_id, c.t_us,
+           CASE WHEN c.t_us - p.p_us <= {_ASOF_TOL_US}
+                THEN p.purchase_value END AS purchase_value,
+           CASE WHEN c.t_us - p.p_us <= {_ASOF_TOL_US}
+                THEN p.p_us END AS purchase_t_us
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.t_us >= p.p_us
+    """,
+)
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.streaming.windows import asof_attach
+
+    events = read_events_stream(spark, sf_dir)
+    return run_to_batch(
+        asof_attach(events, "click", "purchase", tolerance_us=_ASOF_TOL_US),
+        "append",
+    )
