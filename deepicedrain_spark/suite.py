@@ -821,3 +821,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+
+
+# O3 — sorted distinct (vizplots.py:247 sorted(unique(cycle)), used to
+# drive per-cycle iteration in the reference's plotting prep)
+@register(
+    "sorted_distinct_types",
+    """
+    SELECT DISTINCT event_type, user_id % 4 AS shard
+    FROM events ORDER BY event_type DESC, shard
+    """,
+)
+def q_sorted_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", (F.col("user_id") % 4).alias("shard"))
+        .distinct()
+        .orderBy(F.desc("event_type"), "shard")
+    )
