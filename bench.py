@@ -65,15 +65,28 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     except ValueError:
         pass
+    # Round 1 the full 90-query dict overflowed the driver's capture
+    # (BENCH_r01.json "parsed": null) — keep the stdout line compact:
+    # suite total + 10 slowest queries; full detail goes to a file.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"metric": "suite_total_wall", "value": total, "unit": "sec",
+             "queries": timings, "n_queries": len(timings), "sf": sf},
+            f, indent=1, sort_keys=True,
+        )
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "suite_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top10,
+                "n_queries": len(timings),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

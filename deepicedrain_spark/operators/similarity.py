@@ -57,7 +57,7 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos")
     )
@@ -121,7 +121,7 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos")
     )
@@ -177,7 +177,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos")
     )

@@ -795,11 +795,11 @@ def q_positional_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed setting."""
     nation = load_table(spark, sf_dir, "nation")
     a = nation.select(
-        F.row_number().over(Window.orderBy("n_name")).alias("idx"),
+        F.row_number().over(Window.orderBy("n_name")).cast("long").alias("idx"),
         F.col("n_name").alias("name_alpha"),
     )
     b = nation.select(
-        F.row_number().over(Window.orderBy("n_nationkey")).alias("idx"),
+        F.row_number().over(Window.orderBy("n_nationkey")).cast("long").alias("idx"),
         F.col("n_name").alias("name_bykey"),
         "n_regionkey",
     )
@@ -923,7 +923,7 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
                  / count(*), 6) AS avg_value,
            min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
@@ -973,8 +973,8 @@ def q_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev),
     sess AS (
       SELECT user_id, t,
-             sum(s) OVER (PARTITION BY user_id ORDER BY t
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(s) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            count(*) AS n_events,
@@ -1002,7 +1002,7 @@ def q_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
            count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            CAST(grouping(event_type) AS INT) * 2
              + CAST(grouping((epoch_us(ts) // 3600000000) * 3600000000) AS INT)
              AS grouping_level
@@ -1091,8 +1091,11 @@ def _register_geojson_roundtrip():
             "transform(geometry.coordinates[0], "
             "p -> struct(p[0] as x, p[1] as y))"
         )
+        # spark.read.json infers long; restore the source int32 label so
+        # the roundtrip schema (and the driver's type-sensitive hash)
+        # matches the parquet original.
         back = feats.select(
-            F.col("properties.label").alias("label"), ring.alias("hull")
+            F.col("properties.label").cast("int").alias("label"), ring.alias("hull")
         )
         return back.select(
             "label",

@@ -156,7 +156,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hashed, generate_series(0, 31) g(i)
       GROUP BY 1, 2)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -186,7 +187,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
       FROM bits GROUP BY doc_id)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
@@ -491,8 +492,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs AS (
       SELECT doc_id, list(h ORDER BY pos) AS hs FROM hrows GROUP BY doc_id)
     SELECT doc_id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-                       (acc, h) -> (acc * 1000003 + h) % 2147483647) AS roll_hash
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                            (acc, h) -> (acc * 1000003 + h) % 2147483647)
+                AS BIGINT) AS roll_hash
     FROM seqs
     """,
 )

@@ -4,8 +4,12 @@ For each query in __spark_entry__.queries(): run the Spark DataFrame
 and the DuckDB oracle at the given sf dir, then compare
   - row count
   - column names (sorted)
+  - Arrow-level column TYPES (sorted by column name) — the driver's
+    value hash is type-sensitive (round 1: DuckDB HUGEINT vs Spark
+    BIGINT hash-mismatched despite equal values), so a type difference
+    is a FAIL here even when every value compares equal.
   - values: columns sorted by name, rows sorted by all columns,
-    compared EXACTLY (stricter than any plausible driver hash).
+    compared by exact repr (bit-faithful for floats — no rounding).
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
@@ -17,6 +21,7 @@ import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -33,25 +38,57 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type string: ignores list/struct field naming and
+    large_* vs plain variants (representation details that no hash of
+    *values* can see), keeps integer width / float width / decimal
+    precision (what a type-sensitive value hash DOES see)."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{canon_type(f.type)}" for f in t) + ">"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)},{canon_type(t.item_type)}>"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"  # tz is session config, not data
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    return str(t)
+
+
+def canon_val(v) -> str:
+    """Exact repr; floats bit-faithful (repr roundtrips, -0.0 kept)."""
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_val(x)}" for k, x in sorted(v.items())) + "}"
+    if hasattr(v, "asDict"):  # pyspark Row in nested structs
+        return canon_val(v.asDict())
+    return repr(v)
+
+
 def canon(rows, cols):
-    """Sort columns by name, rows by repr of all values."""
+    """Sort columns by name, rows by canonical repr of all values."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                elif v == int(v) and abs(v) < 1e15:
-                    v = round(v, 9)  # normalize -0.0 / 5.0 forms
-                else:
-                    v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+    out = [tuple(canon_val(r[i]) for i in order) for r in rows]
+    out.sort()
     return [cols[i] for i in order], out
+
+
+def spark_arrow_types(sdf) -> dict:
+    try:
+        tbl = sdf.limit(0).toArrow()
+    except Exception:  # noqa: BLE001 — older API fallback
+        return {}
+    return {f.name: canon_type(f.type) for f in tbl.schema}
 
 
 def main() -> int:
@@ -72,6 +109,7 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            stypes = spark_arrow_types(sdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -82,9 +120,10 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            ares = con.execute(sql).arrow()
+            dcols = ares.schema.names
+            dtypes = {f.name: canon_type(f.type) for f in ares.schema}
+            drows = con.execute(sql).fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -98,6 +137,15 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        if ok and stypes:
+            tmism = {
+                c: (stypes[c], dtypes[c])
+                for c in stypes
+                if c in dtypes and stypes[c] != dtypes[c]
+            }
+            if tmism:
+                ok = False
+                msgs.append(f"type mismatch (spark,duck): {tmism}")
         if ok:
             _, sc = canon(srows, scols)
             _, dc = canon(drows, dcols)
@@ -105,7 +153,7 @@ def main() -> int:
             if mism:
                 ok = False
                 msgs.append(f"{mism}/{len(sc)} rows differ")
-                for a, b in list(zip(sc, dc))[:2000]:
+                for a, b in zip(sc, dc):
                     if a != b:
                         msgs.append(f"  spark={a}")
                         msgs.append(f"  duck ={b}")
