@@ -16,17 +16,96 @@ scipy's extra outputs are derived in closed form from the same moments:
     stderr = sqrt( (syy/sxx - slope^2) / (n-2) )
     pvalue = 2 * (1 - T_cdf(|t|, df=n-2))   [via regularized beta]
 
-The p-value needs the incomplete beta function, which SQL lacks; it is
-computed with a continued-fraction betainc expressed... NOT in SQL —
-we provide it via a scalar formula in `pvalue_from_r_n` using a
-rational approximation only when requested; the exact scipy-parity
-path is the Arrow-batched pandas UDF in `grouped_linregress_pandas`.
+The p-value needs the regularized incomplete beta function I_x(a,b)
+(pvalue = I_{1-r²}(df/2, 1/2), df = n-2 — no t statistic needed), which
+neither Spark SQL nor scipy-free Python ships; `betainc_regularized`
+implements it with the standard Lentz continued-fraction evaluation
+(public algorithm, e.g. Numerical Recipes §6.4 "betacf"; written here
+independently, vectorized in numpy) and `pvalue_udf` exposes it as an
+Arrow-batched pandas UDF applied AFTER aggregation — one call per
+group row, never per observation. The scipy-parity path
+(`grouped_linregress_pandas`) remains import-gated for environments
+that have scipy.
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via get_type_hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def betainc_regularized(a, b, x, iters: int = 100):
+    """Regularized incomplete beta I_x(a,b), vectorized over numpy
+    arrays. Modified-Lentz continued fraction, ``iters`` double-steps
+    (machine precision long before 100 for the t-test parameter family
+    a=df/2, b=1/2). Uses the symmetry I_x(a,b) = 1 - I_{1-x}(b,a) to
+    stay in the fast-converging region."""
+    import math
+
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    swap = x >= (a + 1.0) / (a + b + 2.0)
+    A = np.where(swap, b, a)
+    B = np.where(swap, a, b)
+    X = np.where(swap, 1.0 - x, x)
+    tiny = 1e-300
+
+    def g(z):
+        return np.where(np.abs(z) < tiny, tiny, z)
+
+    d = 1.0 / g(1.0 - (A + B) * X / (A + 1.0))
+    c = np.ones_like(d)
+    h = d.copy()
+    for m in range(1, iters + 1):
+        aa = m * (B - m) * X / ((A + 2 * m - 1.0) * (A + 2 * m))
+        d = 1.0 / g(1.0 + aa * d)
+        c = g(1.0 + aa / c)
+        h = h * d * c
+        aa = -(A + m) * (A + B + m) * X / ((A + 2 * m) * (A + 2 * m + 1.0))
+        d = 1.0 / g(1.0 + aa * d)
+        c = g(1.0 + aa / c)
+        h = h * d * c
+    lgamma = np.vectorize(math.lgamma)
+    ln_pre = A * np.log(X) + B * np.log(1.0 - X) + lgamma(A + B) - lgamma(A) - lgamma(B)
+    val = np.exp(ln_pre) * h / A
+    return np.clip(np.where(swap, 1.0 - val, val), 0.0, 1.0)
+
+
+def regression_pvalue_np(r2, n):
+    """Two-sided p-value of the slope t-test from (r², n) alone:
+    p = I_{1-r²}(df/2, 1/2) with df = n-2. NaN where df ≤ 0 or r²
+    undefined; exact 0/1 at the r²∈{1,0} boundaries (where the beta
+    prefactor would log(0))."""
+    import numpy as np
+
+    r2 = np.asarray(r2, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    df = n - 2.0
+    x = 1.0 - r2
+    ok = (df > 0) & np.isfinite(r2)
+    safe_x = np.where(ok & (x > 0.0) & (x < 1.0), x, 0.5)
+    safe_df = np.where(ok, df, 1.0)
+    p = betainc_regularized(safe_df / 2.0, 0.5, safe_x)
+    p = np.where(x <= 0.0, 0.0, np.where(x >= 1.0, 1.0, p))
+    return np.where(ok, p, np.nan)
+
+
+def pvalue_udf() -> "F.pandas_udf":
+    """pandas UDF (double) computing regression_pvalue_np(r2, n).
+    Post-aggregation: input cardinality is O(groups)."""
+
+    @F.pandas_udf("double")
+    def _pvalue(r2: pd.Series, n: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = regression_pvalue_np(r2.to_numpy(dtype=np.float64), n.to_numpy(dtype=np.float64))
+        return pd.Series(out).where(pd.Series(np.isfinite(out)), None)
+
+    return _pvalue
 
 
 def linregress_aggs(y: str, x: str, suffix: str = "") -> list[Column]:

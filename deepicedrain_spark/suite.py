@@ -107,6 +107,101 @@ def q_dhdt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A2b — flagship regression p-value (the 5th element of the reference's
+# nan_linregress tuple, deltamath.py:45-67; golden test
+# tests/test_nanlinregress.py:23-28). pvalue = I_{1-r²}(df/2, 1/2) —
+# computed from (r², n) alone, no t statistic. Spark side: Lentz
+# continued-fraction betainc in an Arrow-batched pandas UDF applied
+# post-aggregation (O(groups) rows). Oracle side: the IDENTICAL
+# fixed-100-double-step Lentz fold as a DuckDB list_reduce — the two
+# agree to ~1e-14, far below the round-6 quantum. NOTE the oracle's
+# state struct declares 'h' BEFORE 'c'/'d': DuckDB evaluates lambda
+# struct fields sequentially and acc.<field> sees already-updated
+# values, so h must read c/d before they advance.
+_BETACF_AA = (
+    "CASE WHEN e.i % 2 = 1 "
+    "THEN (e.i//2+1)*(B-(e.i//2+1))*X/((A+2*(e.i//2+1)-1.0)*(A+2*(e.i//2+1))) "
+    "ELSE -(A+(e.i//2))*(A+B+(e.i//2))*X/((A+2*(e.i//2))*(A+2*(e.i//2)+1.0)) END"
+)
+
+
+@register(
+    "dhdt_regression_pvalue",
+    f"""
+    WITH pts AS (
+      SELECT user_id, value AS h,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '{EVENTS_EPOCH}')) / 86400000000.0 AS t_days
+      FROM events),
+    agg AS (
+      SELECT user_id,
+             CAST(regr_count(h, t_days) AS BIGINT) AS n,
+             regr_r2(h, t_days) AS r2
+      FROM pts GROUP BY user_id),
+    prep AS (
+      SELECT user_id, n, r2,
+             CAST(n - 2 AS DOUBLE) / 2.0 AS a0,
+             CAST(0.5 AS DOUBLE) AS b0,
+             1.0 - r2 AS x0
+      FROM agg),
+    sw AS (
+      SELECT user_id, n, r2, x0,
+             x0 >= (a0+1.0)/(a0+b0+2.0) AS swapped,
+             CASE WHEN x0 >= (a0+1.0)/(a0+b0+2.0) THEN b0 ELSE a0 END AS A,
+             CASE WHEN x0 >= (a0+1.0)/(a0+b0+2.0) THEN a0 ELSE b0 END AS B,
+             CASE WHEN x0 >= (a0+1.0)/(a0+b0+2.0) THEN 1.0-x0 ELSE x0 END AS X
+      FROM prep),
+    cf AS (
+      SELECT *,
+        list_reduce(
+          list_prepend(
+            {{'i': 0, 'h': 1.0/(1.0-(A+B)*X/(A+1.0)),
+              'c': CAST(1.0 AS DOUBLE), 'd': 1.0/(1.0-(A+B)*X/(A+1.0))}},
+            list_transform(range(1, 201), i ->
+              {{'i': i, 'h': CAST(0.0 AS DOUBLE),
+                'c': CAST(0.0 AS DOUBLE), 'd': CAST(0.0 AS DOUBLE)}})),
+          (acc, e) -> {{
+            'i': e.i,
+            'h': acc.h * (1.0/(1.0 + ({_BETACF_AA}) * acc.d))
+                       * (1.0 + ({_BETACF_AA}) / acc.c),
+            'c': 1.0 + ({_BETACF_AA}) / acc.c,
+            'd': 1.0/(1.0 + ({_BETACF_AA}) * acc.d)
+          }}).h AS hcf
+      FROM sw),
+    ib AS (
+      SELECT user_id, n, r2, x0,
+             CASE WHEN swapped
+                  THEN 1.0 - exp(A*ln(X) + B*ln(1.0-X)
+                                 + lgamma(A+B) - lgamma(A) - lgamma(B)) * hcf / A
+                  ELSE exp(A*ln(X) + B*ln(1.0-X)
+                           + lgamma(A+B) - lgamma(A) - lgamma(B)) * hcf / A
+             END AS ibeta
+      FROM cf)
+    SELECT user_id, n,
+           CASE WHEN n <= 2 OR r2 IS NULL THEN NULL
+                WHEN x0 <= 0.0 THEN 0.0
+                WHEN x0 >= 1.0 THEN 1.0
+                ELSE round(greatest(least(ibeta, 1.0), 0.0), 6)
+           END AS pvalue
+    FROM ib
+    """,
+)
+def q_dhdt_regression_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.regression import pvalue_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.col("value").alias("h"),
+        ((_ts_us() - F.lit(EVENTS_EPOCH_US)) / F.lit(86_400_000_000.0)).alias("t_days"),
+    )
+    agg = pts.groupBy("user_id").agg(*linregress_aggs("h", "t_days"))
+    return agg.select(
+        "user_id",
+        "n",
+        F.round(pvalue_udf()(F.col("r2"), F.col("n").cast("double")), 6).alias("pvalue"),
+    )
+
+
 # A1 — per-point height range (nanptp, deltamath.py:34-42)
 @register(
     "height_range_per_point",
