@@ -172,6 +172,52 @@ def minhash_near_duplicates(
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle, via a
+    shingle inverted index — the 100 TB shape (no crossJoin):
+
+      explode distinct shingles → self-equi-join on the shingle value
+      → count per (id_a, id_b) = |A∩B| → J = c / (|A|+|B|−c).
+
+    Only docs that actually share a shingle are ever paired, and every
+    shuffle is an equi-key (shingle, then pair). Pathological hot
+    shingles (boilerplate) can be dropped with ``max_doc_freq`` — an
+    explicitly lossy cap (pairs sharing ONLY capped shingles vanish
+    and surviving intersection counts shrink); leave None for exact
+    results."""
+    shingled = word_shingles(df, text_col, n)
+    ex = shingled.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    if max_doc_freq is not None:
+        freq = Window.partitionBy("_s")
+        ex = ex.withColumn("_df", F.count(F.lit(1)).over(freq)).filter(
+            F.col("_df") <= max_doc_freq
+        ).drop("_df")
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("_n"))
+    inter = (
+        ex.select(F.col(id_col).alias("id_a"), "_s")
+        .join(ex.select(F.col(id_col).alias("id_b"), "_s"), "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    j = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a"
+    ).join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    jac = F.col("_c").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_c"))
+    return (
+        j.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -207,9 +253,70 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 4) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ k. Quadratic join — use on a
-    pre-bucketed subset (e.g. band on high bits) at scale."""
+def simhash_near_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ k, via bit-block banding — the
+    100 TB shape. Pigeonhole: split the ``bits``-bit fingerprint into
+    k+1 contiguous blocks; any pair within hamming k has all its
+    differing bits in ≤ k blocks, so at least one block matches
+    EXACTLY. Candidates come from an equi-join on (block_idx,
+    block_bits) — linear shuffle, no non-equi join — and the exact
+    bit_count check keeps recall at 100% (banding only prunes, never
+    drops a qualifying pair).
+
+    ``bits`` must match the fingerprint width actually produced (a
+    wider setting makes the high blocks all-zero — one giant bucket,
+    quadratic again)."""
+    nb = max_hamming + 1
+    width = bits // nb
+
+    def block(i: int) -> F.Column:
+        lo = i * width
+        w = bits - lo if i == nb - 1 else width
+        return (
+            F.shiftright(F.col("simhash"), lo)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .cast("long")
+        )
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(i).alias("bi"), block(i).alias("bv"))
+            for i in range(nb)
+        ]
+    )
+    ex = (
+        fps.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("_b"))
+        .select(id_col, "simhash", F.col("_b.bi").alias("bi"), F.col("_b.bv").alias("bv"))
+    )
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bi", "bv"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bi", "bv"
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can match on several blocks
+    )
+
+
+def simhash_near_pairs_bruteforce(
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 4
+) -> DataFrame:
+    """All-pairs reference implementation (quadratic non-equi join) —
+    kept as the recall oracle for tests; never the production path."""
     a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -18,6 +18,7 @@ from deepicedrain_spark.operators import textstats as ts_ops
 from deepicedrain_spark.operators.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
+    ngram_jaccard_pairs as ngram_jaccard_op,
     simhash,
     simhash_near_pairs,
     word_shingles,
@@ -103,13 +104,13 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, threshold=0.8)
 
 
-# --- direct n-gram Jaccard on a subset --------------------------------
+# --- direct n-gram Jaccard (inverted-index shape, full table) ---------
 @register(
     "ngram_jaccard_pairs",
     """
     WITH toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
-      FROM documents WHERE doc_id < 200),
+      FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, len(ws) - 2),
@@ -129,14 +130,11 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    shingled = word_shingles(docs)
-    pairs = (
-        shingled.select(F.col("doc_id").alias("id_a"))
-        .crossJoin(shingled.select(F.col("doc_id").alias("id_b")))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    return jaccard_verify(pairs, shingled, threshold=0.5)
+    """Shingle-inverted-index equi-join (the oracle's own join shape) —
+    the registered query IS the 100 TB plan; the former bounded
+    crossJoin demo is gone."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_op(docs, threshold=0.5)
 
 
 # --- SimHash ----------------------------------------------------------
@@ -175,8 +173,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
         FROM documents)),
     hashed AS (
-      SELECT doc_id, {_HEX15.format(h='md5(t)')} AS h FROM toks
-      WHERE doc_id < 300),
+      SELECT doc_id, {_HEX15.format(h='md5(t)')} AS h FROM toks),
     bits AS (
       SELECT doc_id, i,
              sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -193,9 +190,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    """Banded (pigeonhole) candidate generation on the FULL table —
+    equi-join plan, no quadratic non-equi join; recall is exact."""
+    docs = load_table(spark, sf_dir, "documents")
     fps = simhash(docs, bits=32)
-    return simhash_near_pairs(fps, max_hamming=2)
+    return simhash_near_pairs(fps, max_hamming=2, bits=32)
 
 
 # --- cosine top-k similarity search ------------------------------------

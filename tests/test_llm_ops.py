@@ -61,6 +61,52 @@ def test_simhash_identical_and_distinct(spark):
     assert any(r["id_a"] == 0 and r["id_b"] == 1 and r["hamming"] == 0 for r in pairs)
 
 
+def test_simhash_banding_equals_bruteforce(spark):
+    """Pigeonhole banding must have exact recall: same pairs as the
+    all-pairs quadratic join, for every k."""
+    from deepicedrain_spark.operators.dedup import simhash_near_pairs_bruteforce
+
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+        for i in range(40)
+    ]
+    fps = simhash(spark.createDataFrame(rows))
+    for k in (0, 2, 4):
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_pairs(fps, max_hamming=k, bits=32).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_pairs_bruteforce(fps, max_hamming=k).collect()
+        }
+        assert banded == brute, f"k={k}: banding lost/invented pairs"
+
+
+def test_ngram_jaccard_inverted_index_equals_crossjoin(spark):
+    """The inverted-index shape must reproduce the all-pairs verify
+    exactly (pairs sharing zero shingles have jaccard 0 < threshold,
+    so their absence from the index join changes nothing)."""
+    from deepicedrain_spark.operators.dedup import jaccard_verify, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(DOCS)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    shingled = word_shingles(df)
+    pairs = (
+        shingled.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(shingled.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    ref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify(pairs, shingled, threshold=0.3).collect()
+    }
+    assert got == ref
+
+
 def test_cosine_topk_ranking(spark):
     vecs = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
