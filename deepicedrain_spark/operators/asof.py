@@ -49,6 +49,22 @@ def asof_join_backward(
     NULL where no right row precedes the left row (or none within
     ``tolerance`` time units)."""
     left_cols = left.columns
+    # guard the internal/output namespace: overlapping value_cols would
+    # silently produce duplicate output columns, and pre-existing
+    # reserved names would collide with the union/window scaffolding
+    overlap = set(value_cols) & (set(left_cols) - set(key_cols))
+    if overlap:
+        raise ValueError(
+            f"asof_join_backward: value_cols {sorted(overlap)} collide with "
+            "non-key left columns — rename one side first"
+        )
+    reserved = {"_r", "_side", "_ord_t"}
+    taken = reserved & (set(left_cols) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"asof_join_backward: columns {sorted(taken)} are reserved "
+            "internal names — rename them before joining"
+        )
     payload = F.struct(
         F.col(right_time).alias("_t"), *[F.col(c) for c in value_cols]
     )

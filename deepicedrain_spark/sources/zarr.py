@@ -63,7 +63,17 @@ def _zarray_meta(n_rows: int, chunk_rows: int, np_dtype: str) -> dict:
 
 
 def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
-    """Distributed Zarr v2 sink: one array per column, zlib chunks."""
+    """Distributed Zarr v2 sink: one array per column, zlib chunks.
+
+    Overwrite semantics: a pre-existing ``path`` is deleted first, so
+    stale chunk files from an earlier write (different schema or
+    chunk_rows) can never sit alongside new metadata.
+
+    NULLs are rejected (detected during the count pass, per column):
+    Zarr numeric arrays have no null representation, so fill or drop
+    before writing."""
+    import shutil
+
     cols = df.columns
     dtypes = dict(df.dtypes)
     np_dtypes = {}
@@ -75,16 +85,40 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
     # contiguous global row index without a single-task window:
     # count rows per partition, cumsum the (tiny) counts driver-side,
     # then re-walk partitions adding each one's starting offset.
+    # localCheckpoint pins ONE materialization: the count pass and the
+    # index pass would otherwise be two independent jobs over a
+    # possibly nondeterministic upstream plan (shuffle order, AQE
+    # coalesce, sample), silently corrupting the global index.
     rdd = df.rdd
-    counts = rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]
-    ).collect()
+    rdd.localCheckpoint()  # in-place (returns None), materialized by the count job
+    n_cols = len(cols)
+
+    def count_partition(i, it):
+        n = 0
+        nulls = [0] * n_cols
+        for row in it:
+            n += 1
+            for j in range(n_cols):
+                if row[j] is None:
+                    nulls[j] += 1
+        return [(i, n, nulls)]
+
+    counts = rdd.mapPartitionsWithIndex(count_partition).collect()
+    null_totals = [sum(c[2][j] for c in counts) for j in range(n_cols)]
+    bad = {cols[j]: null_totals[j] for j in range(n_cols) if null_totals[j]}
+    if bad:
+        raise ValueError(
+            f"write_zarr: NULL values in column(s) {bad}; Zarr numeric arrays "
+            "have no null representation — fill (na.fill) or drop (na.drop) first"
+        )
     offsets = {}
     acc = 0
-    for i, n in sorted(counts):
+    for i, n, _ in sorted(counts):
         offsets[i] = acc
         acc += n
     n_rows = acc
+    if os.path.exists(path):
+        shutil.rmtree(path)
     spark = df.sparkSession
     b_offsets = spark.sparkContext.broadcast(offsets)
 
@@ -115,6 +149,12 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
     def write_chunk(kv):
         cid, rows = kv
         rows = sorted(rows)  # (global_idx, values) within the chunk
+        expected = min(chunk_rows, n_rows - cid * chunk_rows)
+        if len(rows) != expected:
+            raise ValueError(
+                f"write_zarr: chunk {cid} materialized {len(rows)} rows, "
+                f"expected {expected} — upstream recomputation diverged"
+            )
         arrays = {
             c: np.empty(len(rows), dtype=np_dtypes[c]) for c in cols
         }
@@ -133,6 +173,7 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
         .map(write_chunk)
         .count()
     )
+    rdd.unpersist()
 
 
 def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:

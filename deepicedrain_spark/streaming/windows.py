@@ -304,8 +304,12 @@ def asof_attach(
     Custom stateful operator via ``applyInPandasWithState``: state per
     user = (last right time, last right value) — O(1) per key forever,
     the minimal state any as-of needs. Rows inside a micro-batch are
-    folded in (ts, event_id) order; equal-instant right duplicates keep
-    the max value (same tie rule as the batch query's pre-aggregation).
+    folded in (µs-truncated time, right-before-left, event_id) order —
+    ties are created by the ns→µs truncation, and folding rights first
+    makes the join inclusive at equal instants, matching both the batch
+    operator's tie rule (asof.py _side ordering) and the DuckDB oracle
+    (t_us >= p_us); equal-instant right duplicates keep the max value
+    (same tie rule as the batch query's pre-aggregation).
     Cross-batch correctness assumes time-ordered arrival (guaranteed in
     the bounded replay; production sources need the watermark to bound
     disorder)."""
@@ -327,11 +331,17 @@ def asof_attach(
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        rows = pd.concat(list(pdf_iter))
+        # sort on the TRUNCATED time with rights first at equal
+        # instants: a click sharing a µs with a purchase must see it
+        # (inclusive as-of), regardless of raw-ns / event_id order
+        rows["_t_us"] = rows["ts"].astype("int64") // 1000
+        rows["_side"] = (rows["event_type"] != right_type).astype("int64")
+        rows = rows.sort_values(["_t_us", "_side", "event_id"])
         last_rt, last_rv = state.get if state.exists else (None, None)
         out = {k: [] for k in ("user_id", "click_id", "t_us", "purchase_value", "purchase_t_us")}
         for _, r in rows.iterrows():
-            t_us = int(r["ts"]) // 1000
+            t_us = int(r["_t_us"])
             if r["event_type"] == right_type:
                 v = float(r["value"])
                 if last_rt == t_us:

@@ -48,3 +48,21 @@ def test_zarr_roundtrip_values_and_pruning(spark, tmp_path):
         return
     g = zarr.open_group(path, mode="r")
     assert int(g["value"][:].shape[0]) == ev.count()
+
+
+def test_zarr_rejects_nulls_and_overwrites(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "nulls.zarr")
+    ok = spark.createDataFrame([(1, 1.0), (2, 2.0)], "a long, v double")
+    write_zarr(ok, path, chunk_rows=1)
+    # overwrite with a different schema/chunking must not leave stale files
+    ok2 = spark.createDataFrame([(5,)], "b long")
+    write_zarr(ok2, path, chunk_rows=100)
+    assert not os.path.exists(os.path.join(path, "a"))
+    back = read_zarr(spark, path)
+    assert [r["b"] for r in back.collect()] == [5]
+
+    bad = spark.createDataFrame([(1, 1.0), (2, None)], "a long, v double")
+    with pytest.raises(ValueError, match="NULL"):
+        write_zarr(bad, str(tmp_path / "bad.zarr"))
