@@ -331,32 +331,10 @@ def asof_attach(
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        rows = pd.concat(list(pdf_iter))
-        # sort on the TRUNCATED time with rights first at equal
-        # instants: a click sharing a µs with a purchase must see it
-        # (inclusive as-of), regardless of raw-ns / event_id order
-        rows["_t_us"] = rows["ts"].astype("int64") // 1000
-        rows["_side"] = (rows["event_type"] != right_type).astype("int64")
-        rows = rows.sort_values(["_t_us", "_side", "event_id"])
-        last_rt, last_rv = state.get if state.exists else (None, None)
-        out = {k: [] for k in ("user_id", "click_id", "t_us", "purchase_value", "purchase_t_us")}
-        for _, r in rows.iterrows():
-            t_us = int(r["_t_us"])
-            if r["event_type"] == right_type:
-                v = float(r["value"])
-                if last_rt == t_us:
-                    last_rv = max(last_rv, v)
-                else:
-                    last_rt, last_rv = t_us, v
-            elif r["event_type"] == left_type:
-                ok = last_rt is not None and (
-                    tolerance_us is None or t_us - last_rt <= tolerance_us
-                )
-                out["user_id"].append(int(key[0]))
-                out["click_id"].append(int(r["event_id"]))
-                out["t_us"].append(t_us)
-                out["purchase_value"].append(last_rv if ok else None)
-                out["purchase_t_us"].append(last_rt if ok else None)
+        prior = state.get if state.exists else (None, None)
+        out, last_rt, last_rv = _asof_fold(
+            pd.concat(list(pdf_iter)), prior, int(key[0]), left_type, right_type, tolerance_us
+        )
         if last_rt is not None:
             state.update((last_rt, last_rv))
         yield pd.DataFrame(out)
@@ -367,5 +345,102 @@ def asof_attach(
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def _asof_fold(rows, prior, key, left_type, right_type, tolerance_us):
+    """Shared micro-batch fold for both stateful as-of backends.
+
+    Sorts on the TRUNCATED time with rights first at equal instants: a
+    click sharing a µs with a purchase must see it (inclusive as-of),
+    regardless of raw-ns / event_id order. Equal-instant right
+    duplicates keep the max value (the batch query's pre-agg tie
+    rule)."""
+    rows = rows.copy()
+    rows["_t_us"] = rows["ts"].astype("int64") // 1000
+    rows["_side"] = (rows["event_type"] != right_type).astype("int64")
+    rows = rows.sort_values(["_t_us", "_side", "event_id"])
+    last_rt, last_rv = prior
+    out = {k: [] for k in ("user_id", "click_id", "t_us", "purchase_value", "purchase_t_us")}
+    for _, r in rows.iterrows():
+        t_us = int(r["_t_us"])
+        if r["event_type"] == right_type:
+            v = float(r["value"])
+            if last_rt == t_us:
+                last_rv = max(last_rv, v)
+            else:
+                last_rt, last_rv = t_us, v
+        elif r["event_type"] == left_type:
+            ok = last_rt is not None and (
+                tolerance_us is None or t_us - last_rt <= tolerance_us
+            )
+            out["user_id"].append(key)
+            out["click_id"].append(int(r["event_id"]))
+            out["t_us"].append(t_us)
+            out["purchase_value"].append(last_rv if ok else None)
+            out["purchase_t_us"].append(last_rt if ok else None)
+    return out, last_rt, last_rv
+
+
+def asof_attach_tws(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    tolerance_us: int | None = None,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Streaming as-of via ``transformWithStateInPandas`` (Spark 4's
+    operator-state API): identical semantics to :func:`asof_attach`
+    (same shared fold), but state lives in typed per-key ValueState in
+    the JVM state store (RocksDB provider) rather than a pickled
+    GroupState blob — the forward path for evolving-schema state,
+    timers/TTL, and state-store-native checkpointing. Python remains in
+    the loop (the processor is a pandas UDF); a fully JVM-side as-of
+    would need the Scala transformWithState surface, which PySpark does
+    not expose.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set it before starting the query; the
+    suite entry does)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("t_us", LongType()),
+            StructField("purchase_value", DoubleType()),
+            StructField("purchase_t_us", LongType()),
+        ]
+    )
+
+    class _AsofProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_right", "rt long, rv double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            prior = tuple(self._last.get()) if self._last.exists() else (None, None)
+            out, last_rt, last_rv = _asof_fold(
+                pd.concat(list(rows)), prior, int(key[0]), left_type, right_type, tolerance_us
+            )
+            if last_rt is not None:
+                self._last.update((last_rt, last_rv))
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    filtered = events.filter(F.col("event_type").isin([left_type, right_type]))
+    return (
+        filtered.withWatermark("event_time", f"{watermark_minutes} minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _AsofProcessor(), out_schema, "append", "None"
         )
     )
