@@ -203,6 +203,18 @@ def q_streaming_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_TOL_US = 2 * 86_400_000_000
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    protobuf; this container ships a broken google.protobuf, so probe
+    it cheaply instead of paying a doomed stream start."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 @register(
     "streaming_asof_join",
     f"""
@@ -221,18 +233,6 @@ _ASOF_TOL_US = 2 * 86_400_000_000
       ON c.user_id = p.user_id AND c.t_us >= p.p_us
     """,
 )
-def _tws_available() -> bool:
-    """transformWithStateInPandas talks to the JVM state server over
-    protobuf; this container ships a broken google.protobuf, so probe
-    it cheaply instead of paying a doomed stream start."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except Exception:  # noqa: BLE001
-        return False
-
-
 def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.streaming.windows import asof_attach, asof_attach_tws
 
