@@ -65,6 +65,12 @@ def _zarray_meta(n_rows: int, chunk_rows: int, np_dtype: str) -> dict:
 def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
     """Distributed Zarr v2 sink: one array per column, zlib chunks.
 
+    Arrow end-to-end (no Python-row RDD anywhere): the count pass is a
+    Catalyst aggregation, the global index is assigned per partition in
+    ``mapInPandas`` (vectorized arange per batch), and the chunk write
+    is an ``applyInPandas`` over the chunk id — the one shuffle, moved
+    through the JVM/Arrow path instead of a pickled groupByKey.
+
     Overwrite semantics: a pre-existing ``path`` is deleted first, so
     stale chunk files from an earlier write (different schema or
     chunk_rows) can never sit alongside new metadata.
@@ -74,6 +80,8 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
     before writing."""
     import shutil
 
+    from pyspark.sql import functions as F
+
     cols = df.columns
     dtypes = dict(df.dtypes)
     np_dtypes = {}
@@ -82,30 +90,27 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
             raise TypeError(f"write_zarr: unsupported column type {c}:{dtypes[c]}")
         np_dtypes[c] = _SPARK_TO_NP[dtypes[c]]
 
-    # contiguous global row index without a single-task window:
-    # count rows per partition, cumsum the (tiny) counts driver-side,
-    # then re-walk partitions adding each one's starting offset.
-    # localCheckpoint pins ONE materialization: the count pass and the
-    # index pass would otherwise be two independent jobs over a
-    # possibly nondeterministic upstream plan (shuffle order, AQE
-    # coalesce, sample), silently corrupting the global index.
-    rdd = df.rdd
-    rdd.localCheckpoint()  # in-place (returns None), materialized by the count job
-    n_cols = len(cols)
+    # localCheckpoint pins ONE materialization with FIXED partitions:
+    # the count pass and the index pass would otherwise be two
+    # independent jobs over a possibly nondeterministic upstream plan
+    # (shuffle order, AQE coalesce, sample), silently corrupting the
+    # global index. spark_partition_id is stable on the checkpointed
+    # partitions, making the two passes consistent.
+    pinned = df.localCheckpoint(eager=True)
 
-    def count_partition(i, it):
-        n = 0
-        nulls = [0] * n_cols
-        for row in it:
-            n += 1
-            for j in range(n_cols):
-                if row[j] is None:
-                    nulls[j] += 1
-        return [(i, n, nulls)]
-
-    counts = rdd.mapPartitionsWithIndex(count_partition).collect()
-    null_totals = [sum(c[2][j] for c in counts) for j in range(n_cols)]
-    bad = {cols[j]: null_totals[j] for j in range(n_cols) if null_totals[j]}
+    # contiguous global row index without a single-task window: count
+    # rows (and nulls) per partition in one Catalyst agg, cumsum the
+    # tiny per-partition counts driver-side.
+    stats = (
+        pinned.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.count(F.when(F.isnull(c), 1)).alias(f"_null_{c}") for c in cols],
+        )
+        .collect()
+    )
+    bad = {c: sum(r[f"_null_{c}"] for r in stats) for c in cols}
+    bad = {c: n for c, n in bad.items() if n}
     if bad:
         raise ValueError(
             f"write_zarr: NULL values in column(s) {bad}; Zarr numeric arrays "
@@ -113,21 +118,12 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
         )
     offsets = {}
     acc = 0
-    for i, n, _ in sorted(counts):
-        offsets[i] = acc
-        acc += n
+    for r in sorted(stats, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["_n"])
     n_rows = acc
     if os.path.exists(path):
         shutil.rmtree(path)
-    spark = df.sparkSession
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    def index_partition(pid, it):
-        base = b_offsets.value[pid]
-        for j, row in enumerate(it):
-            yield (base + j, tuple(row))
-
-    indexed = rdd.mapPartitionsWithIndex(index_partition)
 
     os.makedirs(path, exist_ok=True)
     for c in cols:
@@ -144,36 +140,53 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
     with open(os.path.join(path, ".zmetadata"), "w") as f:
         json.dump(meta, f)
 
-    # one shuffle keyed on chunk id; each reducer materializes full,
-    # uniform chunks and writes them — chunk-parallel, order-exact
-    def write_chunk(kv):
-        cid, rows = kv
-        rows = sorted(rows)  # (global_idx, values) within the chunk
+    spark = df.sparkSession
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign_index(batches):
+        # one call per partition; batches arrive in partition row order
+        pos = None
+        for pdf in batches:
+            if pos is None:
+                pos = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            n = len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out["_gidx"] = np.arange(pos, pos + n, dtype=np.int64)
+            pos += n
+            yield out
+
+    idx_schema = ", ".join(f"`{c}` {dtypes[c]}" for c in cols) + ", _gidx long"
+    indexed = pinned.withColumn("_pid", F.spark_partition_id()).mapInPandas(
+        assign_index, schema=idx_schema
+    )
+
+    # one shuffle keyed on chunk id; each group materializes a full,
+    # uniform chunk and writes it — chunk-parallel, order-exact
+    def write_chunk(pdf):
+        pdf = pdf.sort_values("_gidx")
+        cid = int(pdf["_gidx"].iloc[0]) // chunk_rows
         expected = min(chunk_rows, n_rows - cid * chunk_rows)
-        if len(rows) != expected:
+        if len(pdf) != expected:
             raise ValueError(
-                f"write_zarr: chunk {cid} materialized {len(rows)} rows, "
+                f"write_zarr: chunk {cid} materialized {len(pdf)} rows, "
                 f"expected {expected} — upstream recomputation diverged"
             )
-        arrays = {
-            c: np.empty(len(rows), dtype=np_dtypes[c]) for c in cols
-        }
-        for k, (_, vals) in enumerate(rows):
-            for c, v in zip(cols, vals):
-                arrays[c][k] = v
         for c in cols:
-            payload = zlib.compress(arrays[c].tobytes(order="C"), 1)
+            arr = pdf[c].to_numpy(dtype=np_dtypes[c])
+            payload = zlib.compress(arr.tobytes(order="C"), 1)
             with open(os.path.join(path, c, str(cid)), "wb") as f:
                 f.write(payload)
-        return cid
+        return pd.DataFrame({"cid": [cid]})
 
     (
-        indexed.map(lambda t: (t[0] // chunk_rows, t))
-        .groupByKey(numPartitions=max(1, (n_rows + chunk_rows - 1) // chunk_rows))
-        .map(write_chunk)
-        .count()
+        indexed.withColumn("_cid", (F.col("_gidx") / F.lit(chunk_rows)).cast("long"))
+        .groupBy("_cid")
+        .applyInPandas(write_chunk, schema="cid long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
     )
-    rdd.unpersist()
+    pinned.unpersist()
 
 
 def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
