@@ -145,6 +145,96 @@ def crossover_join(
     return out.dropDuplicates(["track1", "track2", "x", "y"])
 
 
+def densify_track_greatcircle(
+    df: DataFrame,
+    track_col: str = "track_id",
+    order_col: str = "rn",
+    lon: str = "lon",
+    lat: str = "lat",
+    h: str = "h",
+    max_seg_m: float = 5000.0,
+    radius_m: float = 6_371_008.8,
+) -> DataFrame:
+    """Insert intermediate points along the GREAT CIRCLE between
+    consecutive track points so no arc exceeds ``max_seg_m`` — the
+    curved-track robustness step before straight-segment crossover
+    (reference x2sys operates on geographic tracks whose inter-point
+    gaps follow great circles; cf. X2SYS/ICESAT2.tag -Wd250e gap rule,
+    /root/reference/atlxi_xover.py:118-146).
+
+    Pure Catalyst trig (slerp on unit vectors):
+      P(f) = (sin((1−f)ω)·A + sin(fω)·B) / sin ω,  ω = acos(A·B)
+    with attributes (h) interpolated linearly in f, matching x2sys's
+    along-track linear interpolation. One lead() window + one explode —
+    map-side after the per-track shuffle; output grows by
+    ceil(arc/max_seg_m) per gap, bounded and uniform.
+
+    Output: (track, rn, i, lon, lat, h) where (rn, i) orders densified
+    points within the track (i = 0 is the original point; the track's
+    final point carries i = 0 of a degenerate pair)."""
+    w = Window.partitionBy(track_col).orderBy(order_col)
+    pairs = df.select(
+        F.col(track_col).alias("track"),
+        F.col(order_col).alias("rn"),
+        F.col(lon).alias("lon1"),
+        F.col(lat).alias("lat1"),
+        F.col(h).alias("h1"),
+        F.lead(lon).over(w).alias("lon2"),
+        F.lead(lat).over(w).alias("lat2"),
+        F.lead(h).over(w).alias("h2"),
+    )
+    # degenerate final point: B := A so the trig below stays null-free
+    pairs = pairs.withColumn("_last", F.col("lon2").isNull()).select(
+        "track", "rn", "lon1", "lat1", "h1", "_last",
+        F.coalesce("lon2", "lon1").alias("lon2"),
+        F.coalesce("lat2", "lat1").alias("lat2"),
+        F.coalesce("h2", "h1").alias("h2"),
+    )
+    ax = F.cos(F.radians("lat1")) * F.cos(F.radians("lon1"))
+    ay = F.cos(F.radians("lat1")) * F.sin(F.radians("lon1"))
+    az = F.sin(F.radians("lat1"))
+    bx = F.cos(F.radians("lat2")) * F.cos(F.radians("lon2"))
+    by = F.cos(F.radians("lat2")) * F.sin(F.radians("lon2"))
+    bz = F.sin(F.radians("lat2"))
+    dot = F.least(F.greatest(ax * bx + ay * by + az * bz, F.lit(-1.0)), F.lit(1.0))
+    omega = F.acos(dot)
+    n = F.when(
+        F.col("_last") | (omega * radius_m <= F.lit(max_seg_m)), F.lit(1)
+    ).otherwise(F.ceil(omega * radius_m / F.lit(max_seg_m)).cast("int"))
+    g = (
+        pairs.withColumn("_ax", ax).withColumn("_ay", ay).withColumn("_az", az)
+        .withColumn("_bx", bx).withColumn("_by", by).withColumn("_bz", bz)
+        .withColumn("_omega", omega)
+        .withColumn("i", F.explode(F.sequence(F.lit(0), n - 1)))
+    )
+    f = F.col("i").cast("double") / n.cast("double")
+    sin_o = F.sin(F.col("_omega"))
+    # f = 0 (every original point) and tiny arcs short-circuit to A —
+    # no 0/0 when ω = 0
+    k1 = F.when(
+        (F.col("i") == 0) | (F.col("_omega") < F.lit(1e-12)), F.lit(1.0)
+    ).otherwise(F.sin((F.lit(1.0) - f) * F.col("_omega")) / sin_o)
+    k2 = F.when(
+        (F.col("i") == 0) | (F.col("_omega") < F.lit(1e-12)), F.lit(0.0)
+    ).otherwise(F.sin(f * F.col("_omega")) / sin_o)
+    px = k1 * F.col("_ax") + k2 * F.col("_bx")
+    py = k1 * F.col("_ay") + k2 * F.col("_by")
+    pz = k1 * F.col("_az") + k2 * F.col("_bz")
+    orig = F.col("i") == 0
+    # i = 0 is the original point — pass it through verbatim instead of
+    # round-tripping it through atan2 (which costs ~1 ulp of longitude)
+    return g.select(
+        "track",
+        "rn",
+        "i",
+        F.when(orig, F.col("lon1")).otherwise(F.degrees(F.atan2(py, px))).alias("lon"),
+        F.when(orig, F.col("lat1"))
+        .otherwise(F.degrees(F.atan2(pz, F.sqrt(px * px + py * py))))
+        .alias("lat"),
+        (F.col("h1") + f * (F.col("h2") - F.col("h1"))).alias("h"),
+    )
+
+
 def crossover_errors(xovers: DataFrame, seconds_per_year: float = 365.25 * 86400) -> DataFrame:
     """Derived crossover metrics (atlxi_xover.py:170-173):
     h_X = h_2 − h_1 (later minus earlier), t_D = t_2 − t_1,

@@ -1109,6 +1109,104 @@ def _register_geojson_roundtrip():
 q_geojson_roundtrip = _register_geojson_roundtrip()
 
 
+# --- J3 support: great-circle track densification ----------------------
+# Curved-track robustness for the crossover join: the reference's
+# x2sys operates on geographic tracks whose inter-point gaps follow
+# great circles; densifying to a max arc length before the straight-
+# segment solve bounds the curvature error (ICESAT2.tag -Wd gap rule).
+# Both engines run the identical slerp trig, so outputs compare at
+# round-6.
+@register(
+    "track_densify_greatcircle",
+    """
+    WITH base AS (
+      SELECT user_id % 3 AS track,
+             row_number() OVER (PARTITION BY user_id % 3
+                                ORDER BY ts, event_id) AS rn0,
+             value AS h
+      FROM events),
+    pts AS (
+      SELECT track, CAST(rn0 AS DOUBLE) AS rn,
+             -60.0 + CAST(rn0 AS DOUBLE) * 0.4 AS lon,
+             -71.5 + CAST(track AS DOUBLE) * 0.8 AS lat, h
+      FROM base WHERE rn0 <= 30),
+    pairs AS (
+      SELECT track, rn, lon AS lon1, lat AS lat1, h AS h1,
+             lead(lon) OVER w AS lon2, lead(lat) OVER w AS lat2,
+             lead(h) OVER w AS h2
+      FROM pts WINDOW w AS (PARTITION BY track ORDER BY rn)),
+    prep AS (
+      SELECT track, rn, lon1, lat1, h1,
+             lon2 IS NULL AS last_pt,
+             coalesce(lon2, lon1) AS lon2, coalesce(lat2, lat1) AS lat2,
+             coalesce(h2, h1) AS h2
+      FROM pairs),
+    vec AS (
+      SELECT *,
+        cos(radians(lat1))*cos(radians(lon1)) AS ax,
+        cos(radians(lat1))*sin(radians(lon1)) AS ay,
+        sin(radians(lat1)) AS az,
+        cos(radians(lat2))*cos(radians(lon2)) AS bx,
+        cos(radians(lat2))*sin(radians(lon2)) AS by,
+        sin(radians(lat2)) AS bz
+      FROM prep),
+    om AS (
+      SELECT *, acos(least(greatest(ax*bx+ay*by+az*bz, -1.0), 1.0)) AS omega
+      FROM vec),
+    nn AS (
+      SELECT *, CASE WHEN last_pt OR omega * 6371008.8 <= 5000.0 THEN 1
+                     ELSE CAST(ceil(omega * 6371008.8 / 5000.0) AS INT) END AS n
+      FROM om),
+    ex AS (SELECT *, unnest(range(0, n)) AS i FROM nn),
+    kk AS (
+      SELECT *, CAST(i AS DOUBLE)/CAST(n AS DOUBLE) AS f,
+        CASE WHEN i = 0 OR omega < 1e-12 THEN 1.0
+             ELSE sin((1.0 - CAST(i AS DOUBLE)/CAST(n AS DOUBLE))*omega)/sin(omega)
+        END AS k1,
+        CASE WHEN i = 0 OR omega < 1e-12 THEN 0.0
+             ELSE sin((CAST(i AS DOUBLE)/CAST(n AS DOUBLE))*omega)/sin(omega)
+        END AS k2
+      FROM ex)
+    SELECT track, rn, CAST(i AS INT) AS i,
+           round(CASE WHEN i = 0 THEN lon1
+                      ELSE degrees(atan2(k1*ay+k2*by, k1*ax+k2*bx)) END, 6) AS lon,
+           round(CASE WHEN i = 0 THEN lat1
+                      ELSE degrees(atan2(k1*az+k2*bz,
+                           sqrt((k1*ax+k2*bx)*(k1*ax+k2*bx)
+                                + (k1*ay+k2*by)*(k1*ay+k2*by)))) END, 6) AS lat,
+           round(h1 + f*(h2-h1), 6) AS h
+    FROM kk
+    """,
+)
+def q_track_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.crossover import densify_track_greatcircle
+
+    ev = load_table(spark, sf_dir, "events")
+    wn = Window.partitionBy("tid").orderBy("ts", "event_id")
+    base = ev.select(
+        (F.col("user_id") % 3).alias("tid"), "event_id", "ts",
+        F.col("value").alias("h"),
+    ).withColumn("rn", F.row_number().over(wn).cast("double"))
+    pts = base.filter(F.col("rn") <= 30).select(
+        "tid",
+        "rn",
+        (F.lit(-60.0) + F.col("rn") * 0.4).alias("lon"),
+        (F.lit(-71.5) + F.col("tid").cast("double") * 0.8).alias("lat"),
+        "h",
+    )
+    out = densify_track_greatcircle(
+        pts, track_col="tid", order_col="rn", max_seg_m=5000.0
+    )
+    return out.select(
+        "track",
+        "rn",
+        "i",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.round("h", 6).alias("h"),
+    )
+
+
 # --- as-of (point-in-time) join: extension op Spark lacks natively ----
 # Each click gets the user's most recent purchase at-or-before it,
 # within a 2-day tolerance. The oracle is DuckDB's native ASOF JOIN;

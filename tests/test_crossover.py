@@ -71,3 +71,49 @@ def test_same_rgt_pairs_pruned(spark):
     rgt = lambda c: F.split(c, "_").getItem(0)  # noqa: E731
     assert crossover_join(segs, cell=10.0).count() == 1
     assert crossover_join(segs, cell=10.0, rgt_of=rgt).count() == 0
+
+
+def test_densify_greatcircle_invariants(spark):
+    """Densified points are on the unit sphere, coplanar with the
+    endpoint great circle, spaced under max arc, and preserve
+    endpoints/attributes."""
+    import math
+
+    from pyspark.sql import Row
+    from deepicedrain_spark.operators.crossover import densify_track_greatcircle
+
+    a = (-50.0, -70.0, 10.0)
+    b = (-40.0, -72.0, 20.0)
+    df = spark.createDataFrame(
+        [Row(track_id=1, rn=1.0, lon=a[0], lat=a[1], h=a[2]),
+         Row(track_id=1, rn=2.0, lon=b[0], lat=b[1], h=b[2])]
+    )
+    R = 6_371_008.8
+    out = densify_track_greatcircle(
+        df, track_col="track_id", order_col="rn", max_seg_m=50_000.0, radius_m=R
+    ).collect()
+    pts = sorted(((r["rn"], r["i"]), r) for r in out)
+    rows = [r for _, r in pts]
+    # endpoints exact
+    assert (rows[0]["lon"], rows[0]["lat"], rows[0]["h"]) == a
+    assert (rows[-1]["lon"], rows[-1]["lat"], rows[-1]["h"]) == b
+
+    def unit(lon, lat):
+        lam, phi = math.radians(lon), math.radians(lat)
+        return (math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam), math.sin(phi))
+
+    va, vb = unit(*a[:2]), unit(*b[:2])
+    normal = (va[1] * vb[2] - va[2] * vb[1], va[2] * vb[0] - va[0] * vb[2],
+              va[0] * vb[1] - va[1] * vb[0])
+    prev = None
+    for r in rows:
+        p = unit(r["lon"], r["lat"])
+        # coplanar with the A-B great circle
+        assert abs(sum(pi * ni for pi, ni in zip(p, normal))) < 1e-9
+        if prev is not None:
+            dot = max(-1.0, min(1.0, sum(x * y for x, y in zip(prev, p))))
+            assert math.acos(dot) * R <= 50_000.0 + 1e-6
+        prev = p
+    # h interpolates monotonically between endpoints
+    hs = [r["h"] for r in rows]
+    assert hs == sorted(hs) and hs[0] == 10.0 and hs[-1] == 20.0
