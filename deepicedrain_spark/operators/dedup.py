@@ -374,13 +374,48 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, all-pairs). For 100 TB
-    use the LSH-bucketed variant in similarity.py to pre-filter."""
+    use :func:`embedding_near_duplicates_lsh` — bucketed candidates."""
     from deepicedrain_spark.operators.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed — the 100 TB shape:
+    candidate pairs share the deterministic random-hyperplane signature
+    bucket (equi-join, linear shuffle) and only candidates are scored
+    exactly. Approximate by design (recall ≈ (1−θ/π)^planes per pair);
+    the bucketing is md5-derived and engine-reproducible, so the
+    approximate result still has an EXACT oracle."""
+    from deepicedrain_spark.operators.similarity import (
+        cosine_expr,
+        hyperplane_signature,
+    )
+
+    sig = hyperplane_signature(vec_col, planes, dims)
+    t = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    a = t.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_sig").alias("sa")
+    )
+    b = t.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_sig").alias("sb")
+    )
+    return (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

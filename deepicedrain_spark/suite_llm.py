@@ -279,6 +279,78 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(base.unionByName(planted), threshold=0.9)
 
 
+def _plane_sql_list(p: int, dims: int = 64) -> str:
+    """The hyperplane-p weight vector as a DuckDB list literal —
+    identical constants to similarity._plane_weight (md5-derived)."""
+    from deepicedrain_spark.operators.similarity import _plane_weight
+
+    return "[" + ", ".join(f"{float(_plane_weight(p, d))}" for d in range(dims)) + "]"
+
+
+def _sig_sql(vec: str, planes: int, dims: int = 64) -> str:
+    """Signature = Σ_p 2^p·[w_p·v > 0] over the expression ``vec``."""
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {dims}), "
+        f"i -> ({vec})[i] * ({_plane_sql_list(p, dims)})[i])) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    ]
+    return " + ".join(terms)
+
+
+# Scale path for embedding near-dup: candidates share the hyperplane
+# bucket (equi-join), exact cosine verify on candidates only. Recall
+# < 1 by design, but the bucketing is deterministic so the SAME planted
+# pool as embedding_near_dup has an exact oracle running the identical
+# signature arithmetic.
+@register(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 100),
+    planted AS (
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + 0.05 * ((i % 3) - 1)) AS v
+      FROM embeddings WHERE vec_id < 100),
+    pool AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    sigs AS (SELECT vec_id, v, {_sig_sql('v', 4)} AS sig FROM pool),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> a.v[i] * b.v[i]))
+                   / sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> a.v[i] * a.v[i]))
+                        * list_sum(list_transform(generate_series(1, 64),
+                            i -> b.v[i] * b.v[i]))), 6) AS cos
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.9
+    """,
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05D * (((i + 1) % 3) - 1))"
+        ).alias("embedding"),
+    )
+    return embedding_near_duplicates_lsh(
+        base.unionByName(planted), threshold=0.9, planes=4
+    )
+
+
 # The LSH bucketing is DETERMINISTIC (md5-derived hyperplane grid), so
 # the approximate result has an exact oracle: the same signature
 # computed from the same literal weight grid, bucket equi-join, rank.
