@@ -54,3 +54,50 @@ def test_wide_regression_is_map_only(spark, tmp_path):
     # "*(1)" is toString()'s whole-stage-codegen marker: one codegen
     # stage wrapping the whole plan
     assert plan.startswith("*(1) Project")
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    from deepicedrain_spark import suite_llm
+
+    plan = plan_of(suite_llm.q_ngram_jaccard(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_equi_join_only(spark):
+    from deepicedrain_spark import suite_llm
+
+    plan = plan_of(suite_llm.q_simhash_pairs(spark, SF_SMALL))
+    # banding must produce hash equi-joins, never a non-equi loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_equi_join_only(spark):
+    from deepicedrain_spark import suite_llm
+
+    plan = plan_of(suite_llm.q_embedding_near_dup_lsh(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pvalue_single_exchange(spark):
+    from deepicedrain_spark import suite
+
+    plan = plan_of(suite.q_dhdt_regression_pvalue(spark, SF_SMALL))
+    # regr_* partial+final aggregation: exactly one exchange; the
+    # betainc UDF must sit ABOVE the aggregation (ArrowEvalPython over
+    # O(groups) rows), adding no shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" in plan
+
+
+def test_densify_single_window_no_join(spark):
+    from deepicedrain_spark import suite_custom
+
+    plan = plan_of(suite_custom.q_track_densify(spark, SF_SMALL))
+    # one lead() window partitioning plus explode — no join of any kind
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "Generate explode" in plan
