@@ -949,7 +949,7 @@ PRIORITY: list[str] = [
     # aggregates: A5, A9, A11, A12, A13
     "grouped_median_mad",
     "raster_datashade",
-    "surface_interpolation_idw",
+    "surface_tension_spline",
     "grouped_trend",
     "convex_hull_per_label",
     # windows/sorts: W1, W4, W5

@@ -594,6 +594,98 @@ def q_surface_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.select("gx", "gy", F.round("zi", 6).alias("zi"))
 
 
+# --- A11 exact-semantics path: GMT-style tension spline ---------------
+# Jacobi relaxation of (1-T)∇⁴z − T∇²z = 0 with Dirichlet data cells
+# (T=0.35, the reference's tension). Jacobi reads only the previous
+# iteration, so Spark's distributed stencil join and the oracle's
+# recursive-CTE list fold run the IDENTICAL fixed-order arithmetic —
+# the iterative PDE solve itself is oracle-checked, not just sampled.
+_TS_N = 20        # 20×20 grid over [-0.5, 0.5]²
+_TS_ITERS = 60
+_TS_T = 0.35
+
+
+def _ts_nb(di: int, dj: int) -> str:
+    """Oracle list accessor for neighbor (gx+di, gy+dj), clamped."""
+    return (
+        f"z[1 + least(greatest((p//{_TS_N})+({di}),0),{_TS_N - 1})*{_TS_N}"
+        f" + least(greatest((p%{_TS_N})+({dj}),0),{_TS_N - 1})]"
+    )
+
+
+_TS_HARM = f"(({_ts_nb(0,1)} + {_ts_nb(0,-1)} + {_ts_nb(1,0)} + {_ts_nb(-1,0)}) / 4.0)"
+_TS_BIHARM = (
+    f"((8.0*({_ts_nb(0,1)} + {_ts_nb(0,-1)} + {_ts_nb(1,0)} + {_ts_nb(-1,0)})"
+    f" - 2.0*({_ts_nb(1,1)} + {_ts_nb(-1,1)} + {_ts_nb(1,-1)} + {_ts_nb(-1,-1)})"
+    f" - ({_ts_nb(0,2)} + {_ts_nb(0,-2)} + {_ts_nb(2,0)} + {_ts_nb(-2,0)})) / 20.0)"
+)
+
+
+@register(
+    "surface_tension_spline",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y,
+             embedding[3]::DOUBLE AS z
+      FROM embeddings),
+    sub AS (
+      SELECT * FROM pts
+      WHERE x > -0.5 AND x < 0.5 AND y > -0.5 AND y < 0.5),
+    cells AS (
+      SELECT CAST(floor((x + 0.5) / 0.05) AS BIGINT) AS gx,
+             CAST(floor((y + 0.5) / 0.05) AS BIGINT) AS gy,
+             quantile_cont(z, 0.5) AS mz
+      FROM sub GROUP BY 1, 2),
+    med AS (SELECT quantile_cont(mz, 0.5) AS m FROM cells),
+    lim AS (
+      SELECT m, quantile_cont(abs(mz - m), 0.5) AS mad
+      FROM cells, med GROUP BY m),
+    grid0 AS (SELECT unnest(range(0, {_TS_N * _TS_N})) AS p),
+    init AS (
+      SELECT list(COALESCE(c.mz, 0.0) ORDER BY g.p) AS z,
+             list(c.mz IS NOT NULL ORDER BY g.p) AS isd,
+             list(COALESCE(c.mz, 0.0) ORDER BY g.p) AS zd
+      FROM grid0 g LEFT JOIN cells c
+        ON c.gx = g.p // {_TS_N} AND c.gy = g.p % {_TS_N}),
+    it AS (
+      SELECT 0 AS k, z, isd, zd FROM init
+      UNION ALL
+      SELECT k + 1,
+             list_transform(range(0, {_TS_N * _TS_N}), p ->
+               CASE WHEN isd[p+1] THEN zd[p+1]
+                    ELSE {_TS_T} * {_TS_HARM} + {1.0 - _TS_T} * {_TS_BIHARM}
+               END),
+             isd, zd
+      FROM it WHERE k < {_TS_ITERS}),
+    fin AS (SELECT z FROM it WHERE k = {_TS_ITERS}),
+    vals AS (
+      SELECT g.p // {_TS_N} AS gx, g.p % {_TS_N} AS gy, f.z[g.p + 1] AS zv
+      FROM grid0 g, fin f),
+    mask AS (
+      SELECT DISTINCT g.p // {_TS_N} AS gx, g.p % {_TS_N} AS gy
+      FROM grid0 g JOIN cells c
+        ON abs(c.gx - g.p // {_TS_N}) <= 3 AND abs(c.gy - g.p % {_TS_N}) <= 3)
+    SELECT v.gx, v.gy,
+           round(least(greatest(zv, m - 3 * mad), m + 3 * mad), 6) AS zs
+    FROM vals v JOIN mask USING (gx, gy), lim
+    """,
+)
+def q_surface_tension_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.gridding import tension_spline_grid
+    from deepicedrain_spark.region import Region
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    region = Region("emb", -0.5, 0.5, -0.5, 0.5)
+    return tension_spline_grid(
+        pts, region, spacing=0.05, tension=_TS_T, iters=_TS_ITERS, mask_cells=3
+    )
+
+
 # --- A12: per-group trend (vizplots.py:413-418) -----------------------
 @register(
     "grouped_trend",

@@ -125,3 +125,29 @@ def test_interpolate_grid_idw(spark):
     # far corner (>2 cells from any data) is masked out entirely
     assert (9, 9) not in cells
     assert all(abs(v - 5.0) < 1e-6 for v in cells.values())
+
+
+def test_tension_spline_paths_identical(spark):
+    """Dense-array and stencil-join relaxations must be bit-identical:
+    Jacobi reads only the previous iteration and both paths run the
+    same fixed-order IEEE arithmetic."""
+    import random
+
+    from pyspark.sql import Row
+    from deepicedrain_spark.operators.gridding import tension_spline_grid
+    from deepicedrain_spark.region import Region
+
+    random.seed(7)
+    rows = [
+        Row(x=random.uniform(-0.45, 0.45), y=random.uniform(-0.45, 0.45),
+            z=random.uniform(0.0, 10.0))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    region = Region("t", -0.5, 0.5, -0.5, 0.5)
+    kw = dict(spacing=0.1, tension=0.35, iters=8, mask_cells=2)
+    dense = {(r["gx"], r["gy"]): r["zs"]
+             for r in tension_spline_grid(df, region, **kw).collect()}
+    joins = {(r["gx"], r["gy"]): r["zs"]
+             for r in tension_spline_grid(df, region, dense_cells=0, **kw).collect()}
+    assert dense == joins and len(dense) > 0
