@@ -131,6 +131,38 @@ def resize_image(df: DataFrame, width: int, height: int, mode: str = "fake") -> 
     return df.mapInPandas(batches, schema=schema)
 
 
+def resample_audio(
+    df: DataFrame, src_rate: int = 16_000, dst_rate: int = 8_000, mode: str = "fake"
+) -> DataFrame:
+    """Audio resampling: fake mode treats the payload as mono 8-bit
+    PCM and nearest-neighbor resamples by the rational rate ratio —
+    out[i] = payload[(i·src)//dst], n_out = ceil(len·dst/src) —
+    deterministic byte math any engine can replay; real mode is the
+    torchaudio/librosa seam. Output: media_id, payload, n_samples,
+    sample_rate."""
+    schema = "media_id string, payload binary, n_samples long, sample_rate int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mode == "real":
+            _require_real_codec("audio")
+        for pdf in it:
+            def resample(b: bytes) -> bytes:
+                n_out = (len(b) * dst_rate + src_rate - 1) // src_rate
+                return bytes(b[(i * src_rate) // dst_rate] for i in range(n_out))
+
+            out = pdf["payload"].map(resample)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "n_samples": out.map(len),
+                    "sample_rate": dst_rate,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 64, mode: str = "fake") -> DataFrame:
     """Frame sampling: fake mode emits one row per sampled 'frame'
     (byte offset stride); real mode is the av/ffmpeg seam. Output is

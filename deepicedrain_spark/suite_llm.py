@@ -617,6 +617,39 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio plumbing: nearest-neighbor 2:1 downsample over the fake PCM
+# payload (utf-8 text bytes — ASCII in the testdata, so DuckDB can
+# replay the byte indexing char-by-char for a value-exact oracle).
+@register(
+    "multimodal_audio_resample",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST((length(text) + 1) // 2 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, (length(text) + 1) // 2),
+                  i -> ascii(substring(text, CAST(i * 2 AS INT) + 1, 1))))
+                AS BIGINT) AS byte_sum
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.multimodal import resample_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    out = resample_audio(media, src_rate=16_000, dst_rate=8_000, mode="fake")
+    # ASCII payload: sum of byte values via substring/ascii in codegen
+    # (sequence(1, 0) DESCENDS in Spark, so empty payloads are filtered
+    # — matching the oracle's length(text) > 0 guard)
+    byte_sum = F.expr(
+        "aggregate(transform(sequence(1, cast(n_samples as int)), "
+        "i -> cast(ascii(substring(cast(payload as string), i, 1)) as bigint)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return out.filter(F.col("n_samples") > 0).select(
+        "media_id", "n_samples", byte_sum.alias("byte_sum")
+    )
+
+
 # --- near-dup groups: connected components over the near-dup edges ---
 # The edge set is the minhash_near_dup pair list (exact on this data —
 # see that query's recall note); components collapse pairwise edges

@@ -156,3 +156,20 @@ def test_multimodal_real_mode_is_stubbed(spark):
     media = attach_fake_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         decode_image_features(media, mode="real").collect()
+
+
+def test_audio_resample_fake(spark):
+    from pyspark.sql import Row
+    from deepicedrain_spark.operators.multimodal import attach_fake_media, resample_audio
+
+    df = spark.createDataFrame([Row(doc_id=1, text="abcdefg"), Row(doc_id=2, text="xy")])
+    media = attach_fake_media(df, "doc_id", "text")
+    out = {r["media_id"]: r for r in resample_audio(media, 16_000, 8_000).collect()}
+    # 2:1 nearest-neighbor: indices 0,2,4,6 of b"abcdefg"
+    assert bytes(out["1"]["payload"]) == b"aceg"
+    assert out["1"]["n_samples"] == 4 and out["1"]["sample_rate"] == 8000
+    assert bytes(out["2"]["payload"]) == b"x"
+    # upsample path: 1:2 repeats each byte
+    up = {r["media_id"]: bytes(r["payload"])
+          for r in resample_audio(media, 8_000, 16_000).collect()}
+    assert up["2"] == b"xxyy"
