@@ -1,0 +1,148 @@
+"""HDF5 columnar source — the reference's actual upstream format
+(SURVEY S-gap #1): ATL06/ATL11 land-ice granules are HDF5 files whose
+per-beam groups hold equal-length 1-D datasets
+(``/root/reference/atl06_to_atl11.py:171-196`` reads
+``<beam>/land_ice_segments/{latitude, longitude, h_li, ...}``;
+``atl06_play.py:318-327`` walks the same layout).
+
+This container ships no h5py, so ``read_hdf5`` is an import-gated seam
+(same policy as the multimodal codec seams): the CHUNK-TASK PLANNING —
+the part that decides how the file parallelizes — is pure Python,
+tested today; the h5py calls sit behind the gate and follow exactly
+the pattern proven by ``sources/zarr.py``'s chunk-parallel read:
+
+- driver: open the file once, list datasets, validate equal lengths,
+  derive the chunk grid (HDF5's own chunk shape when present, else
+  ``chunk_rows``);
+- executors: one ``mapInPandas`` task per chunk stripe re-opens the
+  file read-only (HDF5 SWMR-safe for concurrent readers) and slices
+  every requested dataset for its [start, start+length) range into one
+  Arrow batch, plus a ``row_index`` column (the granule's implicit
+  key).
+
+At 100 TB (thousands of granules) the file list becomes the task axis
+one level up: union per-file reads, or pass many paths and explode
+(path × chunk) — each task still touches one contiguous stripe of one
+file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_NP_TO_SPARK = {
+    "int64": "long",
+    "int32": "int",
+    "int16": "short",
+    "int8": "byte",
+    "uint8": "int",
+    "uint16": "int",
+    "uint32": "long",
+    "float64": "double",
+    "float32": "float",
+    "bool": "boolean",
+}
+
+
+def plan_chunks(n_rows: int, chunk_rows: int) -> list[tuple[int, int]]:
+    """[(start, length), ...] covering [0, n_rows) in uniform stripes
+    (last one ragged) — the task grid for a chunk-parallel scan."""
+    if n_rows < 0 or chunk_rows <= 0:
+        raise ValueError(f"plan_chunks: bad n_rows={n_rows} chunk_rows={chunk_rows}")
+    return [
+        (start, min(chunk_rows, n_rows - start))
+        for start in range(0, n_rows, chunk_rows)
+    ]
+
+
+def spark_schema_for(np_dtypes: dict[str, str]) -> str:
+    """DDL schema string (row_index first) for dataset dtype names."""
+    cols = []
+    for name, dt in np_dtypes.items():
+        if dt not in _NP_TO_SPARK:
+            raise TypeError(f"read_hdf5: unsupported dataset dtype {name}:{dt}")
+        cols.append(f"`{name}` {_NP_TO_SPARK[dt]}")
+    return "row_index long, " + ", ".join(cols)
+
+
+def read_hdf5(
+    spark: SparkSession,
+    path: str,
+    group: str,
+    datasets: list[str],
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Distributed scan of equal-length 1-D datasets under ``group``.
+
+    Requires h5py (ImportError here is the documented seam — the
+    container has no HDF5 stack; everything below the import is the
+    code that runs when it does)."""
+    import h5py  # import-gated: raises if absent
+
+    path = os.path.abspath(path)
+    with h5py.File(path, "r") as f:
+        grp = f[group]
+        shapes = {}
+        dtypes = {}
+        native_chunks = set()
+        for name in datasets:
+            d = grp[name]
+            if len(d.shape) != 1:
+                raise ValueError(f"read_hdf5: {group}/{name} is not 1-D")
+            shapes[name] = d.shape[0]
+            dtypes[name] = str(d.dtype)
+            if d.chunks:
+                native_chunks.add(d.chunks[0])
+    lengths = set(shapes.values())
+    if len(lengths) != 1:
+        raise ValueError(f"read_hdf5: ragged datasets under {group}: {shapes}")
+    n_rows = lengths.pop()
+    stride = chunk_rows or (max(native_chunks) if native_chunks else 65536)
+    chunks = plan_chunks(n_rows, stride)
+    schema = spark_schema_for(dtypes)
+
+    chunks_df = spark.createDataFrame(
+        [(i, s, ln) for i, (s, ln) in enumerate(chunks)], "cid long, start long, length long"
+    )
+
+    def decode(batches):
+        import h5py as _h5
+
+        with _h5.File(path, "r") as f:  # one handle per task, read-only
+            grp = f[group]
+            for pdf in batches:
+                for start, length in zip(pdf["start"], pdf["length"]):
+                    start, length = int(start), int(length)
+                    out = {
+                        "row_index": np.arange(start, start + length, dtype=np.int64)
+                    }
+                    for name in datasets:
+                        out[name] = grp[name][start : start + length]
+                    yield pd.DataFrame(out)
+
+    return chunks_df.mapInPandas(decode, schema=schema)
+
+
+# ATL06 convenience: the reference's per-beam column set
+# (atl06_to_atl11.py:171-196). Beam ∈ gt1l/gt1r/gt2l/gt2r/gt3l/gt3r.
+ATL06_DATASETS = [
+    "latitude",
+    "longitude",
+    "h_li",
+    "h_li_sigma",
+    "atl06_quality_summary",
+    "delta_time",
+    "segment_id",
+]
+
+
+def read_atl06_beam(
+    spark: SparkSession, path: str, beam: str = "gt1l", chunk_rows: int | None = None
+) -> DataFrame:
+    return read_hdf5(
+        spark, path, f"{beam}/land_ice_segments", ATL06_DATASETS, chunk_rows
+    )
