@@ -868,6 +868,177 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J3 composed: curved-track crossover pipeline ---------------------
+# The reference's x2sys workflow end-to-end: geographic tracks →
+# great-circle densification (bounded curvature error) → polar-
+# stereographic projection (F3 closed form) → straight-segment
+# crossover solve with h/t interpolation. Every stage is the exact
+# arithmetic both engines share, so the composed pipeline gets one
+# value-exact oracle. Three synthetic tracks with distinct offsets and
+# slopes cross pairwise at three separated points.
+@register(
+    "crossover_curved_tracks",
+    f"""
+    WITH base AS (
+      SELECT user_id % 3 AS track,
+             row_number() OVER (PARTITION BY user_id % 3
+                                ORDER BY ts, event_id) AS rn0,
+             value AS h
+      FROM events),
+    pts AS (
+      SELECT track, CAST(rn0 AS DOUBLE) AS rn,
+             -60.0 + CAST(rn0 AS DOUBLE) * 0.4 AS lon,
+             (CASE track WHEN 0 THEN -71.9 WHEN 1 THEN -71.5 ELSE -71.2 END)
+               + (CASE track WHEN 0 THEN 0.012 WHEN 1 THEN -0.004 ELSE -0.02 END)
+                 * CAST(rn0 AS DOUBLE) AS lat,
+             h
+      FROM base WHERE rn0 <= 30),
+    pairs AS (
+      SELECT track, rn, lon AS lon1, lat AS lat1, h AS h1,
+             lead(lon) OVER w AS lon2, lead(lat) OVER w AS lat2,
+             lead(h) OVER w AS h2
+      FROM pts WINDOW w AS (PARTITION BY track ORDER BY rn)),
+    prep AS (
+      SELECT track, rn, lon1, lat1, h1,
+             lon2 IS NULL AS last_pt,
+             coalesce(lon2, lon1) AS lon2, coalesce(lat2, lat1) AS lat2,
+             coalesce(h2, h1) AS h2
+      FROM pairs),
+    vec AS (
+      SELECT *,
+        cos(radians(lat1))*cos(radians(lon1)) AS ax,
+        cos(radians(lat1))*sin(radians(lon1)) AS ay,
+        sin(radians(lat1)) AS az,
+        cos(radians(lat2))*cos(radians(lon2)) AS bx,
+        cos(radians(lat2))*sin(radians(lon2)) AS by,
+        sin(radians(lat2)) AS bz
+      FROM prep),
+    om AS (
+      SELECT *, acos(least(greatest(ax*bx+ay*by+az*bz, -1.0), 1.0)) AS omega
+      FROM vec),
+    nn AS (
+      SELECT *, CASE WHEN last_pt OR omega * 6371008.8 <= 5000.0 THEN 1
+                     ELSE CAST(ceil(omega * 6371008.8 / 5000.0) AS INT) END AS n
+      FROM om),
+    ex AS (SELECT *, unnest(range(0, n)) AS i FROM nn),
+    kk AS (
+      SELECT *, CAST(i AS DOUBLE)/CAST(n AS DOUBLE) AS f,
+        CASE WHEN i = 0 OR omega < 1e-12 THEN 1.0
+             ELSE sin((1.0 - CAST(i AS DOUBLE)/CAST(n AS DOUBLE))*omega)/sin(omega)
+        END AS k1,
+        CASE WHEN i = 0 OR omega < 1e-12 THEN 0.0
+             ELSE sin((CAST(i AS DOUBLE)/CAST(n AS DOUBLE))*omega)/sin(omega)
+        END AS k2
+      FROM ex),
+    dens AS (
+      SELECT track, rn + CAST(i AS DOUBLE) * 0.001 AS ord,
+             CASE WHEN i = 0 THEN lon1
+                  ELSE degrees(atan2(k1*ay+k2*by, k1*ax+k2*bx)) END AS lon,
+             CASE WHEN i = 0 THEN lat1
+                  ELSE degrees(atan2(k1*az+k2*bz,
+                       sqrt((k1*ax+k2*bx)*(k1*ax+k2*bx)
+                            + (k1*ay+k2*by)*(k1*ay+k2*by)))) END AS lat,
+             h1 + f*(h2-h1) AS h
+      FROM kk),
+    proj AS (
+      SELECT track, ord, h,
+             radians(-lat) AS phi, radians(-lon) AS lam,
+             {_PROJ_E} * sin(radians(-lat)) AS esin
+      FROM dens),
+    xy AS (
+      SELECT track, ord, h,
+             -(({_PROJ_RHO} * (tan(pi() / 4 - phi / 2)
+                * pow((1 + esin) / (1 - esin), {_PROJ_E} / 2))) * sin(lam)) AS x,
+             -(-({_PROJ_RHO} * (tan(pi() / 4 - phi / 2)
+                * pow((1 + esin) / (1 - esin), {_PROJ_E} / 2))) * cos(lam)) AS y
+      FROM proj),
+    segs AS (
+      SELECT track, x AS x1, y AS y1, h AS h1, ord AS t1,
+             lead(x) OVER w AS x2, lead(y) OVER w AS y2,
+             lead(h) OVER w AS h2, lead(ord) OVER w AS t2
+      FROM xy WINDOW w AS (PARTITION BY track ORDER BY ord)),
+    s2 AS (SELECT * FROM segs WHERE x2 IS NOT NULL),
+    hits AS (
+      SELECT a.track AS track1, b.track AS track2,
+             ((b.x1-a.x1)*(b.y2-b.y1) - (b.y1-a.y1)*(b.x2-b.x1))
+               / ((a.x2-a.x1)*(b.y2-b.y1) - (a.y2-a.y1)*(b.x2-b.x1)) AS s,
+             ((b.x1-a.x1)*(a.y2-a.y1) - (b.y1-a.y1)*(a.x2-a.x1))
+               / ((a.x2-a.x1)*(b.y2-b.y1) - (a.y2-a.y1)*(b.x2-b.x1)) AS u,
+             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             a.h1 AS ah1, a.h2 AS ah2, a.t1 AS at1, a.t2 AS at2,
+             b.h1 AS bh1, b.h2 AS bh2, b.t1 AS bt1, b.t2 AS bt2
+      FROM s2 a JOIN s2 b ON a.track < b.track
+      WHERE ((a.x2-a.x1)*(b.y2-b.y1) - (a.y2-a.y1)*(b.x2-b.x1)) <> 0)
+    SELECT DISTINCT track1, track2,
+           round(ax1 + s*(ax2-ax1), 3) AS x,
+           round(ay1 + s*(ay2-ay1), 3) AS y,
+           round((bh1 + u*(bh2-bh1)) - (ah1 + s*(ah2-ah1)), 6) AS h_x,
+           round((bt1 + u*(bt2-bt1)) - (at1 + s*(at2-at1)), 6) AS t_d
+    FROM hits
+    WHERE s >= 0 AND s <= 1 AND u >= 0 AND u <= 1
+    """,
+)
+def q_crossover_curved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.functions.projection import lonlat_to_xy
+    from deepicedrain_spark.operators.crossover import (
+        crossover_join,
+        densify_track_greatcircle,
+        track_segments,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wn = Window.partitionBy("tid").orderBy("ts", "event_id")
+    base = (
+        ev.select(
+            (F.col("user_id") % 3).alias("tid"), "event_id", "ts",
+            F.col("value").alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(wn).cast("double"))
+        .filter(F.col("rn") <= 30)
+    )
+    offset = (
+        F.when(F.col("tid") == 0, F.lit(-71.9))
+        .when(F.col("tid") == 1, F.lit(-71.5))
+        .otherwise(F.lit(-71.2))
+    )
+    slope = (
+        F.when(F.col("tid") == 0, F.lit(0.012))
+        .when(F.col("tid") == 1, F.lit(-0.004))
+        .otherwise(F.lit(-0.02))
+    )
+    pts = base.select(
+        "tid",
+        "rn",
+        (F.lit(-60.0) + F.col("rn") * 0.4).alias("lon"),
+        (offset + slope * F.col("rn")).alias("lat"),
+        "h",
+    )
+    dens = densify_track_greatcircle(
+        pts, track_col="tid", order_col="rn", max_seg_m=5000.0
+    )
+    x, y = lonlat_to_xy(F.col("lon"), F.col("lat"))
+    proj = dens.select(
+        "track",
+        (F.col("rn") + F.col("i").cast("double") * 0.001).alias("ord"),
+        x.alias("x"),
+        y.alias("y"),
+        "h",
+    )
+    segs = track_segments(
+        proj, track_col="track", order_col="ord", x="x", y="y", h="h", t="ord",
+        max_gap=None,
+    )
+    xo = crossover_join(segs, cell=20_000.0, track_col="track")
+    return xo.select(
+        "track1",
+        "track2",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round(F.col("h_2") - F.col("h_1"), 6).alias("h_x"),
+        F.round(F.col("t_2") - F.col("t_1"), 6).alias("t_d"),
+    )
+
+
 # --- J4: column-wise positional concat (extraload.py:109-117) ---------
 @register(
     "positional_concat",
