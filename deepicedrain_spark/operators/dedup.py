@@ -258,6 +258,85 @@ def ngram_jaccard_pairs(
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs whose n-gram Jaccard
+    with ANY benchmark doc reaches ``threshold`` — the eval-leakage
+    check a training pipeline runs before a data release. Same
+    prefix-filter candidate scheme as :func:`ngram_jaccard_pairs`
+    (lossless at the threshold), with the canonical shingle order
+    computed over the UNION of both sides so prefixes are consistent.
+    Output: (doc_id, bench_id, jaccard), self-pairs excluded."""
+    c_sh = word_shingles(corpus, text_col, n).withColumn(
+        "_n", F.size("shingles")
+    ).localCheckpoint()
+    b_sh = word_shingles(benchmark, text_col, n).withColumn(
+        "_n", F.size("shingles")
+    ).localCheckpoint()
+    c_ex = c_sh.select(F.col(id_col), "_n", F.explode("shingles").alias("_s"))
+    b_ex = b_sh.select(F.col(id_col), "_n", F.explode("shingles").alias("_s"))
+    # freq feeds BOTH sides' prefix builds — checkpoint so the union
+    # aggregation runs once, not once per side
+    freq = (
+        c_ex.select("_s").unionByName(b_ex.select("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint()
+    )
+    wcanon = Window.partitionBy(id_col).orderBy("_df", "_s")
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + 1
+
+    def prefixes(ex: DataFrame) -> DataFrame:
+        return (
+            ex.join(freq, "_s")
+            .withColumn("_pos", F.row_number().over(wcanon))
+            .filter(F.col("_pos") <= prefix_len)
+            .select(id_col, "_n", "_s")
+        )
+
+    a = prefixes(c_ex).select(
+        F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_s"
+    )
+    b = prefixes(b_ex).select(
+        F.col(id_col).alias("bench_id"), F.col("_n").alias("_nb"), "_s"
+    )
+    cands = (
+        a.join(
+            b,
+            (a["_s"] == b["_s"])
+            & (F.col("id_a") != F.col("bench_id"))
+            & (F.lit(threshold) * F.col("_na") <= F.col("_nb"))
+            & (F.lit(threshold) * F.col("_nb") <= F.col("_na")),
+        )
+        .select("id_a", "bench_id")
+        .distinct()
+    )
+    j = (
+        cands.join(
+            c_sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        ).join(
+            b_sh.select(
+                F.col(id_col).alias("bench_id"), F.col("shingles").alias("sh_b")
+            ),
+            "bench_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(F.col("id_a").alias(id_col), "bench_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

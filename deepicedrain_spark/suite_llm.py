@@ -137,6 +137,57 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_op(docs, threshold=0.5)
 
 
+# --- benchmark contamination (cross-corpus n-gram Jaccard) ------------
+# The eval-leakage scan a training pipeline runs before release: which
+# corpus docs overlap an evaluation set above threshold. Benchmark =
+# shifted-id copies of the first 50 docs, so every benchmark doc
+# contaminates its source at J = 1.0 (plus any genuine near-dups).
+@register(
+    "benchmark_contamination",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    bench AS (
+      SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 50),
+    cw AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM corpus),
+    bw AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM bench),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM cw),
+    bsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM bw),
+    csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+    bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS c
+      FROM csh a JOIN bsh b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_id, i.bench_id,
+           round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+    FROM inter i
+    JOIN csz ca ON ca.doc_id = i.doc_id
+    JOIN bsz cb ON cb.doc_id = i.bench_id
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(20000)).alias("doc_id"), "text"
+    )
+    return ngram_contamination(docs, bench, threshold=0.5)
+
+
 # --- SimHash ----------------------------------------------------------
 @register(
     "simhash_fingerprints",
