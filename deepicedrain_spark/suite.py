@@ -979,6 +979,15 @@ PRIORITY: list[str] = [
     # streaming extension (§2.11)
     "streaming_session_counts",
     "streaming_asof_join",
+    # --- tier 2: first in line past the driver's 50-query window ------
+    "benchmark_contamination",
+    "crossover_curved_tracks",
+    "embedding_near_dup_lsh",
+    "track_densify_greatcircle",
+    "multimodal_audio_resample",
+    "surface_interpolation_idw",
+    "dhdt_wide_maponly",
+    "point_in_polygon",
 ]
 
 
