@@ -12,7 +12,7 @@ round(…, 6) is deterministic across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ASCII-explicit classes so JVM and DuckDB regex semantics agree.
@@ -203,6 +203,41 @@ def clean_text(col: Column) -> Column:
     no_ctl = F.regexp_replace(no_url, "[\\x00-\\x1f]", " ")
     collapsed = F.regexp_replace(F.lower(no_ctl), "  +", " ")
     return F.trim(collapsed)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (keyword extraction / doc
+    representation stage): tf = in-doc count, idf = ln((N+1)/(df+1))+1
+    (smoothed), deterministic ties by term. Shuffle profile: one
+    exchange on (doc, term) for tf, one on term for df, a broadcast of
+    the scalar N, and a rank-limit window (WindowGroupLimit) — no
+    all-pairs anything. Output: (doc_id, term, rank, score)."""
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("_tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
+    )
 
 
 def vocabulary(

@@ -820,6 +820,34 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-doc TF-IDF keywords (doc-representation stage) ---------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(tfc * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term), n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts_ops.tfidf_top_terms(docs, k=3)
+
+
 # --- corpus vocabulary (top-k token counts, vocab-building stage) -----
 @register(
     "corpus_vocabulary",
