@@ -1,0 +1,255 @@
+"""Distributed sketch operators: HyperLogLog distinct, Bloom-filter
+membership, count-min heavy hitters, deterministic stratified sampling.
+
+These extend the LLM-data-pipeline surface (dedup / corpus statistics)
+with the approximate structures a 100 TB pipeline leans on when exact
+answers would shuffle the full corpus.  Every sketch here is a pure
+Catalyst composition whose shuffle payload is O(sketch size) — the
+registers / bit positions / counters — never O(rows):
+
+  - map side: a per-row hash expression (md5-derived, whole-stage
+    codegen) emits (bucket, value) pairs;
+  - one partial-aggregating groupBy collapses them to the sketch
+    (≤ a few thousand rows regardless of input scale);
+  - the estimate is a scalar expression over the sketch.
+
+All hash math derives from md5 rather than Spark's xxhash64 so a SQL
+oracle (DuckDB) reproduces every stage bit-for-bit: the first 15 hex
+chars of md5 parse to the same non-negative 60-bit integer in both
+engines (Spark ``conv(substring(md5(x),1,15),16,10)``; DuckDB
+``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``).
+
+The reference engine has no sketch surface (it materializes exact
+pandas/cuDF frames — e.g. uniqueness via ``drop_duplicates``,
+/root/reference/atlxi_dhdt.py and deepicedrain/spatiotemporal.py); the
+sketches are the scale-path replacement for those exact passes, the
+way DataSketches extends Hive/Druid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_long60(col: Column) -> Column:
+    """First 60 bits of md5(col) as a non-negative BIGINT.
+
+    Engine-portable: DuckDB computes the identical value with
+    ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``.  60 bits
+    (15 hex chars) keeps the value strictly inside a signed 64-bit
+    range, so no engine-specific unsigned/overflow semantics leak in.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), deterministic md5 register variant
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
+    """HLL register table: bucket (first ``b`` hash bits) → max rank.
+
+    rho = 1 + number of leading zeros of the remaining ``60-b`` bits;
+    an all-zero remainder scores ``60-b+1``.  The groupBy partially
+    aggregates map-side, so the shuffle moves at most
+    ``m = 2**b`` rows per input partition — O(sketch), not O(rows).
+    """
+    sh = 60 - b
+    t = df.select(md5_long60(F.col(col).cast("string")).alias("v")).select(
+        F.expr(f"v DIV {1 << sh}").alias("bucket"),
+        F.expr(f"v % {1 << sh}").alias("w"),
+    )
+    # length(bin(w)) = floor(log2 w)+1 for w>0 (bin() strips leading
+    # zeros in both engines), so rho = (sh+1) - length(bin(w)).
+    rho = (
+        F.when(F.col("w") == 0, F.lit(sh + 1))
+        .otherwise(F.lit(sh + 1) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+    )
+    return t.groupBy("bucket").agg(F.max(rho).alias("r"))
+
+
+def hll_estimate(df: DataFrame, col: str, b: int = 10) -> DataFrame:
+    """One-row HLL distinct-count estimate for ``df[col]``.
+
+    The harmonic sum is kept in EXACT integer arithmetic (each
+    register contributes ``2**(sh+1-r)``, an empty one ``2**(sh+1)``;
+    the total fits a BIGINT for b >= 4) and only the final estimate
+    touches doubles, so both engines round the same way.  The
+    small-range (linear counting) correction applies below ``2.5*m``
+    when empty registers remain — the estimate is emitted as a rounded
+    BIGINT so a last-ulp libm difference in ``ln`` cannot flip it.
+    """
+    m = 1 << b
+    sh = 60 - b
+    top = 1 << (sh + 1)
+    reg = hll_registers(df, col, b)
+    agg = reg.agg(
+        F.count(F.lit(1)).alias("m_nz"),
+        F.sum(F.expr(f"CAST({top} AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT), r)")).alias(
+            "s_nz"
+        ),
+    )
+    # alpha_m * m^2, written as the same literal arithmetic the oracle
+    # uses so the double is produced by an identical IEEE op sequence.
+    alpha_mm = f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0"
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("m_nz").cast("long").alias("m_nz"),
+        F.expr(
+            f"""
+            CAST(round(CASE
+              WHEN ({alpha_mm}) / ((CAST(s_nz + ({m} - m_nz) * CAST({top} AS BIGINT)
+                        AS DOUBLE)) / {top}.0) <= 2.5 * {m}.0
+                   AND m_nz < {m}
+                THEN {m}.0 * ln({m}.0 / CAST({m} - m_nz AS DOUBLE))
+              ELSE ({alpha_mm}) / ((CAST(s_nz + ({m} - m_nz) * CAST({top} AS BIGINT)
+                        AS DOUBLE)) / {top}.0)
+            END) AS BIGINT)
+            """
+        ).alias("estimate"),
+    )
+
+
+def hll_oracle_sql(source_sql: str, expr: str, b: int = 10) -> str:
+    """DuckDB SQL reproducing :func:`hll_estimate` bit-for-bit.
+
+    ``source_sql`` is a FROM-able relation, ``expr`` the hashed column
+    expression (cast to VARCHAR by the caller if needed).
+    """
+    m = 1 << b
+    sh = 60 - b
+    top = 1 << (sh + 1)
+    alpha_mm = f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0"
+    return f"""
+    WITH hashed AS (
+      SELECT CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS v
+      FROM {source_sql}),
+    split AS (
+      SELECT v // {1 << sh} AS bucket, v % {1 << sh} AS w FROM hashed),
+    reg AS (
+      SELECT bucket,
+             max(CASE WHEN w = 0 THEN {sh + 1}
+                      ELSE {sh + 1} - length(bin(w)) END) AS r
+      FROM split GROUP BY bucket),
+    agg AS (
+      SELECT count(*) AS m_nz,
+             sum(CAST({top} AS BIGINT) // (CAST(1 AS BIGINT) << r)) AS s_nz
+      FROM reg)
+    SELECT CAST({m} AS BIGINT) AS m,
+           CAST(m_nz AS BIGINT) AS m_nz,
+           CAST(round(CASE
+             WHEN ({alpha_mm}) / ((CAST(s_nz + ({m} - m_nz) * CAST({top} AS BIGINT)
+                       AS DOUBLE)) / {top}.0) <= 2.5 * {m}.0
+                  AND m_nz < {m}
+               THEN {m}.0 * ln({m}.0 / CAST({m} - m_nz AS DOUBLE))
+             ELSE ({alpha_mm}) / ((CAST(s_nz + ({m} - m_nz) * CAST({top} AS BIGINT)
+                       AS DOUBLE)) / {top}.0)
+           END) AS BIGINT) AS estimate
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — corpus membership without the corpus
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(key: Column, j: Column, m: int) -> Column:
+    return md5_long60(F.concat(key, F.lit("|"), j.cast("string"))) % m
+
+
+def bloom_bits(df: DataFrame, key: Column, k: int = 4, m: int = 1 << 16) -> DataFrame:
+    """Set-bit positions of a Bloom filter over ``key`` (k hashes, m
+    bits).  The result is at most ``m`` rows — broadcastable — however
+    large the corpus: the build is one map (k rows per input row) and
+    one distinct whose partial aggregation collapses duplicates
+    map-side."""
+    e = df.select(key.alias("_k"), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"))
+    return e.select(_bloom_pos(F.col("_k"), F.col("j"), m).alias("pos")).distinct()
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bits: DataFrame,
+    key: Column,
+    id_col: str,
+    k: int = 4,
+    m: int = 1 << 16,
+) -> DataFrame:
+    """Membership probe: ``maybe_member`` is true iff ALL ``k`` hash
+    positions of the probe key are set in ``bits`` (one-sided error:
+    false positives only).  The filter side is broadcast, so the probe
+    is a map-side join — no shuffle of the probed corpus."""
+    e = probe.select(
+        F.col(id_col), key.alias("_k"), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    ).select(F.col(id_col), _bloom_pos(F.col("_k"), F.col("j"), m).alias("pos"))
+    hit = bits.withColumn("_hit", F.lit(1))
+    return (
+        e.join(F.broadcast(hit), "pos", "left")
+        .groupBy(id_col)
+        .agg((F.count("_hit") == k).alias("maybe_member"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_table(items: DataFrame, item_col: str, d: int = 3, w: int = 32) -> DataFrame:
+    """Count-min counter table (j, pos) → cnt: ``d`` hash rows of
+    width ``w``.  ``d*w`` counters total; the groupBy partially
+    aggregates so the shuffle is O(d*w) per input partition."""
+    e = items.select(
+        F.col(item_col).alias("_t"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    )
+    pos = md5_long60(F.concat(F.col("_t"), F.lit("#"), F.col("j").cast("string"))) % w
+    return e.select("j", pos.alias("pos")).groupBy("j", "pos").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame, sketch: DataFrame, item_col: str, d: int = 3, w: int = 32
+) -> DataFrame:
+    """CMS point estimate for each candidate item: min over the ``d``
+    rows of the counter each hash lands in (an upper bound on the true
+    count).  Sketch and candidates are both tiny → broadcast joins."""
+    e = candidates.select(
+        F.col(item_col), F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+    )
+    pos = md5_long60(F.concat(F.col(item_col), F.lit("#"), F.col("j").cast("string"))) % w
+    return (
+        e.select(item_col, "j", pos.alias("pos"))
+        .join(F.broadcast(sketch), ["j", "pos"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame, stratum_cols: list[str], id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen by md5 order of the id — content-stable across
+    runs, partitionings, and engines (no RNG).  One shuffle on the
+    stratum key; rank via window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_per_stratum)
+        .drop("rk")
+    )

@@ -980,6 +980,11 @@ PRIORITY: list[str] = [
     "streaming_session_counts",
     "streaming_asof_join",
     # --- tier 2: first in line past the driver's 50-query window ------
+    "hll_distinct_custkeys",
+    "bloom_cross_corpus",
+    "cms_heavy_hitters",
+    "stratified_sample_events",
+    "pii_redaction",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

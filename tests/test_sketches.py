@@ -1,0 +1,79 @@
+"""Sketch operators: hash parity, estimator guarantees, determinism."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.io import load_table
+from deepicedrain_spark.operators.sketches import (
+    bloom_bits,
+    bloom_probe,
+    cms_estimate,
+    cms_table,
+    hll_estimate,
+    md5_long60,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_md5_long60_matches_python(spark):
+    vals = ["", "a", "abc", "hello world", "1234567890"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", md5_long60(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        expect = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        assert got[v] == expect
+
+
+def test_hll_within_error_bound(spark):
+    orders = load_table(spark, SF, "orders")
+    est = hll_estimate(orders, "o_custkey", b=10).collect()[0]
+    exact = orders.select("o_custkey").distinct().count()
+    # standard error 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    assert abs(est["estimate"] - exact) / exact < 0.13
+    assert est["m"] == 1024 and 0 < est["m_nz"] <= 1024
+
+
+def test_bloom_no_false_negatives(spark):
+    docs = load_table(spark, SF, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    key = F.col("text")
+    bits = bloom_bits(a, key, k=4, m=1 << 12)
+    probed = {r["doc_id"]: r["maybe_member"] for r in bloom_probe(b, bits, key, "doc_id", k=4, m=1 << 12).collect()}
+    a_texts = {r["text"] for r in a.select("text").collect()}
+    for r in b.select("doc_id", "text").collect():
+        if r["text"] in a_texts:
+            assert probed[r["doc_id"]], f"false negative for doc {r['doc_id']}"
+
+
+def test_cms_upper_bound(spark):
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t")).where(F.col("t") != "")
+    sketch = cms_table(toks, "t", d=3, w=16)
+    exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(exact.select("t"), sketch, "t", d=3, w=16)
+    rows = est.join(exact, "t").collect()
+    assert rows
+    for r in rows:
+        assert r["est"] >= r["exact_cnt"], r
+
+
+def test_stratified_sample_exact_sizes_and_stable(spark):
+    ev = load_table(spark, SF, "events")
+    n = 7
+    s1 = stratified_sample(ev, ["event_type"], "event_id", n)
+    sizes = {r["event_type"]: r["c"] for r in s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    totals = {r["event_type"]: r["c"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for et, total in totals.items():
+        assert sizes[et] == min(n, total)
+    ids1 = sorted(r["event_id"] for r in s1.select("event_id").collect())
+    ids2 = sorted(
+        r["event_id"]
+        for r in stratified_sample(ev.repartition(3), ["event_type"], "event_id", n)
+        .select("event_id")
+        .collect()
+    )
+    assert ids1 == ids2  # content-stable under repartitioning
