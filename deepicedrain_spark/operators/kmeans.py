@@ -1,0 +1,117 @@
+"""Lloyd's k-means over an embedding column, Spark-first.
+
+Shape (the one that survives 100 TB):
+  - centroids always live on the driver (k*d doubles — MLlib keeps
+    them the same way) and enter the plan as LITERAL arrays, so the
+    assignment step is MAP-ONLY: no join, no shuffle, whole-stage
+    codegen end to end;
+  - the update step is one partial-aggregating groupBy on
+    (cluster, dim) — shuffle payload O(k*d*partitions), never rows;
+  - per-iteration centroid components are rounded to 6 d.p. in BOTH
+    engines, so cross-engine fp accumulation differences (~1e-13
+    relative) cannot compound across iterations — the property that
+    lets a DuckDB oracle replay the training loop iteration-for-
+    iteration (same trick as gridding.tension_spline_grid).
+
+Determinism: seeds are the k rows with the smallest md5(vec_id) (no
+RNG); assignment ties break on the lower cluster id via a sorted
+(dist, cluster) struct array.
+
+The reference engine has no clustering beyond DBSCAN
+(/root/reference/atlxi_lake.py:327-340, cuml/sklearn seam); k-means
+extends the similarity-search surface (operators/similarity.py) with
+a trained IVF coarse quantizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def sq_dist_to(vec_col: str, centroid: list[float]) -> Column:
+    """Squared L2 distance from a (float) array column to a literal
+    centroid, folded left-to-right like DuckDB's list_sum."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            _lit_vec(centroid),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Adds ``cluster`` (bigint) and ``dist`` columns: nearest literal
+    centroid, ties to the lower cluster id.  Map-only — the centroid
+    list is folded into the expression tree as literals."""
+    scored = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    sq_dist_to(vec_col, c).alias("dist"),
+                    F.lit(i).cast("long").alias("cluster"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )[0]
+    return df.withColumn("_best", scored).withColumn(
+        "cluster", F.col("_best.cluster")
+    ).withColumn("dist", F.col("_best.dist")).drop("_best")
+
+
+def seed_centroids(df: DataFrame, vec_col: str, id_col: str, k: int) -> list[list[float]]:
+    """k seeds = rows with the smallest md5(id) — content-stable, no RNG."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    return [list(r["_v"]) for r in rows]
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Runs ``iters`` Lloyd iterations; returns (assignments vs the
+    second-to-last centroids — i.e. the ones the final means were
+    computed FROM — and the final centroid list).
+
+    Each iteration: one map-only assignment pass + one O(k*d) groupBy;
+    the k*d mean table is collected to the driver (512 doubles at
+    k=8, d=64) to become the next iteration's literals.
+    """
+    cents = seed_centroids(df, vec_col, id_col, k)
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_to_centroids(df, vec_col, cents)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("mv"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["mv"])
+        cents = [
+            [by_cluster[c][p] for p in sorted(by_cluster[c])] if c in by_cluster else cents[c]
+            for c in range(k)
+        ]
+    return assigned, cents

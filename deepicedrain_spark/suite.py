@@ -985,6 +985,8 @@ PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "stratified_sample_events",
     "pii_redaction",
+    "kmeans_clusters",
+    "ivf_topk_trained",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -18,6 +18,11 @@ from pyspark.sql import Window
 
 from deepicedrain_spark.io import load_table
 from deepicedrain_spark.operators.dedup import normalize_text
+from deepicedrain_spark.operators.kmeans import (
+    assign_to_centroids,
+    lloyd_kmeans,
+    sq_dist_to,
+)
 from deepicedrain_spark.operators.sketches import (
     bloom_bits,
     bloom_probe,
@@ -224,3 +229,174 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(_IP_RE)).cast("long").alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# --- Lloyd's k-means + trained IVF ------------------------------------
+_KM_K, _KM_ITERS, _KM_D = 8, 3, 64
+
+_KM_DIST = (
+    "list_sum(list_transform(generate_series(1, {d}),"
+    " i -> ({p}[i] - {c}[i]) * ({p}[i] - {c}[i])))"
+)
+
+
+def _kmeans_chain(k: int = _KM_K, iters: int = _KM_ITERS, d: int = _KM_D) -> str:
+    """DuckDB CTE chain replaying lloyd_kmeans iteration-for-iteration:
+    cent0 (md5-seeded) → assign1/cent1 → … → assign{iters}/cent{iters}.
+    Per-iteration centroid rounding to 6 d.p. matches the Spark side,
+    so cross-engine fp drift cannot compound."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"""cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS BIGINT) AS cluster, v AS cvec
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k})""",
+    ]
+    for t in range(1, iters + 1):
+        dist = _KM_DIST.format(d=d, p="e.v", c="c.cvec")
+        parts.append(
+            f"""assign{t} AS (
+      SELECT vec_id, v, cluster, dist FROM (
+        SELECT vec_id, v, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        FROM (SELECT e.vec_id, e.v, c.cluster, {dist} AS dist
+              FROM e CROSS JOIN cent{t - 1} c))
+      WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""cent{t} AS (
+      SELECT c.cluster, coalesce(m.cvec, c.cvec) AS cvec
+      FROM cent{t - 1} c LEFT JOIN (
+        SELECT cluster, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cluster, pos, round(avg(v[pos]), 6) AS mv
+          FROM assign{t} CROSS JOIN generate_series(1, {d}) g(pos)
+          GROUP BY cluster, pos)
+        GROUP BY cluster) m ON m.cluster = c.cluster)"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_KMEANS_SQL = f"""
+{_kmeans_chain()},
+    sizes AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+             round(sum(dist), 6) AS inertia
+      FROM assign{_KM_ITERS} GROUP BY cluster)
+SELECT s.cluster, s.n_points, c.cvec[1] AS c0, c.cvec[2] AS c1, s.inertia
+FROM sizes s JOIN cent{_KM_ITERS} c ON c.cluster = s.cluster
+ORDER BY s.cluster
+"""
+
+
+@register("kmeans_clusters", _KMEANS_SQL)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations, md5 seeds): per-cluster
+    size, first two centroid components, and inertia.  Assignment is
+    map-only (centroids folded in as literals); the update shuffles
+    only the O(k*d) partial-mean table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = lloyd_kmeans(emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS)
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("dist"), 6).alias("inertia"),
+    )
+    cent_rows = [(i, c[0], c[1]) for i, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(cent_rows, "cluster long, c0 double, c1 double")
+    return (
+        sizes.join(F.broadcast(cent_df), "cluster")
+        .select("cluster", "n_points", "c0", "c1", "inertia")
+        .orderBy("cluster")
+    )
+
+
+_IVF_TRAINED_SQL = f"""
+{_kmeans_chain()},
+    corpus AS (
+      SELECT vec_id AS cand_id, v AS cv, cluster FROM (
+        SELECT vec_id, v, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        FROM (SELECT e.vec_id, e.v, c.cluster,
+                     {_KM_DIST.format(d=_KM_D, p="e.v", c="c.cvec")} AS dist
+              FROM e CROSS JOIN cent{_KM_ITERS} c))
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    qprobe AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT q.query_id, q.qv, c.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_KM_DIST.format(d=_KM_D, p="q.qv", c="c.cvec")},
+                                           c.cluster) AS rk
+        FROM q CROSS JOIN cent{_KM_ITERS} c)
+      WHERE rk <= 2),
+    scored AS (
+      SELECT p.query_id, c.cand_id,
+             round(
+               list_sum(list_transform(generate_series(1, {_KM_D}),
+                 i -> p.qv[i] * c.cv[i]))
+               / sqrt(list_sum(list_transform(generate_series(1, {_KM_D}),
+                        i -> p.qv[i] * p.qv[i]))
+                    * list_sum(list_transform(generate_series(1, {_KM_D}),
+                        i -> c.cv[i] * c.cv[i]))), 6) AS cos
+      FROM qprobe p JOIN corpus c USING (cluster)
+      WHERE p.query_id <> c.cand_id)
+SELECT query_id, cand_id, cos, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+  FROM scored)
+WHERE rk <= 3
+ORDER BY query_id, rank
+"""
+
+
+@register("ivf_topk_trained", _IVF_TRAINED_SQL)
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: k-means centroids
+    partition the corpus; each query probes its nprobe=2 nearest cells
+    and ranks candidates by exact cosine.  Corpus partitioning and
+    probe selection are map-only over literal centroids; the only join
+    is the cell-equi-join — the 100 TB ANN shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = lloyd_kmeans(emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS)
+    corpus = assign_to_centroids(emb, "embedding", cents).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cluster"
+    )
+    probes = F.slice(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        sq_dist_to("embedding", c).alias("dist"),
+                        F.lit(i).cast("long").alias("cluster"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        ),
+        1,
+        2,
+    )
+    q = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probes).alias("_p"),
+        )
+        .select("query_id", "qv", F.col("_p.cluster").alias("cluster"))
+    )
+    from deepicedrain_spark.operators.similarity import cosine_expr
+
+    scored = (
+        q.join(corpus, "cluster")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -77,3 +77,55 @@ def test_stratified_sample_exact_sizes_and_stable(spark):
         .collect()
     )
     assert ids1 == ids2  # content-stable under repartitioning
+
+
+def test_kmeans_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from deepicedrain_spark.operators.kmeans import (
+        assign_to_centroids,
+        lloyd_kmeans,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+    k, iters = 4, 2
+    cents = seed_centroids(emb, "embedding", "vec_id", k)
+    np_cents = [np.asarray(c) for c in cents]
+    for _ in range(iters):
+        assign = {}
+        for vid, v in vecs.items():
+            d = [float(((v - c) ** 2).sum()) for c in np_cents]
+            assign[vid] = int(np.argmin(d))
+        for c in range(k):
+            members = [vecs[vid] for vid, a in assign.items() if a == c]
+            if members:
+                np_cents[c] = np.round(np.mean(members, axis=0), 6)
+
+    _, got_cents = lloyd_kmeans(emb, "embedding", "vec_id", k=k, iters=iters)
+    for c in range(k):
+        assert np.allclose(got_cents[c], np_cents[c], atol=1e-9), f"centroid {c}"
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids(emb, "embedding", cents).select("vec_id", "cluster").collect()
+    }
+    for vid, v in vecs.items():
+        d = [float(((v - np.asarray(c)) ** 2).sum()) for c in cents]
+        assert got[vid] == int(np.argmin(d))
+
+
+def test_kmeans_inertia_decreases(spark):
+    from deepicedrain_spark.operators.kmeans import lloyd_kmeans
+
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, SF, "embeddings")
+    a1, _ = lloyd_kmeans(emb, "embedding", "vec_id", k=4, iters=1)
+    a3, _ = lloyd_kmeans(emb, "embedding", "vec_id", k=4, iters=3)
+    i1 = a1.agg(FF.sum("dist")).collect()[0][0]
+    i3 = a3.agg(FF.sum("dist")).collect()[0][0]
+    assert i3 <= i1 + 1e-6
