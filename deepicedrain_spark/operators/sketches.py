@@ -82,10 +82,17 @@ def hll_estimate(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     when empty registers remain — the estimate is emitted as a rounded
     BIGINT so a last-ulp libm difference in ``ln`` cannot flip it.
     """
+    return hll_estimate_from_registers(hll_registers(df, col, b), b)
+
+
+def hll_estimate_from_registers(reg: DataFrame, b: int = 10) -> DataFrame:
+    """Estimate tail over a (bucket, r) register table — shared by the
+    batch path and the streaming path (whose register table comes out
+    of a complete-mode streaming aggregation: max-merge is order- and
+    replay-insensitive, so stream and batch registers are identical)."""
     m = 1 << b
     sh = 60 - b
     top = 1 << (sh + 1)
-    reg = hll_registers(df, col, b)
     agg = reg.agg(
         F.count(F.lit(1)).alias("m_nz"),
         F.sum(F.expr(f"CAST({top} AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT), r)")).alias(

@@ -987,6 +987,7 @@ PRIORITY: list[str] = [
     "pii_redaction",
     "kmeans_clusters",
     "ivf_topk_trained",
+    "streaming_hll_users",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

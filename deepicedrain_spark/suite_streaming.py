@@ -255,3 +255,23 @@ def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof_attach(events, "click", "purchase", tolerance_us=_ASOF_TOL_US),
         "append",
     )
+
+
+# Streaming HyperLogLog: the register table is a plain streaming
+# groupBy-max (complete mode, O(2**b) state, no watermark needed —
+# max-merge is order/replay/retraction-free), so the stream's final
+# registers are IDENTICAL to the batch ones and the batch oracle
+# (operators/sketches.hll_oracle_sql) applies exactly.
+from deepicedrain_spark.operators.sketches import hll_oracle_sql  # noqa: E402
+
+
+@register("streaming_hll_users", hll_oracle_sql("events", "user_id", b=10))
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    reg = run_to_batch(hll_registers(events, "user_id", b=10), "complete")
+    return hll_estimate_from_registers(reg, b=10)
