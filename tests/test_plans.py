@@ -101,3 +101,44 @@ def test_densify_single_window_no_join(spark):
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan
     assert "Generate explode" in plan
+
+
+def test_kmeans_assignment_map_only(spark):
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.kmeans import assign_to_centroids, seed_centroids
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = seed_centroids(emb, "embedding", "vec_id", 4)
+    plan = plan_of(assign_to_centroids(emb, "embedding", cents))
+    # centroids enter as literals: no join, no shuffle — pure scan+project
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.sketches import bloom_bits, bloom_probe
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    bits = bloom_bits(a, F.col("text"), k=4, m=1 << 12)
+    plan = plan_of(bloom_probe(b, bits, F.col("text"), "doc_id", k=4, m=1 << 12))
+    # the bit set joins broadcast; the probed corpus is never shuffled
+    # for the membership test (only the final per-doc groupBy keys it)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_single_register_shuffle(spark):
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.sketches import hll_estimate
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    plan = plan_of(hll_estimate(orders, "o_custkey", b=10))
+    # one hash shuffle (the 2^b register groupBy) + the final 1-row
+    # single-partition agg; partial aggregation runs map-side
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan or "partial" in plan.lower()
