@@ -988,6 +988,8 @@ PRIORITY: list[str] = [
     "kmeans_clusters",
     "ivf_topk_trained",
     "streaming_hll_users",
+    "equi_depth_deciles",
+    "leakage_safe_split",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

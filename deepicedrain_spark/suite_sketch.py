@@ -400,3 +400,121 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- exact distributed quantile boundaries ----------------------------
+_QSQL = """
+WITH counts AS (
+  SELECT l_extendedprice AS price, count(*) AS n
+  FROM lineitem GROUP BY 1),
+cum AS (
+  SELECT price, sum(n) OVER (ORDER BY price) AS c,
+         sum(n) OVER () AS total
+  FROM counts)
+SELECT q, min(price) AS boundary
+FROM generate_series(1, 9) g(q) JOIN cum
+  ON cum.c >= ceil(q * cum.total / 10.0)
+GROUP BY q
+ORDER BY q
+"""
+
+
+@register("equi_depth_deciles", _QSQL)
+def q_equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile boundaries WITHOUT a global sort of the fact
+    table: aggregate by value (shuffle payload = the value domain, not
+    the row count), cumulative-sum the tiny grouped table, pick the
+    smallest value whose running count crosses each q/10 rank.  The
+    100 TB-safe exact-quantile shape; the 9-row quantile spec joins
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_cum = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = counts.select(
+        "price", F.sum("n").over(w_cum).alias("c"), F.sum("n").over(w_all).alias("total")
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    return (
+        cum.join(
+            F.broadcast(qs),
+            F.col("c") >= F.ceil(F.col("q") * F.col("total") / F.lit(10.0)),
+        )
+        .groupBy("q")
+        .agg(F.min("price").alias("boundary"))
+        .orderBy("q")
+    )
+
+
+# --- leakage-safe dataset split ---------------------------------------
+# Near-duplicate documents must never straddle train/test: bucket by
+# the near-dup CONNECTED COMPONENT id (singletons fall back to their
+# own doc_id), then apply the same md5 split rule as dataset_split.
+_LEAK_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, v) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON s.a = r.v)
+  SELECT src AS doc_id, min(v) AS component_id FROM r GROUP BY src),
+grouped AS (
+  SELECT d.doc_id, coalesce(r.component_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN reach r ON r.doc_id = d.doc_id)
+SELECT doc_id, group_id,
+       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, group_id,
+             CAST(CAST('0x' || substring(md5(CAST(group_id AS VARCHAR)), 29, 4) AS INT) % 10 AS INT) AS bucket
+      FROM grouped)
+ORDER BY doc_id
+"""
+
+
+@register("leakage_safe_split", _LEAK_SQL)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the split key is the near-dup connected-component id, so a
+    whole duplicate cluster lands in one split.  Composition of the
+    MinHash-LSH pipeline, pointer-jumping components, and the
+    md5-bucket split rule — all existing scale paths."""
+    from deepicedrain_spark.operators.dedup import minhash_near_duplicates
+    from deepicedrain_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    grouped = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id")
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("group_id").cast("string")), 29, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    return grouped.select("doc_id", "group_id", split.alias("split")).orderBy("doc_id")

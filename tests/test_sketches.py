@@ -129,3 +129,29 @@ def test_kmeans_inertia_decreases(spark):
     i1 = a1.agg(FF.sum("dist")).collect()[0][0]
     i3 = a3.agg(FF.sum("dist")).collect()[0][0]
     assert i3 <= i1 + 1e-6
+
+
+def test_leakage_safe_split_no_component_straddles(spark):
+    from deepicedrain_spark.suite_sketch import q_leakage_safe_split
+
+    rows = q_leakage_safe_split(spark, SF).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert rows
+    for g, splits in by_group.items():
+        assert len(splits) == 1, f"group {g} straddles {splits}"
+
+
+def test_equi_depth_deciles_are_true_boundaries(spark):
+    from deepicedrain_spark.suite_sketch import q_equi_depth_deciles
+
+    li = load_table(spark, SF, "lineitem")
+    prices = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    n = len(prices)
+    import math
+
+    got = {r["q"]: r["boundary"] for r in q_equi_depth_deciles(spark, SF).collect()}
+    for q in range(1, 10):
+        rank = math.ceil(q * n / 10.0)
+        assert got[q] == prices[rank - 1], q
