@@ -99,19 +99,24 @@ def lloyd_kmeans(
     assigned = None
     for _ in range(iters):
         assigned = assign_to_centroids(df, vec_col, cents)
-        means = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("v"), 6).alias("mv"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["mv"])
-        cents = [
-            [by_cluster[c][p] for p in sorted(by_cluster[c])] if c in by_cluster else cents[c]
-            for c in range(k)
-        ]
+        cents = updated_centroids(assigned, vec_col, cents)
     return assigned, cents
+
+
+def updated_centroids(
+    assigned: DataFrame, vec_col: str, cents: list[list[float]]
+) -> list[list[float]]:
+    """Per-cluster element-wise means, rounded to 6 d.p. — one groupBy
+    with d independent avg aggregates on v[i] (all partial-aggregated
+    JVM-side; no posexplode, which would push rows·d elements through
+    the shuffle).  Clusters that lost every point keep their previous
+    centroid."""
+    d = len(cents[0])
+    v = F.col(vec_col).cast("array<double>")
+    rows = (
+        assigned.groupBy("cluster")
+        .agg(*[F.round(F.avg(v[i]), 6).alias(f"m{i}") for i in range(d)])
+        .collect()
+    )
+    got = {int(r["cluster"]): [float(r[f"m{i}"]) for i in range(d)] for r in rows}
+    return [got.get(c, cents[c]) for c in range(len(cents))]

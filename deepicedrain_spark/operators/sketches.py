@@ -169,13 +169,24 @@ def _bloom_pos(key: Column, j: Column, m: int) -> Column:
 
 
 def bloom_bits(df: DataFrame, key: Column, k: int = 4, m: int = 1 << 16) -> DataFrame:
-    """Set-bit positions of a Bloom filter over ``key`` (k hashes, m
-    bits).  The result is at most ``m`` rows — broadcastable — however
-    large the corpus: the build is one map (k rows per input row) and
-    one distinct whose partial aggregation collapses duplicates
-    map-side."""
+    """PACKED Bloom filter over ``key`` (k hashes, m bits): 32 bits per
+    row as (word, bits) — ``m/32`` rows however large the corpus, so a
+    2^28-bit filter broadcasts as ~8M longs (~64 MB), not 2^28 position
+    rows.  One map (k rows per input) + one partial-aggregating bit_or
+    groupBy.  32-bit words keep every mask strictly positive, dodging
+    engine-specific signed-shift-overflow semantics (DuckDB errors on
+    1<<63)."""
     e = df.select(key.alias("_k"), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"))
-    return e.select(_bloom_pos(F.col("_k"), F.col("j"), m).alias("pos")).distinct()
+    pos = _bloom_pos(F.col("_k"), F.col("j"), m)
+    return (
+        e.select(pos.alias("pos"))
+        .select(
+            F.expr("pos DIV 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
 
 
 def bloom_probe(
@@ -187,17 +198,19 @@ def bloom_probe(
     m: int = 1 << 16,
 ) -> DataFrame:
     """Membership probe: ``maybe_member`` is true iff ALL ``k`` hash
-    positions of the probe key are set in ``bits`` (one-sided error:
-    false positives only).  The filter side is broadcast, so the probe
-    is a map-side join — no shuffle of the probed corpus."""
+    bits of the probe key are set (one-sided error: false positives
+    only).  The packed word table joins BROADCAST, so the probed
+    corpus is never shuffled for the membership test."""
     e = probe.select(
         F.col(id_col), key.alias("_k"), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
     ).select(F.col(id_col), _bloom_pos(F.col("_k"), F.col("j"), m).alias("pos"))
-    hit = bits.withColumn("_hit", F.lit(1))
+    hit_bit = F.expr("(shiftright(bits, CAST(pos % 32 AS INT)) & 1) = 1")
     return (
-        e.join(F.broadcast(hit), "pos", "left")
+        e.withColumn("word", F.expr("pos DIV 32"))
+        .join(F.broadcast(bits), "word", "left")
+        .select(F.col(id_col), F.coalesce(hit_bit, F.lit(False)).alias("_set"))
         .groupBy(id_col)
-        .agg((F.count("_hit") == k).alias("maybe_member"))
+        .agg((F.sum(F.col("_set").cast("int")) == k).alias("maybe_member"))
     )
 
 

@@ -990,6 +990,7 @@ PRIORITY: list[str] = [
     "streaming_hll_users",
     "equi_depth_deciles",
     "leakage_safe_split",
+    "revenue_rollup",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

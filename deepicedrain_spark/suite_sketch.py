@@ -61,17 +61,23 @@ b AS (
   SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS nt
   FROM documents WHERE doc_id % 3 = 0),
 bits AS (
-  SELECT DISTINCT {_H60.format(x="concat(nt, '|', CAST(j AS VARCHAR))")} % {_BLOOM_M} AS pos
-  FROM a CROSS JOIN generate_series(0, {_BLOOM_K - 1}) g(j)),
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM (
+    SELECT {_H60.format(x="concat(nt, '|', CAST(j AS VARCHAR))")} % {_BLOOM_M} AS pos
+    FROM a CROSS JOIN generate_series(0, {_BLOOM_K - 1}) g(j))
+  GROUP BY 1),
 probe AS (
   SELECT b.doc_id,
          {_H60.format(x="concat(b.nt, '|', CAST(j AS VARCHAR))")} % {_BLOOM_M} AS pos
   FROM b CROSS JOIN generate_series(0, {_BLOOM_K - 1}) g(j)),
 hits AS (
-  SELECT probe.doc_id,
-         count(bits.pos) = {_BLOOM_K} AS maybe_member
-  FROM probe LEFT JOIN bits USING (pos)
-  GROUP BY probe.doc_id),
+  SELECT p.doc_id,
+         sum(CASE WHEN (bits.bits >> CAST(p.pos % 32 AS INT)) & 1 = 1
+                  THEN 1 ELSE 0 END) = {_BLOOM_K} AS maybe_member
+  FROM (SELECT doc_id, pos, pos // 32 AS word FROM probe) p
+  LEFT JOIN bits USING (word)
+  GROUP BY p.doc_id),
 exact AS (
   SELECT b.doc_id, count(a.nt) > 0 AS exact_member
   FROM b LEFT JOIN (SELECT DISTINCT nt FROM a) a USING (nt)
@@ -518,3 +524,51 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     return grouped.select("doc_id", "group_id", split.alias("split")).orderBy("doc_id")
+
+
+# --- ROLLUP hierarchy aggregate ---------------------------------------
+@register(
+    "revenue_rollup",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region_name,
+           CASE WHEN r.r_name IS NULL THEN 'ALL'
+                ELSE coalesce(n.n_name, 'ALL') END AS nation_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy totals (region → nation → grand total) in ONE pass
+    via ROLLUP grouping sets — partial aggregation covers every level,
+    so the multi-level report costs the same single shuffle as the
+    leaf-level groupBy.  Money sums stay exact in DECIMAL."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region_name", "nation_name")
+    )
