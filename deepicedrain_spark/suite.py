@@ -991,6 +991,9 @@ PRIORITY: list[str] = [
     "equi_depth_deciles",
     "leakage_safe_split",
     "revenue_rollup",
+    "customers_without_orders",
+    "event_gaps_rank",
+    "streaming_bloom_bits",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

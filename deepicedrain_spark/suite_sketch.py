@@ -572,3 +572,64 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name")
     )
+
+
+# --- anti-join (§2.3 generic surface) ---------------------------------
+@register(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    ORDER BY c.c_custkey
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join: customers with no order above 300k (every
+    customer in the synthetic data has SOME order, so the filtered
+    anti join is the non-degenerate form).  The price filter pushes to
+    the orders scan; the anti probe is hash-lookup-shaped, not a
+    row-by-row NOT IN scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --- lead/lag + distribution window functions (§2.5 surface) ----------
+@register(
+    "event_gaps_rank",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           round(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id), 6) AS val_pctile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_event_gaps_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user (lag) and per-type value percentile
+    (percent_rank) — the lead/lag + distribution-function window
+    surface.  Both windows shuffle once on their partition key."""
+    from deepicedrain_spark.functions.timeutils import ns_to_us
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ns_to_us(F.col("ts"))
+    w_user = Window.partitionBy("user_id").orderBy(t, "event_id")
+    w_type = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (t - F.lag(t).over(w_user)).alias("gap_us"),
+            F.round(F.percent_rank().over(w_type), 6).alias("val_pctile"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -275,3 +275,30 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     reg = run_to_batch(hll_registers(events, "user_id", b=10), "complete")
     return hll_estimate_from_registers(reg, b=10)
+
+
+# Streaming Bloom-filter build: the packed word table is a complete-
+# mode groupBy-bit_or — like max, bit_or is order/replay-insensitive,
+# so the streamed filter words equal the batch build exactly and the
+# batch packed-bits SQL is the oracle verbatim.
+@register(
+    "streaming_bloom_bits",
+    """
+    SELECT pos // 32 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+    FROM (
+      SELECT CAST(concat('0x', substr(md5(
+               concat(CAST(user_id AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 15))
+             AS BIGINT) % 65536 AS pos
+      FROM events CROSS JOIN generate_series(0, 3) g(j))
+    GROUP BY 1
+    ORDER BY word
+    """,
+)
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.sketches import bloom_bits
+
+    events = read_events_stream(spark, sf_dir)
+    keyed = events.select(F.col("user_id").cast("string").alias("k"))
+    bits = bloom_bits(keyed, F.col("k"), k=4, m=1 << 16)
+    return run_to_batch(bits, "complete").orderBy("word")
