@@ -250,3 +250,30 @@ def ring_to_poly_cols(df: DataFrame, ring_col: str) -> DataFrame:
         .withColumn("ymin", F.array_min("ys"))
         .withColumn("ymax", F.array_max("ys"))
     )
+
+
+def morton_code_sql(xe: str, ye: str, bits: int = 16, dialect: str = "spark") -> str:
+    """Unrolled 2-D Morton (Z-order) bit interleave over two already-
+    quantized non-negative integer expressions — the space-filling-
+    curve sort key that co-locates spatially-near points inside the
+    same parquet row groups / file ranges, so a bbox scan prunes to
+    O(perimeter) Z-ranges instead of the full table.
+
+    Emitted as raw SQL per dialect (Spark: shiftleft/shiftright
+    functions; DuckDB: << >> operators) so the SAME integer math runs
+    in engine and oracle.  Public technique: Morton 1966; used by
+    Delta/Iceberg Z-ordering.
+    """
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(
+                f"shiftleft(CAST(shiftright({xe}, {i}) & 1 AS BIGINT), {2 * i})"
+            )
+            terms.append(
+                f"shiftleft(CAST(shiftright({ye}, {i}) & 1 AS BIGINT), {2 * i + 1})"
+            )
+        else:
+            terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

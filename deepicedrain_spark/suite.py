@@ -994,6 +994,7 @@ PRIORITY: list[str] = [
     "customers_without_orders",
     "event_gaps_rank",
     "streaming_bloom_bits",
+    "morton_spatial_order",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -633,3 +633,49 @@ def q_event_gaps_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- Morton (Z-order) spatial layout key ------------------------------
+def _quant16(e: str) -> str:
+    # [-1, 1] → [0, 65535]; identical floor/clamp math in both engines
+    return f"CAST(least(65535.0, greatest(0.0, floor(({e} + 1.0) / 2.0 * 65536.0))) AS BIGINT)"
+
+
+def _morton_sql(dialect: str) -> str:
+    from deepicedrain_spark.operators.spatial import morton_code_sql
+
+    if dialect == "spark":
+        x = _quant16("CAST(element_at(embedding, 1) AS DOUBLE)")
+        y = _quant16("CAST(element_at(embedding, 2) AS DOUBLE)")
+    else:
+        x = _quant16("CAST(embedding[1] AS DOUBLE)")
+        y = _quant16("CAST(embedding[2] AS DOUBLE)")
+    return morton_code_sql(x, y, bits=16, dialect=dialect)
+
+
+@register(
+    "morton_spatial_order",
+    f"""
+    SELECT vec_id, {_morton_sql('duckdb')} AS morton,
+           {_morton_sql('duckdb')} // 1048576 AS tile
+    FROM embeddings
+    ORDER BY morton, vec_id
+    """,
+)
+def q_morton_spatial_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key: quantize (x, y) to 16 bits each and
+    interleave into a 32-bit Morton code — the sort key a 100 TB
+    spatial table is range-partitioned and written by (Delta/Iceberg
+    Z-ordering), so bbox scans prune to O(perimeter) Z-ranges.
+    Map-only bit math; the global orderBy is the layout write's
+    sample-based range partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    code = F.expr(_morton_sql("spark"))
+    return (
+        emb.select(
+            "vec_id",
+            code.alias("morton"),
+            F.expr(f"{_morton_sql('spark')} DIV 1048576").alias("tile"),
+        )
+        .orderBy("morton", "vec_id")
+    )
