@@ -995,6 +995,7 @@ PRIORITY: list[str] = [
     "event_gaps_rank",
     "streaming_bloom_bits",
     "morton_spatial_order",
+    "mergeable_agg_state",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -679,3 +679,61 @@ def q_morton_spatial_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("morton", "vec_id")
     )
+
+
+# --- mergeable aggregate state (materialized-view maintenance) --------
+@register(
+    "mergeable_agg_state",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(var_samp(value), 6) AS var_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_mergeable_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup correctness: per-type aggregate state
+    (n, sum, min, max, mean, M2) computed on TWO DISJOINT HALVES of
+    the stream and merged with Chan's parallel formula — proving the
+    state is algebraic, i.e. a materialized rollup updates from batch
+    partials without rescanning history.  The oracle is the direct
+    one-pass aggregate; the merged variance agrees to the 6 d.p.
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(half: DataFrame) -> DataFrame:
+        return half.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.avg("value").alias("mean"),
+            (F.var_samp("value") * (F.count(F.lit(1)) - 1)).alias("m2"),
+        )
+
+    p1 = partial(ev.where(F.col("event_id") % 2 == 0)).alias("a")
+    p2 = partial(ev.where(F.col("event_id") % 2 == 1)).alias("b")
+    n = F.col("a.n") + F.col("b.n")
+    delta = F.col("b.mean") - F.col("a.mean")
+    m2 = (
+        F.col("a.m2")
+        + F.col("b.m2")
+        + delta * delta * F.col("a.n") * F.col("b.n") / n
+    )
+    return (
+        p1.join(p2, "event_type")
+        .select(
+            "event_type",
+            n.alias("n"),
+            (F.col("a.s") + F.col("b.s")).cast("double").alias("sum_value"),
+            F.least(F.col("a.mn"), F.col("b.mn")).alias("min_value"),
+            F.greatest(F.col("a.mx"), F.col("b.mx")).alias("max_value"),
+            F.round(m2 / (n - 1), 6).alias("var_value"),
+        )
+        .orderBy("event_type")
+    )
