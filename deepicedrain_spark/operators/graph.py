@@ -96,3 +96,62 @@ def connected_components(
 
     sym.unpersist()
     return labels.select(F.col("node").alias(out_node), F.col("label").alias(out_comp))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """PageRank over an edge list as an iterative DataFrame program —
+    per round ONE join (contributions keyed on the source) and ONE
+    groupBy (summing into the destination), both equi-key shuffles, so
+    each iteration is a fixed two-exchange plan at any graph size
+    (the GraphX/Pregel shape expressed in plain DataFrames).
+
+    Nodes = every endpoint; ranks start uniform at 1/N.  Dangling
+    nodes (no out-edges) simply keep their (1-d)/N base — documented
+    simplification, matching the per-iteration oracle.  Ranks round to
+    ``round_dp`` decimals each iteration IN BOTH ENGINES so
+    cross-engine fp accumulation (~1e-16/term) cannot compound across
+    rounds — the same drift-pinning trick as kmeans.updated_centroids.
+
+    Every round localCheckpoints the O(nodes) rank table, keeping the
+    per-round plan O(1) like connected_components above.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n_nodes), round_dp))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

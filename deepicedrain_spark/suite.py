@@ -996,6 +996,7 @@ PRIORITY: list[str] = [
     "streaming_bloom_bits",
     "morton_spatial_order",
     "mergeable_agg_state",
+    "pagerank_near_dup",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

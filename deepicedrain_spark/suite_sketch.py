@@ -737,3 +737,78 @@ def q_mergeable_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- PageRank over the near-dup graph ---------------------------------
+_PR_D, _PR_ITERS = 0.85, 5
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled PageRank chain over the exact-Jaccard near-dup edges
+    (the same edge CTEs the near_dup_components oracle uses)."""
+    parts = [
+        """toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents)""",
+        """sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM toks)""",
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)",
+        """inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)""",
+        """edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)""",
+        "e2 AS (SELECT id_a AS u, id_b AS v FROM edges UNION ALL SELECT id_b, id_a FROM edges)",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2))""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT u, count(*) AS deg FROM e2 GROUP BY u)",
+        "r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""r{t} AS (
+      SELECT nodes.node,
+             round((1.0 - {_PR_D}) / (SELECT n FROM nn)
+                   + {_PR_D} * coalesce(s.in_sum, 0.0), 9) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e2.v AS node, sum(r{t - 1}.rank / deg.deg) AS in_sum
+        FROM e2 JOIN r{t - 1} ON r{t - 1}.node = e2.u
+                JOIN deg ON deg.u = e2.u
+        GROUP BY e2.v) s ON s.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\nSELECT node AS doc_id, rank FROM r{iters} ORDER BY doc_id"
+    )
+
+
+@register("pagerank_near_dup", _pagerank_oracle())
+def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph — ranks the
+    'template' documents whole duplicate families orbit around.  Each
+    iteration is a fixed two-exchange DataFrame plan (contribution
+    join + destination groupBy); per-iteration round(9) in both
+    engines pins cross-engine fp drift, so the DuckDB unrolled chain
+    replays all 5 iterations exactly."""
+    from deepicedrain_spark.operators.dedup import minhash_near_duplicates
+    from deepicedrain_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    # near-dup similarity is symmetric → both edge directions
+    # (pagerank() itself is directed-general)
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ranks = pagerank(sym, "id_a", "id_b", damping=_PR_D, iters=_PR_ITERS)
+    return ranks.select(F.col("node").alias("doc_id"), "rank").orderBy("doc_id")

@@ -46,3 +46,33 @@ def test_connected_components_chain_and_random(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    from deepicedrain_spark.operators.graph import pagerank
+
+    # directed 4-cycle: every node has in-deg = out-deg = 1 → the
+    # uniform distribution is stationary at exactly 1/4 per node
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=4).collect()}
+    for v in ranks.values():
+        assert abs(v - 0.25) < 1e-8
+
+
+def test_pagerank_mass_conserved_no_dangling(spark):
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.graph import pagerank
+
+    # symmetric star: no dangling nodes → total rank mass stays 1
+    pairs = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    ranks = pagerank(edges, iters=5)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+    hub = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert hub[0] > max(hub[i] for i in range(1, 6))  # hub dominates
