@@ -40,17 +40,17 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
-def _stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """Spark's file stream source requires a DIRECTORY; the testdata is
     a single parquet file, so stage a symlink dir under /tmp."""
     import hashlib
     import os
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = hashlib.md5(f"{sf_dir}/{table}".encode()).hexdigest()[:8]
     d = f"/tmp/deepicedrain_stream_{key}"
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    src = os.path.join(sf_dir, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
     return d

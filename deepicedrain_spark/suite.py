@@ -997,6 +997,7 @@ PRIORITY: list[str] = [
     "morton_spatial_order",
     "mergeable_agg_state",
     "pagerank_near_dup",
+    "streaming_kmeans_assign",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -302,3 +302,43 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = events.select(F.col("user_id").cast("string").alias("k"))
     bits = bloom_bits(keyed, F.col("k"), k=4, m=1 << 16)
     return run_to_batch(bits, "complete").orderBy("word")
+
+
+# Streaming model scoring: k-means assignment on a stream. Training
+# (md5-seeded centroids) happens batch-side; scoring is the map-only
+# literal-centroid assignment, which is stateless — so append mode
+# needs no watermark and the batch assignment SQL is the oracle.
+@register(
+    "streaming_kmeans_assign",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS BIGINT) AS cluster, v AS cvec
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8)
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+      FROM (SELECT e.vec_id, c.cluster,
+                   list_sum(list_transform(generate_series(1, 64),
+                     i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS dist
+            FROM e CROSS JOIN cent0 c))
+    WHERE rk = 1
+    ORDER BY vec_id
+    """,
+)
+def q_streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.kmeans import assign_to_centroids, seed_centroids
+    from deepicedrain_spark.io import load_table
+
+    from deepicedrain_spark.streaming.windows import _stream_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, "embedding", "vec_id", 8)
+    stream = spark.readStream.schema(emb.schema).parquet(
+        _stream_dir(sf_dir, "embeddings")
+    )
+    scored = assign_to_centroids(stream, "embedding", cents).select("vec_id", "cluster")
+    return run_to_batch(scored, "append").orderBy("vec_id")
