@@ -998,6 +998,8 @@ PRIORITY: list[str] = [
     "mergeable_agg_state",
     "pagerank_near_dup",
     "streaming_kmeans_assign",
+    "oov_rate",
+    "sql_interface_demo",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -812,3 +812,88 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(sym, "id_a", "id_b", damping=_PR_D, iters=_PR_ITERS)
     return ranks.select(F.col("node").alias("doc_id"), "rank").orderBy("doc_id")
+
+
+# --- tokenizer vocabulary coverage / OOV rate -------------------------
+_VOCAB_K = 20
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT {_VOCAB_K})),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON v.token = t.token
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register("oov_rate", _OOV_SQL)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-document out-of-vocabulary rate
+    against the corpus top-K vocabulary (textstats.vocabulary) — the
+    check a training pipeline runs before committing to a tokenizer.
+    The K-row vocab joins broadcast; one shuffle total (the per-doc
+    groupBy)."""
+    from deepicedrain_spark.operators.textstats import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    vocab = vocabulary(docs, top_k=_VOCAB_K).select("token").withColumn("_v", F.lit(1))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- SQL entry point (S11 catalog shim + ANSI surface) ----------------
+# ONE SQL string, executed verbatim by BOTH engines: Spark runs it via
+# spark.sql over the registered temp views (io.register_views), DuckDB
+# runs it as the oracle — demonstrating that the engine's SQL surface
+# is the shared ANSI dialect, not a private one.
+_SQL_DEMO = """
+SELECT c.c_mktsegment,
+       o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+@register("sql_interface_demo", _SQL_DEMO)
+def q_sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 catalog shim + ANSI SQL entry: the exact oracle string runs
+    through spark.sql over registered views — same text, same answer,
+    and Catalyst still broadcasts the customer dim under AQE."""
+    from deepicedrain_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_DEMO)

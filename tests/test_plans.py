@@ -142,3 +142,18 @@ def test_hll_single_register_shuffle(spark):
     # single-partition agg; partial aggregation runs map-side
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.io import load_table, write_parquet
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "ev_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = plan_of(back)
+    # the directory-partition predicate must prune at planning time,
+    # never scan-and-filter
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1][:120]
