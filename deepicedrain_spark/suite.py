@@ -1000,6 +1000,8 @@ PRIORITY: list[str] = [
     "streaming_kmeans_assign",
     "oov_rate",
     "sql_interface_demo",
+    "grouped_correlation",
+    "hll_distinct_by_type",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

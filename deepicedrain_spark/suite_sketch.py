@@ -897,3 +897,114 @@ def q_sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_DEMO)
+
+
+# --- grouped correlation (A-family statistics) ------------------------
+@register(
+    "grouped_correlation",
+    """
+    SELECT event_type,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance — the
+    bivariate-statistics aggregate surface (one shuffle, algebraic
+    partials).  Both engines accumulate in doubles; round(6) absorbs
+    partial-order differences per the suite determinism contract."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+            F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- per-group HyperLogLog (sketch composability) ---------------------
+@register(
+    "hll_distinct_by_type",
+    """
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS v
+      FROM events),
+    split AS (
+      SELECT event_type, v // 1125899906842624 AS bucket, v % 1125899906842624 AS w
+      FROM hashed),
+    reg AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS r
+      FROM split GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS m_nz,
+             sum(CAST(4503599627370496 AS BIGINT) // (CAST(1 AS BIGINT) << r)) AS s_nz
+      FROM reg GROUP BY 1)
+    SELECT event_type,
+           CAST(m_nz AS BIGINT) AS m_nz,
+           CAST(round(CASE
+             WHEN (0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0)
+                  / ((CAST(s_nz + (1024 - m_nz) * CAST(4503599627370496 AS BIGINT)
+                       AS DOUBLE)) / 4503599627370496.0) <= 2.5 * 1024.0
+                  AND m_nz < 1024
+               THEN 1024.0 * ln(1024.0 / CAST(1024 - m_nz AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0)
+                  / ((CAST(s_nz + (1024 - m_nz) * CAST(4503599627370496 AS BIGINT)
+                       AS DOUBLE)) / 4503599627370496.0)
+           END) AS BIGINT) AS estimate
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: one register table per event_type in a
+    single pass — approximate count(DISTINCT user_id) GROUP BY without
+    repartitioning the key column.  Sketch state is groups × 2^b rows;
+    this is how a rollup keeps distinct-counts mergeable across
+    partitions/days."""
+    from deepicedrain_spark.operators.sketches import md5_long60
+
+    b, sh = 10, 50
+    m, top = 1 << 10, 1 << 51
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type", md5_long60(F.col("user_id").cast("string")).alias("v")
+    ).select(
+        "event_type",
+        F.expr(f"v DIV {1 << sh}").alias("bucket"),
+        F.expr(f"v % {1 << sh}").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(sh + 1))
+        .otherwise(F.lit(sh + 1) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+    )
+    reg = t.groupBy("event_type", "bucket").agg(F.max(rho).alias("r"))
+    agg = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m_nz"),
+        F.sum(
+            F.expr(f"CAST({top} AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT), r)")
+        ).alias("s_nz"),
+    )
+    alpha_mm = f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0"
+    z = f"((CAST(s_nz + ({m} - m_nz) * CAST({top} AS BIGINT) AS DOUBLE)) / {top}.0)"
+    return agg.select(
+        "event_type",
+        F.col("m_nz").cast("long").alias("m_nz"),
+        F.expr(
+            f"""CAST(round(CASE
+              WHEN ({alpha_mm}) / {z} <= 2.5 * {m}.0 AND m_nz < {m}
+                THEN {m}.0 * ln({m}.0 / CAST({m} - m_nz AS DOUBLE))
+              ELSE ({alpha_mm}) / {z}
+            END) AS BIGINT)"""
+        ).alias("estimate"),
+    ).orderBy("event_type")
