@@ -155,3 +155,16 @@ def test_equi_depth_deciles_are_true_boundaries(spark):
     for q in range(1, 10):
         rank = math.ceil(q * n / 10.0)
         assert got[q] == prices[rank - 1], q
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from deepicedrain_spark.operators.kmeans import lloyd_kmeans
+
+    # two tight blobs, k=3 md5 seeds: one centroid inevitably captures
+    # nothing after the first assignment and must survive unchanged
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + [(i, [10.0, 10.0]) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = lloyd_kmeans(df, "embedding", "vec_id", k=3, iters=2)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+    n = assigned.count()
+    assert n == 10
