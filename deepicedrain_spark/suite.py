@@ -1002,6 +1002,8 @@ PRIORITY: list[str] = [
     "sql_interface_demo",
     "grouped_correlation",
     "hll_distinct_by_type",
+    "pq_encode",
+    "pq_adc_topk",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

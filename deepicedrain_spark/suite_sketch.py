@@ -1008,3 +1008,212 @@ def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             END) AS BIGINT)"""
         ).alias("estimate"),
     ).orderBy("event_type")
+
+
+# --- product quantization (PQ) encoding -------------------------------
+# 64-dim vectors → S=4 subspaces × 16 dims, one K=8 codebook per
+# subspace (Jégou et al. 2011, public) — the compression that stores a
+# billion-vector corpus as S small codes + codebooks.
+_PQ_S, _PQ_DS, _PQ_K, _PQ_ITERS = 4, 16, 8, 1
+
+
+def _pq_oracle() -> str:
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)"
+    ]
+    dist = (
+        "list_sum(list_transform(generate_series(1, {ds}),"
+        " i -> ({p}[i] - {c}[i]) * ({p}[i] - {c}[i])))"
+    )
+    for j in range(_PQ_S):
+        off = j * _PQ_DS
+        parts.append(
+            f"sub{j} AS (SELECT vec_id, v[{off + 1}:{off + _PQ_DS}] AS sv FROM e)"
+        )
+        parts.append(
+            f"""cent0_{j} AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS BIGINT) AS cluster, sv AS cvec
+      FROM sub{j}
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_PQ_K})"""
+        )
+        d0 = dist.format(ds=_PQ_DS, p="s.sv", c="c.cvec")
+        parts.append(
+            f"""assign1_{j} AS (
+      SELECT vec_id, sv, cluster FROM (
+        SELECT vec_id, sv, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        FROM (SELECT s.vec_id, s.sv, c.cluster, {d0} AS dist
+              FROM sub{j} s CROSS JOIN cent0_{j} c))
+      WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""cent1_{j} AS (
+      SELECT c.cluster, coalesce(m.cvec, c.cvec) AS cvec
+      FROM cent0_{j} c LEFT JOIN (
+        SELECT cluster, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cluster, pos, round(avg(sv[pos]), 6) AS mv
+          FROM assign1_{j} CROSS JOIN generate_series(1, {_PQ_DS}) g(pos)
+          GROUP BY cluster, pos)
+        GROUP BY cluster) m ON m.cluster = c.cluster)"""
+        )
+        d1 = dist.format(ds=_PQ_DS, p="s.sv", c="c.cvec")
+        parts.append(
+            f"""enc{j} AS (
+      SELECT vec_id, cluster AS code, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        FROM (SELECT s.vec_id, c.cluster, {d1} AS dist
+              FROM sub{j} s CROSS JOIN cent1_{j} c))
+      WHERE rk = 1)"""
+        )
+    joins = " ".join(f"JOIN enc{j} ON enc{j}.vec_id = e.vec_id" for j in range(_PQ_S))
+    code_cols = ", ".join(f"enc{j}.code AS code{j}" for j in range(_PQ_S))
+    err = " + ".join(f"enc{j}.dist" for j in range(_PQ_S))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\nSELECT e.vec_id, {code_cols}, round({err}, 6) AS recon_err"
+        + f"\nFROM e {joins}\nORDER BY e.vec_id"
+    )
+
+
+@register("pq_encode", _pq_oracle())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: per-subspace k-means codebooks
+    (trained via the same drift-pinned Lloyd loop), then a MAP-ONLY
+    encode — codebooks fold into the expression tree as literals, so
+    compressing a 100 TB vector corpus is a pure scan emitting S
+    small codes per row.  recon_err is the summed subspace
+    quantization error (the quality metric PQ tuning watches)."""
+    from deepicedrain_spark.operators.kmeans import lloyd_kmeans, sq_dist_to
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sliced = emb.select(
+        "vec_id", *[F.slice(v, j * _PQ_DS + 1, _PQ_DS).alias(f"sv{j}") for j in range(_PQ_S)]
+    )
+    books = []
+    for j in range(_PQ_S):
+        sub = sliced.select("vec_id", F.col(f"sv{j}").alias("sv"))
+        _, cents = lloyd_kmeans(sub, "sv", "vec_id", k=_PQ_K, iters=_PQ_ITERS)
+        books.append(cents)
+    out = sliced
+    for j, cents in enumerate(books):
+        best = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        sq_dist_to(f"sv{j}", c).alias("dist"),
+                        F.lit(i).cast("long").alias("code"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )[0]
+        out = out.withColumn(f"_b{j}", best)
+    return out.select(
+        "vec_id",
+        *[F.col(f"_b{j}.code").alias(f"code{j}") for j in range(_PQ_S)],
+        F.round(sum(F.col(f"_b{j}.dist") for j in range(_PQ_S)), 6).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search oracle: reuse the PQ chains, join each candidate's
+    code back to its codebook entry, distance = query sub-vector vs
+    the RECONSTRUCTED candidate (asymmetric distance)."""
+    base = _pq_oracle().rsplit("\nSELECT", 1)[0]  # keep the WITH chain
+    dist = (
+        "list_sum(list_transform(generate_series(1, {ds}),"
+        " i -> (q.sv{j}[i] - cb{j}.cvec[i]) * (q.sv{j}[i] - cb{j}.cvec[i])))"
+    )
+    d_terms = " + ".join(
+        dist.format(ds=_PQ_DS, j=j) for j in range(_PQ_S)
+    )
+    enc_joins = " ".join(
+        f"JOIN enc{j} ON enc{j}.vec_id = c.vec_id"
+        f" JOIN cent1_{j} cb{j} ON cb{j}.cluster = enc{j}.code"
+        for j in range(_PQ_S)
+    )
+    qcols = ", ".join(
+        f"v[{j * _PQ_DS + 1}:{j * _PQ_DS + _PQ_DS}] AS sv{j}" for j in range(_PQ_S)
+    )
+    return f"""{base},
+    q AS (SELECT vec_id AS query_id, {qcols} FROM e WHERE vec_id < 10),
+    cand AS (SELECT vec_id FROM e),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round({d_terms}, 6) AS adc
+      FROM q CROSS JOIN cand c {enc_joins}
+      WHERE q.query_id <> c.vec_id)
+SELECT query_id, cand_id, adc, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT query_id, cand_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+  FROM scored)
+WHERE rk <= 3
+ORDER BY query_id, rank
+"""
+
+
+@register("pq_adc_topk", _pq_adc_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: candidates are stored ONLY as
+    their S codes; the query ranks them by distance to the codebook
+    reconstruction.  Codebooks are literals, queries broadcast — the
+    corpus side stays a compressed scan, which is the entire point of
+    PQ at 10^9 vectors."""
+    from deepicedrain_spark.operators.kmeans import lloyd_kmeans, sq_dist_to
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sliced = emb.select(
+        "vec_id",
+        *[F.slice(v, j * _PQ_DS + 1, _PQ_DS).alias(f"sv{j}") for j in range(_PQ_S)],
+    )
+    books = []
+    for j in range(_PQ_S):
+        sub = sliced.select("vec_id", F.col(f"sv{j}").alias("sv"))
+        _, cents = lloyd_kmeans(sub, "sv", "vec_id", k=_PQ_K, iters=_PQ_ITERS)
+        books.append(cents)
+    corpus = sliced
+    for j, cents in enumerate(books):
+        best = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        sq_dist_to(f"sv{j}", c).alias("dist"),
+                        F.lit(i).cast("long").alias("code"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )[0]
+        corpus = corpus.withColumn(f"code{j}", best["code"])
+    corpus = corpus.select(
+        F.col("vec_id").alias("cand_id"), *[f"code{j}" for j in range(_PQ_S)]
+    )
+    q = sliced.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"sv{j}").alias(f"qsv{j}") for j in range(_PQ_S)],
+    )
+    joined = corpus.join(F.broadcast(q)).where(F.col("query_id") != F.col("cand_id"))
+    adc_terms = []
+    for j, cents in enumerate(books):
+        expr = None
+        for i, c in enumerate(cents):
+            d = sq_dist_to(f"qsv{j}", c)
+            expr = F.when(F.col(f"code{j}") == i, d) if expr is None else expr.when(
+                F.col(f"code{j}") == i, d
+            )
+        adc_terms.append(expr)
+    adc = F.round(sum(adc_terms[1:], adc_terms[0]), 6)
+    scored = joined.withColumn("adc", adc)
+    w = Window.partitionBy("query_id").orderBy("adc", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "adc", "rank")
+        .orderBy("query_id", "rank")
+    )
