@@ -1004,6 +1004,8 @@ PRIORITY: list[str] = [
     "hll_distinct_by_type",
     "pq_encode",
     "pq_adc_topk",
+    "weighted_sample_docs",
+    "dedup_keep_best",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -1217,3 +1217,126 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "adc", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- weighted sampling (Efraimidis–Spirakis, deterministic) -----------
+@register(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(pow(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS DOUBLE) / 1152921504606846976.0,
+                       1.0 / CAST(n_chars AS DOUBLE)), 6) AS k
+      FROM documents)
+    SELECT doc_id, n_chars, k FROM (
+      SELECT doc_id, n_chars, k,
+             row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+      FROM keyed)
+    WHERE rk <= 30
+    ORDER BY k DESC, doc_id
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    2006): key = u^(1/w) with u md5-derived — documents sampled
+    ∝ length, reproducibly, in ONE pass + a top-k (no RNG state, no
+    multi-round rejection).  Ranking on the ROUNDED key keeps the
+    selection identical across engines despite libm pow ulps."""
+    from deepicedrain_spark.operators.sketches import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_long60(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    k = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 6
+    ).alias("k")
+    keyed = docs.select("doc_id", "n_chars", k)
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 30)
+        .select("doc_id", "n_chars", "k")
+        .orderBy(F.desc("k"), "doc_id")
+    )
+
+
+# --- near-dup dedup: keep the best representative ---------------------
+_KEEP_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, v) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON s.a = r.v)
+  SELECT src AS doc_id, min(v) AS component_id FROM r GROUP BY src),
+grouped AS (
+  SELECT d.doc_id, d.n_chars, coalesce(r.component_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN reach r ON r.doc_id = d.doc_id)
+SELECT group_id, doc_id AS kept_doc_id,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT group_id, doc_id, n_chars,
+         count(*) OVER (PARTITION BY group_id) AS n_members,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM grouped)
+WHERE rk = 1
+ORDER BY group_id
+"""
+
+
+@register("dedup_keep_best", _KEEP_SQL)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT step: per near-dup family keep the
+    best representative (longest text, ties to the smallest id) and
+    report the family size — what actually ships to training after
+    minhash → components."""
+    from deepicedrain_spark.operators.dedup import minhash_near_duplicates
+    from deepicedrain_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    grouped = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("group_id")
+    return (
+        grouped.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("group_id")
+    )
