@@ -274,6 +274,8 @@ def morton_code_sql(xe: str, ye: str, bits: int = 16, dialect: str = "spark") ->
                 f"shiftleft(CAST(shiftright({ye}, {i}) & 1 AS BIGINT), {2 * i + 1})"
             )
         else:
-            terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
-            terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+            # CAST keeps the shifted operand BIGINT even when the input
+            # expression is an INT32 literal (DuckDB errors on 1 << 31)
+            terms.append(f"(CAST((({xe} >> {i}) & 1) AS BIGINT) << {2 * i})")
+            terms.append(f"(CAST((({ye} >> {i}) & 1) AS BIGINT) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"

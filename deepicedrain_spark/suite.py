@@ -1006,6 +1006,7 @@ PRIORITY: list[str] = [
     "pq_adc_topk",
     "weighted_sample_docs",
     "dedup_keep_best",
+    "bloom_semijoin_reduction",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -1340,3 +1340,66 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+# --- Bloom semi-join reduction ----------------------------------------
+@register(
+    "bloom_semijoin_reduction",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via Bloom pre-filter: probe the fact table
+    against a Bloom filter of the eligible dimension keys BEFORE the
+    exact join, so non-qualifying fact rows drop at the scan instead
+    of crossing the shuffle (what Spark's runtime bloom-filter join
+    does, built from the engine's own sketch).  The exact join after
+    the filter removes the Bloom's false positives — the result is
+    IDENTICAL to the plain join, which is the oracle."""
+    from deepicedrain_spark.operators.sketches import _bloom_pos, bloom_bits
+
+    k_hashes, m_bits = 4, 1 << 16
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    # collect the packed filter (m/32 = 2048 longs) and fold it into
+    # the orders scan as a LITERAL array — per-row membership is then
+    # pure codegen, exactly how a runtime bloom join pushes the filter
+    # into the probe-side scan
+    words = {
+        int(r["word"]): int(r["bits"])
+        for r in bloom_bits(dim, F.col("c_custkey").cast("string"), k=k_hashes, m=m_bits).collect()
+    }
+    lit_bits = F.array(
+        *[F.lit(words.get(w, 0)).cast("long") for w in range(m_bits // 32)]
+    )
+    okey = F.col("o_custkey").cast("string")
+    probed = orders.withColumn("_k", okey)
+    for j in range(k_hashes):
+        probed = probed.withColumn(f"_p{j}", _bloom_pos(F.col("_k"), F.lit(j), m_bits))
+    probed = probed.withColumn("_bits_arr", lit_bits)
+    pred = " AND ".join(
+        f"(shiftright(element_at(_bits_arr, CAST(_p{j} DIV 32 AS INT) + 1), "
+        f"CAST(_p{j} % 32 AS INT)) & 1) = 1"
+        for j in range(k_hashes)
+    )
+    reduced = probed.where(F.expr(pred)).drop(
+        "_k", "_bits_arr", *[f"_p{j}" for j in range(k_hashes)]
+    )
+    return (
+        reduced.join(F.broadcast(dim), reduced.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -168,3 +168,38 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert len(cents) == 3 and all(len(c) == 2 for c in cents)
     n = assigned.count()
     assert n == 10
+
+
+def test_morton_code_roundtrip(spark):
+    from deepicedrain_spark.operators.spatial import morton_code_sql
+
+    import duckdb
+
+    # python reference deinterleave proves the bit math on both dialects
+    def deinterleave(m):
+        x = y = 0
+        for i in range(16):
+            x |= ((m >> (2 * i)) & 1) << i
+            y |= ((m >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    pts = [(3, 5), (0, 0), (65535, 65535), (1234, 54321), (40000, 1)]
+    # spark dialect
+    df = spark.createDataFrame(pts, "x long, y long")
+    from pyspark.sql import functions as F
+
+    got = [
+        (r["x"], r["y"], r["m"])
+        for r in df.select(
+            "x", "y", F.expr(morton_code_sql("x", "y", dialect="spark")).alias("m")
+        ).collect()
+    ]
+    for x, y, m in got:
+        assert deinterleave(m) == (x, y)
+    # duckdb dialect produces the identical codes
+    con = duckdb.connect()
+    for (x, y), (_, _, m) in zip(pts, got):
+        dm = con.execute(
+            f"SELECT {morton_code_sql(str(x), str(y), dialect='duckdb')}"
+        ).fetchone()[0]
+        assert dm == m
