@@ -119,3 +119,33 @@ def read_csv(
         schema = ", ".join(f"`{c}` {t}" for c, t in dtypes.items())
         return reader.csv(path, header=True, schema=schema)
     return reader.csv(path, header=True, inferSchema=True)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_int_col: str,
+    y_int_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered parquet layout: range-partition the rows by their
+    Morton code (operators.spatial.morton_code_sql over two quantized
+    int columns) and sort within each file, so spatially-near rows land
+    in the same file/row-group and a bbox read prunes to O(perimeter)
+    Z-ranges via parquet min/max stats — the Delta OPTIMIZE ZORDER
+    layout expressed as a plain write.  One range-partitioning exchange
+    (sampled boundaries), no other shuffle."""
+    from deepicedrain_spark.operators.spatial import morton_code_sql
+
+    from pyspark.sql import functions as F
+
+    code = F.expr(morton_code_sql(x_int_col, y_int_col, dialect="spark"))
+    (
+        df.withColumn("_z", code)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

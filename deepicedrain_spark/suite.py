@@ -1007,6 +1007,8 @@ PRIORITY: list[str] = [
     "weighted_sample_docs",
     "dedup_keep_best",
     "bloom_semijoin_reduction",
+    "constraint_audit",
+    "streaming_parquet_sink",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

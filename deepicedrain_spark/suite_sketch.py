@@ -1403,3 +1403,78 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- data-quality constraint audit ------------------------------------
+@register(
+    "constraint_audit",
+    """
+    SELECT 'lineitem_pk_duplicates' AS constraint_name,
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber) WHERE n > 1
+    UNION ALL
+    SELECT 'lineitem_orphan_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_null_custkey', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'orders_date_bounds', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                   OR o_orderdate > TIMESTAMP '2030-01-01'
+    ORDER BY constraint_name
+    """,
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt/Deequ-style data-quality audit in ONE job: uniqueness,
+    referential integrity (anti join), nullability, domain and range
+    checks, each reduced to a violation count.  Every check is an
+    aggregate or anti-join over a pushed-down scan — the audit a 100 TB
+    ingest runs before publishing a partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pk_dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("violations"))
+        .select(F.lit("lineitem_pk_duplicates").alias("constraint_name"), "violations")
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("lineitem_orphan_orders").alias("constraint_name"), "violations")
+    )
+    null_cust = (
+        orders.where(F.col("o_custkey").isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("orders_null_custkey").alias("constraint_name"), "violations")
+    )
+    bad_qty = (
+        li.where(F.col("l_quantity") <= 0)
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("lineitem_nonpositive_qty").alias("constraint_name"), "violations")
+    )
+    # o_orderdate is TIMESTAMP_NTZ parquet: compare against NTZ
+    # literals (never to_timestamp — it shifts with session TZ)
+    bad_dates = (
+        orders.where(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp_ntz"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("orders_date_bounds").alias("constraint_name"), "violations")
+    )
+    return (
+        pk_dups.unionByName(orphans)
+        .unionByName(null_cust)
+        .unionByName(bad_qty)
+        .unionByName(bad_dates)
+        .orderBy("constraint_name")
+    )

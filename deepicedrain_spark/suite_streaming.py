@@ -342,3 +342,42 @@ def q_streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = assign_to_centroids(stream, "embedding", cents).select("vec_id", "cluster")
     return run_to_batch(scored, "append").orderBy("vec_id")
+
+
+# Streaming → parquet table via foreachBatch: the production sink
+# (memory sinks are demo-only). Each micro-batch of the complete-mode
+# aggregate overwrites the managed parquet dir — idempotent under
+# replay, which is the exactly-once story for an aggregate table.
+@register(
+    "streaming_parquet_sink",
+    f"""
+    SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    out_dir = f"/tmp/deepicedrain_sink_{uuid.uuid4().hex[:12]}"
+    events = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(events, window_minutes=60)
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_dir)

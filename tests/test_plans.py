@@ -157,3 +157,44 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     # the directory-partition predicate must prune at planning time,
     # never scan-and-filter
     assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1][:120]
+
+
+def test_zordered_write_layout(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.io import load_table, write_zordered
+    from deepicedrain_spark.operators.spatial import morton_code_sql
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "CAST(least(65535.0, greatest(0.0, floor((CAST(element_at(embedding, 1) AS DOUBLE) + 1.0) / 2.0 * 65536.0))) AS BIGINT)"
+        ).alias("xi"),
+        F.expr(
+            "CAST(least(65535.0, greatest(0.0, floor((CAST(element_at(embedding, 2) AS DOUBLE) + 1.0) / 2.0 * 65536.0))) AS BIGINT)"
+        ).alias("yi"),
+    )
+    # the write plan must use ONE range-partitioning exchange
+    staged = emb.withColumn("_z", F.expr(morton_code_sql("xi", "yi", dialect="spark")))
+    plan = plan_of(staged.repartitionByRange(4, "_z").sortWithinPartitions("_z"))
+    assert "rangepartitioning" in plan.lower()
+
+    path = str(tmp_path / "zorder")
+    write_zordered(emb, path, "xi", "yi", n_files=4)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) <= 4 and files
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    # each file covers a DISJOINT morton range (the pruning property)
+    per_file = (
+        back.withColumn("_z", F.expr(morton_code_sql("xi", "yi", dialect="spark")))
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file Z-ranges overlap — layout not range-partitioned"
