@@ -1,0 +1,83 @@
+"""Change-data-capture merge: SCD Type-2 apply as a batch operator.
+
+The warehouse-side upsert a 100 TB pipeline runs on every dimension
+refresh: given the CURRENT dimension state (one open row per key) and
+an UPDATES batch, emit the new state where
+
+  - keys absent from the batch keep their open row untouched,
+  - changed keys get their open row CLOSED (valid_to = batch_time)
+    plus a NEW open row carrying the new attributes,
+  - unchanged keys (attributes equal) are left alone (no churn),
+  - brand-new keys get their first open row.
+
+Shape: ONE equi-join of current × updates on the key plus unions —
+no window, no shuffle beyond the join key; with both sides bucketed
+by key (operators.scale.write_bucketed) the join is shuffle-free.
+Delta/Iceberg implement this as MERGE INTO; this is the same logic as
+a deterministic DataFrame program with a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    batch_time: int,
+) -> DataFrame:
+    """Returns the post-merge SCD2 table.
+
+    ``current`` must carry (key, *attrs, valid_from, valid_to) with
+    exactly one open row (valid_to IS NULL) per key; ``updates``
+    carries (key, *attrs).  ``batch_time`` is the integer effective
+    time of the batch.
+    """
+    cur_open = current.where(F.col("valid_to").isNull())
+    cur_closed = current.where(F.col("valid_to").isNotNull())
+
+    changed_cond = F.lit(False)
+    for a in attrs:
+        changed_cond = changed_cond | ~(
+            F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
+        )
+
+    j = cur_open.alias("cur").join(
+        updates.alias("upd"), F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer"
+    )
+    # open rows with no update, or update equal to current → unchanged
+    keep_open = j.where(
+        F.col(f"upd.{key}").isNull()
+        | (F.col(f"cur.{key}").isNotNull() & ~changed_cond)
+    ).select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{a}").alias(a) for a in attrs],
+        F.col("cur.valid_from").alias("valid_from"),
+        F.col("cur.valid_to").alias("valid_to"),
+    )
+    # changed keys: close the old row
+    closed_now = j.where(
+        F.col(f"cur.{key}").isNotNull() & F.col(f"upd.{key}").isNotNull() & changed_cond
+    ).select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{a}").alias(a) for a in attrs],
+        F.col("cur.valid_from").alias("valid_from"),
+        F.lit(batch_time).cast("long").alias("valid_to"),
+    )
+    # changed + brand-new keys: open a fresh row
+    opened_now = j.where(
+        F.col(f"upd.{key}").isNotNull()
+        & (F.col(f"cur.{key}").isNull() | changed_cond)
+    ).select(
+        F.col(f"upd.{key}").alias(key),
+        *[F.col(f"upd.{a}").alias(a) for a in attrs],
+        F.lit(batch_time).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return cur_closed.unionByName(keep_open).unionByName(closed_now).unionByName(
+        opened_now
+    )

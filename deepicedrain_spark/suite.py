@@ -1009,6 +1009,7 @@ PRIORITY: list[str] = [
     "bloom_semijoin_reduction",
     "constraint_audit",
     "streaming_parquet_sink",
+    "scd2_merge",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

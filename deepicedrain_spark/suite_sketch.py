@@ -1478,3 +1478,56 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bad_dates)
         .orderBy("constraint_name")
     )
+
+
+# --- SCD2 merge (CDC upsert) ------------------------------------------
+@register(
+    "scd2_merge",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, 'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0),
+    keep_open AS (
+      SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, cur.valid_to
+      FROM cur LEFT JOIN upd ON upd.c_custkey = cur.c_custkey
+      WHERE upd.c_custkey IS NULL OR cur.c_mktsegment = upd.c_mktsegment),
+    closed_now AS (
+      SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from,
+             CAST(1 AS BIGINT) AS valid_to
+      FROM cur JOIN upd ON upd.c_custkey = cur.c_custkey
+      WHERE cur.c_mktsegment <> upd.c_mktsegment),
+    opened_now AS (
+      SELECT upd.c_custkey, upd.c_mktsegment,
+             CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+      FROM upd LEFT JOIN cur ON cur.c_custkey = upd.c_custkey
+      WHERE cur.c_custkey IS NULL OR cur.c_mktsegment <> upd.c_mktsegment)
+    SELECT * FROM keep_open
+    UNION ALL SELECT * FROM closed_now
+    UNION ALL SELECT * FROM opened_now
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge (the MERGE INTO a warehouse runs on
+    every CDC batch): customers whose segment changes get their open
+    row closed at t=1 plus a new open row; unchanged keys do not
+    churn.  One full-outer equi-join + unions — shuffle-free when both
+    sides are bucketed by the key."""
+    from deepicedrain_spark.operators.cdc import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("c_mktsegment")
+    )
+    merged = scd2_apply(current, updates, "c_custkey", ["c_mktsegment"], batch_time=1)
+    return merged.orderBy("c_custkey", "valid_from")

@@ -203,3 +203,30 @@ def test_morton_code_roundtrip(spark):
             f"SELECT {morton_code_sql(str(x), str(y), dialect='duckdb')}"
         ).fetchone()[0]
         assert dm == m
+
+
+def test_scd2_apply_history_and_idempotence(spark):
+    from deepicedrain_spark.operators.cdc import scd2_apply
+
+    from pyspark.sql import functions as F
+
+    cur = spark.createDataFrame(
+        [(1, "A", 0, None), (2, "B", 0, None)],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    upd = spark.createDataFrame([(1, "A2"), (3, "C")], "k long, attr string")
+    m1 = scd2_apply(cur, upd, "k", ["attr"], batch_time=1)
+    rows = {(r["k"], r["attr"], r["valid_from"], r["valid_to"]) for r in m1.collect()}
+    assert rows == {
+        (1, "A", 0, 1),    # closed
+        (1, "A2", 1, None),  # reopened with new attr
+        (2, "B", 0, None),   # untouched
+        (3, "C", 1, None),   # brand new
+    }
+    # replaying the SAME batch at t=2 must be a no-op (no churn)
+    m2 = scd2_apply(m1, upd, "k", ["attr"], batch_time=2)
+    rows2 = {(r["k"], r["attr"], r["valid_from"], r["valid_to"]) for r in m2.collect()}
+    assert rows2 == rows
+    # exactly one open row per key, always
+    opens = m2.where(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
