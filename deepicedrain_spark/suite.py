@@ -1010,6 +1010,8 @@ PRIORITY: list[str] = [
     "constraint_audit",
     "streaming_parquet_sink",
     "scd2_merge",
+    "feature_hash_embed",
+    "triangle_count",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

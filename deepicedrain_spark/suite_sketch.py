@@ -1531,3 +1531,119 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = scd2_apply(current, updates, "c_custkey", ["c_mktsegment"], batch_time=1)
     return merged.orderBy("c_custkey", "valid_from")
+
+
+# --- feature-hashing text embedding -----------------------------------
+_FH_D = 64
+
+_FH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         {_H60.format(x="tok")} % {_FH_D} AS dim,
+         CASE WHEN ({_H60.format(x="concat(tok, '~sign')")} % 2) = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+  FROM toks),
+vec AS (
+  SELECT doc_id, dim, sum(sgn) AS w FROM hashed GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id,
+         count(*) AS nnz,
+         round(sqrt(sum(w * w)), 6) AS l2norm,
+         round(sum(CASE WHEN dim = 0 THEN w ELSE CAST(0.0 AS DOUBLE) END), 6) AS d0,
+         round(sum(CASE WHEN dim = 1 THEN w ELSE CAST(0.0 AS DOUBLE) END), 6) AS d1,
+         round(sum(CASE WHEN dim = 2 THEN w ELSE CAST(0.0 AS DOUBLE) END), 6) AS d2
+  FROM vec GROUP BY doc_id)
+SELECT doc_id, CAST(nnz AS BIGINT) AS nnz, l2norm, d0, d1, d2
+FROM stats ORDER BY doc_id
+"""
+
+
+@register("feature_hash_embed", _FH_SQL)
+def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. 2009): documents →
+    64-dim sparse vectors with NO vocabulary state — token dimension
+    and sign come from the hash, so the featurizer is a pure map at
+    any corpus size and feeds the engine's own ANN stack.  Output is
+    the per-doc sparse profile (nnz, L2 norm, first dims)."""
+    from deepicedrain_spark.operators.sketches import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (md5_long60(F.col("tok")) % _FH_D).alias("dim"),
+        F.when(md5_long60(F.concat(F.col("tok"), F.lit("~sign"))) % 2 == 0, 1.0)
+        .otherwise(-1.0)
+        .alias("sgn"),
+    )
+    vec = hashed.groupBy("doc_id", "dim").agg(F.sum("sgn").alias("w"))
+    return (
+        vec.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("l2norm"),
+            F.round(F.sum(F.when(F.col("dim") == 0, F.col("w")).otherwise(0.0)), 6).alias("d0"),
+            F.round(F.sum(F.when(F.col("dim") == 1, F.col("w")).otherwise(0.0)), 6).alias("d1"),
+            F.round(F.sum(F.when(F.col("dim") == 2, F.col("w")).otherwise(0.0)), 6).alias("d2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- triangle counting over the near-dup graph ------------------------
+_TRI_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.b
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register("triangle_count", _TRI_SQL)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the near-dup graph via the ordered-edge
+    double join (each triangle a<b<c counted exactly once) — the
+    classic distributed graph benchmark; both joins are equi-key
+    shuffles, no enumeration of wedges beyond the join."""
+    from deepicedrain_spark.operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_near_duplicates(docs, threshold=0.8)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))
