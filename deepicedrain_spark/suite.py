@@ -1012,6 +1012,7 @@ PRIORITY: list[str] = [
     "scd2_merge",
     "feature_hash_embed",
     "triangle_count",
+    "conversion_funnel",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -1647,3 +1647,58 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))
+
+
+# --- conversion funnel (ordered event sequence) -----------------------
+@register(
+    "conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+      GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): per stage,
+    the earliest qualifying instant must FOLLOW the previous stage's —
+    three per-user min-aggregates chained by joins, each an equi-key
+    shuffle on user_id that AQE plans off the same partitioning."""
+    from deepicedrain_spark.functions.timeutils import ns_to_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ns_to_us(F.col("ts")).alias("t")
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
