@@ -1013,6 +1013,7 @@ PRIORITY: list[str] = [
     "feature_hash_embed",
     "triangle_count",
     "conversion_funnel",
+    "bigram_lm_score",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -1702,3 +1702,83 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_view"))
     np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
     return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+# --- bigram LM log-likelihood (CCNet-style quality filter) ------------
+@register(
+    "bigram_lm_score",
+    """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS b
+      FROM ws),
+    bgc AS (SELECT b, count(*) AS nb FROM bg GROUP BY b),
+    ugc AS (
+      SELECT split_part(b, ' ', 1) AS u, sum(nb) AS nu
+      FROM bgc GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v FROM (
+        SELECT unnest(w) AS tok FROM ws)),
+    scored AS (
+      SELECT g.doc_id,
+             ln((bgc.nb + 1.0) / (ugc.nu + (SELECT v FROM vocab))) AS lp
+      FROM bg g
+      JOIN bgc ON bgc.b = g.b
+      JOIN ugc ON ugc.u = split_part(g.b, ' ', 1))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp) / count(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM with add-one smoothing scoring every
+    document's mean log-likelihood — the CCNet-style LM quality
+    filter, self-trained so there is no model artifact to ship.  Two
+    count aggregates build the model; scoring joins each document's
+    bigrams against the (broadcastable) count tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    bg = (
+        docs.select("doc_id", w.alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+                )
+            ).alias("b"),
+        )
+    )
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    ugc = (
+        bgc.select(F.split(F.col("b"), " ").getItem(0).alias("u"), "nb")
+        .groupBy("u")
+        .agg(F.sum("nb").alias("nu"))
+    )
+    v = docs.select(F.explode(w).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        bg.join(F.broadcast(bgc), "b")
+        .withColumn("u", F.split(F.col("b"), " ").getItem(0))
+        .join(F.broadcast(ugc), "u")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lp",
+            F.log((F.col("nb") + F.lit(1.0)) / (F.col("nu") + F.col("v"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
