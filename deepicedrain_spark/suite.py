@@ -1014,6 +1014,7 @@ PRIORITY: list[str] = [
     "triangle_count",
     "conversion_funnel",
     "bigram_lm_score",
+    "keyword_snippets",
     "benchmark_contamination",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",

@@ -1782,3 +1782,45 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- keyword-in-context snippets --------------------------------------
+@register(
+    "keyword_snippets",
+    """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents),
+    hits AS (
+      SELECT doc_id, w, list_position(w, 'hash') AS pos
+      FROM ws WHERE list_position(w, 'hash') IS NOT NULL
+                AND list_position(w, 'hash') > 0)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           array_to_string(list_slice(w, greatest(1, pos - 2), least(len(w), pos + 2)), ' ') AS snippet
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def q_keyword_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: first occurrence position of the
+    term plus a ±2-token snippet — search-result highlighting as a
+    pure map over the token array (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+    hits = t.withColumn("pos", F.array_position(F.col("w"), "hash")).where(
+        F.col("pos") > 0
+    )
+    snippet = F.array_join(
+        F.slice(
+            F.col("w"),
+            F.greatest(F.lit(1), F.col("pos").cast("int") - 2),
+            # slice(start, length): end = min(len, pos+2)
+            F.least(F.size("w"), F.col("pos").cast("int") + 2)
+            - F.greatest(F.lit(1), F.col("pos").cast("int") - 2)
+            + 1,
+        ),
+        " ",
+    )
+    return hits.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), snippet.alias("snippet")
+    ).orderBy("doc_id")
