@@ -931,12 +931,14 @@ PRIORITY: list[str] = [
     "parquet_roundtrip",
     "filename_parse",
     "zarr_roundtrip",
+    "hdf5_roundtrip",
     "raster_cube",
     "geojson_roundtrip",
     "tsv_roundtrip",
-    # filters: P2, P5, P6, P7/F8, P8, P9, P11
+    # filters: P2, P6, P7/F8, P8, P9, P11 (P5 expression_filter is
+    # driver-green since r1; demoted below the 50-query window to make
+    # room for the round-3 additions)
     "bbox_subset",
-    "expression_filter",
     "null_threshold",
     "json_extract_filter",
     "outlier_clip_sigma",
@@ -980,6 +982,7 @@ PRIORITY: list[str] = [
     "streaming_session_counts",
     "streaming_asof_join",
     # --- tier 2: first in line past the driver's 50-query window ------
+    "expression_filter",
     "hll_distinct_custkeys",
     "bloom_cross_corpus",
     "cms_heavy_hitters",

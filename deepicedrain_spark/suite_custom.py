@@ -1754,6 +1754,62 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S3 — HDF5 scan, LIVE (atl06_to_atl11.py:171-196 reads per-beam ATL06
+# HDF5 groups; atl06_play.py:318-327 walks the same layout). Round-trip
+# through a real HDF5 granule: events staged as chunked+gzip 1-D
+# datasets under an ATL06-style group (vendored pure-numpy hdf5lite
+# writer, driver-side — HDF5 is the reference's INPUT format, so the
+# production path is the scan), then the distributed chunk-stripe
+# mapInPandas scan reads it back and aggregates. Values must survive
+# the byte-level format round trip exactly for the oracle to hash-match.
+@register(
+    "hdf5_roundtrip",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(epoch_us(ts)) AS first_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.sources.hdf5 import read_hdf5
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", _ts_us().alias("t_us"))
+        .orderBy("event_id")
+        .toPandas()
+    )
+    path = "/tmp/spark_graft_hdf5_roundtrip.h5"
+    write_hdf5(
+        path,
+        {
+            "gt1l/land_ice_segments": {
+                "user_id": ev["user_id"].to_numpy("int64"),
+                "value": ev["value"].to_numpy("float64"),
+                "t_us": ev["t_us"].to_numpy("int64"),
+            }
+        },
+        chunk_rows=4096,
+        gzip=4,
+        shuffle=True,
+    )
+    back = read_hdf5(
+        spark,
+        path,
+        "gt1l/land_ice_segments",
+        ["user_id", "value", "t_us"],
+        chunk_rows=4096,
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("t_us").alias("first_us"),
+    )
+
+
 # --- §3.1 wide path: per-point regression with ZERO shuffles ----------
 # The long-format flagship pays one exchange on the point key; when the
 # data is already wide at rest (per-cycle suffixed columns, the

@@ -1,11 +1,17 @@
-"""HDF5 source seam: the chunk planning and schema mapping are pure
-and tested here; the h5py-dependent scan is exercised when the
-environment ships h5py (skipped otherwise — the documented seam)."""
+"""HDF5 source: chunk planning, schema mapping, and the LIVE
+distributed scan — running here through the vendored pure-numpy
+``hdf5lite`` engine (h5py cross-checks engage when that library is
+present). This closes the round-2 gap: the reference's actual ingest
+entry point (``/root/reference/atl06_to_atl11.py:171-196`` reads
+per-beam ATL06 HDF5 groups) now executes end-to-end in-container."""
 
+import numpy as np
 import pytest
 
+from deepicedrain_spark.sources import hdf5lite
 from deepicedrain_spark.sources.hdf5 import (
     plan_chunks,
+    read_atl06_beam,
     read_hdf5,
     spark_schema_for,
 )
@@ -27,17 +33,134 @@ def test_schema_mapping():
         spark_schema_for({"s": "object"})
 
 
-def test_hdf5_roundtrip_if_available(spark, tmp_path):
-    try:
-        import h5py
-        import numpy as np
-    except ImportError:
-        pytest.skip("h5py not available (documented ingest seam)")
+# ---------------------------------------------------------------------------
+# hdf5lite format layer
+# ---------------------------------------------------------------------------
+
+ATL06_LIKE = {
+    "gt1l/land_ice_segments": {
+        "latitude": np.linspace(-80.0, -70.0, 1000),
+        "longitude": np.linspace(100.0, 101.0, 1000),
+        "h_li": (np.arange(1000) * 0.5 - 30.0).astype("f4"),
+        "atl06_quality_summary": (np.arange(1000) % 3).astype("u1"),
+        "segment_id": np.arange(1000, dtype="i8"),
+        "delta_time": np.arange(1000, dtype="f8") * 0.1,
+    },
+    "gt2r/land_ice_segments": {"h_li": np.full(7, 2.5, dtype="f4")},
+}
+
+
+def test_hdf5lite_contiguous_roundtrip(tmp_path):
     p = str(tmp_path / "granule.h5")
-    with h5py.File(p, "w") as f:
+    hdf5lite.write_hdf5(p, ATL06_LIKE)
+    with hdf5lite.File(p) as f:
+        g = f["gt1l/land_ice_segments"]
+        assert sorted(g.keys()) == sorted(ATL06_LIKE["gt1l/land_ice_segments"])
+        for name, arr in ATL06_LIKE["gt1l/land_ice_segments"].items():
+            d = g[name]
+            assert d.shape == arr.shape and d.dtype == arr.dtype and d.chunks is None
+            np.testing.assert_array_equal(d[:], arr)
+            np.testing.assert_array_equal(d[137:422], arr[137:422])  # partial read
+        assert f["gt2r/land_ice_segments"]["h_li"][3] == np.float32(2.5)
+        assert "gt1l" in f and "gt1l/land_ice_segments/h_li" in f
+        with pytest.raises(KeyError):
+            f["gt1l/nope"]
+
+
+@pytest.mark.parametrize("gzip,shuffle", [(None, False), (6, False), (6, True)])
+def test_hdf5lite_chunked_roundtrip(tmp_path, gzip, shuffle):
+    p = str(tmp_path / "chunked.h5")
+    hdf5lite.write_hdf5(p, ATL06_LIKE, chunk_rows=128, gzip=gzip, shuffle=shuffle)
+    with hdf5lite.File(p) as f:
+        g = f["gt1l/land_ice_segments"]
+        for name, arr in ATL06_LIKE["gt1l/land_ice_segments"].items():
+            d = g[name]
+            assert d.chunks == (128,)
+            np.testing.assert_array_equal(d[:], arr)
+            # slices crossing chunk boundaries touch only those chunks
+            np.testing.assert_array_equal(d[120:260], arr[120:260])
+            np.testing.assert_array_equal(d[990:1000], arr[990:1000])
+
+
+def test_hdf5lite_gzip_actually_compresses(tmp_path):
+    comp, raw = str(tmp_path / "c.h5"), str(tmp_path / "r.h5")
+    data = {"g": {"z": np.zeros(100_000, dtype="f8")}}
+    hdf5lite.write_hdf5(comp, data, chunk_rows=8192, gzip=6)
+    hdf5lite.write_hdf5(raw, data)
+    import os
+
+    assert os.path.getsize(comp) < os.path.getsize(raw) / 10
+
+
+def test_hdf5lite_h5py_crosscheck(tmp_path):
+    """Both directions against the reference C library when present."""
+    h5py = pytest.importorskip("h5py")
+    ours = str(tmp_path / "ours.h5")
+    hdf5lite.write_hdf5(ours, ATL06_LIKE, chunk_rows=128, gzip=4, shuffle=True)
+    with h5py.File(ours, "r") as f:
+        for name, arr in ATL06_LIKE["gt1l/land_ice_segments"].items():
+            np.testing.assert_array_equal(f["gt1l/land_ice_segments"][name][:], arr)
+    theirs = str(tmp_path / "theirs.h5")
+    with h5py.File(theirs, "w") as f:
         g = f.create_group("gt1l/land_ice_segments")
-        g.create_dataset("latitude", data=np.arange(100, dtype="f8"))
-        g.create_dataset("h_li", data=np.arange(100, dtype="f4") * 0.5)
-    df = read_hdf5(spark, p, "gt1l/land_ice_segments", ["latitude", "h_li"], chunk_rows=32)
-    rows = sorted((r["row_index"], r["latitude"]) for r in df.collect())
-    assert len(rows) == 100 and rows[99] == (99, 99.0)
+        for name, arr in ATL06_LIKE["gt1l/land_ice_segments"].items():
+            g.create_dataset(name, data=arr, chunks=(100,), compression="gzip", shuffle=True)
+    with hdf5lite.File(theirs) as f:
+        for name, arr in ATL06_LIKE["gt1l/land_ice_segments"].items():
+            np.testing.assert_array_equal(f["gt1l/land_ice_segments"][name][:], arr)
+
+
+# ---------------------------------------------------------------------------
+# distributed scan (live — no skip)
+# ---------------------------------------------------------------------------
+
+
+def test_read_hdf5_distributed(spark, tmp_path):
+    p = str(tmp_path / "granule.h5")
+    hdf5lite.write_hdf5(p, ATL06_LIKE, chunk_rows=256)
+    df = read_hdf5(
+        spark, p, "gt1l/land_ice_segments", ["latitude", "h_li"], chunk_rows=128
+    )
+    assert df.schema.simpleString() == (
+        "struct<row_index:bigint,latitude:double,h_li:float>"
+    )
+    rows = {r["row_index"]: (r["latitude"], r["h_li"]) for r in df.collect()}
+    assert len(rows) == 1000
+    lat = ATL06_LIKE["gt1l/land_ice_segments"]["latitude"]
+    h = ATL06_LIKE["gt1l/land_ice_segments"]["h_li"]
+    for i in (0, 1, 499, 999):
+        assert rows[i] == (pytest.approx(lat[i]), pytest.approx(float(h[i])))
+
+
+def test_read_atl06_beam_live(spark, tmp_path):
+    p = str(tmp_path / "atl06.h5")
+    n = 500
+    hdf5lite.write_hdf5(
+        p,
+        {
+            "gt1l/land_ice_segments": {
+                "latitude": np.linspace(-80, -79, n),
+                "longitude": np.linspace(10, 11, n),
+                "h_li": np.arange(n, dtype="f4"),
+                "h_li_sigma": np.full(n, 0.1, dtype="f4"),
+                "atl06_quality_summary": (np.arange(n) % 2).astype("u1"),
+                "delta_time": np.arange(n, dtype="f8"),
+                "segment_id": np.arange(n, dtype="i8"),
+            }
+        },
+        chunk_rows=100,
+        gzip=2,
+    )
+    df = read_atl06_beam(spark, p, "gt1l", chunk_rows=200)
+    assert df.count() == n
+    good = df.filter("atl06_quality_summary = 0")
+    assert good.count() == n // 2
+
+
+def test_read_hdf5_ragged_raises(spark, tmp_path):
+    p = str(tmp_path / "bad.h5")
+    hdf5lite.write_hdf5(
+        p, {"g": {"a": np.arange(10, dtype="f8"), "b": np.arange(9, dtype="f8")}}
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        read_hdf5(spark, p, "g", ["a", "b"])
