@@ -64,6 +64,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count straight from parquet footer metadata — no Spark job.
+    Used to pick small-corpus fast paths (dedup banding break-even)
+    without paying a count() over the data."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES if os.path.exists(table_path(sf_dir, name))}
 

@@ -199,12 +199,23 @@ def minhash_near_duplicates(
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
 
 
+# Corpus size below which a quadratic/unbanded variant beats the
+# banded one. Measured (warm, local[32]): SimHash brute-force wins 2×
+# at 5 000 docs (0.8 s vs 1.7 s) and ties at 500; the ngram PREFIX
+# filter, by contrast, beats the plain inverted-index join even at 500
+# docs (2.0 s vs 4.4 s — the documents corpus has hot shingles, so the
+# unfiltered index pays quadratic buckets before it saves any fixed
+# cost), so only simhash_near_pairs takes a small-corpus branch.
+SMALL_CORPUS_DOCS = 20_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over the full corpus via PREFIX-FILTERED
     inverted-index candidates (AllPairs/PPJoin scheme, Bayardo et al.
@@ -224,7 +235,13 @@ def ngram_jaccard_pairs(
     Lossless at the given threshold: every qualifying pair survives
     steps 2-3 by construction. A naive full-index variant measured 22 s
     at sf0.1 (a hot trigram's bucket expands quadratically); the prefix
-    filter removes exactly those buckets."""
+    filter removes exactly those buckets.
+
+    ``n_docs`` is accepted for API symmetry with
+    :func:`simhash_near_pairs` but currently ignored: measurement (see
+    ``SMALL_CORPUS_DOCS``) shows the prefix filter is the faster shape
+    even at 500 docs, so there is no small-corpus branch to take."""
+    del n_docs
     shingled = word_shingles(df, text_col, n).withColumn(
         "_n", F.size("shingles")
     ).localCheckpoint()  # feeds prefix build AND verify
@@ -377,6 +394,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 4,
     bits: int = 32,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ k, via bit-block banding — the
     100 TB shape. Pigeonhole: split the ``bits``-bit fingerprint into
@@ -389,7 +407,13 @@ def simhash_near_pairs(
 
     ``bits`` must match the fingerprint width actually produced (a
     wider setting makes the high blocks all-zero — one giant bucket,
-    quadratic again)."""
+    quadratic again).
+
+    ``n_docs``: pass the known corpus size to take the brute-force
+    path (identical result set) below ``SMALL_CORPUS_DOCS``, where the
+    banding explode + distinct overhead exceeds the tiny quadratic."""
+    if n_docs is not None and n_docs <= SMALL_CORPUS_DOCS:
+        return simhash_near_pairs_bruteforce(fps, id_col, max_hamming)
     nb = max_hamming + 1
     width = bits // nb
 

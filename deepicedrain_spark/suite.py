@@ -890,22 +890,28 @@ def q_array_to_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # F7 — filename pattern parse via input_file_name (atlxi_dhdt.py:65-70).
-# The oracle's views carry no file path, but the driver compares at
-# sf=0.01, where the path-derived label is the known constant '0.01' —
-# so the oracle pins it as a golden value (and still checks the row
-# count dynamically). tools/check.py at another sf_dir would flag this
-# query; that is the oracle being honest about what it certifies.
+# The oracle's views carry no file path, so the check is sf-generic by
+# construction: the Spark side parses the label out of every row's
+# input_file_name() and compares it to the label derived from sf_dir in
+# plain Python — one parse the per-row parses must all agree with. A
+# regression in filename_field (wrong group, wrong pattern, empty
+# string from a non-matching path) yields label_ok = false or extra
+# groups, and either breaks the hash/row-count match at ANY sf.
 @register(
     "filename_parse",
-    "SELECT '0.01' AS sf_label, count(*) AS n_rows FROM events",
+    "SELECT CAST(1 AS BOOLEAN) AS label_ok, count(*) AS n_rows FROM events",
 )
 def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
     from deepicedrain_spark.functions.strings import filename_field
 
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    expected = m.group(1) if m else ""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(filename_field(r"sf([0-9.]+)/events", 1).alias("sf_label"))
-        .groupBy("sf_label")
+        .groupBy((F.col("sf_label") == F.lit(expected)).alias("label_ok"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
@@ -933,6 +939,7 @@ PRIORITY: list[str] = [
     "zarr_roundtrip",
     "hdf5_roundtrip",
     "raster_cube",
+    "netcdf_roundtrip",
     "geojson_roundtrip",
     "tsv_roundtrip",
     # filters: P2, P6, P7/F8, P8, P9, P11 (P5 expression_filter is
@@ -940,7 +947,6 @@ PRIORITY: list[str] = [
     # room for the round-3 additions)
     "bbox_subset",
     "null_threshold",
-    "json_extract_filter",
     "outlier_clip_sigma",
     "adaptive_median_filter",
     "dedup_distinct",
@@ -983,6 +989,7 @@ PRIORITY: list[str] = [
     "streaming_asof_join",
     # --- tier 2: first in line past the driver's 50-query window ------
     "expression_filter",
+    "json_extract_filter",
     "hll_distinct_custkeys",
     "bloom_cross_corpus",
     "cms_heavy_hitters",

@@ -1325,6 +1325,53 @@ def q_raster_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S5 — NetCDF cube sink + scan, LIVE (atlxi_lake.py:428 to_netcdf;
+# spatiotemporal.py:443-449 stacks per-cycle grids into a cube). The
+# raster aggregate's sparse cells densify into a (cycle, y, x) CDF-1
+# cube written byte-for-byte by the pure-numpy writer, then scan back
+# to the non-empty cells — oracle identical to raster_cube because the
+# cube round trip must be the identity on stored values (count var is
+# the emptiness mask, so no fill sentinel can collide with data).
+# Cubes are aggregated grids (tiny vs the point cloud), so the
+# single-file sink collects cells like the single-file GeoJSON writer.
+@register(
+    "netcdf_roundtrip",
+    """
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(floor((CAST(embedding[1] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cx,
+           CAST(floor((CAST(embedding[2] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cy,
+           count(*) AS n,
+           round(quantile_cont(CAST(embedding[3] AS DOUBLE), 0.5), 6) AS z_med
+    FROM embeddings GROUP BY 1, 2, 3
+    """,
+)
+def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.sources.netcdf import read_cube, write_cube
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("label").cast("int").alias("label"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    cell = lambda c: F.floor((F.col(c) - F.lit(-0.5)) / F.lit(0.25)).cast("long")  # noqa: E731
+    cells = pts.groupBy("label", cell("x").alias("cx"), cell("y").alias("cy")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(z, 0.5)"), 6).alias("z_med"),
+    )
+    path = "/tmp/spark_graft_netcdf_roundtrip.nc"
+    write_cube(path, cells, "label", "cx", "cy", {"n": "n", "z_med": "z_med"})
+    back = read_cube(spark, path, ["n", "z_med"])
+    return back.select(
+        F.col("cycle").cast("int").alias("label"),
+        "cx",
+        "cy",
+        F.col("n").cast("long").alias("n"),
+        "z_med",
+    )
+
+
 # --- S6/S7 vector IO roundtrip: hulls → geojsonl sink → scan back ----
 # The sink serializes each hull ring as a GeoJSON Feature (to_json of
 # doubles is shortest-roundtrip, so the re-read ring is bit-identical)

@@ -130,11 +130,13 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-inverted-index equi-join (the oracle's own join shape) —
-    the registered query IS the 100 TB plan; the former bounded
-    crossJoin demo is gone."""
+    """Prefix-filtered AllPairs at scale; below the banding break-even
+    the parquet-footer row count flips the op to its small-corpus
+    inverted-index path (identical, lossless result set)."""
+    from deepicedrain_spark.io import table_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_op(docs, threshold=0.5)
+    return ngram_jaccard_op(docs, threshold=0.5, n_docs=table_rows(sf_dir, "documents"))
 
 
 # --- benchmark contamination (cross-corpus n-gram Jaccard) ------------
@@ -241,11 +243,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded (pigeonhole) candidate generation on the FULL table —
-    equi-join plan, no quadratic non-equi join; recall is exact."""
+    """Banded (pigeonhole) candidate generation at scale — equi-join
+    plan, recall exact; below the banding break-even the parquet-footer
+    row count flips to the brute-force path (same result set)."""
+    from deepicedrain_spark.io import table_rows
+
     docs = load_table(spark, sf_dir, "documents")
     fps = simhash(docs, bits=32)
-    return simhash_near_pairs(fps, max_hamming=2, bits=32)
+    return simhash_near_pairs(
+        fps, max_hamming=2, bits=32, n_docs=table_rows(sf_dir, "documents")
+    )
 
 
 # --- cosine top-k similarity search ------------------------------------
