@@ -3,20 +3,23 @@ extension): opaque ``binary`` payloads + typed metadata structs, with
 decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` operators.
 
-The decode step is STUBBED: the real implementations require PIL /
-torchaudio / av, none of which are in this container. Each operator
-does one of two things, chosen by ``mode``:
-  - mode='real'  → raises NotImplementedError at the point the codec
-    library would be imported (clearly marked seam);
-  - mode='fake'  → a deterministic stand-in computed from the bytes
-    (so partitioning, schemas, batch shapes, and downstream plumbing
-    are fully real and testable).
+Two modes per operator:
+  - mode='real'  → image and audio now DECODE FOR REAL via the
+    pure-stdlib codecs in ``functions/codecs.py`` (PNG gray8/RGB8,
+    WAV PCM16): stats are over decoded pixels/samples, resize and
+    resample operate in pixel/sample space and re-encode. Only VIDEO
+    remains a NotImplementedError seam — no practical pure-Python
+    implementation of a real video codec exists, and a fake one would
+    be demo-math wearing a production label.
+  - mode='fake'  → a deterministic stand-in computed from the raw
+    bytes (kept for payloads that are not PNG/WAV, and as the
+    plumbing-only path the round-2 oracles pin).
 
-Spark-side design is production-shaped regardless of the stub: binary
-columns travel in Arrow record batches; mapInPandas streams batches
-(constant memory per task); decode parallelism == partition count, so
-`repartition(n)` is the throughput knob; metadata lives in a struct
-column so Catalyst prunes it when untouched.
+Spark-side design is identical in both modes: binary columns travel in
+Arrow record batches; mapInPandas streams batches (constant memory per
+task); decode parallelism == partition count, so `repartition(n)` is
+the throughput knob; metadata lives in a struct column so Catalyst
+prunes it when untouched.
 """
 
 from __future__ import annotations
@@ -71,22 +74,104 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real-PNG media table: per row, a gray8 image whose pixels follow
+    the closed form px[i] = (id·31 + i·7) mod 256 with W = id%16+8,
+    H = id%12+6 — deterministic, so an oracle can recompute every pixel
+    stat without decoding (the PNG round trip must be the identity).
+    Payloads are ACTUAL PNG bytes (signature, IHDR, zlib IDAT, CRCs)."""
+    schema = "media_id string, payload binary, width int, height int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from deepicedrain_spark.functions.codecs import png_encode
+
+        for pdf in it:
+            ids, payloads, ws, hs = [], [], [], []
+            for raw_id in pdf["_id"]:
+                i = int(raw_id)
+                w, h = i % 16 + 8, i % 12 + 6
+                px = (i * 31 + np.arange(w * h) * 7) % 256
+                payloads.append(png_encode(px.astype(np.uint8).reshape(h, w)))
+                ids.append(str(i))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "width": ws, "height": hs}
+            )
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
+
+
+def attach_wav_media(df: DataFrame, id_col: str, rate: int = 16_000) -> DataFrame:
+    """Real-WAV media table: per row, mono PCM16 audio with samples
+    s[i] = ((id·13 + i·5) mod 4001) − 2000 and n = id%400+100 — again a
+    closed form an oracle can replay sample-exactly."""
+    schema = "media_id string, payload binary, n_samples long, sample_rate int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from deepicedrain_spark.functions.codecs import wav_encode
+
+        for pdf in it:
+            ids, payloads, counts = [], [], []
+            for raw_id in pdf["_id"]:
+                i = int(raw_id)
+                n = i % 400 + 100
+                s = ((i * 13 + np.arange(n) * 5) % 4001) - 2000
+                payloads.append(wav_encode(s.astype(np.int16), rate))
+                ids.append(str(i))
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "n_samples": counts,
+                    "sample_rate": rate,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
+
+
 def _require_real_codec(kind: str) -> None:
     raise NotImplementedError(
-        f"real {kind} decoding needs a codec library (PIL/torchaudio/av) "
-        "that is not available in this container; use mode='fake' for "
-        "pipeline plumbing, or install the codec and fill in this seam"
+        f"real {kind} decoding needs a codec library (av/ffmpeg) that is "
+        "not available in this container and has no practical pure-Python "
+        "implementation; use mode='fake' for pipeline plumbing, or install "
+        "the codec and fill in this seam"
     )
 
 
 def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
-    """Decode → per-image features (mean/max byte as stand-ins for
-    pixel stats). Output: media_id, n_bytes, mean_byte, max_byte."""
+    """Decode → per-image features. Output: media_id, n_bytes,
+    mean_byte, max_byte. In mode='real' the payload is parsed as PNG
+    and the stats are over DECODED PIXELS (n_bytes = pixel·channel
+    count); in mode='fake' they are over the raw payload bytes."""
     schema = "media_id string, n_bytes long, mean_byte double, max_byte int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "real":
-            _require_real_codec("image")
+            from deepicedrain_spark.functions.codecs import png_decode
+
+            for pdf in it:
+                n, mean, mx = [], [], []
+                for b in pdf["payload"]:
+                    px = png_decode(bytes(b)).ravel()
+                    n.append(int(px.size))
+                    mean.append(float(px.sum()) / px.size if px.size else 0.0)
+                    mx.append(int(px.max()) if px.size else 0)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "n_bytes": n,
+                        "mean_byte": mean,
+                        "max_byte": mx,
+                    }
+                )
+            return
         for pdf in it:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -103,14 +188,33 @@ def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
 
 
 def resize_image(df: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
-    """Resize: fake mode re-packs a payload of exactly width×height
-    bytes by tiling/truncating (shape-correct plumbing); real mode is
-    the PIL seam."""
+    """Resize. mode='real': PNG decode → nearest-neighbor resize in
+    pixel space → PNG re-encode. mode='fake': re-packs a payload of
+    exactly width×height bytes by tiling/truncating (shape-correct
+    plumbing for non-PNG payloads)."""
     schema = "media_id string, payload binary, width int, height int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "real":
-            _require_real_codec("image")
+            from deepicedrain_spark.functions.codecs import (
+                png_decode,
+                png_encode,
+                png_resize_nearest,
+            )
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [
+                            png_encode(png_resize_nearest(png_decode(bytes(b)), width, height))
+                            for b in pdf["payload"]
+                        ],
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            return
         target = width * height
         for pdf in it:
             def repack(b: bytes) -> bytes:
@@ -134,17 +238,42 @@ def resize_image(df: DataFrame, width: int, height: int, mode: str = "fake") -> 
 def resample_audio(
     df: DataFrame, src_rate: int = 16_000, dst_rate: int = 8_000, mode: str = "fake"
 ) -> DataFrame:
-    """Audio resampling: fake mode treats the payload as mono 8-bit
-    PCM and nearest-neighbor resamples by the rational rate ratio —
-    out[i] = payload[(i·src)//dst], n_out = ceil(len·dst/src) —
-    deterministic byte math any engine can replay; real mode is the
-    torchaudio/librosa seam. Output: media_id, payload, n_samples,
-    sample_rate."""
+    """Audio resampling by the rational rate ratio, nearest-neighbor:
+    out[i] = in[(i·src)//dst], n_out = ceil(n·dst/src). mode='real'
+    parses the payload as PCM16 WAV, resamples int16 SAMPLES, and
+    re-encodes a WAV at dst_rate (n_samples counts samples); the fake
+    mode applies the same index rule to raw bytes. Output: media_id,
+    payload, n_samples, sample_rate."""
     schema = "media_id string, payload binary, n_samples long, sample_rate int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "real":
-            _require_real_codec("audio")
+            from deepicedrain_spark.functions.codecs import (
+                wav_decode,
+                wav_encode,
+                wav_resample_nearest,
+            )
+
+            for pdf in it:
+                payloads, counts = [], []
+                for b in pdf["payload"]:
+                    samples, rate = wav_decode(bytes(b))
+                    if rate != src_rate:
+                        raise ValueError(
+                            f"resample_audio: payload rate {rate} != src_rate {src_rate}"
+                        )
+                    out = wav_resample_nearest(samples, src_rate, dst_rate)
+                    payloads.append(wav_encode(out, dst_rate))
+                    counts.append(len(out))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": payloads,
+                        "n_samples": counts,
+                        "sample_rate": dst_rate,
+                    }
+                )
+            return
         for pdf in it:
             def resample(b: bytes) -> bytes:
                 n_out = (len(b) * dst_rate + src_rate - 1) // src_rate
@@ -157,6 +286,39 @@ def resample_audio(
                     "payload": out,
                     "n_samples": out.map(len),
                     "sample_rate": dst_rate,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """Real WAV decode → per-clip sample stats (the audio analog of
+    decode_image_features' real mode). Output: media_id, n_samples,
+    sum_sample, max_sample, sample_rate."""
+    schema = (
+        "media_id string, n_samples long, sum_sample long, "
+        "max_sample int, sample_rate int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepicedrain_spark.functions.codecs import wav_decode
+
+        for pdf in it:
+            n, tot, mx, rates = [], [], [], []
+            for b in pdf["payload"]:
+                samples, rate = wav_decode(bytes(b))
+                n.append(len(samples))
+                tot.append(int(samples.astype("int64").sum()))
+                mx.append(int(samples.max()) if len(samples) else 0)
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": n,
+                    "sum_sample": tot,
+                    "max_sample": mx,
+                    "sample_rate": rates,
                 }
             )
 

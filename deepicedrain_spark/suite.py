@@ -982,7 +982,7 @@ PRIORITY: list[str] = [
     "cosine_topk_lsh",
     "near_dup_components",
     "token_count_stats",
-    "multimodal_decode_features",
+    "multimodal_real_decode",
     "dataset_split",
     # streaming extension (§2.11)
     "streaming_session_counts",
@@ -990,6 +990,8 @@ PRIORITY: list[str] = [
     # --- tier 2: first in line past the driver's 50-query window ------
     "expression_filter",
     "json_extract_filter",
+    "multimodal_decode_features",
+    "multimodal_real_audio",
     "hll_distinct_custkeys",
     "bloom_cross_corpus",
     "cms_heavy_hitters",

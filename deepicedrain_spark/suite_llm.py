@@ -708,6 +708,75 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal REAL codecs (round 3) -----------------------------------
+# mode='real' now decodes actual bytes: PNG payloads (signature, IHDR,
+# zlib IDAT, CRC-checked chunks) and PCM16 WAV, via the pure-stdlib
+# codecs in functions/codecs.py. The media generators use closed-form
+# pixels/samples keyed by doc_id, so DuckDB recomputes every decoded
+# value WITHOUT a PNG/WAV parser — the encode→bytes→decode round trip
+# must be the identity for the hash to match, which is exactly what
+# certifies the codec bodies.
+@register(
+    "multimodal_real_decode",
+    """
+    WITH g AS (
+      SELECT doc_id, (doc_id % 16 + 8) * (doc_id % 12 + 6) AS n FROM documents),
+    px AS (
+      SELECT doc_id, n, (doc_id * 31 + unnest(range(0, n)) * 7) % 256 AS p FROM g)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           round(CAST(sum(p) AS DOUBLE) / n, 6) AS mean_byte,
+           CAST(max(p) AS INT) AS max_byte
+    FROM px GROUP BY doc_id, n
+    """,
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.multimodal import (
+        attach_png_media,
+        decode_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_png_media(docs, "doc_id")
+    feats = decode_image_features(media, mode="real")
+    return feats.select(
+        "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "max_byte"
+    )
+
+
+# Real audio: WAV-encode closed-form PCM16, nearest-neighbor resample
+# 16 kHz → 8 kHz in SAMPLE space (out[j] = s[2j]), WAV re-encode, then
+# a second real decode computes the stats the oracle replays:
+# s[2j] = ((id·13 + 10j) mod 4001) − 2000.
+@register(
+    "multimodal_real_audio",
+    """
+    WITH g AS (SELECT doc_id, doc_id % 400 + 100 AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             ((doc_id * 13 + unnest(range(0, (n + 1) // 2)) * 10) % 4001) - 2000 AS v
+      FROM g)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST((n + 1) // 2 AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_sample,
+           CAST(max(v) AS INT) AS max_sample,
+           CAST(8000 AS INT) AS sample_rate
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def q_multimodal_real_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.multimodal import (
+        attach_wav_media,
+        decode_audio_stats,
+        resample_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_wav_media(docs, "doc_id", rate=16_000)
+    resampled = resample_audio(media, src_rate=16_000, dst_rate=8_000, mode="real")
+    return decode_audio_stats(resampled)
+
+
 # --- near-dup groups: connected components over the near-dup edges ---
 # The edge set is the minhash_near_dup pair list (exact on this data —
 # see that query's recall note); components collapse pairwise edges
