@@ -947,7 +947,6 @@ PRIORITY: list[str] = [
     # room for the round-3 additions)
     "bbox_subset",
     "null_threshold",
-    "outlier_clip_sigma",
     "adaptive_median_filter",
     "dedup_distinct",
     # joins: J1 (gridded scale path), J3, as-of
@@ -973,6 +972,7 @@ PRIORITY: list[str] = [
     "dbscan_clusters",
     "dbscan_distributed_summary",
     "lake_finder_pipeline",
+    "lake_finder_reference_params",
     "dhdt_pipeline",
     # LLM-pipeline capabilities (one per family)
     "exact_dedup_pairs",
@@ -990,6 +990,7 @@ PRIORITY: list[str] = [
     # --- tier 2: first in line past the driver's 50-query window ------
     "expression_filter",
     "json_extract_filter",
+    "outlier_clip_sigma",
     "multimodal_decode_features",
     "multimodal_real_audio",
     "hll_distinct_custkeys",

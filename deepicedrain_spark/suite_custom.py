@@ -493,6 +493,237 @@ _LAKE_DBSCAN = """
 """
 
 
+# --- lake finder at the REFERENCE parameters (round 3) ---------------
+# Same pipeline, but with the reference's actual DBSCAN settings —
+# eps=3000 m, min_samples=250 (lake_algorithms.py:16-17, the BDD
+# scenario's parameters) — on an events-derived basin: 5 planted lakes
+# (3 filling +2.0, 2 draining −3.0, ~600 pts each at sf0.01, blob
+# diameter 2.8 km < eps so each blob is one clique) in a 60 km basin
+# of diffuse active background. Unlike the small-extent fixture above,
+# the 5 km donut ring here does NOT cover the basin, so the oracle
+# replicates the buffer construction exactly: offset every hull vertex
+# by a 16-gon of radius 5000 (identical `2*pi()*k/16` expression text
+# on both engines → identical libm doubles), re-hull, and test
+# in-buffer AND out-of-hull parity. The 16/31 BDD cluster-count parity
+# lives in tests/test_lake_reference_parity.py on the full-density
+# track-sampled fixture; this query certifies the same code path
+# value-exactly at the same (eps, min_samples).
+_REF_EPS = 3000.0
+_REF_MIN_SAMPLES = 250
+
+_LAKE_REF_PTS = """
+      SELECT event_id AS pid,
+             CASE WHEN event_id % 10 < 7
+                  THEN CAST((event_id * 7919 + 13) % 60000 AS DOUBLE)
+                  ELSE CAST(10000 + ((event_id // 10) % 5) * 12000
+                            + ((event_id * 2654435761) % 2001 - 1000) AS DOUBLE) END AS x,
+             CASE WHEN event_id % 10 < 7
+                  THEN CAST((event_id * 104729 + 17) % 60000 AS DOUBLE)
+                  ELSE CAST(10000 + ((((event_id // 10) % 5) * 17) % 40) * 1000
+                            + ((event_id * 40503) % 2001 - 1000) AS DOUBLE) END AS y,
+             CAST(CASE WHEN event_id % 10 < 7 THEN 0.11 + (event_id % 7) * 0.01
+                  WHEN ((event_id // 10) % 5) < 3 THEN 2.0 ELSE -3.0 END AS DOUBLE) AS dhdt
+      FROM events WHERE event_id < 10000
+"""
+
+_LAKE_REF_ORACLE = f"""
+    WITH basin_pts AS MATERIALIZED ({_LAKE_REF_PTS}),
+    active AS (
+      SELECT * FROM basin_pts
+      WHERE abs(dhdt) > 0.105
+        AND abs(dhdt) > 3 * (SELECT quantile_cont(abs(dhdt), 0.5)
+                             FROM basin_pts WHERE abs(dhdt) > 0.105)),
+    ord AS MATERIALIZED (
+      SELECT pid, x, y, dhdt,
+             CASE WHEN dhdt > 0 THEN 1 ELSE -1 END AS s,
+             row_number() OVER (ORDER BY sign(dhdt), x, y) AS rid
+      FROM active),
+    nbr AS MATERIALIZED (
+      SELECT a.rid AS ia, b.rid AS ib
+      FROM ord a JOIN ord b
+        ON a.s = b.s
+       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_REF_EPS}*{_REF_EPS}),
+    core AS MATERIALIZED (
+      SELECT ia AS rid FROM nbr GROUP BY ia HAVING count(*) >= {_REF_MIN_SAMPLES}),
+    cedge AS MATERIALIZED (
+      SELECT n.ia, n.ib FROM nbr n
+      JOIN core c1 ON n.ia = c1.rid
+      JOIN core c2 ON n.ib = c2.rid),
+    -- components via 2-hop min-label propagation instead of a full
+    -- recursive closure (whose src×v expansion is |clique|² rows here:
+    -- ~45 s vs <1 s). EXACT for this fixture by construction: each
+    -- blob's geometric diameter 2·sqrt(2)·1000 m < eps = 3000 m, so
+    -- every core-graph component is a clique (graph diameter 1 ≤ 2).
+    lab1 AS MATERIALIZED (
+      SELECT e.ia AS rid, min(e.ib) AS lab FROM cedge e GROUP BY e.ia),
+    reach AS MATERIALIZED (
+      SELECT e.ia AS rid, min(l.lab) AS root
+      FROM cedge e JOIN lab1 l ON l.rid = e.ib GROUP BY e.ia),
+    comp AS MATERIALIZED (
+      SELECT r.rid, o.s,
+             dense_rank() OVER (PARTITION BY o.s ORDER BY r.root) AS k
+      FROM reach r JOIN ord o ON o.rid = r.rid),
+    border AS MATERIALIZED (
+      SELECT n.ia AS rid, min(c.k) AS k
+      FROM nbr n
+      JOIN comp c ON n.ib = c.rid
+      LEFT JOIN core ck ON n.ia = ck.rid
+      WHERE ck.rid IS NULL
+      GROUP BY n.ia),
+    members AS MATERIALIZED (
+      SELECT o.pid, o.x, o.y, o.dhdt,
+             CAST(o.s * COALESCE(c.k, b.k) AS BIGINT) AS cluster_id
+      FROM ord o
+      LEFT JOIN comp c ON c.rid = o.rid
+      LEFT JOIN border b ON b.rid = o.rid
+      WHERE COALESCE(c.k, b.k) IS NOT NULL),
+    mpts AS MATERIALIZED (SELECT DISTINCT cluster_id, x, y FROM members),
+    hullb AS MATERIALIZED (
+      SELECT DISTINCT p.cluster_id, p.x, p.y
+      FROM mpts p JOIN mpts q
+        ON p.cluster_id = q.cluster_id AND (p.x != q.x OR p.y != q.y)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM mpts r
+        WHERE r.cluster_id = p.cluster_id
+          AND (q.x-p.x)*(r.y-p.y) - (q.y-p.y)*(r.x-p.x) < 0)),
+    ang AS (
+      SELECT cluster_id, x, y,
+             atan2(y - avg(y) OVER (PARTITION BY cluster_id),
+                   x - avg(x) OVER (PARTITION BY cluster_id)) AS th,
+             count(*) OVER (PARTITION BY cluster_id) AS n
+      FROM hullb),
+    ring AS MATERIALIZED (
+      SELECT cluster_id, x, y, n,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY th) - 1 AS p
+      FROM ang),
+    ringe AS MATERIALIZED (
+      SELECT a.cluster_id, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM ring a JOIN ring b
+        ON a.cluster_id = b.cluster_id AND b.p = (a.p + 1) % a.n),
+    bufp AS MATERIALIZED (
+      SELECT h.cluster_id,
+             h.x + 5000 * cos(2 * pi() * t.k / 16) AS x,
+             h.y + 5000 * sin(2 * pi() * t.k / 16) AS y
+      FROM hullb h, range(16) t(k)),
+    bufd AS MATERIALIZED (SELECT DISTINCT cluster_id, x, y FROM bufp),
+    bufb AS MATERIALIZED (
+      SELECT DISTINCT p.cluster_id, p.x, p.y
+      FROM bufd p JOIN bufd q
+        ON p.cluster_id = q.cluster_id AND (p.x != q.x OR p.y != q.y)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bufd r
+        WHERE r.cluster_id = p.cluster_id
+          AND (q.x-p.x)*(r.y-p.y) - (q.y-p.y)*(r.x-p.x) < 0)),
+    bang AS (
+      SELECT cluster_id, x, y,
+             atan2(y - avg(y) OVER (PARTITION BY cluster_id),
+                   x - avg(x) OVER (PARTITION BY cluster_id)) AS th,
+             count(*) OVER (PARTITION BY cluster_id) AS n
+      FROM bufb),
+    bring AS MATERIALIZED (
+      SELECT cluster_id, x, y, n,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY th) - 1 AS p
+      FROM bang),
+    bringe AS MATERIALIZED (
+      SELECT a.cluster_id, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM bring a JOIN bring b
+        ON a.cluster_id = b.cluster_id AND b.p = (a.p + 1) % a.n),
+    in_buf AS MATERIALIZED (
+      SELECT e.cluster_id, p.pid, p.x, p.y, p.dhdt
+      FROM basin_pts p CROSS JOIN (SELECT DISTINCT cluster_id FROM bringe) cl
+      JOIN bringe e ON e.cluster_id = cl.cluster_id
+      GROUP BY e.cluster_id, p.pid, p.x, p.y, p.dhdt
+      HAVING count(*) FILTER (
+               ((e.yb > p.y) <> (e.ya > p.y))
+               AND (p.x < (e.xa - e.xb) * (p.y - e.yb) / (e.ya - e.yb) + e.xb)
+             ) % 2 = 1),
+    donut AS MATERIALIZED (
+      SELECT b.cluster_id, b.pid, b.dhdt
+      FROM in_buf b
+      JOIN ringe e ON e.cluster_id = b.cluster_id
+      GROUP BY b.cluster_id, b.pid, b.dhdt
+      HAVING count(*) FILTER (
+               ((e.yb > b.y) <> (e.ya > b.y))
+               AND (b.x < (e.xa - e.xb) * (b.y - e.yb) / (e.ya - e.yb) + e.xb)
+             ) % 2 = 0),
+    dstats AS MATERIALIZED (
+      SELECT cluster_id, quantile_cont(dhdt, 0.5) AS outer_dhdt
+      FROM donut GROUP BY cluster_id),
+    dmad AS MATERIALIZED (
+      SELECT d.cluster_id,
+             quantile_cont(abs(d.dhdt - s.outer_dhdt), 0.5) AS outer_mad
+      FROM donut d JOIN dstats s ON d.cluster_id = s.cluster_id
+      GROUP BY d.cluster_id),
+    area AS MATERIALIZED (
+      SELECT cluster_id, abs(sum(xa * yb - xb * ya)) / 2 AS area_m2
+      FROM ringe GROUP BY cluster_id),
+    stats AS MATERIALIZED (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS num_points,
+             quantile_cont(dhdt, 0.5) AS inner_dhdt
+      FROM members GROUP BY cluster_id)
+    -- final assembly is UNION ALL + GROUP BY, not joins: DuckDB's
+    -- optimizer re-plans joins BETWEEN materialized CTEs into the big
+    -- dependency trees here (+30 s measured for a 5×5-row join); the
+    -- union shape keeps each CTE evaluated exactly once. max() per
+    -- column = the left-join semantics (each cluster_id contributes
+    -- one non-null row per source; dstats/dmad rows may be absent).
+    SELECT 'basin' AS basin_name, cluster_id,
+           max(num_points) AS num_points,
+           round(max(inner_dhdt), 6) AS inner_dhdt,
+           round(max(area_m2), 6) AS area_m2
+    FROM (
+      SELECT cluster_id, num_points, inner_dhdt,
+             CAST(NULL AS DOUBLE) AS area_m2,
+             CAST(NULL AS DOUBLE) AS outer_dhdt, CAST(NULL AS DOUBLE) AS outer_mad
+      FROM stats
+      UNION ALL
+      SELECT cluster_id, NULL, NULL, area_m2, NULL, NULL FROM area
+      UNION ALL
+      SELECT cluster_id, NULL, NULL, NULL, outer_dhdt, NULL FROM dstats
+      UNION ALL
+      SELECT cluster_id, NULL, NULL, NULL, NULL, outer_mad FROM dmad)
+    GROUP BY cluster_id
+    HAVING max(outer_mad) IS NULL
+        OR abs(max(inner_dhdt) - max(outer_dhdt)) >= 3 * max(outer_mad)
+"""
+
+
+@register("lake_finder_reference_params", _LAKE_REF_ORACLE)
+def q_lake_finder_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.spatial import polygons_df
+    from deepicedrain_spark.plans.lakes import find_lakes
+
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 10000")
+    pts = ev.selectExpr(
+        """CASE WHEN event_id % 10 < 7
+                THEN CAST((event_id * 7919 + 13) % 60000 AS DOUBLE)
+                ELSE CAST(10000 + ((event_id div 10) % 5) * 12000
+                          + ((event_id * 2654435761) % 2001 - 1000) AS DOUBLE) END AS x""",
+        """CASE WHEN event_id % 10 < 7
+                THEN CAST((event_id * 104729 + 17) % 60000 AS DOUBLE)
+                ELSE CAST(10000 + ((((event_id div 10) % 5) * 17) % 40) * 1000
+                          + ((event_id * 40503) % 2001 - 1000) AS DOUBLE) END AS y""",
+        """CASE WHEN event_id % 10 < 7 THEN 0.11 + (event_id % 7) * 0.01
+                WHEN ((event_id div 10) % 5) < 3 THEN 2.0 ELSE -3.0 END AS dhdt_slope""",
+        "user_id AS referencegroundtrack",
+    )
+    basins = polygons_df(
+        spark,
+        [{"poly_id": "basin", "xs": [-1.0, 60001.0, 60001.0, -1.0],
+          "ys": [-1.0, -1.0, 60001.0, 60001.0]}],
+    ).withColumnRenamed("poly_id", "basin_name")
+    lakes = find_lakes(
+        pts, basins, eps=_REF_EPS, min_samples=_REF_MIN_SAMPLES, basin_col="basin_name"
+    )
+    return lakes.select(
+        "basin_name",
+        "cluster_id",
+        "num_points",
+        F.round("inner_dhdt", 6).alias("inner_dhdt"),
+        F.round("area_m2", 6).alias("area_m2"),
+    )
+
+
 @register("lake_finder_pipeline", _LAKE_DBSCAN)
 def q_lake_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.spatial import polygons_df

@@ -151,10 +151,14 @@ def test_multimodal_plumbing(spark):
     assert counts["0"] == (len(DOCS[0].text.encode()) + 15) // 16
 
 
-def test_multimodal_real_mode_is_stubbed(spark):
+def test_multimodal_real_mode_rejects_non_png(spark):
+    """mode='real' now decodes actual PNG bytes (round 3); feeding it a
+    raw-text payload must fail loudly at the signature check, not
+    silently fall back to byte math. (Real-codec happy paths are
+    covered in tests/test_codecs.py.)"""
     docs = spark.createDataFrame(DOCS)
     media = attach_fake_media(docs, "doc_id", "text")
-    with pytest.raises(Exception, match="NotImplementedError|real image"):
+    with pytest.raises(Exception, match="bad PNG signature"):
         decode_image_features(media, mode="real").collect()
 
 

@@ -42,8 +42,13 @@ def test_driver_window_covers_every_family():
         "ngram_jaccard_pairs",
         "cosine_topk_lsh",  # ANN
         "near_dup_components",
-        "multimodal_decode_features",
+        # multimodal: the REAL-codec decode replaced the byte-math fake
+        # as the window representative in round 3
+        "multimodal_real_decode",
         "dataset_split",
+        "hdf5_roundtrip",  # S3 live scan (round 3)
+        "netcdf_roundtrip",  # S5 bytes sink (round 3)
+        "lake_finder_reference_params",  # M1 at reference eps/min_samples
         "streaming_session_counts",  # §2.11
         "streaming_asof_join",
     ]
