@@ -19,7 +19,7 @@ a deterministic DataFrame program with a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,7 +36,21 @@ def scd2_apply(
     exactly one open row (valid_to IS NULL) per key; ``updates``
     carries (key, *attrs).  ``batch_time`` is the integer effective
     time of the batch.
+
+    A CDC batch may legitimately carry several rows per key (several
+    source commits between syncs); applying them all would emit
+    multiple open rows and break the one-open-row invariant the next
+    apply depends on, so updates are deduplicated to the LAST row per
+    key first (last-writer-wins, the MERGE-style resolution; "last" =
+    highest attr tuple when the batch carries no ordering column —
+    deterministic under shuffle, unlike first-seen).
     """
+    updates = updates.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(key).orderBy(*[F.col(a).desc_nulls_last() for a in attrs])
+        ),
+    ).where(F.col("_rn") == 1).drop("_rn")
     cur_open = current.where(F.col("valid_to").isNull())
     cur_closed = current.where(F.col("valid_to").isNotNull())
 

@@ -113,8 +113,11 @@ def pagerank(
     (the GraphX/Pregel shape expressed in plain DataFrames).
 
     Nodes = every endpoint; ranks start uniform at 1/N.  Dangling
-    nodes (no out-edges) simply keep their (1-d)/N base — documented
-    simplification, matching the per-iteration oracle.  Ranks round to
+    nodes (no out-edges) redistribute their rank mass uniformly each
+    round (standard PageRank; total rank stays 1, matching
+    GraphX/NetworkX on graphs with dangling nodes — ADVICE r2). The
+    dangling mass is a 1-row aggregate broadcast into the update, so
+    the per-iteration plan stays fixed-size. Ranks round to
     ``round_dp`` decimals each iteration IN BOTH ENGINES so
     cross-engine fp accumulation (~1e-16/term) cannot compound across
     rounds — the same drift-pinning trick as kmeans.updated_centroids.
@@ -143,12 +146,23 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
+        # dangling mass: rank held by nodes with no out-edges (1-row
+        # aggregate, broadcast; NULL → 0.0 when no node dangles)
+        dangling = ranks.join(
+            deg.withColumnRenamed("u", "node"), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    ),
                     round_dp,
                 ).alias("rank"),
             )

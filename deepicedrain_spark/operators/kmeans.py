@@ -52,13 +52,21 @@ def assign_to_centroids(
 ) -> DataFrame:
     """Adds ``cluster`` (bigint) and ``dist`` columns: nearest literal
     centroid, ties to the lower cluster id.  Map-only — the centroid
-    list is folded into the expression tree as literals."""
+    list is folded into the expression tree as literals.
+
+    The (dist, cluster) tie-break sorts on the squared distance ROUNDED
+    to 6 d.p. (same drift-pinning as the round(6) centroids, ADVICE
+    r2): a last-ulp difference between Spark's fold and another
+    engine's list_sum on a near-equidistant point would otherwise flip
+    the argmin and compound through later Lloyd iterations. ``dist``
+    stays unrounded for downstream use."""
     scored = F.sort_array(
         F.array(
             *[
                 F.struct(
-                    sq_dist_to(vec_col, c).alias("dist"),
+                    F.round(sq_dist_to(vec_col, c), 6).alias("key"),
                     F.lit(i).cast("long").alias("cluster"),
+                    sq_dist_to(vec_col, c).alias("dist"),
                 )
                 for i, c in enumerate(centroids)
             ]

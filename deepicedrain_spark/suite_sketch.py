@@ -266,7 +266,7 @@ def _kmeans_chain(k: int = _KM_K, iters: int = _KM_ITERS, d: int = _KM_D) -> str
             f"""assign{t} AS (
       SELECT vec_id, v, cluster, dist FROM (
         SELECT vec_id, v, cluster, dist,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(dist, 6), cluster) AS rk
         FROM (SELECT e.vec_id, e.v, c.cluster, {dist} AS dist
               FROM e CROSS JOIN cent{t - 1} c))
       WHERE rk = 1)"""
@@ -322,7 +322,7 @@ _IVF_TRAINED_SQL = f"""
     corpus AS (
       SELECT vec_id AS cand_id, v AS cv, cluster FROM (
         SELECT vec_id, v, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(dist, 6), cluster) AS rk
         FROM (SELECT e.vec_id, e.v, c.cluster,
                      {_KM_DIST.format(d=_KM_D, p="e.v", c="c.cvec")} AS dist
               FROM e CROSS JOIN cent{_KM_ITERS} c))
@@ -332,7 +332,7 @@ _IVF_TRAINED_SQL = f"""
       SELECT query_id, qv, cluster FROM (
         SELECT q.query_id, q.qv, c.cluster,
                row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {_KM_DIST.format(d=_KM_D, p="q.qv", c="c.cvec")},
+                                  ORDER BY round({_KM_DIST.format(d=_KM_D, p="q.qv", c="c.cvec")}, 6),
                                            c.cluster) AS rk
         FROM q CROSS JOIN cent{_KM_ITERS} c)
       WHERE rk <= 2),
@@ -373,7 +373,7 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        sq_dist_to("embedding", c).alias("dist"),
+                        F.round(sq_dist_to("embedding", c), 6).alias("key"),
                         F.lit(i).cast("long").alias("cluster"),
                     )
                     for i, c in enumerate(cents)
@@ -931,35 +931,47 @@ def q_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- per-group HyperLogLog (sketch composability) ---------------------
+# shared HLL-by-type constants: both the Spark query and its oracle are
+# rendered from these (b registers bits, rank shift, register scale)
+_HLT_B, _HLT_SH = 10, 50
+_HLT_M, _HLT_TOP = 1 << _HLT_B, 1 << (_HLT_SH + 1)
+
+
 @register(
     "hll_distinct_by_type",
-    """
+    # oracle generated from the SAME constants as the Spark side (b,
+    # shift, register scale) — previously the two engines each inlined
+    # their own power-of-two literal (2^52 vs 2^51), which agreed only
+    # because the scale cancels inside z; shared constants make an edit
+    # to b or the shift change both sides together (ADVICE r2).
+    f"""
     WITH hashed AS (
       SELECT event_type,
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS v
       FROM events),
     split AS (
-      SELECT event_type, v // 1125899906842624 AS bucket, v % 1125899906842624 AS w
+      SELECT event_type, v // {1 << _HLT_SH} AS bucket, v % {1 << _HLT_SH} AS w
       FROM hashed),
     reg AS (
       SELECT event_type, bucket,
-             max(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS r
+             max(CASE WHEN w = 0 THEN {_HLT_SH + 1}
+                 ELSE {_HLT_SH + 1} - length(bin(w)) END) AS r
       FROM split GROUP BY 1, 2),
     agg AS (
       SELECT event_type, count(*) AS m_nz,
-             sum(CAST(4503599627370496 AS BIGINT) // (CAST(1 AS BIGINT) << r)) AS s_nz
+             sum(CAST({_HLT_TOP} AS BIGINT) // (CAST(1 AS BIGINT) << r)) AS s_nz
       FROM reg GROUP BY 1)
     SELECT event_type,
            CAST(m_nz AS BIGINT) AS m_nz,
            CAST(round(CASE
-             WHEN (0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0)
-                  / ((CAST(s_nz + (1024 - m_nz) * CAST(4503599627370496 AS BIGINT)
-                       AS DOUBLE)) / 4503599627370496.0) <= 2.5 * 1024.0
-                  AND m_nz < 1024
-               THEN 1024.0 * ln(1024.0 / CAST(1024 - m_nz AS DOUBLE))
-             ELSE (0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0)
-                  / ((CAST(s_nz + (1024 - m_nz) * CAST(4503599627370496 AS BIGINT)
-                       AS DOUBLE)) / 4503599627370496.0)
+             WHEN (0.7213 / (1.0 + 1.079 / {_HLT_M}.0) * {_HLT_M}.0 * {_HLT_M}.0)
+                  / ((CAST(s_nz + ({_HLT_M} - m_nz) * CAST({_HLT_TOP} AS BIGINT)
+                       AS DOUBLE)) / {_HLT_TOP}.0) <= 2.5 * {_HLT_M}.0
+                  AND m_nz < {_HLT_M}
+               THEN {_HLT_M}.0 * ln({_HLT_M}.0 / CAST({_HLT_M} - m_nz AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / {_HLT_M}.0) * {_HLT_M}.0 * {_HLT_M}.0)
+                  / ((CAST(s_nz + ({_HLT_M} - m_nz) * CAST({_HLT_TOP} AS BIGINT)
+                       AS DOUBLE)) / {_HLT_TOP}.0)
            END) AS BIGINT) AS estimate
     FROM agg
     ORDER BY event_type
@@ -973,8 +985,8 @@ def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions/days."""
     from deepicedrain_spark.operators.sketches import md5_long60
 
-    b, sh = 10, 50
-    m, top = 1 << 10, 1 << 51
+    b, sh = _HLT_B, _HLT_SH
+    m, top = _HLT_M, _HLT_TOP
     ev = load_table(spark, sf_dir, "events")
     t = ev.select(
         "event_type", md5_long60(F.col("user_id").cast("string")).alias("v")
@@ -1043,7 +1055,7 @@ def _pq_oracle() -> str:
             f"""assign1_{j} AS (
       SELECT vec_id, sv, cluster FROM (
         SELECT vec_id, sv, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(dist, 6), cluster) AS rk
         FROM (SELECT s.vec_id, s.sv, c.cluster, {d0} AS dist
               FROM sub{j} s CROSS JOIN cent0_{j} c))
       WHERE rk = 1)"""
@@ -1063,7 +1075,7 @@ def _pq_oracle() -> str:
             f"""enc{j} AS (
       SELECT vec_id, cluster AS code, dist FROM (
         SELECT vec_id, cluster, dist,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(dist, 6), cluster) AS rk
         FROM (SELECT s.vec_id, c.cluster, {d1} AS dist
               FROM sub{j} s CROSS JOIN cent1_{j} c))
       WHERE rk = 1)"""
@@ -1105,8 +1117,9 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        sq_dist_to(f"sv{j}", c).alias("dist"),
+                        F.round(sq_dist_to(f"sv{j}", c), 6).alias("key"),
                         F.lit(i).cast("long").alias("code"),
+                        sq_dist_to(f"sv{j}", c).alias("dist"),
                     )
                     for i, c in enumerate(cents)
                 ]
@@ -1183,8 +1196,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        sq_dist_to(f"sv{j}", c).alias("dist"),
+                        F.round(sq_dist_to(f"sv{j}", c), 6).alias("key"),
                         F.lit(i).cast("long").alias("code"),
+                        sq_dist_to(f"sv{j}", c).alias("dist"),
                     )
                     for i, c in enumerate(cents)
                 ]

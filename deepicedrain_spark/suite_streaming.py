@@ -320,7 +320,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8)
     SELECT vec_id, cluster FROM (
       SELECT vec_id, cluster,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+             row_number() OVER (PARTITION BY vec_id ORDER BY round(dist, 6), cluster) AS rk
       FROM (SELECT e.vec_id, c.cluster,
                    list_sum(list_transform(generate_series(1, 64),
                      i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))) AS dist
@@ -359,9 +359,13 @@ def q_streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+    import hashlib
 
-    out_dir = f"/tmp/deepicedrain_sink_{uuid.uuid4().hex[:12]}"
+    # deterministic per sf_dir (ADVICE r2: uuid names accumulated /tmp
+    # litter across runs); overwrite mode already makes reruns
+    # idempotent, so the same dir can be reused forever
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/deepicedrain_sink_{key}"
     events = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(events, window_minutes=60)
 

@@ -76,3 +76,33 @@ def test_pagerank_mass_conserved_no_dangling(spark):
     assert abs(total - 1.0) < 1e-6
     hub = {r["node"]: r["rank"] for r in ranks.collect()}
     assert hub[0] > max(hub[i] for i in range(1, 6))  # hub dominates
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Standard PageRank semantics on a graph WITH dangling nodes
+    (ADVICE r2): node 3 has no out-edges, its mass redistributes
+    uniformly, so total rank stays 1 and matches the closed-form
+    NetworkX-style iteration."""
+    from deepicedrain_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=8).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
+    # replay the documented iteration in plain python
+    import itertools
+    n = 3
+    r = {1: 1 / n, 2: 1 / n, 3: 1 / n}
+    out = {1: [2, 3], 2: [3]}
+    for _ in range(8):
+        dm = r[3]
+        contrib = {k: 0.0 for k in r}
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += r[u] / len(vs)
+        r = {
+            k: round(0.15 / n + 0.85 * (contrib[k] + dm / n), 9) for k in r
+        }
+    for k in r:
+        assert abs(ranks[k] - r[k]) < 1e-9

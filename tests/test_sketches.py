@@ -230,3 +230,24 @@ def test_scd2_apply_history_and_idempotence(spark):
     # exactly one open row per key, always
     opens = m2.where(F.col("valid_to").isNull()).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in opens)
+
+
+def test_scd2_apply_dedups_duplicate_update_keys(spark):
+    """A batch with several rows per key must collapse to one open row
+    (last-writer-wins by attr order) — the one-open-row invariant the
+    next apply depends on (ADVICE r2)."""
+    from deepicedrain_spark.operators.cdc import scd2_apply
+
+    cur = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, attr string, valid_from long, valid_to long"
+    )
+    upd = spark.createDataFrame(
+        [(1, "b"), (1, "c"), (2, "x"), (2, "y")], "k long, attr string"
+    )
+    m = scd2_apply(cur, upd, "k", ["attr"], batch_time=5)
+    open_rows = m.filter("valid_to IS NULL").collect()
+    per_key = {}
+    for r in open_rows:
+        assert r["k"] not in per_key, "duplicate open row"
+        per_key[r["k"]] = r["attr"]
+    assert per_key == {1: "c", 2: "y"}  # highest attr wins
