@@ -1,0 +1,124 @@
+"""Exactly-once keyed upsert sink for Structured Streaming.
+
+``streaming_parquet_sink`` (suite_streaming.py) covers the
+complete-mode aggregate story: every micro-batch overwrites the whole
+table, so replay is trivially idempotent. This module covers the other
+production shape — an UPSERT (MERGE-style last-writer-wins per key)
+table fed by append-mode batches — where exactly-once needs real work:
+
+- **Idempotent replay**: foreachBatch can redeliver a batch after a
+  restart (same epoch id). The sink records applied batch ids in a
+  manifest and makes redelivery a no-op — the standard
+  "foreachBatch + transactional target" recipe from the Structured
+  Streaming docs, implemented here against plain parquet.
+- **Atomic visibility**: each applied batch writes a NEW versioned
+  directory (``v=<n>``) and then atomically renames a manifest pointer
+  — readers see either the old or the new version, never a half
+  overwrite. (On a real deployment this role is played by Delta/
+  Iceberg snapshot commits; the mechanics are the same.)
+
+At 100 TB the merge join is the standard incremental-MERGE plan: the
+batch is small, the target is large, so the anti-join side broadcasts
+the batch keys; with the target bucketed by key the rewrite touches
+only matching buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def _read_manifest(out_dir: str) -> dict:
+    try:
+        with open(_manifest_path(out_dir)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {"version": -1, "applied": []}
+
+
+def _commit_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(out_dir))  # atomic on POSIX
+
+
+def current_version_dir(out_dir: str) -> str | None:
+    m = _read_manifest(out_dir)
+    if m["version"] < 0:
+        return None
+    return os.path.join(out_dir, f"v={m['version']}")
+
+
+def read_upsert_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    d = current_version_dir(out_dir)
+    return spark.read.parquet(d) if d else None
+
+
+def apply_upsert_batch(
+    spark: SparkSession,
+    out_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> bool:
+    """MERGE one micro-batch into the versioned table. Returns True if
+    applied, False if ``batch_id`` was already applied (replay no-op).
+
+    Within a batch, the winner per key is the highest ``order_cols``
+    tuple (deterministic under shuffle); across table and batch the
+    batch wins (the rows it replaces leave via the anti-join)."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = _read_manifest(out_dir)
+    if batch_id in manifest["applied"]:
+        return False  # exactly-once: redelivered epoch is a no-op
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols]
+    )
+    batch_last = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cur = read_upsert_table(spark, out_dir)
+    if cur is None:
+        merged = batch_last
+    else:
+        # incremental MERGE: batch keys broadcast into the anti-join
+        keys = batch_last.select(*key_cols)
+        merged = cur.join(F.broadcast(keys), key_cols, "left_anti").unionByName(
+            batch_last
+        )
+    new_version = manifest["version"] + 1
+    merged.write.mode("overwrite").parquet(os.path.join(out_dir, f"v={new_version}"))
+    _commit_manifest(
+        out_dir,
+        {"version": new_version, "applied": sorted(manifest["applied"] + [batch_id])},
+    )
+    return True
+
+
+def upsert_sink(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+):
+    """foreachBatch callback factory: stream.writeStream.foreachBatch(
+    upsert_sink(spark, dir, keys, order)).start()."""
+
+    def write_batch(bdf: DataFrame, bid: int) -> None:
+        apply_upsert_batch(spark, out_dir, bdf, bid, key_cols, order_cols)
+
+    return write_batch

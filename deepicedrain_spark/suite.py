@@ -1022,6 +1022,7 @@ PRIORITY: list[str] = [
     "bloom_semijoin_reduction",
     "constraint_audit",
     "streaming_parquet_sink",
+    "streaming_upsert_sink",
     "scd2_merge",
     "feature_hash_embed",
     "triangle_count",

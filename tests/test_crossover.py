@@ -117,3 +117,58 @@ def test_densify_greatcircle_invariants(spark):
     # h interpolates monotonically between endpoints
     hs = [r["h"] for r in rows]
     assert hs == sorted(hs) and hs[0] == 10.0 and hs[-1] == 20.0
+
+
+def test_crossover_dedup_bitwise_deterministic(spark):
+    """Property (VERDICT r2 nit): dropDuplicates on float coordinates
+    is exact-match dedup, so its correctness rests on every cell that
+    sees a crossing computing BIT-IDENTICAL doubles from the same two
+    segments. Assert the full crossover output is invariant — value
+    sets compared by exact float equality — across repartitionings,
+    AQE on/off, and different cell sizes (which reassign crossings to
+    different cells and tasks)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.arange(40)
+    rows = []
+    for tr in range(12):
+        # pseudo-random but deterministic diagonal-ish tracks
+        x0 = (tr * 773) % 50 - 25.0
+        y0 = (tr * 391) % 40 - 20.0
+        dx = 1.0 + ((tr * 7) % 5) * 0.25
+        dy = -2.0 + ((tr * 13) % 9) * 0.5
+        for i in rng:
+            jitter = (((tr * 40 + int(i)) * 2654435761) % 1000) / 5000.0
+            rows.append(
+                {
+                    "track_id": f"T{tr:02d}",
+                    "t": float(i),
+                    "x": x0 + dx * i + jitter,
+                    "y": y0 + dy * i - jitter,
+                    "h": 100.0 + tr + 0.01 * i,
+                }
+            )
+    base = spark.createDataFrame(pd.DataFrame(rows))
+
+    def run(df, cell, parts, aqe):
+        old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        try:
+            segs = track_segments(df.repartition(parts), max_gap=None)
+            got = crossover_join(segs, cell=cell).collect()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+        # exact float tuples — no rounding anywhere
+        return sorted(
+            (r["track1"], r["track2"], r["x"], r["y"], r["h_1"], r["h_2"], r["t_1"], r["t_2"])
+            for r in got
+        )
+
+    baseline = run(base, cell=5.0, parts=4, aqe="true")
+    assert len(baseline) > 10  # the fixture actually produces crossings
+    assert run(base, cell=5.0, parts=32, aqe="true") == baseline
+    assert run(base, cell=5.0, parts=7, aqe="false") == baseline
+    # different cell size → crossings found in different buckets, same values
+    assert run(base, cell=2.0, parts=32, aqe="true") == baseline
+    assert run(base, cell=17.0, parts=3, aqe="false") == baseline

@@ -1,0 +1,79 @@
+"""Exactly-once upsert sink (VERDICT r2 next-step #10): replaying a
+delivered batch must be a no-op, distinct batches must merge
+last-writer-wins per key, and the versioned table must stay one row
+per key through restarts."""
+
+import pytest
+
+from deepicedrain_spark.streaming.sink import (
+    apply_upsert_batch,
+    read_upsert_table,
+    upsert_sink,
+)
+
+
+def _table(spark, out_dir):
+    df = read_upsert_table(spark, out_dir)
+    return {r["k"]: (r["v"], r["t"]) for r in df.collect()} if df is not None else {}
+
+
+def test_upsert_replay_is_noop(spark, tmp_path):
+    out = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, "a", 10), (2, "b", 11)], "k long, v string, t long")
+    assert apply_upsert_batch(spark, out, b0, 0, ["k"], ["t"]) is True
+    t1 = _table(spark, out)
+    assert t1 == {1: ("a", 10), 2: ("b", 11)}
+    # restart-replay: SAME batch id redelivered → no new version, no dupes
+    assert apply_upsert_batch(spark, out, b0, 0, ["k"], ["t"]) is False
+    assert _table(spark, out) == t1
+    # and again with a shuffled duplicate of the frame
+    assert apply_upsert_batch(spark, out, b0.repartition(8), 0, ["k"], ["t"]) is False
+    assert _table(spark, out) == t1
+
+
+def test_upsert_merges_and_dedups_within_batch(spark, tmp_path):
+    out = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, "a", 10), (2, "b", 11)], "k long, v string, t long")
+    apply_upsert_batch(spark, out, b0, 0, ["k"], ["t"])
+    # batch 1: key 2 updated twice in-batch (t=12 then t=15 wins), key 3 new
+    b1 = spark.createDataFrame(
+        [(2, "b2", 12), (2, "b3", 15), (3, "c", 13)], "k long, v string, t long"
+    )
+    apply_upsert_batch(spark, out, b1, 1, ["k"], ["t"])
+    assert _table(spark, out) == {1: ("a", 10), 2: ("b3", 15), 3: ("c", 13)}
+    # replay of batch 1 after the merge → still a no-op
+    assert apply_upsert_batch(spark, out, b1, 1, ["k"], ["t"]) is False
+    assert _table(spark, out) == {1: ("a", 10), 2: ("b3", 15), 3: ("c", 13)}
+
+
+def test_upsert_through_streaming_restart(spark, tmp_path):
+    """Drive the sink through an actual Structured Streaming query,
+    twice, from the same source with a FRESH checkpoint the second
+    time (the worst-case restart: full source replay). The table must
+    hold exactly one row per key with the latest value both times."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "tbl")
+    events = spark.createDataFrame(
+        [(k, f"v{k}_{t}", t) for k in range(20) for t in (1, 2, 3)],
+        "k long, v string, t long",
+    )
+    events.coalesce(1).write.parquet(src)
+
+    def run(checkpoint: str) -> None:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(upsert_sink(spark, out, ["k"], ["t"]))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    expect = {k: (f"v{k}_3", 3) for k in range(20)}
+    assert _table(spark, out) == expect
+    # "restart" with a fresh checkpoint: the file source redelivers
+    # everything as batch 0 — already applied → sink no-ops, no dupes
+    run(str(tmp_path / "ckpt2"))
+    df = read_upsert_table(spark, out)
+    assert df.count() == 20 and _table(spark, out) == expect
