@@ -85,6 +85,7 @@ def crossover_join(
     cell: float = 1000.0,
     track_col: str = "track_id",
     rgt_of=None,
+    hot_cell_salt: int = 1,
 ) -> DataFrame:
     """Find all pairwise track crossings with interpolated h/t.
 
@@ -92,20 +93,44 @@ def crossover_join(
     x2sys_cross 'xyht' format (X2SYS/ICESAT2/xyht.fmt:10-14).
     ``rgt_of(col)`` optionally maps a track id to its repeat-ground-
     track so same-RGT pairs are pruned (atlxi_xover.py:126-127).
+
+    ``hot_cell_salt`` (S > 1) splits each cell key into S salted
+    sub-keys for skew resilience. AQE's skew-join splitter CANNOT help
+    this join: the two sides reuse one exchange (a self-join of the
+    same checkpointed frame), and OptimizeSkewedJoin skips reused
+    shuffle stages — measured in tools/scalecheck_skew.py, a one-hot-
+    cell fixture runs its whole pair set in a single task regardless
+    of skew-join settings. Salting fixes it at the operator level:
+    side A carries salt = hash(track) mod S, side B replicates each
+    row to all S salt values, and the join key becomes
+    (cx, cy, salt) — every pair still meets exactly once (at B's
+    replica matching A's salt), the hot cell spreads over S
+    partitions, and B pays an S× replication of only its (tiny)
+    segment rows. Default S=1 keeps the replication-free plan for
+    normal track densities.
     """
     # both join sides are the same exploded-segment table —
     # localCheckpoint runs the lead() window + cell explode once AND
     # truncates lineage so Catalyst doesn't re-analyze the upstream
     # tree per join side (cold planning dominated small-SF wall time)
     cells = _explode_cells(segments, cell).localCheckpoint()
-    a = cells.alias("a")
-    b = cells.alias("b")
+    if hot_cell_salt > 1:
+        s_vals = F.array(*[F.lit(i) for i in range(hot_cell_salt)])
+        a = cells.withColumn(
+            "_salt", F.pmod(F.xxhash64(track_col), F.lit(hot_cell_salt))
+        ).alias("a")
+        b = cells.withColumn("_salt", F.explode(s_vals)).alias("b")
+    else:
+        a = cells.alias("a")
+        b = cells.alias("b")
 
     cond = (
         (F.col("a.cx") == F.col("b.cx"))
         & (F.col("a.cy") == F.col("b.cy"))
         & (F.col(f"a.{track_col}") < F.col(f"b.{track_col}"))
     )
+    if hot_cell_salt > 1:
+        cond = cond & (F.col("a._salt") == F.col("b._salt"))
     if rgt_of is not None:
         cond = cond & (rgt_of(F.col(f"a.{track_col}")) != rgt_of(F.col(f"b.{track_col}")))
 

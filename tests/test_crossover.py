@@ -172,3 +172,11 @@ def test_crossover_dedup_bitwise_deterministic(spark):
     # different cell size → crossings found in different buckets, same values
     assert run(base, cell=2.0, parts=32, aqe="true") == baseline
     assert run(base, cell=17.0, parts=3, aqe="false") == baseline
+    # hot-cell salting (skew path) must be a pure execution strategy:
+    # same pairs, bit-identical values
+    segs = track_segments(base.repartition(16), max_gap=None)
+    salted = sorted(
+        (r["track1"], r["track2"], r["x"], r["y"], r["h_1"], r["h_2"], r["t_1"], r["t_2"])
+        for r in crossover_join(segs, cell=5.0, hot_cell_salt=8).collect()
+    )
+    assert salted == baseline
