@@ -67,10 +67,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def table_rows(sf_dir: str, name: str) -> int:
     """Row count straight from parquet footer metadata — no Spark job.
     Used to pick small-corpus fast paths (dedup banding break-even)
-    without paying a count() over the data."""
+    without paying a count() over the data. Handles both a single
+    parquet file and a directory of part files."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,154 @@
+"""Per-query scale bench: the top LLM/ANN queries at synthetic sf1+.
+
+BENCH_r2's per-query numbers at sf0.1 (5 000 docs / 2 000 vectors) are
+dominated by fixed Spark job overhead, not data (VERDICT r2 next-step
+#9). This tool stages a synthetic sf directory with the SAME schemas
+and distribution shapes as the driver testdata (documents with hashed
+token streams + 1-in-50 planted near-dups, 64-dim float embeddings in
+10 label clusters, TPC-H-ish customer/orders) at a chosen multiple of
+sf0.1, then times the REGISTERED query functions — the exact plans the
+driver runs — against it.
+
+Usage: python tools/scalecheck_queries.py [sf_multiple_of_0.1]
+  (default 10 → "sf1": 50 k docs, 20 k vectors, 1.5 M orders)
+Prints one JSON line; human summary goes to SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.session import get_spark
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+N_DOCS = 5_000 * MULT
+N_VECS = 2_000 * MULT
+N_CUST = 15_000 * MULT
+N_ORDERS = 150_000 * MULT
+TOKENS = 50
+VOCAB = 30_000
+
+QUERIES = [
+    "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "minhash_near_dup",
+    "near_dup_components",
+    "pagerank_near_dup",
+    "leakage_safe_split",
+    "dedup_keep_best",
+    "pq_encode",
+    "pq_adc_topk",
+    "kmeans_clusters",
+    "ivf_topk_trained",
+    "cosine_topk_lsh",
+    "embedding_near_dup_lsh",
+    "bloom_semijoin_reduction",
+]
+
+
+def stage(spark, out_dir: str) -> None:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    # documents: hashed token streams, 1-in-50 near-dup of the prior doc
+    rows = spark.range(N_DOCS)
+    base = F.when(F.col("id") % 50 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(TOKENS - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.when(
+                (F.col("id") % 50 == 0) & (i == 7),
+                F.pmod(F.xxhash64(F.col("id"), i, F.lit(99)), F.lit(VOCAB)),
+            ).otherwise(F.pmod(F.xxhash64(base, i), F.lit(VOCAB))),
+        ),
+    )
+    docs = rows.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(toks, " ").alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("fr"), F.lit("zh")),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(20)).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    # embeddings: 10 gaussian-ish label clusters in 64-dim float
+    v = spark.range(N_VECS)
+    lab = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10)).cast("int")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.sin(lab * F.lit(1.7) + i * F.lit(0.31))
+            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / F.lit(4000.0)
+        ).cast("float"),
+    )
+    v.select(
+        F.col("id").alias("vec_id"), emb.alias("embedding"), lab.alias("label")
+    ).coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    # TPC-H-ish customer/orders (only what bloom_semijoin needs)
+    segs = F.array(*[F.lit(s) for s in ("MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD", "AUTOMOBILE")])
+    spark.range(N_CUST).select(
+        (F.col("id") + 1).alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id").cast("string")).alias("c_name"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(25)).cast("int").alias("c_nationkey"),
+        ((F.pmod(F.xxhash64("id", F.lit(5)), F.lit(1_000_000)) - 100_000) / 100.0).alias("c_acctbal"),
+        F.element_at(segs, (F.pmod(F.xxhash64("id", F.lit(6)), F.lit(5)) + 1).cast("int")).alias("c_mktsegment"),
+    ).coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet"))
+    spark.range(N_ORDERS).select(
+        (F.col("id") + 1).alias("o_orderkey"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(N_CUST)) + 1).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+            (F.pmod(F.xxhash64("id", F.lit(8)), F.lit(3)) + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(50_000_000)) / 100.0).alias("o_totalprice"),
+        F.timestamp_micros(
+            F.lit(820454400000000) + F.pmod(F.xxhash64("id", F.lit(10)), F.lit(189216000)) * F.lit(1_000_000)
+        ).alias("o_orderdate"),
+        F.concat(F.lit(""), F.pmod(F.xxhash64("id", F.lit(11)), F.lit(5)).cast("string"), F.lit("-X")).alias("o_orderpriority"),
+    ).coalesce(16).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+
+
+def main() -> None:
+    spark = get_spark(app_name="scalecheck_queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = f"/tmp/spark_graft_sfx{MULT}"
+    t0 = time.time()
+    stage(spark, out_dir)
+    t_stage = time.time() - t0
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings = {}
+    for name in QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, out_dir).count()
+        timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
+    print(
+        json.dumps(
+            {
+                "metric": "query_scale_sfx",
+                "sf_multiple_of_0.1": MULT,
+                "n_docs": N_DOCS,
+                "n_vecs": N_VECS,
+                "stage_sec": round(t_stage, 1),
+                "queries": timings,
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
