@@ -275,6 +275,56 @@ def ngram_jaccard_pairs(
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
 
 
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """C4-style cross-document span dedup (Raffel et al. 2020 removed
+    any three-sentence span occurring more than once in the corpus;
+    here the span unit is a fixed non-overlapping ``chunk_tokens``-token
+    chunk, since the corpus has no sentence boundaries).
+
+    Every occurrence of a chunk except the FIRST in corpus order
+    (lowest doc id, then chunk position) is a duplicate. Output per
+    doc: n_chunks, dup_chunks (occurrences that would be cut), and
+    kept_tokens (tokens surviving the cut).
+
+    Scale shape: one shuffle keyed on the chunk text for the
+    first-occurrence window (chunk groups are tiny — corpus-frequency
+    of a 10-token span), one on the doc id for the roll-up. No
+    all-pairs anything; 100 TB cost is two equi-key exchanges."""
+    ws = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    toks = df.select(F.col(id_col), ws.alias("_ws"), F.size(ws).alias("_n"))
+    n_chunks = F.ceil(F.col("_n") / F.lit(chunk_tokens)).cast("int")
+    chunks = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice(F.col("_ws"), i * chunk_tokens + 1, chunk_tokens), " "
+                    ).alias("chunk"),
+                    F.least(
+                        F.lit(chunk_tokens), F.col("_n") - i * F.lit(chunk_tokens)
+                    ).alias("ctoks"),
+                ),
+            )
+        ).alias("cidx", "_c"),
+    ).select(id_col, "cidx", F.col("_c.chunk").alias("chunk"), F.col("_c.ctoks").alias("ctoks"))
+    w = Window.partitionBy("chunk").orderBy(id_col, "cidx")
+    ranked = chunks.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).cast("long").alias("dup_chunks"),
+        F.sum(F.when(F.col("_rn") == 1, F.col("ctoks")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

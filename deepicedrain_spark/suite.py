@@ -1030,6 +1030,7 @@ PRIORITY: list[str] = [
     "bigram_lm_score",
     "keyword_snippets",
     "benchmark_contamination",
+    "paragraph_dedup",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",
     "track_densify_greatcircle",

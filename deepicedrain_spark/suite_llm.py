@@ -708,6 +708,40 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C4-style cross-document span dedup (round 3) -----------------------
+# Raffel et al. 2020 cut every >once-occurring three-sentence span from
+# C4; the span unit here is a fixed 10-token chunk (no sentence marks
+# in the corpus). First occurrence in corpus order is canonical; the
+# oracle replays the identical window. Two equi-key shuffles total.
+@register(
+    "paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS cidx,
+             array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk,
+             least(10, len(ws) - i*10) AS ctoks
+      FROM toks, unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) t(i)),
+    ranked AS (
+      SELECT doc_id, ctoks,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+      FROM chunks)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN ctoks ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import paragraph_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup_stats(docs, chunk_tokens=10)
+
+
 # --- multimodal REAL codecs (round 3) -----------------------------------
 # mode='real' now decodes actual bytes: PNG payloads (signature, IHDR,
 # zlib IDAT, CRC-checked chunks) and PCM16 WAV, via the pure-stdlib

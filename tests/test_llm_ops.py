@@ -177,3 +177,21 @@ def test_audio_resample_fake(spark):
     up = {r["media_id"]: bytes(r["payload"])
           for r in resample_audio(media, 8_000, 16_000).collect()}
     assert up["2"] == b"xxyy"
+
+
+def test_paragraph_dedup_stats(spark):
+    """C4-style span dedup: doc 2 repeats doc 1's first 10-token chunk,
+    so that occurrence is cut; within-corpus first occurrence is kept."""
+    from deepicedrain_spark.operators.dedup import paragraph_dedup_stats
+
+    c1 = " ".join(f"a{i}" for i in range(10))
+    c2 = " ".join(f"b{i}" for i in range(10))
+    c3 = " ".join(f"c{i}" for i in range(7))  # ragged tail chunk
+    docs = spark.createDataFrame(
+        [(1, f"{c1} {c2}"), (2, f"{c1} {c3}")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup_stats(docs).collect()}
+    assert got[1]["n_chunks"] == 2 and got[1]["dup_chunks"] == 0
+    assert got[1]["kept_tokens"] == 20
+    assert got[2]["n_chunks"] == 2 and got[2]["dup_chunks"] == 1
+    assert got[2]["kept_tokens"] == 7  # only the ragged unique chunk survives
