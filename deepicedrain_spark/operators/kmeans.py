@@ -59,19 +59,29 @@ def assign_to_centroids(
     r2): a last-ulp difference between Spark's fold and another
     engine's list_sum on a near-equidistant point would otherwise flip
     the argmin and compound through later Lloyd iterations. ``dist``
-    stays unrounded for downstream use."""
-    scored = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    F.round(sq_dist_to(vec_col, c), 6).alias("key"),
-                    F.lit(i).cast("long").alias("cluster"),
-                    sq_dist_to(vec_col, c).alias("dist"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+    stays unrounded for downstream use. The raw distances are computed
+    ONCE per centroid (base array), then re-projected with the rounded
+    key via transform — and the argmin is array_min (O(k) struct
+    compare on (key, cluster, dist), unique per (key, cluster))."""
+    base = F.array(
+        *[
+            F.struct(
+                sq_dist_to(vec_col, c).alias("dist"),
+                F.lit(i).cast("long").alias("cluster"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    scored = F.array_min(
+        F.transform(
+            base,
+            lambda s: F.struct(
+                F.round(s["dist"], 6).alias("key"),
+                s["cluster"].alias("cluster"),
+                s["dist"].alias("dist"),
+            ),
         )
-    )[0]
+    )
     return df.withColumn("_best", scored).withColumn(
         "cluster", F.col("_best.cluster")
     ).withColumn("dist", F.col("_best.dist")).drop("_best")

@@ -1113,18 +1113,25 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         books.append(cents)
     out = sliced
     for j, cents in enumerate(books):
-        best = F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(sq_dist_to(f"sv{j}", c), 6).alias("key"),
-                        F.lit(i).cast("long").alias("code"),
-                        sq_dist_to(f"sv{j}", c).alias("dist"),
-                    )
-                    for i, c in enumerate(cents)
-                ]
+        base = F.array(
+            *[
+                F.struct(
+                    sq_dist_to(f"sv{j}", c).alias("dist"),
+                    F.lit(i).cast("long").alias("code"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(
+            F.transform(
+                base,
+                lambda s: F.struct(
+                    F.round(s["dist"], 6).alias("key"),
+                    s["code"].alias("code"),
+                    s["dist"].alias("dist"),
+                ),
             )
-        )[0]
+        )
         out = out.withColumn(f"_b{j}", best)
     return out.select(
         "vec_id",
@@ -1192,18 +1199,25 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         books.append(cents)
     corpus = sliced
     for j, cents in enumerate(books):
-        best = F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(sq_dist_to(f"sv{j}", c), 6).alias("key"),
-                        F.lit(i).cast("long").alias("code"),
-                        sq_dist_to(f"sv{j}", c).alias("dist"),
-                    )
-                    for i, c in enumerate(cents)
-                ]
+        base = F.array(
+            *[
+                F.struct(
+                    sq_dist_to(f"sv{j}", c).alias("dist"),
+                    F.lit(i).cast("long").alias("code"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(
+            F.transform(
+                base,
+                lambda s: F.struct(
+                    F.round(s["dist"], 6).alias("key"),
+                    s["code"].alias("code"),
+                    s["dist"].alias("dist"),
+                ),
             )
-        )[0]
+        )
         corpus = corpus.withColumn(f"code{j}", best["code"])
     corpus = corpus.select(
         F.col("vec_id").alias("cand_id"), *[f"code{j}" for j in range(_PQ_S)]
