@@ -109,6 +109,29 @@ def apply_upsert_batch(
     return True
 
 
+def vacuum_versions(out_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete version directories older than the newest ``keep_last``
+    (the current version is always kept). Returns the versions
+    removed. Safe against concurrent readers of RECENT versions — the
+    reader contract is 'resolve the manifest, then read', so keep_last
+    ≥ 2 leaves the previous snapshot intact for in-flight reads, same
+    retention logic as Delta's VACUUM."""
+    import re
+    import shutil
+
+    m = _read_manifest(out_dir)
+    if m["version"] < 0:
+        return []
+    keep = set(range(max(0, m["version"] - keep_last + 1), m["version"] + 1))
+    removed = []
+    for name in os.listdir(out_dir):
+        match = re.fullmatch(r"v=(\d+)", name)
+        if match and int(match.group(1)) not in keep:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            removed.append(int(match.group(1)))
+    return sorted(removed)
+
+
 def upsert_sink(
     spark: SparkSession,
     out_dir: str,

@@ -1013,6 +1013,7 @@ PRIORITY: list[str] = [
     "streaming_kmeans_assign",
     "oov_rate",
     "sql_interface_demo",
+    "catalog_named_source",
     "grouped_correlation",
     "hll_distinct_by_type",
     "pq_encode",

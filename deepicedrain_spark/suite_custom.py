@@ -2032,6 +2032,56 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S11 — named-source catalog (round 3): intake-style parameterized
+# sources (atlas_catalog.yaml; deepicedrain/__init__.py:31-37 consumes
+# catalog.icesat2dhdt(placename=...)). The query resolves two
+# parameterized path templates through the Catalog shim — one with a
+# default, one requiring a parameter — and joins them, proving name →
+# (driver, formatted path) → DataFrame end-to-end.
+@register(
+    "catalog_named_source",
+    """
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_catalog_named_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.catalog import Catalog
+
+    cat = Catalog.from_dict(
+        {
+            "sources": {
+                "customers": {
+                    "driver": "parquet",
+                    "parameters": {"sf_dir": {"default": sf_dir}},
+                    "args": {"urlpath": "{sf_dir}/customer.parquet"},
+                },
+                "dim_table": {
+                    "driver": "parquet",
+                    "parameters": {
+                        "sf_dir": {"default": sf_dir},
+                        "table": {"default": None},
+                    },
+                    "args": {"urlpath": "{sf_dir}/{table}.parquet"},
+                },
+            }
+        }
+    )
+    cust = cat.customers(spark)
+    nation = cat.read(spark, "dim_table", table="nation")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
 # S3 — HDF5 scan, LIVE (atl06_to_atl11.py:171-196 reads per-beam ATL06
 # HDF5 groups; atl06_play.py:318-327 walks the same layout). Round-trip
 # through a real HDF5 granule: events staged as chunked+gzip 1-D

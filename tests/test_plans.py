@@ -65,10 +65,16 @@ def test_ngram_jaccard_no_cartesian(spark):
 
 
 def test_simhash_pairs_equi_join_only(spark):
-    from deepicedrain_spark import suite_llm
+    """The SCALE path (banding) must produce hash equi-joins, never a
+    non-equi loop join. The registered query legitimately switches to
+    the brute-force branch below SMALL_CORPUS_DOCS (round 3 fast path),
+    so pin the plan on the operator with the small path disabled."""
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.dedup import simhash, simhash_near_pairs
 
-    plan = plan_of(suite_llm.q_simhash_pairs(spark, SF_SMALL))
-    # banding must produce hash equi-joins, never a non-equi loop join
+    docs = load_table(spark, SF_SMALL, "documents")
+    fps = simhash(docs, bits=32)
+    plan = plan_of(simhash_near_pairs(fps, max_hamming=2, bits=32, n_docs=None))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -77,3 +77,24 @@ def test_upsert_through_streaming_restart(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     df = read_upsert_table(spark, out)
     assert df.count() == 20 and _table(spark, out) == expect
+
+
+def test_vacuum_versions(spark, tmp_path):
+    import os
+
+    from deepicedrain_spark.streaming.sink import vacuum_versions
+
+    out = str(tmp_path / "tbl")
+    for bid in range(5):
+        b = spark.createDataFrame([(1, f"v{bid}", bid)], "k long, v string, t long")
+        apply_upsert_batch(spark, out, b, bid, ["k"], ["t"])
+    assert sorted(os.listdir(out))[:1] == ["_manifest.json"]
+    removed = vacuum_versions(out, keep_last=2)
+    assert removed == [0, 1, 2]
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("v="))
+    assert dirs == ["v=3", "v=4"]
+    # table still reads the current version
+    assert _table(spark, out) == {1: ("v4", 4)}
+    # replay of an old, vacuumed batch is still a no-op (manifest rules)
+    b0 = spark.createDataFrame([(1, "v0", 0)], "k long, v string, t long")
+    assert apply_upsert_batch(spark, out, b0, 0, ["k"], ["t"]) is False
