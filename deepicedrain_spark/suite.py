@@ -1004,6 +1004,8 @@ PRIORITY: list[str] = [
     "equi_depth_deciles",
     "leakage_safe_split",
     "revenue_rollup",
+    "revenue_cube",
+    "embedding_int8_quantize",
     "customers_without_orders",
     "event_gaps_rank",
     "streaming_bloom_bits",

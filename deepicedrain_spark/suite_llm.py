@@ -708,6 +708,70 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 embedding quantization (round 3) ------------------------------
+# The storage/bandwidth step an embedding pipeline runs before ANN
+# serving: per-vector affine int8 (min/max → scale, x → round((x−mn)/s)
+# ∈ [0,255]), plus the reconstruction-error audit. Map-only — one
+# Catalyst HOF chain per row, zero shuffles. Both engines evaluate the
+# identical expression order on identical doubles, so q-sums match
+# exactly and the error rounds stably at 9 d.p.
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    mm AS (
+      SELECT vec_id, e, list_min(e) AS mn,
+             CASE WHEN list_max(e) > list_min(e)
+                  THEN (list_max(e) - list_min(e)) / 255.0 ELSE 1.0 END AS s
+      FROM v),
+    q AS (
+      SELECT vec_id, mn, s,
+             list_transform(e, x -> CAST(round((x - mn) / s) AS BIGINT)) AS qv,
+             e
+      FROM mm)
+    SELECT vec_id,
+           round(s, 9) AS scale,
+           round(mn, 6) AS zero_point,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           round(list_max(list_transform(range(1, len(e) + 1),
+                 i -> abs(e[i] - (mn + qv[i] * s)))), 9) AS max_abs_err
+    FROM q
+    """,
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    mm = v.select(
+        "vec_id",
+        "e",
+        F.expr("array_min(e)").alias("mn"),
+        F.expr(
+            "CASE WHEN array_max(e) > array_min(e)"
+            " THEN (array_max(e) - array_min(e)) / 255.0 ELSE 1.0 END"
+        ).alias("s"),
+    )
+    q = mm.withColumn(
+        "qv", F.expr("transform(e, x -> cast(round((x - mn) / s) as bigint))")
+    )
+    return q.select(
+        "vec_id",
+        F.round("s", 9).alias("scale"),
+        F.round("mn", 6).alias("zero_point"),
+        F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.round(
+            F.expr(
+                "array_max(transform(sequence(1, size(e)),"
+                " i -> abs(element_at(e, i) - (mn + element_at(qv, i) * s))))"
+            ),
+            9,
+        ).alias("max_abs_err"),
+    )
+
+
 # --- C4-style cross-document span dedup (round 3) -----------------------
 # Raffel et al. 2020 cut every >once-occurring three-sentence span from
 # C4; the span unit here is a fixed 10-token chunk (no sentence marks

@@ -527,6 +527,49 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- ROLLUP hierarchy aggregate ---------------------------------------
+# CUBE complement (round 3): all four grouping sets of (mktsegment,
+# orderstatus) in one pass, with GROUPING() bits disambiguating real
+# NULLs from subtotal rows — the full grouping-sets surface next to
+# ROLLUP's hierarchy. Same single-shuffle cost as the leaf groupBy.
+@register(
+    "revenue_cube",
+    """
+    SELECT coalesce(c.c_mktsegment, 'ALL') AS segment,
+           coalesce(o.o_orderstatus, 'ALL') AS status,
+           CAST(grouping(c.c_mktsegment) * 2 + grouping(o.o_orderstatus) AS INTEGER)
+             AS grouping_id,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
+    ORDER BY segment, status
+    """,
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.grouping("c_mktsegment") * 2 + F.grouping("o_orderstatus"))
+            .cast("int")
+            .alias("grouping_id"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "grouping_id",
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("segment", "status")
+    )
+
+
+
 @register(
     "revenue_rollup",
     """

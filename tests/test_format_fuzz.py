@@ -1,0 +1,83 @@
+"""Property-based fuzzing of the hand-rolled binary formats (hdf5lite,
+netcdf): random dtypes, lengths, chunkings, and filters must round-trip
+exactly, and partial reads must equal the matching numpy slice. These
+are the two places where a byte-offset bug could silently corrupt
+data, so they get hypothesis coverage beyond the fixed-fixture tests."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from deepicedrain_spark.sources import hdf5lite
+from deepicedrain_spark.sources import netcdf as nc
+
+DTYPES = ["f8", "f4", "i8", "i4", "i2", "i1", "u1", "u2", "u4"]
+
+
+def _arr(dtype: str, n: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    if dtype.startswith("f"):
+        return rng.randn(n).astype(dtype)
+    info = np.iinfo(np.dtype(dtype))
+    return rng.randint(info.min, int(info.max) + 1 if info.max < 2**62 else info.max, n).astype(dtype)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dtype=st.sampled_from(DTYPES),
+    n=st.integers(0, 700),
+    chunk=st.one_of(st.none(), st.integers(1, 97)),
+    gzip=st.sampled_from([None, 1, 6]),
+    shuffle=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+    lo=st.integers(0, 700),
+    span=st.integers(0, 700),
+)
+def test_hdf5lite_roundtrip_fuzz(tmp_path_factory, dtype, n, chunk, gzip, shuffle, seed, lo, span):
+    if gzip is not None and chunk is None:
+        chunk = 64  # filters require chunking, like HDF5 itself
+    if chunk is None:
+        shuffle = False
+        gzip = None
+    arr = _arr(dtype, n, seed)
+    p = str(tmp_path_factory.mktemp("h5") / "f.h5")
+    hdf5lite.write_hdf5(p, {"g/sub": {"d": arr}}, chunk_rows=chunk, gzip=gzip, shuffle=shuffle)
+    with hdf5lite.File(p) as f:
+        d = f["g/sub/d"]
+        assert d.dtype == arr.dtype and d.shape == arr.shape
+        np.testing.assert_array_equal(d[:], arr)
+        a, b = min(lo, n), min(lo + span, n)
+        np.testing.assert_array_equal(d[a:b], arr[a:b])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dtype=st.sampled_from(["f8", "f4", "i4", "i2", "i1"]),
+    dims=st.lists(st.integers(1, 9), min_size=1, max_size=3),
+    version=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+    extra=st.booleans(),
+)
+def test_netcdf_roundtrip_fuzz(tmp_path_factory, dtype, dims, version, seed, extra):
+    shape = tuple(dims)
+    n = int(np.prod(shape))
+    arr = _arr(dtype, n, seed).reshape(shape)
+    dim_names = [f"d{i}" for i in range(len(shape))]
+    variables = {"v": (tuple(dim_names), arr)}
+    if extra:  # a second, odd-sized variable stresses 4-byte padding
+        variables["w"] = ((dim_names[0],), _arr("i2", shape[0], seed + 1))
+    p = str(tmp_path_factory.mktemp("nc") / "f.nc")
+    nc.write_netcdf(
+        p,
+        dict(zip(dim_names, shape)),
+        variables,
+        global_attrs={"seed": seed, "title": "fuzz"},
+        version=version,
+    )
+    d2, v2, g2 = nc.read_netcdf(p)
+    assert d2 == dict(zip(dim_names, shape))
+    got = v2["v"][1]
+    assert got.dtype == arr.dtype and got.shape == arr.shape
+    np.testing.assert_array_equal(got, arr)
+    if extra:
+        np.testing.assert_array_equal(v2["w"][1], variables["w"][1])
+    assert g2["title"] == "fuzz" and int(g2["seed"][0]) == seed
