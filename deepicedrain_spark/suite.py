@@ -1034,6 +1034,8 @@ PRIORITY: list[str] = [
     "keyword_snippets",
     "benchmark_contamination",
     "paragraph_dedup",
+    "sequence_packing",
+    "source_mixture_balance",
     "crossover_curved_tracks",
     "embedding_near_dup_lsh",
     "track_densify_greatcircle",

@@ -708,6 +708,110 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sequence packing (round 3) ------------------------------------------
+# The pre-training step that concatenates documents into fixed-token
+# training sequences (docs never split; a doc belongs to the sequence
+# where its cumulative-token start falls). The global prefix sum is the
+# interesting scale shape: a single orderBy window would serialize on
+# one partition, so the Spark side runs the classic TWO-LEVEL prefix
+# sum — per-group cumsum (partitioned window) + a cumsum over the
+# per-group totals (a reduced table, docs/GROUP rows) joined back
+# broadcast. The oracle is the plain single-window cumsum, proving the
+# distributed decomposition exact.
+_PACK_B = 2048  # tokens per training sequence
+_PACK_G = 250  # docs per prefix-sum group
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT CAST((cum - n) // {_PACK_B} AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(sum(n) / {_PACK_B}.0, 6) AS fill_ratio
+    FROM c GROUP BY 1
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).cast("long").alias("n"),
+        (F.col("doc_id") / _PACK_G).cast("long").alias("g"),
+    )
+    w_in = Window.partitionBy("g").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = t.withColumn("cum_in", F.sum("n").over(w_in))
+    # per-group totals: docs/G rows — the reduced table a single-
+    # partition window may legally own (same altitude as centroids)
+    gt = t.groupBy("g").agg(F.sum("n").alias("gtot"))
+    w_g = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = gt.withColumn("goff", F.sum("gtot").over(w_g) - F.col("gtot")).select(
+        "g", "goff"
+    )
+    cum = within.join(F.broadcast(offsets), "g").withColumn(
+        "cum", F.col("cum_in") + F.col("goff")
+    )
+    return (
+        cum.withColumn("seq_id", F.expr(f"(cum - n) div {_PACK_B}"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.round(F.sum("n") / F.lit(float(_PACK_B)), 6).alias("fill_ratio"),
+        )
+    )
+
+
+# --- source-mixture rebalancing (round 3) --------------------------------
+# Data-mixing step: downsample every source to the SMALLEST source's
+# size, selecting per-source keepers by md5 order of the doc id —
+# content-stable, engine-portable (md5 is identical everywhere),
+# no RNG. One shuffle on the source key; the min-count scalar
+# broadcasts. The id_sum checksum binds the exact keeper SET, not just
+# its size.
+@register(
+    "source_mixture_balance",
+    """
+    WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    mn AS (SELECT min(c) AS m FROM counts),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT r.source,
+           count(*) AS n_kept,
+           CAST(sum(r.doc_id) AS BIGINT) AS id_sum
+    FROM ranked r, mn WHERE r.rk <= mn.m
+    GROUP BY r.source
+    """,
+)
+def q_source_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deepicedrain_spark.operators.sketches import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    mn = docs.groupBy("source").count().agg(F.min("count")).collect()[0][0]
+    kept = stratified_sample(docs, ["source"], "doc_id", int(mn))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 # --- int8 embedding quantization (round 3) ------------------------------
 # The storage/bandwidth step an embedding pipeline runs before ANN
 # serving: per-vector affine int8 (min/max → scale, x → round((x−mn)/s)
