@@ -1,0 +1,80 @@
+"""ATL06 ingest pipeline (SURVEY §3.1 front half).
+
+Reference flow: per-granule, per-beam HDF5 reads →
+``<beam>/land_ice_segments/{latitude, longitude, h_li, ...}``
+(``/root/reference/atl06_to_atl11.py:171-196``), quality-masked with
+``atl06_quality_summary == 0`` (``atl06_play.py`` usage), tagged with
+the granule's reference ground track parsed from the FILENAME
+(``atlxi_dhdt.py:65-70`` reverse_format), then concatenated into one
+table and persisted columnar (HDF5→Zarr there; →parquet here).
+
+Spark shape: the granule×beam matrix is the task axis — each
+``read_atl06_beam`` is already a chunk-parallel scan, and the
+pipeline unions them by name (J5) with the identity columns attached
+as literals (the mapInPandas scan has no input_file_name, so the
+filename parse happens once per granule on the driver — one regex per
+FILE, not per row). Nothing shuffles until the caller aggregates: the
+union of map-only scans stays map-only.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.sources.hdf5 import ATL06_DATASETS, read_atl06_beam
+
+# the reference's granule name carries rgt/cycle in fixed positions
+# (reverse_format template at atlxi_dhdt.py:65-70)
+GRANULE_RE = re.compile(r"ATL06_(\d{4})(\d{2})_.*\.h5$")
+
+BEAMS = ("gt1l", "gt1r", "gt2l", "gt2r", "gt3l", "gt3r")
+
+
+def parse_granule_name(path: str) -> tuple[int, int]:
+    """(rgt, cycle) from an ATL06-style filename."""
+    m = GRANULE_RE.search(os.path.basename(path))
+    if not m:
+        raise ValueError(f"ingest: unrecognized granule name {path!r}")
+    return int(m.group(1)), int(m.group(2))
+
+
+def ingest_atl06(
+    spark: SparkSession,
+    paths: list[str],
+    beams: tuple[str, ...] = BEAMS,
+    quality_col: str = "atl06_quality_summary",
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Union of per-(granule, beam) scans with identity columns and the
+    reference's quality mask applied (keep quality == 0 rows)."""
+    parts: list[DataFrame] = []
+    for path in paths:
+        rgt, cycle = parse_granule_name(path)
+        for beam in beams:
+            df = read_atl06_beam(spark, path, beam, chunk_rows=chunk_rows)
+            parts.append(
+                df.withColumn("referencegroundtrack", F.lit(rgt).cast("int"))
+                .withColumn("cycle_number", F.lit(cycle).cast("int"))
+                .withColumn("beam", F.lit(beam))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col(quality_col) == 0)
+
+
+def ingest_atl06_to_parquet(
+    spark: SparkSession,
+    paths: list[str],
+    out_path: str,
+    beams: tuple[str, ...] = BEAMS,
+) -> DataFrame:
+    """Full front half: scan → mask → parquet partitioned by rgt (the
+    reference's file-per-RGT layout becomes partition pruning)."""
+    df = ingest_atl06(spark, paths, beams)
+    df.write.mode("overwrite").partitionBy("referencegroundtrack").parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -114,9 +114,12 @@ def read_hdf5(
     chunks = plan_chunks(n_rows, stride)
     schema = spark_schema_for(dtypes)
 
+    # one task per chunk stripe: without the repartition the tiny task
+    # table inherits the session default (32) partitions, so a union of
+    # many small scans explodes into mostly-empty tasks
     chunks_df = spark.createDataFrame(
         [(i, s, ln) for i, (s, ln) in enumerate(chunks)], "cid long, start long, length long"
-    )
+    ).repartition(len(chunks))
 
     def decode(batches):
         with _open_h5(path) as f:  # one handle per task, read-only

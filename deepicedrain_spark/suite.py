@@ -1016,6 +1016,7 @@ PRIORITY: list[str] = [
     "oov_rate",
     "sql_interface_demo",
     "catalog_named_source",
+    "atl06_ingest_pipeline",
     "grouped_correlation",
     "hll_distinct_by_type",
     "pq_encode",

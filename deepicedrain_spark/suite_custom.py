@@ -2138,6 +2138,71 @@ def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §3.1 front half — the ATL06 ingest pipeline over REAL granule bytes
+# (round 3): three synthetic ATL06 granules (hdf5lite writer; filenames
+# carry rgt+cycle exactly like the reference's reverse_format parse at
+# atlxi_dhdt.py:65-70) × six beams, scanned chunk-parallel, identity
+# columns attached, quality == 0 mask applied, unioned — the plan of
+# atl06_to_atl11.py:171-196. Dataset values are closed-form (h_li in
+# exact f32 halves), so the oracle recomputes every surviving row
+# WITHOUT an HDF5 parser: a mismatch anywhere in write→scan→mask→union
+# breaks the hash.
+@register(
+    "atl06_ingest_pipeline",
+    """
+    WITH rows AS (
+      SELECT g.g, b.j, i.i FROM (VALUES (0),(1),(2)) g(g),
+           (VALUES (0),(1),(2),(3),(4),(5)) b(j),
+           (SELECT unnest(range(0, 2000)) AS i) i),
+    kept AS (SELECT * FROM rows WHERE (i + g + j) % 3 = 0),
+    named AS (
+      SELECT CAST(1000 + g AS INTEGER) AS referencegroundtrack,
+             CAST(3 + g AS INTEGER) AS cycle_number,
+             ['gt1l','gt1r','gt2l','gt2r','gt3l','gt3r'][j + 1] AS beam,
+             ((i * 7 + g * 13 + j * 3) % 1000) * 0.5 - 30.0 AS h_li
+      FROM kept)
+    SELECT referencegroundtrack, cycle_number, beam,
+           count(*) AS n,
+           CAST(sum(CAST(h_li AS DECIMAL(18,1))) AS DOUBLE) AS sum_h,
+           CAST(min(h_li) AS DOUBLE) AS min_h
+    FROM named GROUP BY 1, 2, 3
+    """,
+)
+def q_atl06_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.plans.ingest import BEAMS, ingest_atl06
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    n = 2000
+    paths = []
+    for g in range(3):
+        # reference granule naming: ATL06_<rgt:04d><cycle:02d>_...
+        path = f"/tmp/ATL06_{1000 + g:04d}{3 + g:02d}_spark_graft_synth.h5"
+        groups = {}
+        i = np.arange(n)
+        for j, beam in enumerate(BEAMS):
+            groups[f"{beam}/land_ice_segments"] = {
+                "latitude": -80.0 + i * 1e-4 + g,
+                "longitude": 100.0 + i * 1e-4 + j,
+                "h_li": (((i * 7 + g * 13 + j * 3) % 1000) * 0.5 - 30.0).astype("f4"),
+                "h_li_sigma": np.full(n, 0.25, dtype="f4"),
+                "atl06_quality_summary": ((i + g + j) % 3).astype("u1"),
+                "delta_time": i.astype("f8") * 0.1,
+                "segment_id": i.astype("i8"),
+            }
+        write_hdf5(path, groups, chunk_rows=512, gzip=2, shuffle=True)
+        paths.append(path)
+    df = ingest_atl06(spark, paths, chunk_rows=512)
+    return df.groupBy("referencegroundtrack", "cycle_number", "beam").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("h_li").cast("double").cast("decimal(18,1)"))
+        .cast("double")
+        .alias("sum_h"),
+        F.min("h_li").cast("double").alias("min_h"),
+    )
+
+
 # --- §3.1 wide path: per-point regression with ZERO shuffles ----------
 # The long-format flagship pays one exchange on the point key; when the
 # data is already wide at rest (per-cycle suffixed columns, the

@@ -164,3 +164,52 @@ def test_read_hdf5_ragged_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="ragged"):
         read_hdf5(spark, p, "g", ["a", "b"])
+
+
+def test_atl06_ingest_pipeline(spark, tmp_path):
+    """§3.1 front half over real granule bytes: filename parse, per-
+    beam scans, identity columns, quality mask, union, partitioned
+    parquet sink with pruning-ready layout."""
+    import numpy as np
+
+    from deepicedrain_spark.plans.ingest import (
+        ingest_atl06,
+        ingest_atl06_to_parquet,
+        parse_granule_name,
+    )
+
+    assert parse_granule_name("/x/ATL06_123407_foo.h5") == (1234, 7)
+    with pytest.raises(ValueError):
+        parse_granule_name("/x/not_a_granule.h5")
+
+    n = 300
+    paths = []
+    for g in range(2):
+        p = str(tmp_path / f"ATL06_{100 + g:04d}0{g}_t.h5")
+        i = np.arange(n)
+        hdf5lite.write_hdf5(
+            p,
+            {
+                f"{beam}/land_ice_segments": {
+                    "latitude": i * 1.0,
+                    "longitude": i * 2.0,
+                    "h_li": (i % 50).astype("f4"),
+                    "h_li_sigma": np.full(n, 0.1, dtype="f4"),
+                    "atl06_quality_summary": (i % 2).astype("u1"),
+                    "delta_time": i.astype("f8"),
+                    "segment_id": i.astype("i8"),
+                }
+                for beam in ("gt1l", "gt2r")
+            },
+            chunk_rows=128,
+        )
+        paths.append(p)
+    df = ingest_atl06(spark, paths, beams=("gt1l", "gt2r"), chunk_rows=128)
+    assert df.count() == 2 * 2 * (n // 2)  # quality==0 keeps even i
+    assert set(r["referencegroundtrack"] for r in df.select("referencegroundtrack").distinct().collect()) == {100, 101}
+    out = str(tmp_path / "pq")
+    back = ingest_atl06_to_parquet(spark, paths, out, beams=("gt1l", "gt2r"))
+    assert back.count() == df.count()
+    # partition pruning: rgt filter must prune to one partition dir
+    plan = back.filter("referencegroundtrack = 100")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(referencegroundtrack" in plan
