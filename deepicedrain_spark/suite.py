@@ -1017,6 +1017,7 @@ PRIORITY: list[str] = [
     "sql_interface_demo",
     "catalog_named_source",
     "atl06_ingest_pipeline",
+    "atl06_dhdt_end_to_end",
     "grouped_correlation",
     "hll_distinct_by_type",
     "pq_encode",

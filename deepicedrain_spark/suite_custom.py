@@ -2203,6 +2203,80 @@ def q_atl06_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §3.1 WHOLE program on real granule bytes (round 3): repeat-cycle
+# ATL06 granules (same rgt, cycles 3-5) → distributed HDF5 scans →
+# quality mask → union → long-format per-(beam, segment) dhdt
+# regression — the reference's atlxi_dhdt.py flow rooted at its true
+# input format instead of pre-staged parquet. h_li values are exact
+# f32 quarters and t = cycle number exactly, so regr_* over the
+# surviving (segment, cycle) points is closed-form recomputable;
+# planted slope = ((i mod 7) − 3)/4 m/cycle.
+@register(
+    "atl06_dhdt_end_to_end",
+    """
+    WITH rows AS (
+      SELECT b.j, i.i, c.c
+      FROM (VALUES (0),(1)) b(j),
+           (SELECT unnest(range(0, 1500)) AS i) i,
+           (VALUES (3),(4),(5)) c(c)),
+    kept AS (SELECT * FROM rows WHERE (i + c) % 5 > 0),
+    pts AS (
+      SELECT ['gt1l','gt2r'][j + 1] AS beam,
+             CAST(i AS BIGINT) AS segment_id,
+             CAST(c AS DOUBLE) AS t,
+             (i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 + j AS h
+      FROM kept)
+    SELECT beam, segment_id,
+           CAST(regr_count(h, t) AS BIGINT) AS n,
+           round(regr_slope(h, t), 6) AS dhdt_slope,
+           round(regr_intercept(h, t), 6) AS intercept
+    FROM pts GROUP BY beam, segment_id
+    HAVING regr_count(h, t) >= 2
+    """,
+)
+def q_atl06_dhdt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.operators.regression import linregress_aggs
+    from deepicedrain_spark.plans.ingest import ingest_atl06
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    n = 1500
+    beams = ("gt1l", "gt2r")
+    paths = []
+    for c in (3, 4, 5):
+        path = f"/tmp/ATL06_1234{c:02d}_spark_graft_dhdt.h5"
+        i = np.arange(n)
+        groups = {}
+        for j, beam in enumerate(beams):
+            groups[f"{beam}/land_ice_segments"] = {
+                "latitude": -80.0 + i * 1e-4,
+                "longitude": 100.0 + i * 1e-4,
+                "h_li": ((i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 + j).astype("f4"),
+                "h_li_sigma": np.full(n, 0.2, dtype="f4"),
+                # keep (i + c) % 5 > 0 → quality 0 on the kept rows
+                "atl06_quality_summary": ((i + c) % 5 == 0).astype("u1"),
+                "delta_time": np.full(n, float(c)),
+                "segment_id": i.astype("i8"),
+            }
+        write_hdf5(path, groups, chunk_rows=512, gzip=2)
+        paths.append(path)
+    pts = ingest_atl06(spark, paths, beams=beams, chunk_rows=512).select(
+        "beam",
+        "segment_id",
+        F.col("delta_time").alias("t"),
+        F.col("h_li").cast("double").alias("h"),
+    )
+    out = pts.groupBy("beam", "segment_id").agg(*linregress_aggs("h", "t"))
+    return out.filter(F.col("n") >= 2).select(
+        "beam",
+        "segment_id",
+        "n",
+        F.round("slope", 6).alias("dhdt_slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
 # --- §3.1 wide path: per-point regression with ZERO shuffles ----------
 # The long-format flagship pays one exchange on the point key; when the
 # data is already wide at rest (per-cycle suffixed columns, the
