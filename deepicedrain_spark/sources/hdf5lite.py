@@ -168,7 +168,10 @@ class _Group:
         head, _, rest = name.strip("/").partition("/")
         if head not in self._entries:
             return False
-        return (not rest) or (rest in self[head])
+        if not rest:
+            return True
+        child = self._file._load_object(self._entries[head], head)
+        return isinstance(child, _Group) and rest in child
 
     def __getitem__(self, name: str):
         obj = self

@@ -213,3 +213,83 @@ def test_atl06_ingest_pipeline(spark, tmp_path):
     # partition pruning: rgt filter must prune to one partition dir
     plan = back.filter("referencegroundtrack = 100")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(referencegroundtrack" in plan
+
+
+def test_hdf5lite_reads_v2_superblock_and_ohdr(tmp_path):
+    """Foreign-file path: a hand-assembled file using the NEWER layout
+    family (superblock v2, 'OHDR' v2 root group with Link messages) —
+    what libhdf5 emits under libver='latest'. Our writer never produces
+    this, so the reader's v2 branches get spec-level coverage here."""
+    import struct
+
+    from deepicedrain_spark.sources.hdf5lite import (
+        UNDEF,
+        _dataspace_msg,
+        _datatype_msg,
+        _object_header_v1,
+        _pad8,
+    )
+
+    arr = np.arange(20, dtype="<f8") * 1.5
+    data_bytes = arr.tobytes()
+
+    # plan addresses: [superblock 48][root OHDR][dset v1 header][data]
+    sb_size = 48
+    # root OHDR: sig4 + ver1 + flags1 + chunk0size1 + msgs + checksum4
+    link_body = struct.pack("<BBB", 1, 0, 4) + b"dset"  # ver, flags, namelen, name
+    # target address appended below once known
+    msgs_size = 4 + len(link_body) + 8  # msg header + body + hard-link addr
+    ohdr_size = 4 + 3 + msgs_size + 4
+    root_addr = sb_size
+    dset_hdr_addr = (root_addr + ohdr_size + 7) & ~7
+    # dataset: v1 header with dataspace/datatype/contiguous layout
+    layout = struct.pack("<BBQQ", 3, 1, 0, len(data_bytes))  # addr patched later
+
+    def dset_header(data_addr: int) -> bytes:
+        return _object_header_v1(
+            [
+                (0x0001, _dataspace_msg(arr.shape)),
+                (0x0003, _datatype_msg(arr.dtype)),
+                (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, len(data_bytes))),
+            ]
+        )
+
+    hdr_len = len(dset_header(0))
+    data_addr = (dset_hdr_addr + hdr_len + 7) & ~7
+    eof = data_addr + len(data_bytes)
+
+    ohdr = (
+        b"OHDR"
+        + struct.pack("<BBB", 2, 0, msgs_size)
+        + struct.pack("<BHB", 0x06, len(link_body) + 8, 0)
+        + link_body
+        + struct.pack("<Q", dset_hdr_addr)
+        + b"\x00\x00\x00\x00"  # checksum (unverified by reader)
+    )
+    sb = (
+        b"\x89HDF\r\n\x1a\n"
+        + struct.pack("<BBBB", 2, 8, 8, 0)
+        + struct.pack("<QQQQ", 0, UNDEF, eof, root_addr)
+        + b"\x00\x00\x00\x00"
+    )
+    assert len(sb) == 48
+
+    p = str(tmp_path / "v2.h5")
+    with open(p, "wb") as fh:
+        fh.write(b"\x00" * eof)
+        fh.seek(0)
+        fh.write(sb)
+        fh.seek(root_addr)
+        fh.write(ohdr)
+        fh.seek(dset_hdr_addr)
+        fh.write(dset_header(data_addr))
+        fh.seek(data_addr)
+        fh.write(data_bytes)
+
+    with hdf5lite.File(p) as f:
+        assert "dset" in f
+        assert "dset/nope" not in f  # dataset is not a group
+        d = f["dset"]
+        assert d.shape == (20,) and d.dtype == np.dtype("<f8")
+        np.testing.assert_array_equal(d[:], arr)
+        np.testing.assert_array_equal(d[5:12], arr[5:12])
