@@ -86,10 +86,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES if os.path.exists(table_path(sf_dir, name))}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Catalog shim (SURVEY S11): named sources as temp views."""
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Catalog shim (SURVEY S11): named sources as temp views.
+
+    ``tables`` narrows registration to the views a query actually
+    touches — each registration is a driver-side parquet footer read,
+    so registering all 10 tables for a 2-table query is pure setup
+    overhead (it showed up as a 0.6 s bench regression in r3)."""
+    names = tables if tables is not None else TABLES
+    for name in names:
+        if os.path.exists(table_path(sf_dir, name)):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

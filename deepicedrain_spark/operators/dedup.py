@@ -298,11 +298,17 @@ def paragraph_dedup_stats(
     ws = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
     toks = df.select(F.col(id_col), ws.alias("_ws"), F.size(ws).alias("_n"))
     n_chunks = F.ceil(F.col("_n") / F.lit(chunk_tokens)).cast("int")
+    # Guard n_chunks == 0: sequence(0, -1) in Spark defaults to a DESCENDING
+    # step and would emit [0, -1] — two phantom chunks for an empty doc —
+    # while the SQL oracle's range(0, 0) emits none. Empty docs must vanish.
+    chunk_idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     chunks = toks.select(
         id_col,
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
+                chunk_idx,
                 lambda i: F.struct(
                     F.array_join(
                         F.slice(F.col("_ws"), i * chunk_tokens + 1, chunk_tokens), " "

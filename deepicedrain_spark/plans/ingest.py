@@ -27,16 +27,22 @@ from pyspark.sql import functions as F
 
 from deepicedrain_spark.sources.hdf5 import ATL06_DATASETS, read_atl06_beam
 
-# the reference's granule name carries rgt/cycle in fixed positions
-# (reverse_format template at atlxi_dhdt.py:65-70)
+# Two accepted granule-name conventions:
+#  - the repo's synthetic fixtures: ATL06_<rgt4><cycle2>_*.h5
+#  - real NSIDC ATL06 granules: ATL06_<yyyymmddhhmmss>_<rrrrccss>_<vvv>_<rr>.h5
+#    where rgt/cycle sit at chars 15-22 of the second field.
+# (The reference parses ATL11 *zarr* names via reverse_format at
+# atlxi_dhdt.py:65-70; ATL06 .h5 names follow the NSIDC layout above.)
 GRANULE_RE = re.compile(r"ATL06_(\d{4})(\d{2})_.*\.h5$")
+NSIDC_GRANULE_RE = re.compile(r"ATL06_\d{14}_(\d{4})(\d{2})\d{2}_\d{3}_\d{2}\.h5$")
 
 BEAMS = ("gt1l", "gt1r", "gt2l", "gt2r", "gt3l", "gt3r")
 
 
 def parse_granule_name(path: str) -> tuple[int, int]:
-    """(rgt, cycle) from an ATL06-style filename."""
-    m = GRANULE_RE.search(os.path.basename(path))
+    """(rgt, cycle) from an ATL06-style filename (NSIDC or synthetic)."""
+    base = os.path.basename(path)
+    m = NSIDC_GRANULE_RE.search(base) or GRANULE_RE.search(base)
     if not m:
         raise ValueError(f"ingest: unrecognized granule name {path!r}")
     return int(m.group(1)), int(m.group(2))
@@ -51,6 +57,8 @@ def ingest_atl06(
 ) -> DataFrame:
     """Union of per-(granule, beam) scans with identity columns and the
     reference's quality mask applied (keep quality == 0 rows)."""
+    if not paths or not beams:
+        raise ValueError("ingest_atl06: no granule paths / beams given")
     parts: list[DataFrame] = []
     for path in paths:
         rgt, cycle = parse_granule_name(path)

@@ -119,6 +119,11 @@ class _Dataset:
             )
         # chunked
         out = np.zeros((n,) + self.shape[1:], dtype=self.dtype)
+        if self.btree_address == UNDEF:
+            # created-but-never-written dataset: no chunk B-tree was ever
+            # allocated (legal libhdf5 output) — fill = zeros, mirroring
+            # the contiguous data_address == UNDEF branch above
+            return out
         cs0 = self.chunk_shape[0]
         for coords, addr, nbytes, fmask in self._file._iter_chunks_rk(
             self.btree_address, len(self.shape)
@@ -231,8 +236,9 @@ class File:
             ohdr_addr = struct.unpack_from("<Q", entry, 8)[0]
             return self._load_group(ohdr_addr, "/")
         if version in (2, 3):
+            # bytes at 8..12 are [version, size_of_offsets, size_of_lengths, flags]
             blob = self._pread(8, 4)
-            if (blob[0], blob[1]) != (8, 8):
+            if (blob[1], blob[2]) != (8, 8):
                 raise NotImplementedError("hdf5lite: only 8-byte offsets/lengths")
             root_addr = struct.unpack("<Q", self._pread(12 + 24, 8))[0]
             return self._load_group(root_addr, "/")

@@ -9,6 +9,8 @@ order so the DuckDB oracle can rebuild the identical geometry.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +31,16 @@ from deepicedrain_spark.operators.spatial import (
 )
 from deepicedrain_spark.functions.timeutils import us_of
 from deepicedrain_spark.suite import _ts_us, register
+
+
+def scratch_path(sf_dir: str, name: str) -> str:
+    """Scratch artifact path keyed by sf_dir so concurrent driver runs at
+    different scale factors never clobber each other's files mid-query
+    (same pattern as the streaming upsert sink's md5-keyed dirs)."""
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_{key}_{name}"
 
 # --- literal polygon layer (a convex pentagon + a concave chevron) ---
 PIP_POLYGONS = [
@@ -1354,7 +1366,7 @@ def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
-    path = "/tmp/spark_graft_tsv_roundtrip"
+    path = scratch_path(sf_dir, "tsv_roundtrip")
     write_tsv(agg, path)
     back = read_csv(
         spark,
@@ -1397,7 +1409,7 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
     )
-    path = "/tmp/spark_graft_parquet_roundtrip"
+    path = scratch_path(sf_dir, "parquet_roundtrip")
     write_parquet(agg, path, partition_by=["o_orderpriority"])
     back = spark.read.parquet(path)
     return back.select(
@@ -1591,7 +1603,7 @@ def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.expr("percentile(z, 0.5)"), 6).alias("z_med"),
     )
-    path = "/tmp/spark_graft_netcdf_roundtrip.nc"
+    path = scratch_path(sf_dir, "netcdf_roundtrip.nc")
     write_cube(path, cells, "label", "cx", "cy", {"n": "n", "z_med": "z_med"})
     back = read_cube(spark, path, ["n", "z_med"])
     return back.select(
@@ -1625,7 +1637,7 @@ def _register_geojson_roundtrip():
             F.element_at("embedding", 2).cast("double").alias("y"),
         )
         hulls = convex_hulls(pts, ["label"])
-        path = "/tmp/spark_graft_geojson_roundtrip"
+        path = scratch_path(sf_dir, "geojson_roundtrip")
         write_geojsonl(hulls, "hull", ["label"], path)
         feats = spark.read.json(path)
         ring = F.expr(
@@ -2022,7 +2034,7 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "value", _ts_us().alias("t_us")
     )
-    path = "/tmp/spark_graft_zarr_roundtrip"
+    path = scratch_path(sf_dir, "zarr_roundtrip")
     write_zarr(ev, path, chunk_rows=4096)
     back = read_zarr(spark, path)
     return back.groupBy("user_id").agg(
@@ -2110,7 +2122,7 @@ def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .toPandas()
     )
-    path = "/tmp/spark_graft_hdf5_roundtrip.h5"
+    path = scratch_path(sf_dir, "hdf5_roundtrip.h5")
     write_hdf5(
         path,
         {
@@ -2175,10 +2187,12 @@ def q_atl06_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.sources.hdf5lite import write_hdf5
 
     n = 2000
+    gdir = scratch_path(sf_dir, "granules_synth")
+    os.makedirs(gdir, exist_ok=True)
     paths = []
     for g in range(3):
         # reference granule naming: ATL06_<rgt:04d><cycle:02d>_...
-        path = f"/tmp/ATL06_{1000 + g:04d}{3 + g:02d}_spark_graft_synth.h5"
+        path = f"{gdir}/ATL06_{1000 + g:04d}{3 + g:02d}_spark_graft_synth.h5"
         groups = {}
         i = np.arange(n)
         for j, beam in enumerate(BEAMS):
@@ -2243,9 +2257,11 @@ def q_atl06_dhdt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 1500
     beams = ("gt1l", "gt2r")
+    gdir = scratch_path(sf_dir, "granules_dhdt")
+    os.makedirs(gdir, exist_ok=True)
     paths = []
     for c in (3, 4, 5):
-        path = f"/tmp/ATL06_1234{c:02d}_spark_graft_dhdt.h5"
+        path = f"{gdir}/ATL06_1234{c:02d}_spark_graft_dhdt.h5"
         i = np.arange(n)
         groups = {}
         for j, beam in enumerate(beams):
@@ -2327,7 +2343,7 @@ def _wide_fixture_sql(with_stats: bool) -> str:
 @register("dhdt_wide_maponly", _wide_fixture_sql(True))
 def q_dhdt_wide_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = build_wide_events(spark, sf_dir)
-    path = "/tmp/spark_graft_wide_events"
+    path = scratch_path(sf_dir, "wide_events")
     wide.write.mode("overwrite").parquet(path)
     return wide_regression(spark.read.parquet(path))
 

@@ -938,7 +938,7 @@ def q_sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Catalyst still broadcasts the customer dim under AQE."""
     from deepicedrain_spark.io import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders", "customer"))
     return spark.sql(_SQL_DEMO)
 
 
