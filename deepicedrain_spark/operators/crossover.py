@@ -80,12 +80,43 @@ def _explode_cells(seg: DataFrame, cell: float) -> DataFrame:
     )
 
 
+def _auto_salt(cells: DataFrame, target_pairs: float = 4e6, cap: int = 64) -> int:
+    """Derive the hot-cell salt S from a cheap cell histogram instead of
+    a caller-supplied constant (VERDICT r3 task 5).
+
+    Join work inside one cell is ~count²/2 pair candidates; salting by S
+    cuts the per-partition candidates to count²/S. The criterion is
+    ABSOLUTE, not relative: a cell whose own pair work exceeds one
+    task's budget (count² > target_pairs) is a straggler regardless of
+    what the other cells look like (a relative max/median gate misses
+    the few-cells-all-hot case — measured on the scalecheck_skew
+    radiating-tracks fixture, where every segment lands in 4 cells).
+    S = ceil(max² / target_pairs), capped because the B side pays an
+    S× replication of its segment rows.
+
+    Cost: one count-per-cell aggregation over the already-checkpointed
+    exploded segments — a rollup of the same exchange the join needs
+    anyway, O(distinct cells) output, scalar collect."""
+    import math
+
+    row = (
+        cells.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    mx = int(row["mx"] or 0)
+    if mx * mx <= target_pairs:
+        return 1
+    return max(1, min(cap, math.ceil(mx * mx / target_pairs)))
+
+
 def crossover_join(
     segments: DataFrame,
     cell: float = 1000.0,
     track_col: str = "track_id",
     rgt_of=None,
-    hot_cell_salt: int = 1,
+    hot_cell_salt: int | str = 1,
 ) -> DataFrame:
     """Find all pairwise track crossings with interpolated h/t.
 
@@ -107,13 +138,17 @@ def crossover_join(
     replica matching A's salt), the hot cell spreads over S
     partitions, and B pays an S× replication of only its (tiny)
     segment rows. Default S=1 keeps the replication-free plan for
-    normal track densities.
+    normal track densities; ``hot_cell_salt="auto"`` derives S from
+    a cell histogram (see _auto_salt) so the plan is skew-safe
+    without manual tuning.
     """
     # both join sides are the same exploded-segment table —
     # localCheckpoint runs the lead() window + cell explode once AND
     # truncates lineage so Catalyst doesn't re-analyze the upstream
     # tree per join side (cold planning dominated small-SF wall time)
     cells = _explode_cells(segments, cell).localCheckpoint()
+    if hot_cell_salt == "auto":
+        hot_cell_salt = _auto_salt(cells)
     if hot_cell_salt > 1:
         s_vals = F.array(*[F.lit(i) for i in range(hot_cell_salt)])
         a = cells.withColumn(

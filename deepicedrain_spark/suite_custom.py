@@ -2397,3 +2397,73 @@ def wide_regression(wide: DataFrame) -> DataFrame:
         F.when(ok, slope).alias("slope"),
         F.when(ok, (F.col("s_h") - slope * F.col("s_t")) / F.col("n")).alias("intercept"),
     )
+
+
+# --- reference published lake catalog round-trip (VERDICT r4 task 3) -
+# The reference SHIPS its result: antarctic_subglacial_lakes_3031.geojson
+# (193 features, written by atlxi_lake.py:304-310). Reading that file
+# through the S6 GeoJSON scan and recomputing per-basin geometry with
+# the A13 ring aggregates is free ground truth against the published
+# catalog — both engines parse the same bytes and must agree on the
+# shoelace areas and property roll-ups.
+_LAKE_CATALOG_PATH = "/root/reference/antarctic_subglacial_lakes_3031.geojson"
+
+
+@register(
+    "reference_lake_catalog",
+    f"""
+    WITH feat AS (
+      SELECT unnest(features) AS f
+      FROM read_json_auto('{_LAKE_CATALOG_PATH}',
+                          maximum_object_size=33554432)
+    ),
+    lakes AS (
+      SELECT f.properties.basin_name AS basin_name,
+             CAST(f.properties.num_points AS BIGINT) AS num_points,
+             CAST(f.properties.mean_dhdt AS DOUBLE) AS mean_dhdt,
+             f.geometry.coordinates[1] AS ring
+      FROM feat
+    ),
+    areas AS (
+      SELECT basin_name, num_points, mean_dhdt,
+             abs(list_sum(list_transform(generate_series(1, len(ring) - 1),
+                 i -> ring[i][1] * ring[i + 1][2]
+                      - ring[i + 1][1] * ring[i][2]))) / 2 AS area_m2
+      FROM lakes
+    )
+    SELECT basin_name,
+           count(*) AS n_lakes,
+           CAST(sum(num_points) AS BIGINT) AS total_points,
+           round(sum(area_m2) / 1e6, 3) AS area_km2,
+           round(avg(mean_dhdt), 6) AS mean_dhdt
+    FROM areas GROUP BY basin_name ORDER BY basin_name
+    """,
+)
+def q_reference_lake_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 scan of the reference's published lake layer + A13 shoelace
+    area per lake, rolled up per drainage basin. The ring struct is
+    rebuilt from the scan's (xs, ys) arrays so ring_area (the same HOF
+    the lake pipeline uses) does the area math — Catalyst-only, no
+    UDF, no driver geometry loop."""
+    from deepicedrain_spark.operators.spatial import ring_area
+    from deepicedrain_spark.sources.geojson import read_geojson_polygons
+
+    df = read_geojson_polygons(spark, _LAKE_CATALOG_PATH, id_property="basin_name")
+    per_lake = df.select(
+        F.col("poly_id").alias("basin_name"),
+        F.col("properties.num_points").cast("long").alias("num_points"),
+        F.col("properties.mean_dhdt").cast("double").alias("mean_dhdt"),
+        F.expr(
+            "transform(arrays_zip(xs, ys), p -> struct(p.xs AS x, p.ys AS y))"
+        ).alias("_ring"),
+    ).withColumn("area_m2", ring_area("_ring"))
+    return (
+        per_lake.groupBy("basin_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lakes"),
+            F.sum("num_points").alias("total_points"),
+            F.round(F.sum("area_m2") / 1e6, 3).alias("area_km2"),
+            F.round(F.avg("mean_dhdt"), 6).alias("mean_dhdt"),
+        )
+        .orderBy("basin_name")
+    )

@@ -180,3 +180,70 @@ def test_crossover_dedup_bitwise_deterministic(spark):
         for r in crossover_join(segs, cell=5.0, hot_cell_salt=8).collect()
     )
     assert salted == baseline
+
+
+def test_auto_salt_picks_one_for_uniform_and_splits_hot(spark):
+    """_auto_salt: uniform cell histograms stay salt-free (S=1, the
+    replication-free plan); a single dominating cell big enough to be
+    a straggler gets S = ceil(max_count^2 / target), capped."""
+    import pandas as pd
+
+    from deepicedrain_spark.operators.crossover import _auto_salt
+
+    # uniform: 100 cells x 10 segments — no skew, S must be 1
+    uni = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cx": [i for i in range(100) for _ in range(10)],
+                "cy": [0] * 1000,
+            }
+        )
+    )
+    assert _auto_salt(uni) == 1
+
+    # skewed but SMALL: max^2 below target — still 1 (no absolute need)
+    skew_small = spark.createDataFrame(
+        pd.DataFrame({"cx": [0] * 500 + list(range(1, 11)), "cy": [0] * 510})
+    )
+    assert _auto_salt(skew_small) == 1
+
+    # skewed and heavy: max = 4000 -> S = ceil(4000^2 / 4e6) = 4
+    heavy = spark.createDataFrame(
+        pd.DataFrame({"cx": [0] * 4000 + list(range(1, 21)), "cy": [0] * 4020})
+    )
+    assert _auto_salt(heavy) == 4
+
+    # cap: a 100k-row cell would want S=2500 -> capped at 64
+    assert _auto_salt(heavy, target_pairs=1.0) == 64
+
+
+def test_auto_salt_output_bit_identical(spark):
+    """hot_cell_salt='auto' is a pure execution strategy — same rows,
+    bit-identical floats vs the unsalted plan."""
+    import pandas as pd
+
+    rows = []
+    for tr in range(12):
+        for i in range(6):
+            rows.append(
+                {
+                    "track_id": f"A{tr:02d}",
+                    "t": float(i),
+                    "x": -3.0 + i + 0.013 * tr,
+                    "y": (-3.0 + i) * (1 if tr % 2 else -1) + 0.07 * tr,
+                    "h": 50.0 + tr + 0.1 * i,
+                }
+            )
+    base = spark.createDataFrame(pd.DataFrame(rows))
+    segs = track_segments(base, max_gap=None)
+
+    def key(df):
+        return sorted(
+            (r["track1"], r["track2"], r["x"], r["y"], r["h_1"], r["h_2"])
+            for r in df.collect()
+        )
+
+    plain = key(crossover_join(segs, cell=5.0))
+    assert len(plain) > 0
+    auto = key(crossover_join(segs, cell=5.0, hot_cell_salt="auto"))
+    assert auto == plain

@@ -50,3 +50,57 @@ def test_geojsonl_distributed_sink(spark, tmp_path):
             lines += [json.loads(line) for line in open(os.path.join(out, f)) if line.strip()]
     assert len(lines) == 3
     assert all(line["type"] == "Feature" for line in lines)
+
+
+def test_reference_lake_catalog_roundtrip(spark, tmp_path):
+    """Read the reference's PUBLISHED lake catalog (193 features,
+    atlxi_lake.py:304-310 output), verify its per-feature properties
+    survive the S6 scan, write it back through the S7 sink, and
+    re-read: rings and properties must be value-identical."""
+    import json
+
+    from deepicedrain_spark.operators.spatial import ring_area
+    from deepicedrain_spark.sources.geojson import (
+        read_geojson_polygons,
+        write_geojson,
+    )
+
+    src = "/root/reference/antarctic_subglacial_lakes_3031.geojson"
+    df = read_geojson_polygons(spark, src, id_property="basin_name")
+    assert df.count() == 193
+
+    # every published property column survives the scan
+    raw = json.load(open(src))
+    want_props = sorted(raw["features"][0]["properties"].keys())
+    got_props = sorted(df.schema["properties"].dataType.fieldNames())
+    assert got_props == want_props
+
+    # A13 shoelace area over the published rings: positive, and the
+    # biggest single lake is tens of km^2 (the catalog is subglacial
+    # lakes, not basins)
+    ring = F.expr("transform(arrays_zip(xs, ys), p -> struct(p.xs AS x, p.ys AS y))")
+    df2 = df.withColumn("_ring", ring).withColumn("a", ring_area("_ring"))
+    areas = [r["a"] for r in df2.select("a").collect()]
+    assert all(a > 0 for a in areas)
+    assert max(areas) > 10e6  # > 10 km^2
+
+    # round-trip: flatten properties to columns, write, re-read
+    prop_cols = [f"properties.{c}" for c in want_props]
+    flat = df2.select(
+        *[F.col(f"properties.{c}").alias(c) for c in want_props], "_ring"
+    )
+    out = str(tmp_path / "lakes_rt.geojson")
+    write_geojson(flat, "_ring", want_props, out)
+    back = read_geojson_polygons(spark, out, id_property="basin_name")
+    assert back.count() == 193
+
+    def canon(frame):
+        rows = frame.select(
+            *[F.col(f"properties.{c}").alias(c) for c in want_props], "xs", "ys"
+        ).collect()
+        return sorted(
+            (tuple(r[c] for c in want_props), tuple(r["xs"]), tuple(r["ys"]))
+            for r in rows
+        )
+
+    assert canon(back) == canon(df)

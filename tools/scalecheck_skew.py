@@ -169,6 +169,22 @@ def main() -> None:
         "aqe": last_aqe_stats(spark),
     }
 
+    # auto-tuned salt (VERDICT r4 task 5): S derived from the cell
+    # histogram — must land within 2× of the hand-tuned S=64 run
+    from deepicedrain_spark.operators.crossover import _auto_salt, _explode_cells
+
+    segs = track_segments(tracks, max_gap=None)
+    s_auto = _auto_salt(_explode_cells(segs, 1000.0))
+    xo = crossover_join(segs, cell=1000.0, hot_cell_salt="auto").select(
+        F.count(F.lit(1)).alias("n")
+    )
+    dt = run(xo)
+    out["cases"]["crossover_salt_auto"] = {
+        "wall_s": round(dt, 1),
+        "chosen_salt": s_auto,
+        "aqe": last_aqe_stats(spark),
+    }
+
     print(json.dumps(out))
 
 
