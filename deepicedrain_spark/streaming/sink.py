@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +38,48 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.json")
 
 
+class _SinkLock:
+    """Advisory lock-file serializing the read-merge-commit critical
+    section across concurrent writers (two streaming queries pointed at
+    one table, or a restart racing its own zombie). O_CREAT|O_EXCL is
+    atomic on POSIX local filesystems; locks older than ``stale_after``
+    are broken (crashed-holder recovery), which is why the commit ALSO
+    carries a version fence — see _commit_manifest."""
+
+    def __init__(self, out_dir: str, timeout: float = 120.0, stale_after: float = 600.0):
+        self.path = os.path.join(out_dir, "_manifest.lock")
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self) -> "_SinkLock":
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) > self.stale_after:
+                        os.unlink(self.path)  # break a crashed holder's lock
+                        continue
+                except OSError:
+                    continue  # holder released between exists and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"upsert sink: could not acquire {self.path} "
+                        f"within {self.timeout}s"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
 def _read_manifest(out_dir: str) -> dict:
     try:
         with open(_manifest_path(out_dir)) as fh:
@@ -45,8 +88,23 @@ def _read_manifest(out_dir: str) -> dict:
         return {"version": -1, "applied": []}
 
 
-def _commit_manifest(out_dir: str, manifest: dict) -> None:
-    tmp = _manifest_path(out_dir) + ".tmp"
+def _commit_manifest(
+    out_dir: str, manifest: dict, expected_version: int | None = None
+) -> None:
+    """Atomic manifest swap. ``expected_version`` is the CAS fence: the
+    version this writer READ at the start of its critical section. If
+    the on-disk manifest moved past it (possible only if this writer's
+    lock was broken as stale and another writer committed), refuse to
+    commit rather than silently erase the other writer's update."""
+    if expected_version is not None:
+        on_disk = _read_manifest(out_dir)["version"]
+        if on_disk != expected_version:
+            raise RuntimeError(
+                f"upsert sink: lost-update fence tripped — read version "
+                f"{expected_version} but disk is at {on_disk}; another "
+                f"writer committed while this one held a broken lock"
+            )
+    tmp = _manifest_path(out_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, _manifest_path(out_dir))  # atomic on POSIX
@@ -77,35 +135,47 @@ def apply_upsert_batch(
 
     Within a batch, the winner per key is the highest ``order_cols``
     tuple (deterministic under shuffle); across table and batch the
-    batch wins (the rows it replaces leave via the anti-join)."""
-    os.makedirs(out_dir, exist_ok=True)
-    manifest = _read_manifest(out_dir)
-    if batch_id in manifest["applied"]:
-        return False  # exactly-once: redelivered epoch is a no-op
+    batch wins (the rows it replaces leave via the anti-join).
 
-    w = Window.partitionBy(*key_cols).orderBy(
-        *[F.col(c).desc_nulls_last() for c in order_cols]
-    )
-    batch_last = (
-        batch_df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    cur = read_upsert_table(spark, out_dir)
-    if cur is None:
-        merged = batch_last
-    else:
-        # incremental MERGE: batch keys broadcast into the anti-join
-        keys = batch_last.select(*key_cols)
-        merged = cur.join(F.broadcast(keys), key_cols, "left_anti").unionByName(
-            batch_last
+    Concurrent-writer safe: the whole read-merge-commit section runs
+    under a lock file, and the commit carries a version fence (CAS on
+    the version read at entry) so even a broken-stale-lock race cannot
+    produce a lost update — one writer commits, the other raises."""
+    os.makedirs(out_dir, exist_ok=True)
+    with _SinkLock(out_dir):
+        manifest = _read_manifest(out_dir)
+        if batch_id in manifest["applied"]:
+            return False  # exactly-once: redelivered epoch is a no-op
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc_nulls_last() for c in order_cols]
         )
-    new_version = manifest["version"] + 1
-    merged.write.mode("overwrite").parquet(os.path.join(out_dir, f"v={new_version}"))
-    _commit_manifest(
-        out_dir,
-        {"version": new_version, "applied": sorted(manifest["applied"] + [batch_id])},
-    )
+        batch_last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cur = read_upsert_table(spark, out_dir)
+        if cur is None:
+            merged = batch_last
+        else:
+            # incremental MERGE: batch keys broadcast into the anti-join
+            keys = batch_last.select(*key_cols)
+            merged = cur.join(F.broadcast(keys), key_cols, "left_anti").unionByName(
+                batch_last
+            )
+        new_version = manifest["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v={new_version}")
+        )
+        _commit_manifest(
+            out_dir,
+            {
+                "version": new_version,
+                "applied": sorted(manifest["applied"] + [batch_id]),
+            },
+            expected_version=manifest["version"],
+        )
     return True
 
 

@@ -925,56 +925,57 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # flagship + the five round-1 oracle-typing fixes (prove them green)
+    # --- driver top-50 window, round-4 rotation (VERDICT r3 task 6):
+    # 15 of these have never earned a driver CORRECTNESS row before
+    # (marked NEW); the redundant scalar filters / window variants that
+    # have been driver-green since r1 drop to tier 2, still registered
+    # and locally checked. Family coverage is preserved: every SURVEY
+    # §2 zone, every LLM capability, and streaming keep a
+    # representative inside the window.
+    # flagship + regression
     "dhdt_per_point_regression",
     "dhdt_regression_pvalue",
-    "salted_skew_counts",
-    "session_batch",
-    "time_rollup",
-    "simhash_fingerprints",
-    "rolling_hash_fingerprints",
-    # sources/sinks: S1/S2, S3, S4, S5, S6/S7, S8/S9
+    # sources/sinks + catalog/SQL surface: S1/S2, S3, S4, S5, S6/S7,
+    # S8/S9, S11
     "parquet_roundtrip",
-    "filename_parse",
     "zarr_roundtrip",
     "hdf5_roundtrip",
     "raster_cube",
     "netcdf_roundtrip",
     "geojson_roundtrip",
     "tsv_roundtrip",
-    # filters: P2, P6, P7/F8, P8, P9, P11 (P5 expression_filter is
-    # driver-green since r1; demoted below the 50-query window to make
-    # room for the round-3 additions)
-    "bbox_subset",
-    "null_threshold",
+    "reference_lake_catalog",  # NEW (r4): published-catalog parity
+    "catalog_named_source",  # NEW
+    "sql_interface_demo",  # NEW
+    # §3 pipelines end-to-end
+    "atl06_ingest_pipeline",  # NEW
+    "atl06_dhdt_end_to_end",  # NEW
+    "dhdt_pipeline",
+    "lake_finder_pipeline",
+    "lake_finder_reference_params",
+    # filters (P9 represents the family; P2/P5/P6/P11 variants are
+    # r1-green, demoted)
     "adaptive_median_filter",
-    "dedup_distinct",
-    # joins: J1 (gridded scale path), J3, as-of
+    # joins: J1 gridded, J3 straight + curved, as-of, SCD2 merge
     "point_in_polygon_gridded",
     "crossover_track_intersections",
+    "crossover_curved_tracks",  # NEW
     "asof_last_purchase",
-    # aggregates: A5, A9, A11, A12, A13
-    "grouped_median_mad",
+    "scd2_merge",  # NEW
+    # aggregates: A9, A11, A12, A13
     "raster_datashade",
     "surface_tension_spline",
     "grouped_trend",
     "convex_hull_per_label",
-    # windows/sorts: W1, W4, W5
-    "rolling_time_mean",
-    "topk_per_segment",
+    # windows: W5 (carries *_std propagation)
     "volume_time_series",
-    # functions: F1, F3, F11, F12
-    "gps_time_convert",
+    # functions: F3 reprojection
     "reproject_lonlat_xy",
-    "wide_long_roundtrip",
-    "array_to_columns",
-    # ML + pipelines: M1 (exact + distributed), M2/M3, §3
+    # ML: M1 exact + distributed, k-means
     "dbscan_clusters",
     "dbscan_distributed_summary",
-    "lake_finder_pipeline",
-    "lake_finder_reference_params",
-    "dhdt_pipeline",
-    # LLM-pipeline capabilities (one per family)
+    "kmeans_clusters",  # NEW
+    # LLM-pipeline capabilities
     "exact_dedup_pairs",
     "minhash_near_dup",
     "ngram_jaccard_pairs",
@@ -984,10 +985,33 @@ PRIORITY: list[str] = [
     "token_count_stats",
     "multimodal_real_decode",
     "dataset_split",
+    "paragraph_dedup",  # NEW
+    "sequence_packing",  # NEW
+    "pq_adc_topk",  # NEW
+    "pii_redaction",  # NEW
+    "benchmark_contamination",  # NEW
     # streaming extension (§2.11)
     "streaming_session_counts",
     "streaming_asof_join",
+    "streaming_upsert_sink",  # NEW: exactly-once keyed sink
+    "streaming_interval_join",  # NEW
     # --- tier 2: first in line past the driver's 50-query window ------
+    # (rotated out of the window after 1-3 rounds of driver-green)
+    "salted_skew_counts",
+    "session_batch",
+    "time_rollup",
+    "simhash_fingerprints",
+    "rolling_hash_fingerprints",
+    "filename_parse",
+    "bbox_subset",
+    "null_threshold",
+    "dedup_distinct",
+    "grouped_median_mad",
+    "rolling_time_mean",
+    "topk_per_segment",
+    "gps_time_convert",
+    "wide_long_roundtrip",
+    "array_to_columns",
     "expression_filter",
     "json_extract_filter",
     "outlier_clip_sigma",
@@ -997,8 +1021,6 @@ PRIORITY: list[str] = [
     "bloom_cross_corpus",
     "cms_heavy_hitters",
     "stratified_sample_events",
-    "pii_redaction",
-    "kmeans_clusters",
     "ivf_topk_trained",
     "streaming_hll_users",
     "equi_depth_deciles",
@@ -1014,31 +1036,20 @@ PRIORITY: list[str] = [
     "pagerank_near_dup",
     "streaming_kmeans_assign",
     "oov_rate",
-    "sql_interface_demo",
-    "catalog_named_source",
-    "atl06_ingest_pipeline",
-    "atl06_dhdt_end_to_end",
     "grouped_correlation",
     "hll_distinct_by_type",
     "pq_encode",
-    "pq_adc_topk",
     "weighted_sample_docs",
     "dedup_keep_best",
     "bloom_semijoin_reduction",
     "constraint_audit",
     "streaming_parquet_sink",
-    "streaming_upsert_sink",
-    "scd2_merge",
     "feature_hash_embed",
     "triangle_count",
     "conversion_funnel",
     "bigram_lm_score",
     "keyword_snippets",
-    "benchmark_contamination",
-    "paragraph_dedup",
-    "sequence_packing",
     "source_mixture_balance",
-    "crossover_curved_tracks",
     "embedding_near_dup_lsh",
     "track_densify_greatcircle",
     "multimodal_audio_resample",

@@ -98,3 +98,76 @@ def test_vacuum_versions(spark, tmp_path):
     # replay of an old, vacuumed batch is still a no-op (manifest rules)
     b0 = spark.createDataFrame([(1, "v0", 0)], "k long, v string, t long")
     assert apply_upsert_batch(spark, out, b0, 0, ["k"], ["t"]) is False
+
+
+def test_concurrent_writers_no_lost_update(spark, tmp_path):
+    """VERDICT r3 task 7: two interleaved apply_upsert_batch callers
+    (distinct batch ids, disjoint keys) — the lock file serializes the
+    read-merge-commit sections, so every batch's rows survive and the
+    manifest records every id exactly once. Without the lock, both
+    writers read version N, both write v=N+1, and one update vanishes."""
+    import json
+    import threading
+
+    out = str(tmp_path / "tbl")
+    n_threads, n_batches = 2, 8
+    errors = []
+
+    def writer(tid):
+        try:
+            for i in range(n_batches):
+                bid = tid * 100 + i
+                b = spark.createDataFrame(
+                    [(tid * 1000 + i, f"w{tid}b{i}", i)], "k long, v string, t long"
+                )
+                assert apply_upsert_batch(spark, out, b, bid, ["k"], ["t"]) is True
+        except Exception as e:  # surface thread failures to the test
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    table = _table(spark, out)
+    assert len(table) == n_threads * n_batches  # no lost update
+    manifest = json.load(open(str(tmp_path / "tbl" / "_manifest.json")))
+    assert manifest["version"] == n_threads * n_batches - 1
+    assert sorted(manifest["applied"]) == sorted(
+        t * 100 + i for t in range(n_threads) for i in range(n_batches)
+    )
+
+
+def test_concurrent_same_batch_applies_once(spark, tmp_path):
+    """Two writers redelivering the SAME batch id: exactly one applies,
+    the other sees it in the manifest and no-ops."""
+    import threading
+
+    out = str(tmp_path / "tbl")
+    results = []
+
+    def writer():
+        b = spark.createDataFrame([(7, "dup", 1)], "k long, v string, t long")
+        results.append(apply_upsert_batch(spark, out, b, 42, ["k"], ["t"]))
+
+    threads = [threading.Thread(target=writer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == [False, True]
+    assert _table(spark, out) == {7: ("dup", 1)}
+
+
+def test_commit_fence_refuses_lost_update(spark, tmp_path):
+    """The CAS fence: a writer whose lock was broken (crash recovery)
+    must NOT overwrite a commit that landed in the meantime."""
+    from deepicedrain_spark.streaming.sink import _commit_manifest
+
+    out = str(tmp_path / "tbl")
+    b = spark.createDataFrame([(1, "a", 1)], "k long, v string, t long")
+    apply_upsert_batch(spark, out, b, 0, ["k"], ["t"])  # version -> 0
+    with pytest.raises(RuntimeError, match="fence"):
+        _commit_manifest(out, {"version": 1, "applied": [0, 1]}, expected_version=-1)
