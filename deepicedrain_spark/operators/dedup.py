@@ -195,7 +195,13 @@ def minhash_near_duplicates(
     reach once hot."""
     shingled = word_shingles(df, text_col, n).localCheckpoint()
     sigs = minhash_signature(shingled, "shingles", id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    # materialize the candidate pairs: they are tiny (O(near-dups)) but
+    # Catalyst cannot know that from the banding plan, so the fused plan
+    # shuffles the HEAVY shingle table into both verify joins. With the
+    # checkpoint, AQE sees the real size and broadcasts the candidates
+    # instead — measured 38.8s -> ~11s at 200k docs (BENCH_SCALE sf4),
+    # restoring the ~linear sf1->sf4 ratio.
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).localCheckpoint()
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
 
 

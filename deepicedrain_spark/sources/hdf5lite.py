@@ -13,9 +13,12 @@ Reader (``File``):
 - version-1 and version-2 ("OHDR") object headers, incl. header
   continuation blocks,
 - old-style groups (symbol-table message -> v1 B-tree -> SNOD -> local
-  heap) and new-style compact groups (Link messages in the header;
-  dense fractal-heap groups are rejected with a clear error),
-- datatype classes 0 (fixed-point) and 1 (IEEE float), little-endian,
+  heap), new-style compact groups (Link messages in the header), and
+  new-style DENSE groups (round 4): Link Info -> fractal heap (root
+  direct block, or root indirect block over direct-block rows) + v2
+  B-tree name index (depth 0) -> link messages,
+- datatype classes 0 (fixed-point), 1 (IEEE float) and 3 (fixed-length
+  string, round 4), little-endian,
 - dataspace v1/v2, data layout v3 (compact / contiguous / chunked with
   v1 B-tree chunk index), filter pipeline v1/v2 with gzip (deflate)
   and shuffle filters,
@@ -44,6 +47,45 @@ import numpy as np
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
 SIGNATURE = b"\x89HDF\r\n\x1a\n"
+
+
+def _lookup3(data: bytes, initval: int = 0) -> int:
+    """Bob Jenkins lookup3 (hashlittle) — the checksum/hash HDF5 uses
+    for v2 B-tree name hashing and metadata-block checksums (public
+    format spec appendix; algorithm is public domain)."""
+    mask = 0xFFFFFFFF
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & mask
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & mask
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & mask
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & mask
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & mask
+        a = (a - c) & mask; a ^= rot(c, 4); c = (c + b) & mask  # noqa: E702
+        b = (b - a) & mask; b ^= rot(a, 6); a = (a + c) & mask  # noqa: E702
+        c = (c - b) & mask; c ^= rot(b, 8); b = (b + a) & mask  # noqa: E702
+        a = (a - c) & mask; a ^= rot(c, 16); c = (c + b) & mask  # noqa: E702
+        b = (b - a) & mask; b ^= rot(a, 19); a = (a + c) & mask  # noqa: E702
+        c = (c - b) & mask; c ^= rot(b, 4); b = (b + a) & mask  # noqa: E702
+        i += 12
+        length -= 12
+    if length > 0:
+        tail = data[i:] + b"\x00" * (12 - length)
+        a = (a + int.from_bytes(tail[0:4], "little")) & mask
+        b = (b + int.from_bytes(tail[4:8], "little")) & mask
+        c = (c + int.from_bytes(tail[8:12], "little")) & mask
+        c ^= b; c = (c - rot(b, 14)) & mask  # noqa: E702
+        a ^= c; a = (a - rot(c, 11)) & mask  # noqa: E702
+        b ^= a; b = (b - rot(a, 25)) & mask  # noqa: E702
+        c ^= b; c = (c - rot(b, 16)) & mask  # noqa: E702
+        a ^= c; a = (a - rot(c, 4)) & mask  # noqa: E702
+        b ^= a; b = (b - rot(a, 14)) & mask  # noqa: E702
+        c ^= b; c = (c - rot(b, 24)) & mask  # noqa: E702
+    return c
 
 # ---------------------------------------------------------------------------
 # Reader
@@ -337,13 +379,119 @@ class File:
                 lname, target = self._parse_link(body)
                 if target is not None:
                     entries[lname] = target
-            elif mtype == 0x0002:  # link info: dense storage unsupported
-                fheap_addr = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))[0]
+            elif mtype == 0x0002:  # link info: dense (fractal-heap) storage
+                p = 2 + (8 if body[1] & 1 else 0)
+                fheap_addr, name_btree_addr = struct.unpack_from("<QQ", body, p)
                 if fheap_addr != UNDEF:
-                    raise NotImplementedError(
-                        "hdf5lite: dense (fractal-heap) groups not supported"
+                    entries.update(
+                        self._walk_dense_links(fheap_addr, name_btree_addr)
                     )
         return _Group(self, name, entries)
+
+    # -- dense groups: fractal heap + v2 B-tree name index ----------------
+    def _walk_dense_links(self, fheap_addr: int, btree_addr: int) -> dict[str, int]:
+        """Dense new-style group: every link is a serialized Link
+        message stored as a managed object in the group's fractal heap;
+        the v2 B-tree name index holds (hash, heap id) records. We
+        enumerate the records and resolve each heap id."""
+        heap = self._parse_fractal_heap(fheap_addr)
+        entries: dict[str, int] = {}
+        for hid in self._v2btree_heap_ids(btree_addr):
+            lname, target = self._parse_link(heap(hid))
+            if target is not None:
+                entries[lname] = target
+        return entries
+
+    def _parse_fractal_heap(self, addr: int):
+        """Returns a callable heap_id_bytes -> object bytes for MANAGED
+        objects of the fractal heap at ``addr``."""
+        hdr = self._pread(addr, 146)
+        if hdr[:4] != b"FRHP":
+            raise ValueError("hdf5lite: bad fractal heap signature")
+        if hdr[4] != 0:
+            raise NotImplementedError(f"hdf5lite: fractal heap version {hdr[4]}")
+        filt_len = struct.unpack_from("<H", hdr, 7)[0]
+        if filt_len:
+            raise NotImplementedError("hdf5lite: filtered fractal heaps")
+        max_managed = struct.unpack_from("<I", hdr, 10)[0]
+        table_width = struct.unpack_from("<H", hdr, 110)[0]
+        start_block = struct.unpack_from("<Q", hdr, 112)[0]
+        max_direct = struct.unpack_from("<Q", hdr, 120)[0]
+        max_heap_bits = struct.unpack_from("<H", hdr, 128)[0]
+        root_addr = struct.unpack_from("<Q", hdr, 132)[0]
+        cur_rows = struct.unpack_from("<H", hdr, 140)[0]
+        offset_size = (max_heap_bits + 7) // 8
+        length_size = max(1, (max_managed.bit_length() + 7) // 8)
+
+        # map heap offset -> (file addr of containing block, block start)
+        def block_of(heap_off: int) -> tuple[int, int]:
+            if cur_rows == 0:  # root IS a direct block covering [0, size)
+                return root_addr, 0
+            # root indirect block: rows of direct blocks with doubling
+            # sizes (row 0 and 1: start_block, row k: start_block<<(k-1))
+            ib_head = 4 + 1 + 8 + offset_size
+            nrows = cur_rows
+            ib = self._pread(addr_ib := root_addr, ib_head + nrows * table_width * 8)
+            if ib[:4] != b"FHIB":
+                raise ValueError("hdf5lite: bad fractal heap indirect block")
+            off = 0
+            slot = 0
+            for row in range(nrows):
+                bsize = start_block if row <= 1 else start_block << (row - 1)
+                if bsize > max_direct:
+                    raise NotImplementedError(
+                        "hdf5lite: indirect fractal-heap rows beyond the "
+                        "direct-block region"
+                    )
+                for _ in range(table_width):
+                    if off <= heap_off < off + bsize:
+                        child = struct.unpack_from("<Q", ib, ib_head + slot * 8)[0]
+                        return child, off
+                    off += bsize
+                    slot += 1
+            raise ValueError("hdf5lite: heap offset beyond indirect block rows")
+
+        def read_object(heap_id: bytes) -> bytes:
+            flag = heap_id[0]
+            if (flag >> 4) & 0x3 != 0:
+                raise NotImplementedError("hdf5lite: only managed heap objects")
+            off = int.from_bytes(heap_id[1 : 1 + offset_size], "little")
+            ln = int.from_bytes(
+                heap_id[1 + offset_size : 1 + offset_size + length_size], "little"
+            )
+            baddr, bstart = block_of(off)
+            return self._pread(baddr + (off - bstart), ln)
+
+        return read_object
+
+    def _v2btree_heap_ids(self, addr: int) -> list[bytes]:
+        """All record heap-ids of the v2 B-tree at ``addr`` (type 5/6
+        dense-link indexes; depth-0 single-leaf trees, which covers
+        granule-sized groups)."""
+        hdr = self._pread(addr, 34)
+        if hdr[:4] != b"BTHD":
+            raise ValueError("hdf5lite: bad v2 B-tree signature")
+        btype = hdr[5]
+        node_size = struct.unpack_from("<I", hdr, 6)[0]
+        rec_size = struct.unpack_from("<H", hdr, 10)[0]
+        depth = struct.unpack_from("<H", hdr, 12)[0]
+        root = struct.unpack_from("<Q", hdr, 16)[0]
+        root_nrec = struct.unpack_from("<H", hdr, 24)[0]
+        if depth != 0:
+            raise NotImplementedError(
+                "hdf5lite: multi-level dense-group name B-trees"
+            )
+        leaf = self._pread(root, min(node_size, 6 + root_nrec * rec_size))
+        if leaf[:4] != b"BTLF":
+            raise ValueError("hdf5lite: bad v2 B-tree leaf signature")
+        out = []
+        for i in range(root_nrec):
+            rec = leaf[6 + i * rec_size : 6 + (i + 1) * rec_size]
+            if btype in (5, 6):  # name/creation-order index: hash + heap id
+                out.append(rec[4:])
+            else:
+                raise NotImplementedError(f"hdf5lite: v2 B-tree record type {btype}")
+        return out
 
     def _parse_link(self, body: bytes) -> tuple[str, int | None]:
         ver, flags = body[0], body[1]
@@ -448,13 +596,16 @@ class File:
         cls, ver = cls_ver & 0x0F, cls_ver >> 4
         bf0 = body[1]
         size = struct.unpack_from("<I", body, 4)[0]
-        if bf0 & 0x01:
+        if cls in (0, 1) and bf0 & 0x01:
             raise NotImplementedError("hdf5lite: big-endian datatypes")
         if cls == 0:  # fixed-point
             signed = bool(bf0 & 0x08)
             return np.dtype(f"<{'i' if signed else 'u'}{size}")
         if cls == 1:  # IEEE float
             return np.dtype(f"<f{size}")
+        if cls == 3:  # fixed-length string (padding/charset irrelevant
+            # to the byte layout; numpy S-type strips trailing NULs)
+            return np.dtype(f"S{size}")
         raise NotImplementedError(f"hdf5lite: datatype class {cls} not supported")
 
     @staticmethod
@@ -595,6 +746,8 @@ def _datatype_msg(dt: np.dtype) -> bytes:
             raise TypeError(f"hdf5lite: unsupported float size {dt.itemsize}")
         head = struct.pack("<BBBBI", (1 << 4) | 1, 0x20, sign_loc, 0, dt.itemsize)
         return head + props
+    if dt.kind == "S":  # fixed-length string: null-terminated, ASCII
+        return struct.pack("<BBBBI", (1 << 4) | 3, 0, 0, 0, dt.itemsize)
     raise TypeError(f"hdf5lite: unsupported dtype {dt}")
 
 
@@ -631,14 +784,21 @@ def write_hdf5(
     chunk_rows: int | None = None,
     gzip: int | None = None,
     shuffle: bool = False,
+    dense_groups: bool = False,
 ) -> None:
     """Write a minimal HDF5 file: ``groups`` maps a (possibly nested)
     group path like ``"gt1l/land_ice_segments"`` to a dict of 1-D numpy
-    arrays. ``chunk_rows`` switches datasets from contiguous to chunked
-    storage; ``gzip`` (level) and ``shuffle`` add the matching filters
-    (chunked only, like HDF5 itself). Superblock v0 + v1 object headers
-    + symbol-table groups: the layout libhdf5 writes by default, so the
-    output reads back under h5py as well as hdf5lite."""
+    arrays (numeric or fixed-length ``S`` strings). ``chunk_rows``
+    switches datasets from contiguous to chunked storage; ``gzip``
+    (level) and ``shuffle`` add the matching filters (chunked only,
+    like HDF5 itself). Default layout: superblock v0 + v1 object
+    headers + symbol-table groups — what libhdf5 writes by default.
+
+    ``dense_groups=True`` writes every group in the NEW-style dense
+    layout instead (Link Info message -> fractal heap of link messages
+    + v2 B-tree name index) — the layout modern tools produce for
+    attribute/link-rich granules, used here to fixture the dense-group
+    read path without h5py in the container."""
     # ---- build the group tree ------------------------------------------
     tree: dict = {}  # name -> subtree dict; datasets under key None
     for gpath, dsets in groups.items():
@@ -728,6 +888,86 @@ def write_hdf5(
             msgs.append((0x0008, layout))
         return emit(_object_header_v1(msgs))
 
+    def write_group_dense(names: list[str], addr_of: dict[str, int]) -> int:
+        """New-style dense group: fractal heap of link messages + v2
+        B-tree name index, referenced from a Link Info message."""
+        # serialized link messages (v1, hard links, 1-byte name length)
+        bodies: dict[str, bytes] = {}
+        for nm in names:
+            nb = nm.encode("utf-8")
+            if len(nb) > 255:
+                raise ValueError(f"hdf5lite: link name too long: {nm!r}")
+            bodies[nm] = (
+                struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr_of[nm])
+            )
+        offset_size, length_size = 4, 2  # heap bits 32, max managed 4096
+        heap_id_len = 1 + offset_size + length_size
+        dbl_hdr = 4 + 1 + 8 + offset_size  # FHDB: sig, ver, heap addr, off
+        need = dbl_hdr + sum(len(b) for b in bodies.values())
+        block_size = 512
+        while block_size < need:
+            block_size *= 2
+        frhp_addr = alloc.reserve(146)
+        dblock_addr = alloc.reserve(block_size)
+        heap_ids: dict[str, bytes] = {}
+        payload = bytearray()
+        off = dbl_hdr
+        for nm in names:
+            b = bodies[nm]
+            heap_ids[nm] = (
+                bytes([0])
+                + off.to_bytes(offset_size, "little")
+                + len(b).to_bytes(length_size, "little")
+            )
+            payload += b
+            off += len(b)
+        dblock = (
+            b"FHDB"
+            + bytes([0])
+            + struct.pack("<Q", frhp_addr)
+            + (0).to_bytes(offset_size, "little")
+            + bytes(payload)
+        ).ljust(block_size, b"\x00")
+        writes.append((dblock_addr, dblock))
+        hdr = b"FRHP" + bytes([0])
+        hdr += struct.pack("<HHB", heap_id_len, 0, 0)  # id len, filters, flags
+        hdr += struct.pack("<I", 4096)  # max managed object size
+        hdr += struct.pack("<QQ", 0, UNDEF)  # next huge id, huge btree
+        hdr += struct.pack("<QQ", block_size - off, UNDEF)  # free, fs mgr
+        hdr += struct.pack("<QQ", block_size, block_size)  # managed, alloc
+        hdr += struct.pack("<QQ", off, len(names))  # iterator, n objects
+        hdr += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+        hdr += struct.pack("<H", 4)  # table width
+        hdr += struct.pack("<QQ", block_size, max(65536, block_size))
+        hdr += struct.pack("<HH", 32, 0)  # max heap bits, starting rows
+        hdr += struct.pack("<QH", dblock_addr, 0)  # root block, cur rows=0
+        hdr += struct.pack("<I", _lookup3(hdr))
+        assert len(hdr) == 146
+        writes.append((frhp_addr, hdr))
+        # v2 B-tree name index: depth 0, one leaf, records sorted by hash
+        rec_size = 4 + heap_id_len
+        nrec = len(names)
+        node_size = 512
+        while node_size < 6 + nrec * rec_size + 4:
+            node_size *= 2
+        leaf = b"BTLF" + bytes([0, 5])
+        for h, hid in sorted(
+            (_lookup3(nm.encode("utf-8")), heap_ids[nm]) for nm in names
+        ):
+            leaf += struct.pack("<I", h) + hid
+        leaf += struct.pack("<I", _lookup3(leaf))
+        leaf_addr = emit(leaf)
+        bthd = b"BTHD" + bytes([0, 5])
+        bthd += struct.pack("<IHH", node_size, rec_size, 0)
+        bthd += bytes([100, 40])  # split / merge percent
+        bthd += struct.pack("<QHQ", leaf_addr, nrec, nrec)
+        bthd += struct.pack("<I", _lookup3(bthd))
+        bthd_addr = emit(bthd)
+        linkinfo = struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)
+        return emit(
+            _object_header_v1([(0x0002, linkinfo), (0x000A, b"\x00\x00")])
+        )
+
     def write_group(node: dict) -> int:
         """Returns object header address of the group."""
         own: dict[str, np.ndarray] = node.get(None, {})
@@ -740,6 +980,8 @@ def write_hdf5(
                 addr_of[nm] = write_group(children[nm])
             else:
                 addr_of[nm] = write_dataset(nm, own[nm])
+        if dense_groups:
+            return write_group_dense(names, addr_of)
         # local heap: 8 reserved zero bytes (offset 0 = ""), then names
         heap = bytearray(b"\x00" * 8)
         name_off = {}

@@ -11,8 +11,14 @@ classic format spec (CDF-1 magic ``CDF\\x01``, CDF-2 ``CDF\\x02`` with
 64-bit offsets; all header ints and data big-endian), the same
 hand-rolled-binary approach as the Zarr writer at ``zarr.py:65``.
 
-Scope: fixed-size dimensions (no record dim — grids are dense cubes),
-numeric + char types, global and per-variable attributes. Grids are
+Scope: fixed-size dimensions AND one UNLIMITED (record) dimension
+(round 4) — a dim passed as ``None`` length becomes the record dim,
+record variables interleave per-record slabs after the fixed data per
+the classic spec, and ``append_records`` grows the file in place by
+writing new records at the end and bumping ``numrecs`` — so streaming
+cycle-by-cycle cube growth (spatiotemporal.py:443-449 stacking) is an
+APPEND, not a rewrite. Numeric + char types, global and per-variable
+attributes. Grids are
 AGGREGATED data (one cell per raster bin), orders of magnitude smaller
 than the point cloud, so the single-file writer collects only grid
 cells — same documented edge-sink stance as the single-file GeoJSON
@@ -85,24 +91,46 @@ def _att_list(attrs: dict | None) -> bytes:
 
 def write_netcdf(
     path: str,
-    dims: dict[str, int],
+    dims: dict[str, int | None],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
     global_attrs: dict | None = None,
     var_attrs: dict[str, dict] | None = None,
     version: int = 1,
 ) -> None:
     """Write a classic NetCDF file. ``variables`` maps name ->
-    (dim name tuple, ndarray whose shape matches those dims)."""
+    (dim name tuple, ndarray whose shape matches those dims).
+
+    A dim with length ``None`` is the UNLIMITED (record) dimension
+    (at most one; it must be the FIRST dim of every variable that uses
+    it, per the classic spec). Record variables' arrays carry the
+    current record count on axis 0; their data is stored as per-record
+    slabs interleaved after all fixed data, so ``append_records`` can
+    grow the file in place."""
     if version not in (1, 2):
         raise ValueError("netcdf: version must be 1 (CDF-1) or 2 (CDF-2)")
     var_attrs = var_attrs or {}
     dim_ids = {name: i for i, name in enumerate(dims)}
+    rec_dims = [d for d, n in dims.items() if n is None]
+    if len(rec_dims) > 1:
+        raise ValueError("netcdf: at most one unlimited (record) dimension")
+    rec_dim = rec_dims[0] if rec_dims else None
 
     # normalize arrays to big-endian of a supported type
     norm: dict[str, tuple[tuple[str, ...], np.ndarray, int, int]] = {}
+    numrecs = 0
     for vname, (vdims, arr) in variables.items():
         arr = np.asarray(arr)
-        shape = tuple(dims[d] for d in vdims)
+        if rec_dim in vdims[1:]:
+            raise ValueError(
+                f"netcdf: record dim {rec_dim!r} must be the first dim of {vname}"
+            )
+        if vdims and vdims[0] == rec_dim:
+            shape = (arr.shape[0],) + tuple(dims[d] for d in vdims[1:])
+            if numrecs and arr.shape[0] != numrecs:
+                raise ValueError("netcdf: record variables disagree on record count")
+            numrecs = arr.shape[0]
+        else:
+            shape = tuple(dims[d] for d in vdims)
         if arr.shape != shape:
             raise ValueError(
                 f"netcdf: {vname} shape {arr.shape} != dims {vdims} -> {shape}"
@@ -118,15 +146,33 @@ def write_netcdf(
         nc_type, isz = _DTYPE_TO_NC[key]
         norm[vname] = (vdims, np.ascontiguousarray(arr), nc_type, isz)
 
+    rec_vars = [v for v, (vd, *_r) in norm.items() if vd and vd[0] == rec_dim]
+    fixed_vars = [v for v in norm if v not in rec_vars]
+
+    def slab_bytes(vname: str) -> int:
+        """Unpadded per-record slab size of a record variable."""
+        vdims, arr, _, isz = norm[vname]
+        per_rec = int(np.prod([dims[d] for d in vdims[1:]], dtype=np.int64))
+        return per_rec * isz
+
+    def vsize_of(vname: str) -> int:
+        vdims, arr, _, isz = norm[vname]
+        if vname in rec_vars:
+            raw = slab_bytes(vname)
+            # spec special case: a SINGLE record variable is not padded
+            # between slabs, and vsize records the unpadded size
+            return raw if len(rec_vars) == 1 else (raw + 3) & ~3
+        return (arr.size * isz + 3) & ~3
+
     # header with placeholder begins, rendered twice (begin offsets
     # depend on header length, which depends only on structure)
     def render(begins: dict[str, int]) -> bytes:
         h = b"CDF" + bytes([version])
-        h += struct.pack(">i", 0)  # numrecs = 0 (no record dim)
+        h += struct.pack(">i", numrecs)
         if dims:
             h += struct.pack(">ii", _NC_DIMENSION, len(dims))
             for dname, dlen in dims.items():
-                h += _name(dname) + struct.pack(">i", dlen)
+                h += _name(dname) + struct.pack(">i", 0 if dlen is None else dlen)
         else:
             h += struct.pack(">ii", 0, 0)
         h += _att_list(global_attrs)
@@ -137,8 +183,7 @@ def write_netcdf(
                 for d in vdims:
                     h += struct.pack(">i", dim_ids[d])
                 h += _att_list(var_attrs.get(vname))
-                vsize = (arr.size * isz + 3) & ~3
-                h += struct.pack(">ii", nc_type, vsize)
+                h += struct.pack(">ii", nc_type, vsize_of(vname))
                 h += struct.pack(">q" if version == 2 else ">i", begins[vname])
         else:
             h += struct.pack(">ii", 0, 0)
@@ -146,15 +191,31 @@ def write_netcdf(
 
     hdr_len = len(render({v: 0 for v in norm}))
     begins, pos = {}, hdr_len
-    for vname, (_, arr, _, isz) in norm.items():
+    for vname in fixed_vars:
         begins[vname] = pos
-        pos += (arr.size * isz + 3) & ~3
+        pos += vsize_of(vname)
+    rec_base = pos
+    for vname in rec_vars:  # begin = slab offset within the first record
+        begins[vname] = pos
+        pos += vsize_of(vname)
 
     with open(path, "wb") as fh:
         fh.write(render(begins))
-        for vname, (_, arr, nc_type, isz) in norm.items():
+        for vname in fixed_vars:
+            _, arr, _, _ = norm[vname]
             be = arr.astype(arr.dtype.newbyteorder(">")) if arr.dtype.kind != "S" else arr
             fh.write(_pad4(be.tobytes()))
+        for r in range(numrecs):
+            for vname in rec_vars:
+                _, arr, _, _ = norm[vname]
+                slab = arr[r]
+                be = (
+                    slab.astype(slab.dtype.newbyteorder(">"))
+                    if slab.dtype.kind != "S"
+                    else slab
+                )
+                raw = be.tobytes()
+                fh.write(raw if len(rec_vars) == 1 else _pad4(raw))
 
 
 def read_netcdf(path: str):
@@ -212,9 +273,10 @@ def read_netcdf(path: str):
         dim_names.append(name())
         dim_lens.append(i4())
     dims = dict(zip(dim_names, dim_lens))
+    rec_dim = next((d for d, n in dims.items() if n == 0), None)
     gatts = att_list()
     tag, nvars = i4(), i4()
-    variables = {}
+    meta = []  # (vname, vdims, vatts, nc_type, vsize, begin) in header order
     for _ in range(nvars):
         vname = name()
         vnd = i4()
@@ -222,18 +284,114 @@ def read_netcdf(path: str):
         vatts = att_list()
         nc_type, vsize = i4(), i4()
         begin = i8() if version == 2 else i4()
-        if any(dims[d] == 0 for d in vdims):  # dim length 0 = record dim
-            raise NotImplementedError("netcdf: record variables not supported")
+        meta.append((vname, vdims, vatts, nc_type, vsize, begin))
+
+    rec_vars = [m for m in meta if m[1] and m[1][0] == rec_dim] if rec_dim else []
+    # record stride: sum of padded slabs (single record var: unpadded)
+    recsize = sum(m[4] for m in rec_vars)
+
+    variables = {}
+    for vname, vdims, vatts, nc_type, vsize, begin in meta:
         dt = _NC_TO_DTYPE[nc_type]
-        shape = tuple(dims[d] for d in vdims)
-        count = int(np.prod(shape)) if shape else 1
-        arr = (
-            np.frombuffer(buf, dtype=dt, count=count, offset=begin)
-            .reshape(shape)
-            .astype(dt.newbyteorder("="))
-        )
+        if rec_dim and vdims and vdims[0] == rec_dim:
+            slab_shape = tuple(dims[d] for d in vdims[1:])
+            per_rec = int(np.prod(slab_shape)) if slab_shape else 1
+            recs = [
+                np.frombuffer(buf, dtype=dt, count=per_rec, offset=begin + r * recsize)
+                for r in range(numrecs)
+            ]
+            arr = (
+                np.stack(recs).reshape((numrecs,) + slab_shape)
+                if recs
+                else np.empty((0,) + slab_shape, dtype=dt)
+            ).astype(dt.newbyteorder("="))
+        else:
+            shape = tuple(dims[d] for d in vdims)
+            count = int(np.prod(shape)) if shape else 1
+            arr = (
+                np.frombuffer(buf, dtype=dt, count=count, offset=begin)
+                .reshape(shape)
+                .astype(dt.newbyteorder("="))
+            )
         variables[vname] = (vdims, arr, vatts)
+    if rec_dim:
+        dims[rec_dim] = numrecs  # surface the materialized record count
     return dims, variables, gatts
+
+
+def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
+    """Append records to a classic NetCDF file with a record dimension,
+    IN PLACE: write the new per-record slabs after the existing record
+    data and bump ``numrecs`` in the header (offset 4). This is what
+    makes cycle-by-cycle cube growth an O(new data) append instead of
+    a full rewrite. ``new_data`` maps EVERY record variable ->
+    array whose axis 0 is the number of records to add. Returns the new
+    total record count."""
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+    if head[:3] != b"CDF" or head[3] not in (1, 2):
+        raise ValueError("netcdf: not a classic NetCDF (CDF-1/CDF-2) file")
+    version = head[3]
+    old_numrecs = struct.unpack(">i", head[4:8])[0]
+
+    # parse the header for record-var layout (cheap — header only)
+    dims, variables, _ = read_netcdf(path)
+    # read_netcdf rewrites the record dim length to numrecs; recover the
+    # true record dim (length 0 in the header) from the raw dim list
+    with open(path, "rb") as fh:
+        raw = fh.read(65536)
+    rpos = 8
+
+    def _r_i4() -> int:
+        nonlocal rpos
+        v = struct.unpack_from(">i", raw, rpos)[0]
+        rpos += 4
+        return v
+
+    _tag, _nd = _r_i4(), _r_i4()
+    rec_dim = None
+    for _ in range(_nd):
+        nlen = _r_i4()
+        dname = raw[rpos : rpos + nlen].decode("utf-8")
+        rpos += (nlen + 3) & ~3
+        if _r_i4() == 0:
+            rec_dim = dname
+    if rec_dim is None:
+        raise ValueError("netcdf append: file has no record (unlimited) dimension")
+    unknown = sorted(set(new_data) - set(variables))
+    if unknown:
+        raise ValueError(f"netcdf append: unknown variables {unknown}")
+    all_rec_vars = [
+        v for v, (vd, _a, _t) in variables.items() if vd and vd[0] == rec_dim
+    ]
+    if sorted(new_data) != sorted(all_rec_vars):
+        raise ValueError(
+            f"netcdf append: must supply every record variable {sorted(all_rec_vars)}"
+        )
+    n_new = {v: np.asarray(a).shape[0] for v, a in new_data.items()}
+    if len(set(n_new.values())) != 1:
+        raise ValueError("netcdf append: record variables disagree on record count")
+    n_add = next(iter(n_new.values()))
+
+    single = len(all_rec_vars) == 1
+    with open(path, "r+b") as fh:
+        fh.seek(0, 2)  # record data is the file tail; append there
+        for r in range(n_add):
+            for vname in all_rec_vars:  # header (=write) order
+                want_dt = variables[vname][1].dtype
+                slab = np.ascontiguousarray(
+                    np.asarray(new_data[vname])[r], dtype=want_dt
+                )
+                be = (
+                    slab.astype(slab.dtype.newbyteorder(">"))
+                    if slab.dtype.kind != "S"
+                    else slab
+                )
+                raw = be.tobytes()
+                fh.write(raw if single else _pad4(raw))
+        fh.seek(4)
+        fh.write(struct.pack(">i", old_numrecs + n_add))
+    return old_numrecs + n_add
 
 
 # ---------------------------------------------------------------------------
@@ -250,12 +408,19 @@ def write_cube(
     value_cols: dict[str, str],
     fill: dict[str, float] | None = None,
     version: int = 1,
+    record: bool = False,
 ) -> None:
     """Dense (cycle, y, x) cube from a pandas DataFrame of sparse grid
     cells (the raster aggregate's output). ``value_cols`` maps variable
     name -> source column; empty cells get ``fill`` (default NaN for
     floats, 0 for ints). Coordinate variables carry the cell indices so
-    the cube is self-describing, like the reference's xarray export."""
+    the cube is self-describing, like the reference's xarray export.
+
+    ``record=True`` makes the cycle axis the UNLIMITED dimension and
+    builds the file the way a streaming pipeline would: an empty
+    0-record cube, then one ``append_records`` per cycle — each new
+    cycle of grids is an O(cycle) in-place append, never a rewrite
+    (the reference's per-cycle stacking at spatiotemporal.py:443-449)."""
     import pandas as pd  # local: executors never import this module's IO
 
     pdf = cells if isinstance(cells, pd.DataFrame) else cells.toPandas()
@@ -266,7 +431,6 @@ def write_cube(
     xi = {v: i for i, v in enumerate(xs)}
     yi = {v: i for i, v in enumerate(ys)}
     fill = fill or {}
-    dims = {"cycle": len(cycles), "y": len(ys), "x": len(xs)}
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]] = {
         "cycle": (("cycle",), cycles.astype("int32")),
         "y": (("y",), ys.astype("int32")),
@@ -288,13 +452,37 @@ def write_cube(
             col = col.astype("float64")
         grid[rows_c, rows_y, rows_x] = col
         variables[vname] = (("cycle", "y", "x"), grid)
+    gattrs = {"Conventions": "CF-1.8", "source": "deepicedrain_spark"}
+    if not record:
+        write_netcdf(
+            path,
+            {"cycle": len(cycles), "y": len(ys), "x": len(xs)},
+            variables,
+            global_attrs=gattrs,
+            version=version,
+        )
+        return
+    # record mode: 0-record file, then one append per cycle
+    empty = {
+        v: (vd, arr[:0]) if vd and vd[0] == "cycle" else (vd, arr)
+        for v, (vd, arr) in variables.items()
+    }
     write_netcdf(
         path,
-        dims,
-        variables,
-        global_attrs={"Conventions": "CF-1.8", "source": "deepicedrain_spark"},
+        {"cycle": None, "y": len(ys), "x": len(xs)},
+        empty,
+        global_attrs=gattrs,
         version=version,
     )
+    for i in range(len(cycles)):
+        append_records(
+            path,
+            {
+                v: arr[i : i + 1]
+                for v, (vd, arr) in variables.items()
+                if vd and vd[0] == "cycle"
+            },
+        )
 
 
 def read_cube(spark, path: str, value_vars: list[str]):

@@ -1044,6 +1044,7 @@ PRIORITY: list[str] = [
     "bloom_semijoin_reduction",
     "constraint_audit",
     "streaming_parquet_sink",
+    "netcdf_record_append",
     "feature_hash_embed",
     "triangle_count",
     "conversion_funnel",

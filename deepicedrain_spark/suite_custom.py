@@ -2467,3 +2467,49 @@ def q_reference_lake_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("basin_name")
     )
+
+
+# S5 record-dimension variant (VERDICT r3 task 8): the same cube as
+# netcdf_roundtrip, but the cycle axis is the UNLIMITED dimension and
+# the file is grown cycle-by-cycle through append_records — the
+# streaming-append shape for per-cycle grid stacking
+# (spatiotemporal.py:443-449). Oracle identical to netcdf_roundtrip:
+# a round trip (by whichever layout) is the identity on stored cells.
+@register(
+    "netcdf_record_append",
+    """
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(floor((CAST(embedding[1] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cx,
+           CAST(floor((CAST(embedding[2] AS DOUBLE) - (-0.5)) / 0.25) AS BIGINT) AS cy,
+           count(*) AS n,
+           round(quantile_cont(CAST(embedding[3] AS DOUBLE), 0.5), 6) AS z_med
+    FROM embeddings GROUP BY 1, 2, 3
+    """,
+)
+def q_netcdf_record_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.sources.netcdf import read_cube, write_cube
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("label").cast("int").alias("label"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        F.element_at("embedding", 3).cast("double").alias("z"),
+    )
+    cell = lambda c: F.floor((F.col(c) - F.lit(-0.5)) / F.lit(0.25)).cast("long")  # noqa: E731
+    cells = pts.groupBy("label", cell("x").alias("cx"), cell("y").alias("cy")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(z, 0.5)"), 6).alias("z_med"),
+    )
+    path = scratch_path(sf_dir, "netcdf_record_append.nc")
+    write_cube(
+        path, cells, "label", "cx", "cy", {"n": "n", "z_med": "z_med"}, record=True
+    )
+    back = read_cube(spark, path, ["n", "z_med"])
+    return back.select(
+        F.col("cycle").cast("int").alias("label"),
+        "cx",
+        "cy",
+        F.col("n").cast("long").alias("n"),
+        "z_med",
+    )

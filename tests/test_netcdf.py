@@ -102,3 +102,83 @@ def test_cube_sink_scan(spark, tmp_path):
     orig = cells.sort_values(["label", "cx", "cy"])
     np.testing.assert_array_equal(merged["n"].to_numpy(), orig["n"].to_numpy())
     np.testing.assert_array_equal(merged["z_med"].to_numpy(), orig["z_med"].to_numpy())
+
+
+def test_record_dimension_roundtrip_and_append():
+    """Unlimited (record) dimension: write, read, then grow in place
+    with append_records — numrecs bumps, old bytes untouched."""
+    import numpy as np
+
+    from deepicedrain_spark.sources.netcdf import (
+        append_records,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = "/tmp/spark_graft_test_recdim.nc"
+    g0 = np.arange(2 * 3 * 4, dtype="f8").reshape(2, 3, 4)
+    c0 = np.array([[1, 2, 3], [4, 5, 6]], dtype="i4")
+    lev = np.array([10, 20, 30], dtype="i4")
+    write_netcdf(
+        p,
+        {"t": None, "y": 3, "x": 4},
+        {"lev": (("y",), lev), "grid": (("t", "y", "x"), g0), "cnt": (("t", "y"), c0)},
+    )
+    dims, vs, _ = read_netcdf(p)
+    assert dims == {"t": 2, "y": 3, "x": 4}
+    assert np.array_equal(vs["grid"][1], g0)
+    assert np.array_equal(vs["cnt"][1], c0)
+
+    n = append_records(p, {"grid": np.full((3, 3, 4), 7.5), "cnt": np.zeros((3, 3), "i4")})
+    assert n == 5
+    dims, vs, _ = read_netcdf(p)
+    assert dims["t"] == 5
+    assert np.array_equal(vs["grid"][1][:2], g0)  # old records intact
+    assert (vs["grid"][1][2:] == 7.5).all()
+    assert np.array_equal(vs["lev"][1], lev)  # fixed var untouched
+
+    # single short-typed record var: the spec's no-padding special case
+    p2 = "/tmp/spark_graft_test_recdim2.nc"
+    sv = np.array([[1, 2, 3], [4, 5, 6]], dtype="i2")
+    write_netcdf(p2, {"t": None, "k": 3}, {"s": (("t", "k"), sv)})
+    append_records(p2, {"s": np.array([[7, 8, 9]], dtype="i2")})
+    d2, v2, _ = read_netcdf(p2)
+    assert d2["t"] == 3 and v2["s"][1][2, 2] == 9
+
+    # appending a non-record / unknown var must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        append_records(p, {"lev": np.array([1], dtype="i4")})
+    with pytest.raises(ValueError):
+        append_records(p, {"grid": np.zeros((1, 3, 4))})  # missing cnt
+
+
+def test_record_cube_matches_fixed_cube(spark):
+    """write_cube(record=True) builds the cube by per-cycle appends;
+    the scan must read back the identical cells as the fixed layout."""
+    import pandas as pd
+
+    from deepicedrain_spark.sources.netcdf import read_cube, write_cube
+
+    cells = pd.DataFrame(
+        {
+            "cyc": [1, 1, 2, 2, 3],
+            "cx": [0, 1, 0, 2, 1],
+            "cy": [0, 0, 1, 1, 2],
+            "n": [3, 1, 4, 1, 5],
+            "v": [0.5, 1.5, -2.0, 3.25, 0.0],
+        }
+    )
+    pf = "/tmp/spark_graft_test_cube_fixed.nc"
+    pr = "/tmp/spark_graft_test_cube_rec.nc"
+    write_cube(pf, cells, "cyc", "cx", "cy", {"n": "n", "v": "v"})
+    write_cube(pr, cells, "cyc", "cx", "cy", {"n": "n", "v": "v"}, record=True)
+
+    def rows(path):
+        return sorted(
+            tuple(r) for r in read_cube(spark, path, ["n", "v"]).collect()
+        )
+
+    assert rows(pr) == rows(pf)
+    assert len(rows(pr)) == 5

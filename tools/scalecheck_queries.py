@@ -28,11 +28,6 @@ from pyspark.sql import functions as F
 
 from deepicedrain_spark.session import get_spark
 
-MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-N_DOCS = 5_000 * MULT
-N_VECS = 2_000 * MULT
-N_CUST = 15_000 * MULT
-N_ORDERS = 150_000 * MULT
 TOKENS = 50
 VOCAB = 30_000
 
@@ -54,7 +49,11 @@ QUERIES = [
 ]
 
 
-def stage(spark, out_dir: str) -> None:
+def stage(spark, out_dir: str, mult: int) -> None:
+    N_DOCS = 5_000 * mult
+    N_VECS = 2_000 * mult
+    N_CUST = 15_000 * mult
+    N_ORDERS = 150_000 * mult
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     # documents: hashed token streams, 1-in-50 near-dup of the prior doc
@@ -119,12 +118,13 @@ def stage(spark, out_dir: str) -> None:
     ).coalesce(16).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
 
 
-def main() -> None:
-    spark = get_spark(app_name="scalecheck_queries")
-    spark.sparkContext.setLogLevel("ERROR")
-    out_dir = f"/tmp/spark_graft_sfx{MULT}"
+def run(spark, mult: int) -> dict:
+    """Stage a synthetic sf directory at ``mult`` x sf0.1 and time the
+    registered queries against it. Returns the result dict (also the
+    shape BENCH_SCALE.json stores per scale point)."""
+    out_dir = f"/tmp/spark_graft_sfx{mult}"
     t0 = time.time()
-    stage(spark, out_dir)
+    stage(spark, out_dir, mult)
     t_stage = time.time() - t0
 
     import __spark_entry__ as entry
@@ -135,19 +135,21 @@ def main() -> None:
         t0 = time.time()
         n = qs[name](spark, out_dir).count()
         timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
-    print(
-        json.dumps(
-            {
-                "metric": "query_scale_sfx",
-                "sf_multiple_of_0.1": MULT,
-                "n_docs": N_DOCS,
-                "n_vecs": N_VECS,
-                "stage_sec": round(t_stage, 1),
-                "queries": timings,
-            },
-            separators=(",", ":"),
-        )
-    )
+    return {
+        "metric": "query_scale_sfx",
+        "sf_multiple_of_0.1": mult,
+        "n_docs": 5_000 * mult,
+        "n_vecs": 2_000 * mult,
+        "stage_sec": round(t_stage, 1),
+        "queries": timings,
+    }
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scalecheck_queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, mult), separators=(",", ":")))
 
 
 if __name__ == "__main__":
