@@ -4,10 +4,15 @@ These fill the multimodal operators' ``mode='real'`` seam in an
 environment with no PIL/soundfile/ffmpeg: both formats are simple,
 fully public specifications (PNG: RFC 2083 — zlib-compressed filtered
 scanlines in CRC'd chunks; WAV: RIFF container with a PCM ``fmt ``
-chunk), so a few hundred lines of numpy implement them exactly. Video
-remains a genuine seam — no pure-Python implementation of a real video
-codec is practical, and shipping one would be demo-math pretending to
-be production (VERDICT r2 called that out for the byte-math fakes).
+chunk), so a few hundred lines of numpy implement them exactly.
+
+Video (round 4): UNCOMPRESSED AVI — RIFF 'AVI ' container with DIB
+(bottom-up BGR24, 4-byte-padded rows) '00db' frames — is also a fully
+public, codec-free format (the same layout VirtualDub/ffmpeg emit for
+``-c:v rawvideo``), so the frame-sampling seam now runs on real
+container bytes. COMPRESSED video (H.264 etc.) remains a genuine seam:
+no pure-Python implementation of a real video codec is practical, and
+shipping one would be demo-math pretending to be production.
 
 Decoders accept anything the encoders emit plus the common cases a
 real corpus would hold (PNG: bit depth 8, color types 0/2/4/6 — alpha
@@ -200,3 +205,116 @@ def wav_resample_nearest(samples: np.ndarray, src_rate: int, dst_rate: int) -> n
     n_out = (len(samples) * dst_rate + src_rate - 1) // src_rate
     idx = (np.arange(n_out) * src_rate) // dst_rate
     return samples[idx]
+
+
+# ---------------------------------------------------------------------------
+# AVI (uncompressed DIB frames)
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (N, H, W, 3) RGB uint8 frames into an uncompressed AVI
+    (RIFF): 'hdrl' with avih + one video stream (strh 'vids'/'DIB ',
+    strf = BITMAPINFOHEADER, biCompression=0), 'movi' with one '00db'
+    DIB frame per input frame (bottom-up row order, BGR, rows padded
+    to 4 bytes — the BMP layout), and an idx1 index."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("avi_encode: frames must be (N, H, W, 3) uint8")
+    n, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = frame[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+        if row_bytes == w * 3:
+            return bgr.tobytes()
+        padded = np.zeros((h, row_bytes), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return padded.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        frame_size * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # flags: AVIF_HASINDEX
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strl = _riff_chunk(
+        b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    offsets = []
+    for i in range(n):
+        offsets.append(len(movi_body))
+        movi_body += _riff_chunk(b"00db", dib(frames[i]))
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx = b"".join(
+        b"00db" + struct.pack("<III", 0x10, off, frame_size) for off in offsets
+    )
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return _riff_chunk(b"RIFF", body)
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed AVI back to ((N, H, W, 3) RGB uint8, fps).
+    Walks the RIFF tree: avih for dimensions, movi '00db'/'00dc'
+    chunks for frames. Rejects compressed streams."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI file")
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size % 2)
+
+    w = h = n_frames = 0
+    usec_per_frame = 100_000
+    compression = 0
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, n_frames, usec_per_frame, compression
+        for fourcc, dpos, size in chunks(data, pos, end):
+            if fourcc == b"LIST":
+                walk(dpos + 4, dpos + size)
+            elif fourcc == b"avih":
+                usec_per_frame, _mbps, _pad, _flags, n_frames = struct.unpack_from(
+                    "<IIIII", data, dpos
+                )
+                w, h = struct.unpack_from("<II", data, dpos + 32)
+            elif fourcc == b"strf" and size >= 40:
+                compression = struct.unpack_from("<I", data, dpos + 16)[0]
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append(data[dpos : dpos + size])
+
+    walk(12, len(data))
+    if compression != 0:
+        raise NotImplementedError(
+            "avi: compressed video streams need a real codec (ffmpeg seam)"
+        )
+    if not (w and h):
+        raise ValueError("avi: missing avih header")
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        rows = np.frombuffer(raw[: row_bytes * h], dtype=np.uint8).reshape(h, row_bytes)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        out[i] = bgr[::-1, :, ::-1]
+    fps = max(1, round(1_000_000 / usec_per_frame)) if usec_per_frame else 1
+    return out, fps

@@ -585,3 +585,56 @@ def embedding_near_duplicates_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def intradoc_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """WITHIN-document span dedup — the C4 line-level rule applied
+    inside each doc (Raffel et al. 2020 also dropped repeated lines
+    within a page; the corpus has no newlines, so the unit is a fixed
+    ``chunk_tokens``-token chunk). Repeats of a chunk after its first
+    occurrence IN THE SAME DOC are cut; other docs are unaffected
+    (contrast paragraph_dedup_stats, which is cross-corpus).
+
+    Scale shape: the spans never leave their doc, so the whole operator
+    is ONE shuffle keyed on the doc id (the groupBy) — at 100 TB this
+    is embarrassingly parallel per document with no global state."""
+    ws = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    toks = df.select(F.col(id_col), ws.alias("_ws"), F.size(ws).alias("_n"))
+    n_chunks = F.ceil(F.col("_n") / F.lit(chunk_tokens)).cast("int")
+    chunk_idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                chunk_idx,
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice(F.col("_ws"), i * chunk_tokens + 1, chunk_tokens), " "
+                    ).alias("chunk"),
+                    F.least(
+                        F.lit(chunk_tokens), F.col("_n") - i * F.lit(chunk_tokens)
+                    ).alias("ctoks"),
+                ),
+            )
+        ).alias("cidx", "_c"),
+    ).select(id_col, F.col("_c.chunk").alias("chunk"), F.col("_c.ctoks").alias("ctoks"))
+    per_chunk = chunks.groupBy(id_col, "chunk").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("ctoks").alias("_ctoks_min"),
+        F.max("ctoks").alias("_ctoks_max"),
+    )
+    # kept = one occurrence per distinct chunk (first in doc order; all
+    # occurrences of the same text have equal ctoks except a short final
+    # chunk, whose text differs unless the doc length collides — use the
+    # max, matching "keep the first, which is full-length when any is")
+    return per_chunk.groupBy(id_col).agg(
+        F.sum("_cnt").cast("long").alias("n_chunks"),
+        F.sum(F.col("_cnt") - 1).cast("long").alias("dup_chunks"),
+        F.sum("_ctoks_max").cast("long").alias("kept_tokens"),
+    )

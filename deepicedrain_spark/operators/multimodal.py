@@ -4,13 +4,15 @@ decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` operators.
 
 Two modes per operator:
-  - mode='real'  → image and audio now DECODE FOR REAL via the
-    pure-stdlib codecs in ``functions/codecs.py`` (PNG gray8/RGB8,
-    WAV PCM16): stats are over decoded pixels/samples, resize and
-    resample operate in pixel/sample space and re-encode. Only VIDEO
-    remains a NotImplementedError seam — no practical pure-Python
-    implementation of a real video codec exists, and a fake one would
-    be demo-math wearing a production label.
+  - mode='real'  → image, audio AND video (round 4) decode for real
+    via the pure-stdlib codecs in ``functions/codecs.py`` (PNG
+    gray8/RGB8, WAV PCM16, uncompressed RIFF/AVI): stats are over
+    decoded pixels/samples, resize/resample operate in pixel/sample
+    space and re-encode, and frame sampling walks real container
+    frames (each re-encoded PNG). COMPRESSED video remains a
+    NotImplementedError seam — no practical pure-Python H.264 etc.
+    exists, and a fake one would be demo-math wearing a production
+    label.
   - mode='fake'  → a deterministic stand-in computed from the raw
     bytes (kept for payloads that are not PNG/WAV, and as the
     plumbing-only path the round-2 oracles pin).
@@ -132,6 +134,37 @@ def attach_wav_media(df: DataFrame, id_col: str, rate: int = 16_000) -> DataFram
                     "sample_rate": rate,
                 }
             )
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
+
+
+def attach_avi_media(df: DataFrame, id_col: str, fps: int = 10) -> DataFrame:
+    """Real-AVI media table: per row an uncompressed RIFF/AVI whose
+    frames are closed-form — n_frames = id%4+2, h = id%6+4, w = id%5+4,
+    pixel(f, y, x, c) = (id·7 + f·31 + y·13 + x·3 + c·17) mod 256 —
+    so an oracle replays every sampled pixel without an AVI parser."""
+    schema = "media_id string, payload binary, n_frames int, height int, width int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from deepicedrain_spark.functions.codecs import avi_encode
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "payload", "n_frames", "height", "width")}
+            for raw_id in pdf["_id"]:
+                i = int(raw_id)
+                nf, h, w = i % 4 + 2, i % 6 + 4, i % 5 + 4
+                f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+                frames = ((i * 7 + f * 31 + y * 13 + x * 3 + c * 17) % 256).astype(
+                    np.uint8
+                )
+                rows["media_id"].append(str(i))
+                rows["payload"].append(avi_encode(frames, fps))
+                rows["n_frames"].append(nf)
+                rows["height"].append(h)
+                rows["width"].append(w)
+            yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
 
@@ -325,25 +358,65 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=schema)
 
 
-def sample_frames(df: DataFrame, every_n_bytes: int = 64, mode: str = "fake") -> DataFrame:
-    """Frame sampling: fake mode emits one row per sampled 'frame'
-    (byte offset stride); real mode is the av/ffmpeg seam. Output is
-    exploded (media_id, frame_idx, frame_bytes) — the real shape a
-    video pipeline needs downstream."""
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    mode: str = "fake",
+    every_n_frames: int = 2,
+) -> DataFrame:
+    """Frame sampling. fake mode: one row per byte-offset stride (pure
+    plumbing). real mode (round 4): payloads are UNCOMPRESSED AVI —
+    decode the container, keep every ``every_n_frames``-th frame, and
+    emit each sampled frame re-encoded as PNG — the actual shape a
+    video pretraining pipeline hands to the image tower. Compressed
+    video still raises (the ffmpeg seam). Output is exploded
+    (media_id, frame_idx, frame_bytes)."""
     schema = "media_id string, frame_idx int, frame_bytes binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "real":
-            _require_real_codec("video")
+            from deepicedrain_spark.functions.codecs import avi_decode, png_encode
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for k, off in enumerate(range(0, len(payload), every_n_bytes)):
-                    ids.append(mid)
-                    idxs.append(k)
-                    frames.append(bytes(payload[off : off + every_n_bytes]))
+                if mode == "real":
+                    arr, _fps = avi_decode(bytes(payload))
+                    for k, fi in enumerate(range(0, arr.shape[0], every_n_frames)):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(png_encode(arr[fi]))
+                else:
+                    for k, off in enumerate(range(0, len(payload), every_n_bytes)):
+                        ids.append(mid)
+                        idxs.append(k)
+                        frames.append(bytes(payload[off : off + every_n_bytes]))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
             )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def frame_stats(df: DataFrame) -> DataFrame:
+    """Per-sampled-frame pixel statistics over PNG frame_bytes (the
+    sample_frames real-mode output): n_px (all channels), mean and max
+    pixel — the image-tower featurization step after frame sampling."""
+    schema = "media_id string, frame_idx int, n_px long, mean_px double, max_px int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from deepicedrain_spark.functions.codecs import png_decode
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "frame_idx", "n_px", "mean_px", "max_px")}
+            for mid, fi, fb in zip(pdf["media_id"], pdf["frame_idx"], pdf["frame_bytes"]):
+                px = png_decode(bytes(fb)).astype(np.int64)
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(int(fi))
+                rows["n_px"].append(int(px.size))
+                rows["mean_px"].append(round(float(px.sum()) / px.size, 6))
+                rows["max_px"].append(int(px.max()))
+            yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=schema)

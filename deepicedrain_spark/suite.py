@@ -1045,6 +1045,10 @@ PRIORITY: list[str] = [
     "constraint_audit",
     "streaming_parquet_sink",
     "netcdf_record_append",
+    "atl06_ingest_dense_layout",
+    "streaming_netcdf_append",
+    "intradoc_dedup",
+    "multimodal_real_video",
     "feature_hash_embed",
     "triangle_count",
     "conversion_funnel",

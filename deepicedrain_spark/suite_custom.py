@@ -2513,3 +2513,66 @@ def q_netcdf_record_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         "z_med",
     )
+
+
+# §3.1 dense-layout variant (round 4): the SAME ingest program over
+# granules written in the NEW-style dense group layout (Link Info ->
+# fractal heap + v2 B-tree) with a fixed-length string dataset in the
+# group — the layout modern writers produce. The oracle recomputes the
+# expected rows closed-form: any breakage in the dense-group walk,
+# string datatype parse, or chunk decode breaks the hash. One granule
+# and two beams keep it cheap; the symbol-table variant above covers
+# the fan-out.
+@register(
+    "atl06_ingest_dense_layout",
+    """
+    WITH rows AS (
+      SELECT b.j, i.i FROM (VALUES (0),(1)) b(j),
+           (SELECT unnest(range(0, 1500)) AS i) i),
+    kept AS (SELECT * FROM rows WHERE (i + j) % 4 <> 0),
+    named AS (
+      SELECT ['gt1l','gt2r'][j + 1] AS beam,
+             ((i * 11 + j * 5) % 800) * 0.25 - 40.0 AS h_li
+      FROM kept)
+    SELECT beam,
+           count(*) AS n,
+           CAST(sum(CAST(h_li AS DECIMAL(18,2))) AS DOUBLE) AS sum_h,
+           CAST(max(h_li) AS DOUBLE) AS max_h
+    FROM named GROUP BY 1
+    """,
+)
+def q_atl06_ingest_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.plans.ingest import ingest_atl06
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    n = 1500
+    beams = ("gt1l", "gt2r")
+    gdir = scratch_path(sf_dir, "granules_dense")
+    os.makedirs(gdir, exist_ok=True)
+    path = f"{gdir}/ATL06_055509_spark_graft_dense.h5"
+    i = np.arange(n)
+    groups = {}
+    for j, beam in enumerate(beams):
+        groups[f"{beam}/land_ice_segments"] = {
+            "latitude": -80.5 + i * 1e-4,
+            "longitude": 120.0 + i * 1e-4 + j,
+            "h_li": (((i * 11 + j * 5) % 800) * 0.25 - 40.0).astype("f4"),
+            "h_li_sigma": np.full(n, 0.2, dtype="f4"),
+            "atl06_quality_summary": ((i + j) % 4 == 0).astype("u1"),
+            "delta_time": i.astype("f8"),
+            "segment_id": i.astype("i8"),
+            # string dataset rides along to exercise datatype class 3
+            # in the dense layout (ingest selects only the numerics)
+            "beam_tag": np.array([beam.encode()] * n, dtype="S6"),
+        }
+    write_hdf5(path, groups, dense_groups=True, chunk_rows=512, gzip=2)
+    df = ingest_atl06(spark, [path], beams=beams, chunk_rows=512)
+    return df.groupBy("beam").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("h_li").cast("double").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_h"),
+        F.max("h_li").cast("double").alias("max_h"),
+    )

@@ -1203,3 +1203,80 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(
         "lang", split.alias("split")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# Within-doc line dedup (round 4): C4's OTHER dedup rule — repeated
+# spans INSIDE one document are cut, first occurrence kept; docs never
+# interact, so the op is one doc-keyed shuffle (vs paragraph_dedup's
+# corpus-wide chunk window). Same 8-token chunking in both engines.
+@register(
+    "intradoc_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk,
+             least(8, len(ws) - i*8) AS ctoks
+      FROM toks, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) t(i)),
+    per_chunk AS (
+      SELECT doc_id, chunk, count(*) AS cnt, max(ctoks) AS ctoks_max
+      FROM chunks GROUP BY doc_id, chunk)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(sum(cnt - 1) AS BIGINT) AS dup_chunks,
+           CAST(sum(ctoks_max) AS BIGINT) AS kept_tokens
+    FROM per_chunk GROUP BY doc_id
+    """,
+)
+def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import intradoc_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return intradoc_dedup_stats(docs, chunk_tokens=8)
+
+
+# Real VIDEO (round 4): uncompressed RIFF/AVI container (DIB BGR24
+# bottom-up frames — the public codec-free layout) encoded from
+# closed-form pixels, frame-sampled every 2nd frame through the real
+# decode path, each sampled frame re-encoded PNG, then pixel stats per
+# frame. The oracle replays pixel(f,y,x,c) = (id*7+f*31+y*13+x*3+c*17)
+# mod 256 without touching a container parser: any drift in AVI
+# encode->decode, frame order (bottom-up flip), BGR<->RGB swap, row
+# padding, or PNG re-encode breaks the hash. Compressed video remains
+# an honest NotImplementedError seam.
+@register(
+    "multimodal_real_video",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 4 + 2 AS nf, doc_id % 6 + 4 AS h,
+             doc_id % 5 + 4 AS w
+      FROM documents),
+    f AS (SELECT doc_id, h, w, unnest(range(0, nf)) AS fi FROM g),
+    sampled AS (SELECT * FROM f WHERE fi % 2 = 0),
+    ys AS (SELECT doc_id, fi, h, w, unnest(range(0, h)) AS y FROM sampled),
+    xs AS (SELECT doc_id, fi, h, w, y, unnest(range(0, w)) AS x FROM ys),
+    px AS (
+      SELECT doc_id, fi, h, w,
+             (doc_id * 7 + fi * 31 + y * 13 + x * 3 + c.c * 17) % 256 AS p
+      FROM xs, (VALUES (0), (1), (2)) c(c))
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(h * w * 3 AS BIGINT) AS n_px,
+           round(CAST(sum(p) AS DOUBLE) / (h * w * 3), 6) AS mean_px,
+           CAST(max(p) AS INT) AS max_px
+    FROM px GROUP BY doc_id, fi, h, w
+    """,
+)
+def q_multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.multimodal import (
+        attach_avi_media,
+        frame_stats,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_avi_media(docs, "doc_id")
+    sampled = sample_frames(media, mode="real", every_n_frames=2)
+    return frame_stats(sampled)

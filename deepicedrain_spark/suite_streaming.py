@@ -441,3 +441,108 @@ def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_upsert_table(spark, out_dir).select(
         "user_id", F.col("value").alias("last_value"), F.col("t_us").alias("last_us")
     )
+
+
+# Streaming -> NetCDF record-append sink (round 4): each micro-batch
+# rasterizes its events onto a FIXED (cy, cx) grid and appends ONE
+# record to a classic-NetCDF cube whose record dimension is the batch
+# axis (sources/netcdf.append_records — O(batch) in-place growth, the
+# spatiotemporal.py:443-449 per-cycle stacking as a streaming sink).
+# The query returns the cube COLLAPSED across records (sum over the
+# batch axis), which is invariant to how the file source splits
+# batches — that is what makes a DuckDB oracle possible. Cell sums are
+# kept as exact integer cents in float64 grids (classic NetCDF has no
+# int64), so the collapse is exact and round(2) matches the oracle
+# bit-for-bit.
+@register(
+    "streaming_netcdf_append",
+    """
+    SELECT CAST(user_id % 12 AS BIGINT) AS cx,
+           CAST(ascii(substring(event_type, 1, 1)) % 8 AS BIGINT) AS cy,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_netcdf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.netcdf import (
+        append_records,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/deepicedrain_nc_append_{key}.nc"
+    if os.path.exists(path):
+        os.unlink(path)
+    nx, ny = 12, 8
+    write_netcdf(
+        path,
+        {"batch": None, "y": ny, "x": nx},
+        {
+            "x": (("x",), np.arange(nx, dtype="i4")),
+            "y": (("y",), np.arange(ny, dtype="i4")),
+            "n": (("batch", "y", "x"), np.empty((0, ny, nx), dtype="i4")),
+            "cents": (("batch", "y", "x"), np.empty((0, ny, nx), dtype="f8")),
+        },
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    cells = events.select(
+        F.pmod(F.col("user_id"), F.lit(nx)).alias("cx"),
+        F.pmod(F.ascii(F.substring("event_type", 1, 1)), F.lit(ny)).alias("cy"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        pdf = (
+            bdf.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+            .toPandas()
+        )
+        gn = np.zeros((ny, nx), dtype="i4")
+        gc = np.zeros((ny, nx), dtype="f8")
+        if len(pdf):
+            gn[pdf["cy"], pdf["cx"]] = pdf["n"]
+            gc[pdf["cy"], pdf["cx"]] = pdf["cents"].astype("f8")
+        append_records(path, {"n": gn[None, :], "cents": gc[None, :]})
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            cells.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{path}_ckpt_{key}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(f"{path}_ckpt_{key}", ignore_errors=True)
+
+    # collapse the batch axis -> the order-invariant totals
+    _dims, vs, _g = read_netcdf(path)
+    n_tot = vs["n"][1].astype("i8").sum(axis=0)
+    cents_tot = vs["cents"][1].sum(axis=0)
+    cy_i, cx_i = np.nonzero(n_tot)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "cx": cx_i.astype("int64"),
+            "cy": cy_i.astype("int64"),
+            "n": n_tot[cy_i, cx_i],
+            "sum_value": np.round(cents_tot[cy_i, cx_i] / 100.0, 2),
+        }
+    )
+    return spark.createDataFrame(out)

@@ -165,3 +165,39 @@ def test_video_seam_still_raises(spark):
     media = attach_fake_media(docs, "doc_id", "text")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         sample_frames(media, mode="real").collect()
+
+
+def test_avi_roundtrip_shapes_and_values():
+    """Uncompressed AVI: encode->decode is the identity across frame
+    counts, odd widths (4-byte row padding), and 1x1 frames; fps
+    survives the usec-per-frame header round trip."""
+    import numpy as np
+
+    from deepicedrain_spark.functions.codecs import avi_decode, avi_encode
+
+    rng = np.random.RandomState(7)
+    for n, h, w, fps in [(1, 4, 4, 10), (6, 12, 16, 30), (3, 7, 5, 12), (2, 1, 1, 1)]:
+        frames = rng.randint(0, 256, (n, h, w, 3), dtype=np.uint8)
+        data = avi_encode(frames, fps=fps)
+        back, got_fps = avi_decode(data)
+        assert got_fps == fps
+        assert back.shape == frames.shape
+        assert np.array_equal(back, frames)
+
+
+def test_avi_rejects_garbage_and_compressed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.functions.codecs import avi_decode, avi_encode
+
+    with pytest.raises(ValueError):
+        avi_decode(b"not an avi")
+    # flip biCompression in the strf header -> must refuse, not garble
+    data = bytearray(avi_encode(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    pos = data.find(b"strf")
+    struct.pack_into("<I", data, pos + 8 + 16, 0x34363248)  # 'H264'
+    with pytest.raises(NotImplementedError):
+        avi_decode(bytes(data))

@@ -81,3 +81,48 @@ def test_netcdf_roundtrip_fuzz(tmp_path_factory, dtype, dims, version, seed, ext
     if extra:
         np.testing.assert_array_equal(v2["w"][1], variables["w"][1])
     assert g2["title"] == "fuzz" and int(g2["seed"][0]) == seed
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dtype=st.sampled_from(DTYPES + ["S4", "S9"]),
+    n=st.integers(0, 500),
+    chunk=st.one_of(st.none(), st.integers(1, 97)),
+    n_links=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    lo=st.integers(0, 500),
+    span=st.integers(0, 500),
+)
+def test_hdf5lite_dense_group_fuzz(
+    tmp_path_factory, dtype, n, chunk, n_links, seed, lo, span
+):
+    """Dense-layout groups (fractal heap + v2 B-tree): random link
+    counts (spanning the 512-byte starting-block overflow), dtypes
+    including fixed-length strings, chunked or contiguous — every
+    dataset must resolve by name and round-trip exactly, including
+    partial reads."""
+    if dtype.startswith("S"):
+        w = int(dtype[1:])
+        rng = np.random.RandomState(seed)
+        arr = np.array(
+            [bytes(rng.randint(97, 123, rng.randint(0, w + 1)).astype("u1")) for _ in range(n)],
+            dtype=dtype,
+        )
+    else:
+        arr = _arr(dtype, n, seed)
+    names = [f"ds{i:03d}" for i in range(n_links)]
+    p = str(tmp_path_factory.mktemp("h5d") / "f.h5")
+    hdf5lite.write_hdf5(
+        p,
+        {"grp": {nm: arr for nm in names}},
+        chunk_rows=chunk,
+        dense_groups=True,
+    )
+    with hdf5lite.File(p) as f:
+        assert sorted(f["grp"].keys()) == names
+        pick = names[seed % n_links]
+        d = f[f"grp/{pick}"]
+        assert d.dtype == arr.dtype and d.shape == arr.shape
+        np.testing.assert_array_equal(d[:], arr)
+        a, b = min(lo, n), min(lo + span, n)
+        np.testing.assert_array_equal(d[a:b], arr[a:b])

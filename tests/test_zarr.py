@@ -3,6 +3,7 @@
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from deepicedrain_spark.sources.zarr import read_zarr, write_zarr
@@ -66,3 +67,51 @@ def test_zarr_rejects_nulls_and_overwrites(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1.0), (2, None)], "a long, v double")
     with pytest.raises(ValueError, match="NULL"):
         write_zarr(bad, str(tmp_path / "bad.zarr"))
+
+
+def test_zarr_crosscheck_against_zarr_python(spark, tmp_path):
+    """VERDICT r3 task 10 (mirror of the h5py cross-check pattern):
+    when the real zarr-python is available, (a) a store written by OUR
+    writer opens under zarr-python with identical values, and (b) a
+    store written by zarr-python reads back through OUR chunk-parallel
+    scan. Skips cleanly where zarr isn't installed."""
+    zarr = pytest.importorskip("zarr")
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr
+
+    # ours -> zarr-python
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 0.5).alias("v"),
+        (F.col("id") % 7).cast("int").alias("m"),
+    )
+    ours = str(tmp_path / "ours.zarr")
+    write_zarr(df, ours, chunk_rows=1024)
+    g = zarr.open_group(ours, mode="r")
+    assert np.array_equal(np.asarray(g["k"]), np.arange(10_000))
+    assert np.allclose(np.asarray(g["v"]), np.arange(10_000) * 0.5)
+    assert np.array_equal(np.asarray(g["m"]), np.arange(10_000) % 7)
+
+    # zarr-python -> ours (zlib compressor to match the scan's codec)
+    theirs = str(tmp_path / "theirs.zarr")
+    root = zarr.open_group(theirs, mode="w")
+    try:
+        from numcodecs import Zlib
+
+        comp = {"compressor": Zlib(level=1)}
+    except ImportError:
+        comp = {}
+    root.create_dataset("a", data=np.arange(5000, dtype="<i8"), chunks=512, **comp)
+    root.create_dataset(
+        "b", data=np.linspace(0, 1, 5000).astype("<f8"), chunks=512, **comp
+    )
+    try:
+        zarr.consolidate_metadata(theirs)
+    except Exception:
+        pass
+    back = read_zarr(spark, theirs)
+    rows = back.orderBy("a").collect()
+    assert len(rows) == 5000
+    assert rows[17]["a"] == 17
+    assert abs(rows[17]["b"] - 17 / 4999) < 1e-12
