@@ -215,3 +215,37 @@ def upsert_sink(
         apply_upsert_batch(spark, out_dir, bdf, bid, key_cols, order_cols)
 
     return write_batch
+
+
+def compact_table(
+    spark: SparkSession,
+    out_dir: str,
+    target_files: int = 1,
+) -> int | None:
+    """OPTIMIZE: rewrite the current version's many small part files
+    (each applied batch leaves however many the merge shuffle produced)
+    into ``target_files`` coalesced files, committed as a NEW version
+    under the same lock + CAS fence as a batch apply. Readers are
+    unaffected mid-compaction (they resolve the manifest, then read);
+    replay bookkeeping is untouched — the applied-batch set carries
+    over verbatim, so a redelivered batch is still a no-op after
+    compaction. Returns the new version, or None when the table is
+    empty. This is the small-files half of Delta's OPTIMIZE; vacuum
+    (below) is the retention half."""
+    if not os.path.isdir(out_dir):
+        return None  # never written: nothing to compact
+    with _SinkLock(out_dir):
+        manifest = _read_manifest(out_dir)
+        if manifest["version"] < 0:
+            return None
+        cur = spark.read.parquet(os.path.join(out_dir, f"v={manifest['version']}"))
+        new_version = manifest["version"] + 1
+        cur.coalesce(max(1, target_files)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v={new_version}")
+        )
+        _commit_manifest(
+            out_dir,
+            {"version": new_version, "applied": manifest["applied"]},
+            expected_version=manifest["version"],
+        )
+    return new_version

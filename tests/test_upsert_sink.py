@@ -171,3 +171,35 @@ def test_commit_fence_refuses_lost_update(spark, tmp_path):
     apply_upsert_batch(spark, out, b, 0, ["k"], ["t"])  # version -> 0
     with pytest.raises(RuntimeError, match="fence"):
         _commit_manifest(out, {"version": 1, "applied": [0, 1]}, expected_version=-1)
+
+
+def test_compact_table_preserves_rows_and_replay(spark, tmp_path):
+    """OPTIMIZE: compaction rewrites the current version into one file,
+    values unchanged, applied-batch set carried over (replay of an old
+    batch stays a no-op), and subsequent upserts continue normally."""
+    import glob
+    import os
+
+    from deepicedrain_spark.streaming.sink import compact_table
+
+    out = str(tmp_path / "tbl")
+    assert compact_table(spark, out) is None  # empty table: no-op
+    for bid in range(6):
+        b = spark.createDataFrame(
+            [(bid % 3, f"v{bid}", bid), (10 + bid, "x", bid)],
+            "k long, v string, t long",
+        )
+        apply_upsert_batch(spark, out, b, bid, ["k"], ["t"])
+    before = _table(spark, out)
+    ver = compact_table(spark, out, target_files=1)
+    assert ver == 6
+    assert _table(spark, out) == before
+    parts = glob.glob(os.path.join(out, "v=6", "part-*.parquet"))
+    assert len(parts) == 1
+    # replay of an applied batch is STILL a no-op after compaction
+    b0 = spark.createDataFrame([(0, "stale", 0)], "k long, v string, t long")
+    assert apply_upsert_batch(spark, out, b0, 0, ["k"], ["t"]) is False
+    # and a genuinely new batch applies on top of the compacted version
+    b9 = spark.createDataFrame([(0, "fresh", 99)], "k long, v string, t long")
+    assert apply_upsert_batch(spark, out, b9, 9, ["k"], ["t"]) is True
+    assert _table(spark, out)[0] == ("fresh", 99)
