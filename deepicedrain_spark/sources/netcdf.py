@@ -37,7 +37,8 @@ _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
 _NC_ATTRIBUTE = 0x0C
 
-# nc_type codes (classic): byte, char, short, int, float, double
+# nc_type codes (classic): byte, char, short, int, float, double;
+# CDF-5 adds the unsigned family and 64-bit ints (pnetcdf spec)
 _DTYPE_TO_NC = {
     "int8": (1, 1),
     "S1": (2, 1),
@@ -46,6 +47,14 @@ _DTYPE_TO_NC = {
     "float32": (5, 4),
     "float64": (6, 8),
 }
+_DTYPE_TO_NC_V5 = {
+    **_DTYPE_TO_NC,
+    "uint8": (7, 1),
+    "uint16": (8, 2),
+    "uint32": (9, 4),
+    "int64": (10, 8),
+    "uint64": (11, 8),
+}
 _NC_TO_DTYPE = {
     1: np.dtype(">i1"),
     2: np.dtype("S1"),
@@ -53,39 +62,58 @@ _NC_TO_DTYPE = {
     4: np.dtype(">i4"),
     5: np.dtype(">f4"),
     6: np.dtype(">f8"),
+    7: np.dtype(">u1"),
+    8: np.dtype(">u2"),
+    9: np.dtype(">u4"),
+    10: np.dtype(">i8"),
+    11: np.dtype(">u8"),
 }
+
+# CDF-5 promotes every count/size header field to 8 bytes (numrecs,
+# list nelems, name lengths, dim lengths, attr nelems, var ndims,
+# vsize) and begin to 8; dim IDs stay 4-byte ints. CDF-1: all 4-byte
+# except nothing; CDF-2: begin is 8.
+def _cnt_fmt(version: int) -> str:
+    return ">q" if version == 5 else ">i"
+
+
+def _begin_fmt(version: int) -> str:
+    return ">q" if version >= 2 else ">i"
 
 
 def _pad4(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 4)
 
 
-def _name(b: str) -> bytes:
+def _name(b: str, version: int = 1) -> bytes:
     raw = b.encode("utf-8")
-    return struct.pack(">i", len(raw)) + _pad4(raw)
+    return struct.pack(_cnt_fmt(version), len(raw)) + _pad4(raw)
 
 
-def _att_value_bytes(value) -> tuple[int, int, bytes]:
+def _att_value_bytes(value, version: int = 1) -> tuple[int, int, bytes]:
     """(nc_type, nelems, padded bytes) for an attribute value."""
     if isinstance(value, str):
         raw = value.encode("utf-8")
         return 2, len(raw), _pad4(raw)
     arr = np.atleast_1d(np.asarray(value))
+    table = _DTYPE_TO_NC_V5 if version == 5 else _DTYPE_TO_NC
     key = str(arr.dtype)
-    if key not in _DTYPE_TO_NC:
+    if key not in table:
         arr = arr.astype("float64")
         key = "float64"
-    nc_type, _ = _DTYPE_TO_NC[key]
+    nc_type, _ = table[key]
     return nc_type, arr.size, _pad4(arr.astype(arr.dtype.newbyteorder(">")).tobytes())
 
 
-def _att_list(attrs: dict | None) -> bytes:
+def _att_list(attrs: dict | None, version: int = 1) -> bytes:
+    cnt = _cnt_fmt(version)
     if not attrs:
-        return struct.pack(">ii", 0, 0)  # ABSENT
-    out = struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))
+        return struct.pack(">i", 0) + struct.pack(cnt, 0)  # ABSENT
+    out = struct.pack(">i", _NC_ATTRIBUTE) + struct.pack(cnt, len(attrs))
     for k, v in attrs.items():
-        nc_type, nelems, payload = _att_value_bytes(v)
-        out += _name(k) + struct.pack(">ii", nc_type, nelems) + payload
+        nc_type, nelems, payload = _att_value_bytes(v, version)
+        out += _name(k, version) + struct.pack(">i", nc_type)
+        out += struct.pack(cnt, nelems) + payload
     return out
 
 
@@ -106,8 +134,10 @@ def write_netcdf(
     current record count on axis 0; their data is stored as per-record
     slabs interleaved after all fixed data, so ``append_records`` can
     grow the file in place."""
-    if version not in (1, 2):
-        raise ValueError("netcdf: version must be 1 (CDF-1) or 2 (CDF-2)")
+    if version not in (1, 2, 5):
+        raise ValueError(
+            "netcdf: version must be 1 (CDF-1), 2 (CDF-2) or 5 (CDF-5)"
+        )
     var_attrs = var_attrs or {}
     dim_ids = {name: i for i, name in enumerate(dims)}
     rec_dims = [d for d, n in dims.items() if n is None]
@@ -135,15 +165,16 @@ def write_netcdf(
             raise ValueError(
                 f"netcdf: {vname} shape {arr.shape} != dims {vdims} -> {shape}"
             )
+        table = _DTYPE_TO_NC_V5 if version == 5 else _DTYPE_TO_NC
         key = str(arr.dtype)
-        if key not in _DTYPE_TO_NC:
-            if arr.dtype.kind == "i":
+        if key not in table:
+            if arr.dtype.kind in "iu":
                 arr, key = arr.astype("int32"), "int32"
             elif arr.dtype.kind == "f":
                 arr, key = arr.astype("float64"), "float64"
             else:
                 raise TypeError(f"netcdf: unsupported dtype {arr.dtype} for {vname}")
-        nc_type, isz = _DTYPE_TO_NC[key]
+        nc_type, isz = table[key]
         norm[vname] = (vdims, np.ascontiguousarray(arr), nc_type, isz)
 
     rec_vars = [v for v, (vd, *_r) in norm.items() if vd and vd[0] == rec_dim]
@@ -166,27 +197,30 @@ def write_netcdf(
 
     # header with placeholder begins, rendered twice (begin offsets
     # depend on header length, which depends only on structure)
+    cnt = _cnt_fmt(version)
+
     def render(begins: dict[str, int]) -> bytes:
         h = b"CDF" + bytes([version])
-        h += struct.pack(">i", numrecs)
+        h += struct.pack(cnt, numrecs)
         if dims:
-            h += struct.pack(">ii", _NC_DIMENSION, len(dims))
+            h += struct.pack(">i", _NC_DIMENSION) + struct.pack(cnt, len(dims))
             for dname, dlen in dims.items():
-                h += _name(dname) + struct.pack(">i", 0 if dlen is None else dlen)
+                h += _name(dname, version)
+                h += struct.pack(cnt, 0 if dlen is None else dlen)
         else:
-            h += struct.pack(">ii", 0, 0)
-        h += _att_list(global_attrs)
+            h += struct.pack(">i", 0) + struct.pack(cnt, 0)
+        h += _att_list(global_attrs, version)
         if norm:
-            h += struct.pack(">ii", _NC_VARIABLE, len(norm))
+            h += struct.pack(">i", _NC_VARIABLE) + struct.pack(cnt, len(norm))
             for vname, (vdims, arr, nc_type, isz) in norm.items():
-                h += _name(vname) + struct.pack(">i", len(vdims))
+                h += _name(vname, version) + struct.pack(cnt, len(vdims))
                 for d in vdims:
-                    h += struct.pack(">i", dim_ids[d])
-                h += _att_list(var_attrs.get(vname))
-                h += struct.pack(">ii", nc_type, vsize_of(vname))
-                h += struct.pack(">q" if version == 2 else ">i", begins[vname])
+                    h += struct.pack(">i", dim_ids[d])  # dim IDs stay 4-byte
+                h += _att_list(var_attrs.get(vname), version)
+                h += struct.pack(">i", nc_type) + struct.pack(cnt, vsize_of(vname))
+                h += struct.pack(_begin_fmt(version), begins[vname])
         else:
-            h += struct.pack(">ii", 0, 0)
+            h += struct.pack(">i", 0) + struct.pack(cnt, 0)
         return h
 
     hdr_len = len(render({v: 0 for v in norm}))
@@ -223,8 +257,8 @@ def read_netcdf(path: str):
     where variables maps name -> (dim name tuple, native-endian array)."""
     with open(path, "rb") as fh:
         buf = fh.read()
-    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
-        raise ValueError("netcdf: not a classic NetCDF (CDF-1/CDF-2) file")
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
+        raise ValueError("netcdf: not a classic NetCDF (CDF-1/2/5) file")
     version = buf[3]
     pos = 4
 
@@ -240,20 +274,23 @@ def read_netcdf(path: str):
         pos += 8
         return v
 
+    # CDF-5 promotes count/size fields to 8 bytes; dim IDs stay 4
+    cnt = i8 if version == 5 else i4
+
     def name() -> str:
         nonlocal pos
-        n = i4()
+        n = cnt()
         s = buf[pos : pos + n].decode("utf-8")
         pos += (n + 3) & ~3
         return s
 
     def att_list() -> dict:
         nonlocal pos
-        tag, n = i4(), i4()
+        tag, n = i4(), cnt()
         out = {}
         for _ in range(n):
             k = name()
-            nc_type, nelems = i4(), i4()
+            nc_type, nelems = i4(), cnt()
             if nc_type == 2:
                 raw = buf[pos : pos + nelems]
                 pos += (nelems + 3) & ~3
@@ -266,24 +303,24 @@ def read_netcdf(path: str):
                 out[k] = arr.astype(dt.newbyteorder("="))
         return out
 
-    numrecs = i4()
-    tag, ndims = i4(), i4()
+    numrecs = cnt()
+    tag, ndims = i4(), cnt()
     dim_names, dim_lens = [], []
     for _ in range(ndims):
         dim_names.append(name())
-        dim_lens.append(i4())
+        dim_lens.append(cnt())
     dims = dict(zip(dim_names, dim_lens))
     rec_dim = next((d for d, n in dims.items() if n == 0), None)
     gatts = att_list()
-    tag, nvars = i4(), i4()
+    tag, nvars = i4(), cnt()
     meta = []  # (vname, vdims, vatts, nc_type, vsize, begin) in header order
     for _ in range(nvars):
         vname = name()
-        vnd = i4()
+        vnd = cnt()
         vdims = tuple(dim_names[i4()] for i in range(vnd))
         vatts = att_list()
-        nc_type, vsize = i4(), i4()
-        begin = i8() if version == 2 else i4()
+        nc_type, vsize = i4(), cnt()
+        begin = i8() if version >= 2 else i4()
         meta.append((vname, vdims, vatts, nc_type, vsize, begin))
 
     rec_vars = [m for m in meta if m[1] and m[1][0] == rec_dim] if rec_dim else []
@@ -328,11 +365,12 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
     array whose axis 0 is the number of records to add. Returns the new
     total record count."""
     with open(path, "rb") as fh:
-        head = fh.read(8)
-    if head[:3] != b"CDF" or head[3] not in (1, 2):
-        raise ValueError("netcdf: not a classic NetCDF (CDF-1/CDF-2) file")
+        head = fh.read(12)
+    if head[:3] != b"CDF" or head[3] not in (1, 2, 5):
+        raise ValueError("netcdf: not a classic NetCDF (CDF-1/2/5) file")
     version = head[3]
-    old_numrecs = struct.unpack(">i", head[4:8])[0]
+    numrecs_fmt = _cnt_fmt(version)
+    old_numrecs = struct.unpack_from(numrecs_fmt, head, 4)[0]
 
     # parse the header for record-var layout (cheap — header only)
     dims, variables, _ = read_netcdf(path)
@@ -340,7 +378,7 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
     # true record dim (length 0 in the header) from the raw dim list
     with open(path, "rb") as fh:
         raw = fh.read(65536)
-    rpos = 8
+    rpos = 4 + (8 if version == 5 else 4)  # magic + numrecs
 
     def _r_i4() -> int:
         nonlocal rpos
@@ -348,13 +386,21 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
         rpos += 4
         return v
 
-    _tag, _nd = _r_i4(), _r_i4()
+    def _r_cnt() -> int:  # CDF-5: counts/lengths are 8 bytes
+        nonlocal rpos
+        if version == 5:
+            v = struct.unpack_from(">q", raw, rpos)[0]
+            rpos += 8
+            return v
+        return _r_i4()
+
+    _tag, _nd = _r_i4(), _r_cnt()
     rec_dim = None
     for _ in range(_nd):
-        nlen = _r_i4()
+        nlen = _r_cnt()
         dname = raw[rpos : rpos + nlen].decode("utf-8")
         rpos += (nlen + 3) & ~3
-        if _r_i4() == 0:
+        if _r_cnt() == 0:
             rec_dim = dname
     if rec_dim is None:
         raise ValueError("netcdf append: file has no record (unlimited) dimension")
@@ -390,7 +436,7 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
                 raw = be.tobytes()
                 fh.write(raw if single else _pad4(raw))
         fh.seek(4)
-        fh.write(struct.pack(">i", old_numrecs + n_add))
+        fh.write(struct.pack(numrecs_fmt, old_numrecs + n_add))
     return old_numrecs + n_add
 
 

@@ -1049,6 +1049,7 @@ PRIORITY: list[str] = [
     "streaming_netcdf_append",
     "intradoc_dedup",
     "multimodal_real_video",
+    "streaming_upsert_bucketed",
     "feature_hash_embed",
     "triangle_count",
     "conversion_funnel",

@@ -546,3 +546,65 @@ def q_streaming_netcdf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spark.createDataFrame(out)
+
+
+# Bucket-partitioned upsert sink (round 4): identical MERGE semantics
+# to streaming_upsert_sink, but rows live under v=<n>/b=<bucket> and a
+# batch rewrites ONLY the buckets its keys hash into (untouched
+# buckets hard-link into the new version). The oracle is the same
+# "latest event per user" — bucketing must be invisible in the values;
+# tests/test_upsert_sink.py proves the O(touched-buckets) rewrite via
+# inode identity.
+@register(
+    "streaming_upsert_bucketed",
+    """
+    SELECT user_id, value AS last_value, epoch_us(ts) AS last_us
+    FROM (
+      SELECT user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from deepicedrain_spark.streaming.sink import (
+        apply_upsert_batch_bucketed,
+        read_upsert_table_bucketed,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/deepicedrain_upsert_bkt_{key}"
+    ckpt = f"{out_dir}_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        (F.col("ts").cast("decimal(38,0)") / 1000).cast("long").alias("t_us"),
+        "event_id",
+    )
+
+    def write_batch(bdf: DataFrame, bid: int) -> None:
+        apply_upsert_batch_bucketed(
+            spark, out_dir, bdf, bid, ["user_id"], ["t_us", "event_id"], n_buckets=16
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_upsert_table_bucketed(spark, out_dir).select(
+        "user_id", F.col("value").alias("last_value"), F.col("t_us").alias("last_us")
+    )

@@ -53,7 +53,7 @@ def test_hdf5lite_roundtrip_fuzz(tmp_path_factory, dtype, n, chunk, gzip, shuffl
 @given(
     dtype=st.sampled_from(["f8", "f4", "i4", "i2", "i1"]),
     dims=st.lists(st.integers(1, 9), min_size=1, max_size=3),
-    version=st.sampled_from([1, 2]),
+    version=st.sampled_from([1, 2, 5]),
     seed=st.integers(0, 2**31 - 1),
     extra=st.booleans(),
 )
@@ -65,6 +65,8 @@ def test_netcdf_roundtrip_fuzz(tmp_path_factory, dtype, dims, version, seed, ext
     variables = {"v": (tuple(dim_names), arr)}
     if extra:  # a second, odd-sized variable stresses 4-byte padding
         variables["w"] = ((dim_names[0],), _arr("i2", shape[0], seed + 1))
+    if version == 5:  # CDF-5: int64 survives at full width
+        variables["big"] = ((dim_names[0],), _arr("i8", shape[0], seed + 2))
     p = str(tmp_path_factory.mktemp("nc") / "f.nc")
     nc.write_netcdf(
         p,
@@ -78,6 +80,9 @@ def test_netcdf_roundtrip_fuzz(tmp_path_factory, dtype, dims, version, seed, ext
     got = v2["v"][1]
     assert got.dtype == arr.dtype and got.shape == arr.shape
     np.testing.assert_array_equal(got, arr)
+    if version == 5:
+        np.testing.assert_array_equal(v2["big"][1], variables["big"][1])
+        assert v2["big"][1].dtype == np.dtype("int64")
     if extra:
         np.testing.assert_array_equal(v2["w"][1], variables["w"][1])
     assert g2["title"] == "fuzz" and int(g2["seed"][0]) == seed

@@ -182,3 +182,46 @@ def test_record_cube_matches_fixed_cube(spark):
 
     assert rows(pr) == rows(pf)
     assert len(rows(pr)) == 5
+
+
+def test_cdf5_int64_roundtrip_and_append():
+    """CDF-5 (64-bit data format): int64/uint64 variables round-trip
+    exactly at values beyond int32, header count/size fields are
+    8-byte, and record appends work in the v5 layout too."""
+    import numpy as np
+
+    from deepicedrain_spark.sources.netcdf import (
+        append_records,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = "/tmp/spark_graft_test_cdf5.nc"
+    big = np.array([2**40, -(2**41), 7, 0], dtype="i8")
+    u = np.array([2**63 + 5, 1, 2, 3], dtype="u8")
+    grid = np.arange(12, dtype="i8").reshape(3, 4)
+    write_netcdf(
+        p,
+        {"k": 4, "t": None, "x": 4},
+        {"big": (("k",), big), "u": (("k",), u), "g": (("t", "x"), grid)},
+        global_attrs={"title": "cdf5", "ver": np.int64(9)},
+        version=5,
+    )
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"CDF\x05"
+    dims, vs, g = read_netcdf(p)
+    assert dims == {"k": 4, "t": 3, "x": 4}
+    assert vs["big"][1].dtype == np.dtype("int64")
+    assert np.array_equal(vs["big"][1], big)
+    assert np.array_equal(vs["u"][1], u)
+    assert g["title"] == "cdf5" and int(g["ver"][0]) == 9
+
+    assert append_records(p, {"g": np.full((2, 4), -5, dtype="i8")}) == 5
+    dims, vs, _ = read_netcdf(p)
+    assert dims["t"] == 5
+    assert np.array_equal(vs["g"][1][:3], grid) and (vs["g"][1][3:] == -5).all()
+
+    # classic versions keep the old behavior: int64 downcasts to int32
+    p1 = "/tmp/spark_graft_test_cdf1_dc.nc"
+    write_netcdf(p1, {"k": 3}, {"a": (("k",), np.array([1, 2, 3], dtype="i8"))})
+    assert read_netcdf(p1)[1]["a"][1].dtype == np.dtype("int32")

@@ -203,3 +203,69 @@ def test_compact_table_preserves_rows_and_replay(spark, tmp_path):
     b9 = spark.createDataFrame([(0, "fresh", 99)], "k long, v string, t long")
     assert apply_upsert_batch(spark, out, b9, 9, ["k"], ["t"]) is True
     assert _table(spark, out)[0] == ("fresh", 99)
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale MERGE: a batch whose keys hash into K of N buckets
+    rewrites exactly those K bucket dirs; every other bucket's data
+    files carry over as hard links (same inode), proving O(touched)
+    merge cost. Values match the plain sink's semantics."""
+    import glob
+    import os
+
+    from deepicedrain_spark.streaming.sink import (
+        apply_upsert_batch_bucketed,
+        read_upsert_table_bucketed,
+    )
+
+    out = str(tmp_path / "tbl")
+    n_buckets = 8
+    # seed: 64 keys spread across all buckets
+    seed = spark.createDataFrame(
+        [(k, f"s{k}", 0) for k in range(64)], "k long, v string, t long"
+    )
+    assert apply_upsert_batch_bucketed(
+        spark, out, seed, 0, ["k"], ["t"], n_buckets=n_buckets
+    )
+
+    def inodes(version):
+        return {
+            os.path.relpath(p, os.path.join(out, f"v={version}")): os.stat(p).st_ino
+            for p in glob.glob(os.path.join(out, f"v={version}", "b=*", "*.parquet"))
+        }
+
+    before = inodes(0)
+    # one-key batch: touches exactly 1 bucket
+    upd = spark.createDataFrame([(7, "fresh", 9)], "k long, v string, t long")
+    assert apply_upsert_batch_bucketed(
+        spark, out, upd, 1, ["k"], ["t"], n_buckets=n_buckets
+    )
+    after = inodes(1)
+    from pyspark.sql import functions as F
+
+    touched = {
+        r["b"]
+        for r in spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    }
+    changed = {p.split(os.sep)[0] for p in set(after) - set(before)} | {
+        p.split(os.sep)[0]
+        for p in set(after) & set(before)
+        if after[p] != before[p]
+    }
+    assert changed == {f"b={b}" for b in touched}
+    # untouched buckets are the SAME inodes (hard links, zero bytes copied)
+    same = [p for p in set(after) & set(before) if after[p] == before[p]]
+    assert len(same) >= len(before) - len(touched) - 1
+
+    # values: last-writer-wins, replay no-op
+    table = {
+        r["k"]: (r["v"], r["t"])
+        for r in read_upsert_table_bucketed(spark, out).collect()
+    }
+    assert table[7] == ("fresh", 9) and table[3] == ("s3", 0) and len(table) == 64
+    assert (
+        apply_upsert_batch_bucketed(spark, out, upd, 1, ["k"], ["t"], n_buckets=n_buckets)
+        is False
+    )
