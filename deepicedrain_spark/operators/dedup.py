@@ -626,8 +626,7 @@ def intradoc_dedup_stats(
         ).alias("cidx", "_c"),
     ).select(id_col, F.col("_c.chunk").alias("chunk"), F.col("_c.ctoks").alias("ctoks"))
     per_chunk = chunks.groupBy(id_col, "chunk").agg(
-        F.count(F.lit(1)).alias("_cnt"), F.min("ctoks").alias("_ctoks_min"),
-        F.max("ctoks").alias("_ctoks_max"),
+        F.count(F.lit(1)).alias("_cnt"), F.max("ctoks").alias("_ctoks_max")
     )
     # kept = one occurrence per distinct chunk (first in doc order; all
     # occurrences of the same text have equal ctoks except a short final

@@ -487,8 +487,10 @@ class File:
         out = []
         for i in range(root_nrec):
             rec = leaf[6 + i * rec_size : 6 + (i + 1) * rec_size]
-            if btype in (5, 6):  # name/creation-order index: hash + heap id
+            if btype == 5:  # name index: 4-byte hash + heap id
                 out.append(rec[4:])
+            elif btype == 6:  # creation-order index: 8-byte order + heap id
+                out.append(rec[8:])
             else:
                 raise NotImplementedError(f"hdf5lite: v2 B-tree record type {btype}")
         return out

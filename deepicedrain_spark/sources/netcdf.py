@@ -143,11 +143,19 @@ def write_netcdf(
     rec_dims = [d for d, n in dims.items() if n is None]
     if len(rec_dims) > 1:
         raise ValueError("netcdf: at most one unlimited (record) dimension")
+    if any(n == 0 for n in dims.values()):
+        # classic NetCDF forbids 0-length fixed dims — and length 0 is
+        # exactly how the header MARKS the record dim, so allowing one
+        # would make the reader misidentify the record dimension
+        raise ValueError(
+            "netcdf: fixed dimensions must have length >= 1 "
+            "(use None for the unlimited/record dimension)"
+        )
     rec_dim = rec_dims[0] if rec_dims else None
 
     # normalize arrays to big-endian of a supported type
     norm: dict[str, tuple[tuple[str, ...], np.ndarray, int, int]] = {}
-    numrecs = 0
+    numrecs: int | None = None
     for vname, (vdims, arr) in variables.items():
         arr = np.asarray(arr)
         if rec_dim in vdims[1:]:
@@ -156,7 +164,7 @@ def write_netcdf(
             )
         if vdims and vdims[0] == rec_dim:
             shape = (arr.shape[0],) + tuple(dims[d] for d in vdims[1:])
-            if numrecs and arr.shape[0] != numrecs:
+            if numrecs is not None and arr.shape[0] != numrecs:
                 raise ValueError("netcdf: record variables disagree on record count")
             numrecs = arr.shape[0]
         else:
@@ -177,6 +185,7 @@ def write_netcdf(
         nc_type, isz = table[key]
         norm[vname] = (vdims, np.ascontiguousarray(arr), nc_type, isz)
 
+    numrecs = numrecs or 0
     rec_vars = [v for v, (vd, *_r) in norm.items() if vd and vd[0] == rec_dim]
     fixed_vars = [v for v in norm if v not in rec_vars]
 
@@ -215,7 +224,8 @@ def write_netcdf(
             for vname, (vdims, arr, nc_type, isz) in norm.items():
                 h += _name(vname, version) + struct.pack(cnt, len(vdims))
                 for d in vdims:
-                    h += struct.pack(">i", dim_ids[d])  # dim IDs stay 4-byte
+                    # dimid is NON_NEG: 4 bytes in CDF-1/2, 8 in CDF-5
+                    h += struct.pack(cnt, dim_ids[d])
                 h += _att_list(var_attrs.get(vname), version)
                 h += struct.pack(">i", nc_type) + struct.pack(cnt, vsize_of(vname))
                 h += struct.pack(_begin_fmt(version), begins[vname])
@@ -252,11 +262,11 @@ def write_netcdf(
                 fh.write(raw if len(rec_vars) == 1 else _pad4(raw))
 
 
-def read_netcdf(path: str):
-    """Parse a classic NetCDF file -> (dims, variables, global_attrs)
-    where variables maps name -> (dim name tuple, native-endian array)."""
-    with open(path, "rb") as fh:
-        buf = fh.read()
+def _parse_header(buf: bytes):
+    """Parse the classic-NetCDF header only (no variable data touched).
+    Returns (version, numrecs, dims, rec_dim, gatts, meta) where dims
+    carries the RAW header lengths (0 marks the record dim) and meta is
+    [(vname, vdims, vatts, nc_type, vsize, begin)] in header order."""
     if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
         raise ValueError("netcdf: not a classic NetCDF (CDF-1/2/5) file")
     version = buf[3]
@@ -274,12 +284,14 @@ def read_netcdf(path: str):
         pos += 8
         return v
 
-    # CDF-5 promotes count/size fields to 8 bytes; dim IDs stay 4
+    # CDF-5 promotes count/size fields (incl. dim IDs) to 8 bytes
     cnt = i8 if version == 5 else i4
 
     def name() -> str:
         nonlocal pos
         n = cnt()
+        if pos + n > len(buf):
+            raise struct.error("netcdf: header extends past buffer")
         s = buf[pos : pos + n].decode("utf-8")
         pos += (n + 3) & ~3
         return s
@@ -292,12 +304,16 @@ def read_netcdf(path: str):
             k = name()
             nc_type, nelems = i4(), cnt()
             if nc_type == 2:
+                if pos + nelems > len(buf):
+                    raise struct.error("netcdf: header extends past buffer")
                 raw = buf[pos : pos + nelems]
                 pos += (nelems + 3) & ~3
                 out[k] = raw.decode("utf-8")
             else:
                 dt = _NC_TO_DTYPE[nc_type]
                 nbytes = nelems * dt.itemsize
+                if pos + nbytes > len(buf):
+                    raise struct.error("netcdf: header extends past buffer")
                 arr = np.frombuffer(buf, dtype=dt, count=nelems, offset=pos)
                 pos += (nbytes + 3) & ~3
                 out[k] = arr.astype(dt.newbyteorder("="))
@@ -317,11 +333,35 @@ def read_netcdf(path: str):
     for _ in range(nvars):
         vname = name()
         vnd = cnt()
-        vdims = tuple(dim_names[i4()] for i in range(vnd))
+        vdims = tuple(dim_names[cnt()] for i in range(vnd))
         vatts = att_list()
         nc_type, vsize = i4(), cnt()
         begin = i8() if version >= 2 else i4()
         meta.append((vname, vdims, vatts, nc_type, vsize, begin))
+    return version, numrecs, dims, rec_dim, gatts, meta
+
+
+def _read_header(path: str):
+    """Header-only file read: start at 64 KiB and double until the
+    header parses, so appends never materialize variable data."""
+    size = 65536
+    while True:
+        with open(path, "rb") as fh:
+            buf = fh.read(size)
+        try:
+            return _parse_header(buf)
+        except (struct.error, IndexError, UnicodeDecodeError):
+            if len(buf) < size:  # whole file read and still truncated
+                raise ValueError("netcdf: truncated or corrupt header")
+            size *= 2
+
+
+def read_netcdf(path: str):
+    """Parse a classic NetCDF file -> (dims, variables, global_attrs)
+    where variables maps name -> (dim name tuple, native-endian array)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    version, numrecs, dims, rec_dim, gatts, meta = _parse_header(buf)
 
     rec_vars = [m for m in meta if m[1] and m[1][0] == rec_dim] if rec_dim else []
     # record stride: sum of padded slabs (single record var: unpadded)
@@ -359,57 +399,21 @@ def read_netcdf(path: str):
 def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
     """Append records to a classic NetCDF file with a record dimension,
     IN PLACE: write the new per-record slabs after the existing record
-    data and bump ``numrecs`` in the header (offset 4). This is what
-    makes cycle-by-cycle cube growth an O(new data) append instead of
-    a full rewrite. ``new_data`` maps EVERY record variable ->
-    array whose axis 0 is the number of records to add. Returns the new
-    total record count."""
-    with open(path, "rb") as fh:
-        head = fh.read(12)
-    if head[:3] != b"CDF" or head[3] not in (1, 2, 5):
-        raise ValueError("netcdf: not a classic NetCDF (CDF-1/2/5) file")
-    version = head[3]
-    numrecs_fmt = _cnt_fmt(version)
-    old_numrecs = struct.unpack_from(numrecs_fmt, head, 4)[0]
-
-    # parse the header for record-var layout (cheap — header only)
-    dims, variables, _ = read_netcdf(path)
-    # read_netcdf rewrites the record dim length to numrecs; recover the
-    # true record dim (length 0 in the header) from the raw dim list
-    with open(path, "rb") as fh:
-        raw = fh.read(65536)
-    rpos = 4 + (8 if version == 5 else 4)  # magic + numrecs
-
-    def _r_i4() -> int:
-        nonlocal rpos
-        v = struct.unpack_from(">i", raw, rpos)[0]
-        rpos += 4
-        return v
-
-    def _r_cnt() -> int:  # CDF-5: counts/lengths are 8 bytes
-        nonlocal rpos
-        if version == 5:
-            v = struct.unpack_from(">q", raw, rpos)[0]
-            rpos += 8
-            return v
-        return _r_i4()
-
-    _tag, _nd = _r_i4(), _r_cnt()
-    rec_dim = None
-    for _ in range(_nd):
-        nlen = _r_cnt()
-        dname = raw[rpos : rpos + nlen].decode("utf-8")
-        rpos += (nlen + 3) & ~3
-        if _r_cnt() == 0:
-            rec_dim = dname
+    data and bump ``numrecs`` in the header (offset 4). ``new_data``
+    maps EVERY record variable -> array whose shape is
+    (n_new_records, *fixed_dims) — shapes are validated against the
+    header before any byte is written, since a bad append corrupts the
+    file irreversibly. Only the HEADER is read (never the data), so
+    each append costs O(header + new data) and growing a cube record
+    by record stays linear overall. Returns the new record count."""
+    version, old_numrecs, dims, rec_dim, _gatts, meta = _read_header(path)
     if rec_dim is None:
         raise ValueError("netcdf append: file has no record (unlimited) dimension")
-    unknown = sorted(set(new_data) - set(variables))
+    by_name = {m[0]: m for m in meta}
+    unknown = sorted(set(new_data) - set(by_name))
     if unknown:
         raise ValueError(f"netcdf append: unknown variables {unknown}")
-    all_rec_vars = [
-        v for v, (vd, _a, _t) in variables.items() if vd and vd[0] == rec_dim
-    ]
+    all_rec_vars = [m[0] for m in meta if m[1] and m[1][0] == rec_dim]
     if sorted(new_data) != sorted(all_rec_vars):
         raise ValueError(
             f"netcdf append: must supply every record variable {sorted(all_rec_vars)}"
@@ -418,13 +422,23 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
     if len(set(n_new.values())) != 1:
         raise ValueError("netcdf append: record variables disagree on record count")
     n_add = next(iter(n_new.values()))
+    # validate EVERY slab shape before any write — a half-applied append
+    # cannot be rolled back
+    for vname in all_rec_vars:
+        _n, vdims, _a, nc_type, _vs, _b = by_name[vname]
+        want = (n_add,) + tuple(dims[d] for d in vdims[1:])
+        got = np.asarray(new_data[vname]).shape
+        if got != want:
+            raise ValueError(
+                f"netcdf append: {vname} shape {got} != expected {want}"
+            )
 
     single = len(all_rec_vars) == 1
     with open(path, "r+b") as fh:
         fh.seek(0, 2)  # record data is the file tail; append there
         for r in range(n_add):
             for vname in all_rec_vars:  # header (=write) order
-                want_dt = variables[vname][1].dtype
+                want_dt = _NC_TO_DTYPE[by_name[vname][3]].newbyteorder("=")
                 slab = np.ascontiguousarray(
                     np.asarray(new_data[vname])[r], dtype=want_dt
                 )
@@ -436,7 +450,7 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
                 raw = be.tobytes()
                 fh.write(raw if single else _pad4(raw))
         fh.seek(4)
-        fh.write(struct.pack(numrecs_fmt, old_numrecs + n_add))
+        fh.write(struct.pack(_cnt_fmt(version), old_numrecs + n_add))
     return old_numrecs + n_add
 
 

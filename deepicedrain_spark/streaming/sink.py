@@ -44,28 +44,47 @@ class _SinkLock:
     one table, or a restart racing its own zombie). O_CREAT|O_EXCL is
     atomic on POSIX local filesystems; locks older than ``stale_after``
     are broken (crashed-holder recovery), which is why the commit ALSO
-    carries a version fence — see _commit_manifest."""
+    carries a version fence — see _commit_manifest.
+
+    Stale-lock breaking is RENAME-based: the breaker atomically renames
+    the stale lock to a unique sidecar name before deleting it, so of N
+    concurrent waiters exactly one rename succeeds (the others get
+    ENOENT and go back to waiting) — an unlink-based break would let a
+    slow second breaker delete the fast breaker's freshly-acquired NEW
+    lock. Release is token-checked: __exit__ deletes the lock only if
+    it still carries this holder's token, so a holder whose lock was
+    broken cannot cascade the race by removing the next holder's lock."""
 
     def __init__(self, out_dir: str, timeout: float = 120.0, stale_after: float = 600.0):
         self.path = os.path.join(out_dir, "_manifest.lock")
         self.timeout = timeout
         self.stale_after = stale_after
+        import uuid
+
+        self.token = f"{os.getpid()}:{uuid.uuid4().hex}"
 
     def __enter__(self) -> "_SinkLock":
         deadline = time.monotonic() + self.timeout
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.write(fd, self.token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(self.path) > self.stale_after:
-                        os.unlink(self.path)  # break a crashed holder's lock
-                        continue
+                    stale = time.time() - os.path.getmtime(self.path) > self.stale_after
                 except OSError:
                     continue  # holder released between exists and stat
+                if stale:
+                    # atomic rename: exactly one waiter wins the break
+                    side = f"{self.path}.stale.{self.token.split(':')[0]}"
+                    try:
+                        os.rename(self.path, side)
+                        os.unlink(side)
+                    except OSError:
+                        pass  # someone else broke it first
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"upsert sink: could not acquire {self.path} "
@@ -75,6 +94,9 @@ class _SinkLock:
 
     def __exit__(self, *exc) -> None:
         try:
+            with open(self.path) as fh:
+                if fh.read() != self.token:
+                    return  # our lock was broken; the file is someone else's
             os.unlink(self.path)
         except OSError:
             pass
@@ -88,22 +110,45 @@ def _read_manifest(out_dir: str) -> dict:
         return {"version": -1, "applied": []}
 
 
+def _staging_dir(out_dir: str, new_version: int) -> str:
+    return os.path.join(out_dir, f".staging.v={new_version}.{os.getpid()}")
+
+
 def _commit_manifest(
-    out_dir: str, manifest: dict, expected_version: int | None = None
+    out_dir: str,
+    manifest: dict,
+    expected_version: int | None = None,
+    publish: tuple[str, str] | None = None,
 ) -> None:
     """Atomic manifest swap. ``expected_version`` is the CAS fence: the
     version this writer READ at the start of its critical section. If
     the on-disk manifest moved past it (possible only if this writer's
     lock was broken as stale and another writer committed), refuse to
-    commit rather than silently erase the other writer's update."""
+    commit rather than silently erase the other writer's update.
+
+    ``publish`` = (staging_dir, final_dir): writers stage their data
+    under a pid-unique directory and it is RENAMED into place only
+    after the fence passes — so a fenced-out writer leaves the
+    committed version's files untouched (writing the final dir before
+    the fence would clobber the other writer's data and then fail)."""
     if expected_version is not None:
         on_disk = _read_manifest(out_dir)["version"]
         if on_disk != expected_version:
+            if publish:
+                import shutil
+
+                shutil.rmtree(publish[0], ignore_errors=True)
             raise RuntimeError(
                 f"upsert sink: lost-update fence tripped — read version "
                 f"{expected_version} but disk is at {on_disk}; another "
                 f"writer committed while this one held a broken lock"
             )
+    if publish:
+        import shutil
+
+        staging, final = publish
+        shutil.rmtree(final, ignore_errors=True)  # crashed-writer leftover
+        os.rename(staging, final)
     tmp = _manifest_path(out_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -165,9 +210,8 @@ def apply_upsert_batch(
                 batch_last
             )
         new_version = manifest["version"] + 1
-        merged.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"v={new_version}")
-        )
+        staging = _staging_dir(out_dir, new_version)
+        merged.write.mode("overwrite").parquet(staging)
         _commit_manifest(
             out_dir,
             {
@@ -175,6 +219,7 @@ def apply_upsert_batch(
                 "applied": sorted(manifest["applied"] + [batch_id]),
             },
             expected_version=manifest["version"],
+            publish=(staging, os.path.join(out_dir, f"v={new_version}")),
         )
     return True
 
@@ -231,22 +276,40 @@ def compact_table(
     over verbatim, so a redelivered batch is still a no-op after
     compaction. Returns the new version, or None when the table is
     empty. This is the small-files half of Delta's OPTIMIZE; vacuum
-    (below) is the retention half."""
+    (below) is the retention half.
+
+    Layout-aware: a bucket-partitioned table (v=<n>/b=<k> dirs from
+    apply_upsert_batch_bucketed) compacts PER BUCKET, preserving the
+    layout the bucketed merge depends on — flattening it would make
+    the next bucketed apply see no buckets and drop the table."""
     if not os.path.isdir(out_dir):
         return None  # never written: nothing to compact
     with _SinkLock(out_dir):
         manifest = _read_manifest(out_dir)
         if manifest["version"] < 0:
             return None
-        cur = spark.read.parquet(os.path.join(out_dir, f"v={manifest['version']}"))
-        new_version = manifest["version"] + 1
-        cur.coalesce(max(1, target_files)).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"v={new_version}")
+        cur_dir = os.path.join(out_dir, f"v={manifest['version']}")
+        buckets = sorted(
+            n for n in os.listdir(cur_dir) if n.startswith("b=") and
+            os.path.isdir(os.path.join(cur_dir, n))
         )
+        new_version = manifest["version"] + 1
+        staging = _staging_dir(out_dir, new_version)
+        if buckets:
+            os.makedirs(staging, exist_ok=True)
+            for b in buckets:
+                spark.read.parquet(os.path.join(cur_dir, b)).coalesce(
+                    max(1, target_files)
+                ).write.mode("overwrite").parquet(os.path.join(staging, b))
+        else:
+            spark.read.parquet(cur_dir).coalesce(max(1, target_files)).write.mode(
+                "overwrite"
+            ).parquet(staging)
         _commit_manifest(
             out_dir,
             {"version": new_version, "applied": manifest["applied"]},
             expected_version=manifest["version"],
+            publish=(staging, os.path.join(out_dir, f"v={new_version}")),
         )
     return new_version
 
@@ -295,7 +358,7 @@ def apply_upsert_batch_bucketed(
         )
         touched = sorted(r["_b"] for r in batch_last.select("_b").distinct().collect())
         new_version = manifest["version"] + 1
-        new_dir = os.path.join(out_dir, f"v={new_version}")
+        new_dir = _staging_dir(out_dir, new_version)  # publish at commit
         os.makedirs(new_dir, exist_ok=True)
         cur_dir = (
             os.path.join(out_dir, f"v={manifest['version']}")
@@ -330,6 +393,7 @@ def apply_upsert_batch_bucketed(
                 "applied": sorted(manifest["applied"] + [batch_id]),
             },
             expected_version=manifest["version"],
+            publish=(new_dir, os.path.join(out_dir, f"v={new_version}")),
         )
     return True
 

@@ -225,3 +225,42 @@ def test_cdf5_int64_roundtrip_and_append():
     p1 = "/tmp/spark_graft_test_cdf1_dc.nc"
     write_netcdf(p1, {"k": 3}, {"a": (("k",), np.array([1, 2, 3], dtype="i8"))})
     assert read_netcdf(p1)[1]["a"][1].dtype == np.dtype("int32")
+
+
+def test_append_validates_shapes_and_writer_rejects_zero_dims():
+    """Review findings r4: mis-shaped appends must be refused BEFORE any
+    byte lands (an in-place append cannot roll back), inconsistent
+    0-record/3-record writes raise the intended error, and explicit
+    0-length fixed dims are rejected (length 0 is the header's record-
+    dim marker)."""
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.sources.netcdf import (
+        append_records,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = "/tmp/spark_graft_test_append_guard.nc"
+    write_netcdf(
+        p,
+        {"t": None, "y": 2, "x": 3},
+        {"v": (("t", "y", "x"), np.arange(6, dtype="f8").reshape(1, 2, 3))},
+    )
+    with pytest.raises(ValueError, match="shape"):
+        append_records(p, {"v": np.zeros((1, 3, 2))})  # transposed
+    with pytest.raises(ValueError, match="shape"):
+        append_records(p, {"v": np.zeros((1, 2, 2))})  # short slab
+    # the failed attempts wrote nothing: file still reads clean
+    dims, vs, _ = read_netcdf(p)
+    assert dims["t"] == 1 and vs["v"][1].shape == (1, 2, 3)
+
+    with pytest.raises(ValueError, match="record count"):
+        write_netcdf(
+            p,
+            {"t": None, "x": 2},
+            {"a": (("t", "x"), np.empty((0, 2))), "b": (("t", "x"), np.zeros((3, 2)))},
+        )
+    with pytest.raises(ValueError, match="length >= 1"):
+        write_netcdf(p, {"z": 0, "t": None}, {"v": (("t",), np.zeros(2))})

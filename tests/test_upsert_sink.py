@@ -269,3 +269,104 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         apply_upsert_batch_bucketed(spark, out, upd, 1, ["k"], ["t"], n_buckets=n_buckets)
         is False
     )
+
+
+def test_fenced_writer_cannot_clobber_committed_data(spark, tmp_path):
+    """Review finding r4: data must be STAGED and published only after
+    the CAS fence passes — a fenced-out writer (broken stale lock) may
+    not overwrite the committed version's files. Simulated by calling
+    _commit_manifest with a stale expected_version after another commit
+    landed: the fence must raise AND the committed files must survive."""
+    import glob
+    import os
+
+    from deepicedrain_spark.streaming.sink import (
+        _commit_manifest,
+        _staging_dir,
+        read_upsert_table,
+    )
+
+    out = str(tmp_path / "tbl")
+    b = spark.createDataFrame([(1, "committed", 1)], "k long, v string, t long")
+    apply_upsert_batch(spark, out, b, 0, ["k"], ["t"])  # version 0 committed
+
+    # a zombie writer that read version -1 stages its own v=0 payload
+    staging = _staging_dir(out, 0)
+    spark.createDataFrame([(1, "zombie", 9)], "k long, v string, t long").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    with pytest.raises(RuntimeError, match="fence"):
+        _commit_manifest(
+            out,
+            {"version": 0, "applied": [99]},
+            expected_version=-1,
+            publish=(staging, os.path.join(out, "v=0")),
+        )
+    # committed data untouched, staging cleaned up
+    assert _table(spark, out) == {1: ("committed", 1)}
+    assert not os.path.exists(staging)
+    assert glob.glob(os.path.join(out, ".staging.*")) == []
+
+
+def test_lock_release_is_token_checked(tmp_path):
+    """Review finding r4: a holder whose lock was broken must not
+    delete the NEXT holder's lock on exit; stale-lock breaking itself
+    is rename-based so only one breaker wins."""
+    import os
+
+    from deepicedrain_spark.streaming.sink import _SinkLock
+
+    out = str(tmp_path)
+    a = _SinkLock(out)
+    a.__enter__()
+    # simulate a steal: b breaks a's (pretend-stale) lock and acquires
+    os.unlink(a.path)
+    b = _SinkLock(out)
+    b.__enter__()
+    # a exits: must NOT remove b's lock (token mismatch)
+    a.__exit__(None, None, None)
+    assert os.path.exists(b.path)
+    b.__exit__(None, None, None)
+    assert not os.path.exists(b.path)
+
+
+def test_compact_preserves_bucketed_layout(spark, tmp_path):
+    """Review finding r4: compacting a bucket-partitioned table must
+    keep the b=<k> layout (flattening it would make the next bucketed
+    apply drop every pre-existing row)."""
+    import os
+
+    from deepicedrain_spark.streaming.sink import (
+        apply_upsert_batch_bucketed,
+        compact_table,
+        read_upsert_table_bucketed,
+    )
+
+    out = str(tmp_path / "tbl")
+    for bid in range(3):
+        b = spark.createDataFrame(
+            [(k, f"b{bid}", bid) for k in range(20)], "k long, v string, t long"
+        )
+        apply_upsert_batch_bucketed(spark, out, b, bid, ["k"], ["t"], n_buckets=4)
+    before = {
+        r["k"]: (r["v"], r["t"])
+        for r in read_upsert_table_bucketed(spark, out).collect()
+    }
+    ver = compact_table(spark, out)
+    assert ver == 3
+    assert sorted(os.listdir(os.path.join(out, "v=3"))) == [
+        "b=0", "b=1", "b=2", "b=3",
+    ]
+    after = {
+        r["k"]: (r["v"], r["t"])
+        for r in read_upsert_table_bucketed(spark, out).collect()
+    }
+    assert after == before
+    # the next bucketed apply still sees the full table
+    up = spark.createDataFrame([(5, "post", 7)], "k long, v string, t long")
+    assert apply_upsert_batch_bucketed(spark, out, up, 9, ["k"], ["t"], n_buckets=4)
+    final = {
+        r["k"]: (r["v"], r["t"])
+        for r in read_upsert_table_bucketed(spark, out).collect()
+    }
+    assert len(final) == 20 and final[5] == ("post", 7) and final[6] == ("b2", 2)
