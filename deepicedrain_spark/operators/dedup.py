@@ -600,9 +600,11 @@ def intradoc_dedup_stats(
     occurrence IN THE SAME DOC are cut; other docs are unaffected
     (contrast paragraph_dedup_stats, which is cross-corpus).
 
-    Scale shape: the spans never leave their doc, so the whole operator
-    is ONE shuffle keyed on the doc id (the groupBy) — at 100 TB this
-    is embarrassingly parallel per document with no global state."""
+    Scale shape: the spans never leave their doc, so both shuffles are
+    doc-keyed — (doc, chunk) for the occurrence count, then doc for the
+    roll-up of the already-tiny per-chunk rows. No global state, no
+    cross-document keys: at 100 TB this is embarrassingly parallel per
+    document."""
     ws = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
     toks = df.select(F.col(id_col), ws.alias("_ws"), F.size(ws).alias("_n"))
     n_chunks = F.ceil(F.col("_n") / F.lit(chunk_tokens)).cast("int")

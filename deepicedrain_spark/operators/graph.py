@@ -135,6 +135,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # legitimately empty edge set (e.g. a near-dup threshold that
+        # matched nothing): empty ranks, not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n_nodes
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n_nodes), round_dp))
@@ -151,6 +155,7 @@ def pagerank(
         dangling = ranks.join(
             deg.withColumnRenamed("u", "node"), "node", "left_anti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        prev = ranks
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -168,4 +173,11 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # drop the superseded round's checkpointed blocks (same hygiene
+        # as connected_components) — without this a long run pins
+        # `iters` copies of the O(nodes) rank table in executor storage
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     return ranks

@@ -136,5 +136,16 @@ def updated_centroids(
         .agg(*[F.round(F.avg(v[i]), 6).alias(f"m{i}") for i in range(d)])
         .collect()
     )
-    got = {int(r["cluster"]): [float(r[f"m{i}"]) for i in range(d)] for r in rows}
+    got = {}
+    for r in rows:
+        means = [r[f"m{i}"] for i in range(d)]
+        if any(m is None for m in means):
+            # a NULL mean implies ragged or null-carrying vectors in the
+            # cluster (v[i] past the end / a NULL element averages to
+            # NULL) — fail with the cause, not a driver TypeError
+            raise ValueError(
+                f"kmeans: cluster {int(r['cluster'])} has vectors shorter "
+                f"than d={d} or with NULL elements"
+            )
+        got[int(r["cluster"])] = [float(m) for m in means]
     return [got.get(c, cents[c]) for c in range(len(cents))]

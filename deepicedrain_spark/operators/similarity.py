@@ -47,13 +47,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force exact top-k neighbors per query (self-matches
     excluded). Output: (query_id, cand_id, rank, cos)."""
+    # norms fold ONCE per row before the join (inside the join output
+    # each query norm would re-fold per candidate and vice versa — a 3x
+    # O(d) overhead per scored pair); sqrt(qn*cn) is the identical IEEE
+    # value, so results are bit-unchanged
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qn", norm2_expr("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm2_expr("cv"))
     scored = (
         c.join(q, F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
+        .withColumn(
+            "cos",
+            F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -80,6 +90,7 @@ def hyperplane_signature(vec_col: str, planes: int = 8, dims: int = 64) -> Colum
     per-row work is just ``planes`` dot products in codegen, with no
     runtime hashing (512 md5 calls/row otherwise)."""
     bits = []
+    first_terms = None
     for p in range(planes):
         w = F.lit([float(_plane_weight(p, d)) for d in range(dims)])
         terms = F.aggregate(
@@ -87,11 +98,28 @@ def hyperplane_signature(vec_col: str, planes: int = 8, dims: int = 64) -> Colum
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        if first_terms is None:
+            first_terms = terms
         bits.append(F.when(terms > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    return sig.cast("int")
+    # guard: a vector whose length differs from `dims` (zip_with pads
+    # with NULL -> every plane's dot is NULL -> signature 0 for EVERY
+    # row, silently collapsing the LSH into one bucket) or that carries
+    # NULL elements must fail loudly, not mis-bucket
+    valid = (F.size(F.col(vec_col)) == F.lit(dims)) & first_terms.isNotNull()
+    return F.when(valid, sig.cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hyperplane_signature: expected a null-free {dims}-dim "
+                    "vector, got length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("int")
+    )
 
 
 def cosine_topk_lsh(
@@ -110,14 +138,17 @@ def cosine_topk_lsh(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig.alias("qsig")
-        )
+        ).withColumn("qn", norm2_expr("qv"))
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), sig.alias("csig")
-    )
+    ).withColumn("cn", norm2_expr("cv"))
     scored = (
         c.join(q, (F.col("qsig") == F.col("csig")) & (F.col("query_id") != F.col("cand_id")))
-        .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
+        .withColumn(
+            "cos",
+            F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -171,9 +202,13 @@ def ivf_topk(
         nprobe,
     )
     scored = (
-        c.join(q, "centroid_id")
+        c.withColumn("cn", norm2_expr("cv"))
+        .join(q.withColumn("qn", norm2_expr("qv")), "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
+        .withColumn(
+            "cos",
+            F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (

@@ -57,7 +57,12 @@ def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     ``m = 2**b`` rows per input partition — O(sketch), not O(rows).
     """
     sh = 60 - b
-    t = df.select(md5_long60(F.col(col).cast("string")).alias("v")).select(
+    # NULLs are excluded, matching COUNT(DISTINCT col) semantics — a
+    # NULL hash would create a NULL-bucket register row that inflates
+    # m_nz while contributing nothing to s_nz (upward-biased estimate)
+    t = df.filter(F.col(col).isNotNull()).select(
+        md5_long60(F.col(col).cast("string")).alias("v")
+    ).select(
         F.expr(f"v DIV {1 << sh}").alias("bucket"),
         F.expr(f"v % {1 << sh}").alias("w"),
     )
@@ -133,7 +138,8 @@ def hll_oracle_sql(source_sql: str, expr: str, b: int = 10) -> str:
     return f"""
     WITH hashed AS (
       SELECT CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS v
-      FROM {source_sql}),
+      FROM {source_sql}
+      WHERE {expr} IS NOT NULL),
     split AS (
       SELECT v // {1 << sh} AS bucket, v % {1 << sh} AS w FROM hashed),
     reg AS (
@@ -210,7 +216,14 @@ def bloom_probe(
         .join(F.broadcast(bits), "word", "left")
         .select(F.col(id_col), F.coalesce(hit_bit, F.lit(False)).alias("_set"))
         .groupBy(id_col)
-        .agg((F.sum(F.col("_set").cast("int")) == k).alias("maybe_member"))
+        # compare against the GROUP's row count, not the constant k: a
+        # duplicated probe id contributes 2k position rows and summing
+        # against k would report a false NEGATIVE for a true member
+        .agg(
+            (F.sum(F.col("_set").cast("int")) == F.count(F.lit(1))).alias(
+                "maybe_member"
+            )
+        )
     )
 
 
@@ -245,9 +258,12 @@ def cms_estimate(
     pos = md5_long60(F.concat(F.col(item_col), F.lit("#"), F.col("j").cast("string"))) % w
     return (
         e.select(item_col, "j", pos.alias("pos"))
-        .join(F.broadcast(sketch), ["j", "pos"])
+        # LEFT join + zero-fill: a candidate hashing to an untouched
+        # counter must see 0 there (an inner join would drop the row,
+        # inflating the min — or losing the candidate entirely)
+        .join(F.broadcast(sketch), ["j", "pos"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 

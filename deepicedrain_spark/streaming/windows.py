@@ -50,8 +50,13 @@ def _stream_dir(sf_dir: str, table: str = "events") -> str:
     d = f"/tmp/deepicedrain_stream_{key}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    if not os.path.exists(link):
+    # absolute target (a relative one would resolve against /tmp —
+    # silently-empty stream) and lexists (exists() follows the symlink,
+    # so a broken link would re-raise FileExistsError on re-create)
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    if os.path.islink(link) and os.readlink(link) != src:
+        os.unlink(link)  # same hash key, different resolved target
+    if not os.path.lexists(link):
         os.symlink(src, link)
     return d
 
@@ -165,9 +170,29 @@ def sliding_means(
 
 
 def stateful_dedup(events: DataFrame, keys: list[str], watermark_minutes: int = 60) -> DataFrame:
-    """Streaming exactly-once dedup: first occurrence of each key wins;
-    watermark bounds the dedup state for unbounded streams."""
+    """Streaming GLOBAL dedup: the first occurrence of each key ever
+    seen wins. State is one row per DISTINCT KEY and is NOT evicted by
+    the watermark (Spark only cleans dropDuplicates state when the
+    event-time column is part of the key subset, which would change the
+    semantics) — so state is bounded by key cardinality, not time.
+    That is the right contract when keys are entities (users, docs);
+    for time-windowed dedup on an unbounded stream use
+    stateful_dedup_within_watermark below."""
     return events.withWatermark("event_time", f"{watermark_minutes} minutes").dropDuplicates(keys)
+
+
+def stateful_dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark_minutes: int = 60
+) -> DataFrame:
+    """Time-bounded streaming dedup: duplicates arriving within the
+    watermark delay of the first occurrence are dropped, and the state
+    store evicts keys once the watermark passes them
+    (``dropDuplicatesWithinWatermark``) — the unbounded-stream shape
+    where state must be O(keys-per-watermark-window), not O(all keys
+    ever). Duplicates farther apart than the delay re-emit by design."""
+    return events.withWatermark(
+        "event_time", f"{watermark_minutes} minutes"
+    ).dropDuplicatesWithinWatermark(keys)
 
 
 def running_anomaly(events: DataFrame, watermark_minutes: int = 60) -> DataFrame:

@@ -106,3 +106,12 @@ def test_pagerank_dangling_mass_redistributed(spark):
         }
     for k in r:
         assert abs(ranks[k] - r[k]) < 1e-9
+
+
+def test_pagerank_empty_edges(spark):
+    """Review finding r4: an empty edge set returns an empty rank
+    table instead of ZeroDivisionError."""
+    from deepicedrain_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0

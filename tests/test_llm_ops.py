@@ -195,3 +195,37 @@ def test_paragraph_dedup_stats(spark):
     assert got[1]["kept_tokens"] == 20
     assert got[2]["n_chunks"] == 2 and got[2]["dup_chunks"] == 1
     assert got[2]["kept_tokens"] == 7  # only the ragged unique chunk survives
+
+
+def test_hyperplane_signature_rejects_wrong_dims(spark):
+    """Review finding r4: a vector whose length differs from `dims`
+    must raise, not silently collapse every row into LSH bucket 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.similarity import hyperplane_signature
+
+    ok = spark.createDataFrame([(list(float(i) for i in range(8)),)], "v array<double>")
+    sig = ok.select(hyperplane_signature("v", planes=4, dims=8).alias("s")).collect()
+    assert sig[0]["s"] is not None
+
+    bad = spark.createDataFrame([(list(float(i) for i in range(5)),)], "v array<double>")
+    with pytest.raises(Exception, match="hyperplane_signature"):
+        bad.select(hyperplane_signature("v", planes=4, dims=8).alias("s")).collect()
+
+
+def test_stateful_dedup_within_watermark_runs(spark):
+    """The time-bounded dedup variant executes end to end and drops
+    the duplicate within the watermark window."""
+    from deepicedrain_spark.streaming.windows import (
+        read_events_stream,
+        run_to_batch,
+        stateful_dedup_within_watermark,
+    )
+
+    ev = read_events_stream(spark, "/root/testdata/sf0.001")
+    out = run_to_batch(
+        stateful_dedup_within_watermark(ev, ["user_id", "event_type"]), "append"
+    )
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert 0 < out.count() <= base.count()

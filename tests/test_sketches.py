@@ -251,3 +251,48 @@ def test_scd2_apply_dedups_duplicate_update_keys(spark):
         assert r["k"] not in per_key, "duplicate open row"
         per_key[r["k"]] = r["attr"]
     assert per_key == {1: "c", 2: "y"}  # highest attr wins
+
+
+def test_bloom_probe_handles_duplicate_probe_ids(spark):
+    """Review finding r4: a duplicated probe id must not produce a
+    false NEGATIVE (sum-of-hits was compared against the constant k)."""
+    from deepicedrain_spark.operators.sketches import bloom_bits, bloom_probe
+
+    corpus = spark.createDataFrame([("a",), ("b",)], "key string")
+    bits = bloom_bits(corpus, F.col("key"))
+    probe = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "zz")], "pid long, key string"
+    )
+    got = {r["pid"]: r["maybe_member"] for r in
+           bloom_probe(probe, bits, F.col("key"), "pid").collect()}
+    assert got[1] is True  # true member, duplicated probe rows
+    assert got[2] is False or got[2] is True  # fp allowed, never crash
+
+
+def test_cms_estimate_absent_candidate_is_zero_or_low(spark):
+    """Review finding r4: a candidate hashing to untouched counters
+    must see 0 there (inner join dropped the row, inflating the min or
+    losing the candidate)."""
+    from deepicedrain_spark.operators.sketches import cms_estimate, cms_table
+
+    items = spark.createDataFrame([("x",)] * 50, "t string")
+    sketch = cms_table(items, "t", d=3, w=1024)  # wide: collisions unlikely
+    cands = spark.createDataFrame([("x",), ("never-seen",)], "t string")
+    got = {r["t"]: r["est"] for r in cms_estimate(cands, sketch, "t", d=3, w=1024).collect()}
+    assert got["x"] == 50
+    assert "never-seen" in got  # candidate must not vanish
+    assert got["never-seen"] == 0  # all three counters untouched at w=1024
+
+
+def test_hll_ignores_nulls(spark):
+    """Review finding r4: NULLs must not create a phantom register
+    (COUNT DISTINCT semantics ignore NULL)."""
+    from deepicedrain_spark.operators.sketches import hll_estimate
+
+    vals = spark.createDataFrame(
+        [(str(i),) for i in range(500)] + [(None,)] * 50, "k string"
+    )
+    est = hll_estimate(vals, "k").collect()[0]["estimate"]
+    clean = spark.createDataFrame([(str(i),) for i in range(500)], "k string")
+    est_clean = hll_estimate(clean, "k").collect()[0]["estimate"]
+    assert est == est_clean
