@@ -22,10 +22,15 @@ Drivers map to engine readers:
 
 from __future__ import annotations
 
-import string
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class MissingParameters(KeyError):
+    """A source cannot resolve because required PARAMETERS lack values
+    (the one condition register_views may legitimately skip on —
+    misconfigured args/templates raise plain errors and surface)."""
 
 
 @dataclass(frozen=True)
@@ -44,17 +49,27 @@ class SourceSpec:
         vals.update(params)
         missing = [k for k, v in vals.items() if v is None]
         if missing:
-            raise KeyError(f"catalog source {self.name!r}: missing parameters {missing}")
+            raise MissingParameters(
+                f"catalog source {self.name!r}: missing parameters {missing}"
+            )
 
-        def fmt(v):
+        def fmt(key, v):
             if isinstance(v, str):
-                # only substitute known fields; leave literal braces alone
-                fields = [f for _, f, _, _ in string.Formatter().parse(v) if f]
-                if fields:
+                # ALWAYS format: {{...}} escapes unescape consistently
+                # whether or not a field appears in the string, and an
+                # undeclared template field is a loud config error
+                try:
                     return v.format(**vals)
+                except (KeyError, IndexError, ValueError) as e:
+                    raise ValueError(
+                        f"catalog source {self.name!r}: arg {key!r} template "
+                        f"{v!r} failed to resolve ({e}); declare the field "
+                        "under parameters or escape literal braces as "
+                        "doubled braces"
+                    ) from e
             return v
 
-        return {k: fmt(v) for k, v in self.args.items()}
+        return {k: fmt(k, v) for k, v in self.args.items()}
 
 
 class Catalog:
@@ -139,8 +154,11 @@ class Catalog:
 
     def register_views(self, spark: SparkSession, **params) -> list[str]:
         """CREATE OR REPLACE TEMP VIEW for every source whose
-        parameters resolve with the given values (sources needing
-        other parameters are skipped, returned list = registered)."""
+        parameters resolve with the given values. ONLY sources whose
+        required parameters lack values are skipped (returned list =
+        registered); a genuinely misconfigured source (missing args
+        keys, bad template fields) raises here, at the config, instead
+        of surfacing later as 'table not found'."""
         done = []
         for name, spec in self.sources.items():
             try:
@@ -148,6 +166,6 @@ class Catalog:
                     k: v for k, v in params.items() if k in spec.parameters
                 }).createOrReplaceTempView(name)
                 done.append(name)
-            except KeyError:
+            except MissingParameters:
                 continue
         return done

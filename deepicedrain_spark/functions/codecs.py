@@ -15,9 +15,10 @@ no pure-Python implementation of a real video codec is practical, and
 shipping one would be demo-math pretending to be production.
 
 Decoders accept anything the encoders emit plus the common cases a
-real corpus would hold (PNG: bit depth 8, color types 0/2/4/6 — alpha
-is dropped on the stats path; all five filter types. WAV: PCM16 mono
-or interleaved multichannel, first channel returned).
+real corpus would hold (PNG: bit depth 8, color types 0/2/4/6 — the
+stats path aggregates over ALL decoded channels incl. alpha; all five
+filter types. WAV: PCM16 mono or interleaved multichannel, first
+channel returned).
 """
 
 from __future__ import annotations
@@ -45,18 +46,23 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def png_encode(pixels: np.ndarray, level: int = 6) -> bytes:
-    """Encode (H, W) gray or (H, W, 3) RGB uint8 to PNG bytes.
-    Filter type 0 on every scanline (simplicity over ratio — ratio is
-    zlib's job; correctness is what the pipeline needs)."""
+    """Encode uint8 pixels to PNG: (H, W) gray, (H, W, 2) gray+alpha,
+    (H, W, 3) RGB, or (H, W, 4) RGBA — every layout png_decode can
+    produce, so decode -> transform -> encode round-trips alpha images
+    too. Filter type 0 on every scanline (simplicity over ratio —
+    ratio is zlib's job; correctness is what the pipeline needs)."""
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, nch = 0, 1
         h, w = arr.shape
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        color_type, nch = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        nch = arr.shape[2]
+        color_type = {2: 4, 3: 2, 4: 6}[nch]  # GA, RGB, RGBA
         h, w = arr.shape[:2]
     else:
-        raise ValueError(f"png_encode: expected (H,W) or (H,W,3) uint8, got {arr.shape}")
+        raise ValueError(
+            f"png_encode: expected (H,W[,2|3|4]) uint8, got {arr.shape}"
+        )
     raw = arr.reshape(h, w * nch)
     scanlines = np.concatenate(
         [np.zeros((h, 1), dtype=np.uint8), raw], axis=1

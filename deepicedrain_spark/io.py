@@ -75,9 +75,12 @@ def table_rows(sf_dir: str, name: str) -> int:
 
     path = table_path(sf_dir, name)
     if os.path.isdir(path):
+        # recursive: hive-partitioned output (k=<v>/part-*.parquet from
+        # write_parquet(partition_by=...)) has no top-level files and a
+        # flat glob would silently report 0 rows
         return sum(
             pq.ParquetFile(p).metadata.num_rows
-            for p in glob.glob(os.path.join(path, "*.parquet"))
+            for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
     return pq.ParquetFile(path).metadata.num_rows
 

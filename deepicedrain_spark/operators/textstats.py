@@ -28,14 +28,17 @@ STOPWORDS = {
 
 
 def whitespace_tokens(col: Column) -> Column:
-    """Whitespace tokenization; empty strings filtered (split on a
-    leading/trailing separator yields '')."""
+    """SINGLE-SPACE tokenization (the corpus convention: documents are
+    space-joined token streams); empty strings filtered (split on a
+    leading/trailing separator yields ''). Deliberately NOT a \\s+
+    split — every DuckDB oracle tokenizes with string_split(text, ' ')
+    and both engines must agree token-for-token."""
     return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
 
 
 def regex_tokens(col: Column) -> Column:
     """BPE-ish pre-tokenization: word runs and single non-word marks."""
-    return F.expr(f"regexp_extract_all(text, '{WORD_RE}', 0)")
+    return F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0))
 
 
 def token_count(col: Column) -> Column:
@@ -54,7 +57,7 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df.withColumn("_toks", whitespace_tokens(F.col(text_col)))
     for lang in STOPWORDS:
         out = out.withColumn(f"score_{lang}", stopword_hits("_toks", lang))
-    return out
+    return out.drop("_toks")
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
@@ -67,7 +70,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
     for lang in langs:
         cond = F.col(f"score_{lang}") == best
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return scored.withColumn(out, expr).drop("_toks")
+    return scored.withColumn(out, expr)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -78,9 +81,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     punct = F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
-    stop_en = F.expr(
-        "size(filter(filter(split(text, ' '), x -> x != ''), "
-        "t -> array_contains(array('the','a','of','and','to','in','is','it'), lower(t))))"
+    stop_en = F.size(
+        F.filter(
+            toks,
+            lambda tok: F.array_contains(
+                F.array(*[F.lit(w) for w in STOPWORDS["en"]]), F.lower(tok)
+            ),
+        )
+    )
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, tok: a + F.length(tok)
     )
     return (
         df.withColumn("n_chars", n_chars.cast("long"))
@@ -89,12 +99,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stopword_ratio", F.round(stop_en.cast("double") / n_tokens, 6))
         .withColumn(
             "mean_token_len",
-            F.round(
-                F.expr("aggregate(filter(split(text, ' '), x -> x != ''), 0L, (a, t) -> a + length(t))")
-                .cast("double")
-                / n_tokens,
-                6,
-            ),
+            F.round(tok_chars.cast("double") / n_tokens, 6),
         )
     )
 
@@ -164,14 +169,16 @@ def repetition_features(
         )
     )
     bigrams = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col),
+        # tokens materialize ONCE per row into _tk; the bigram zip
+        # slices that array rather than re-running split+filter 4x
         F.explode(
             F.expr(
-                f"zip_with(slice(filter(split({text_col}, ' '), x -> x != ''), 1, "
-                f"greatest(size(filter(split({text_col}, ' '), x -> x != '')) - 1, 0)), "
-                f"slice(filter(split({text_col}, ' '), x -> x != ''), 2, "
-                f"greatest(size(filter(split({text_col}, ' '), x -> x != '')) - 1, 0)), "
-                f"(a, b) -> concat(a, ' ', b))"
+                "zip_with(slice(_tk, 1, greatest(size(_tk) - 1, 0)), "
+                "slice(_tk, 2, greatest(size(_tk) - 1, 0)), "
+                "(a, b) -> concat(a, ' ', b))"
             )
         ).alias("bg"),
     )

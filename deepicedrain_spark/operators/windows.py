@@ -222,16 +222,20 @@ def sessionize(
 ) -> DataFrame:
     """Batch gap-based sessionization (batch parity with
     streaming.session_counts): a new session starts when the time since
-    the previous event in the partition exceeds ``gap`` (same units as
-    ``t_col``). session_id = cumulative count of session starts, so ids
-    are 1-based and ordered by time within each partition.
+    the previous event in the partition is ``>= gap`` (same units as
+    ``t_col``) — the boundary rule of Spark's ``session_window``, whose
+    per-event window is [t, t+gap) and merges only when the next start
+    is STRICTLY before the current end, so events exactly ``gap`` apart
+    fall in separate sessions. session_id = cumulative count of session
+    starts, so ids are 1-based and ordered by time within each
+    partition.
 
     One window sort per partition key — the same single shuffle a
     groupBy would need; no iterative logic.
     """
     w = Window.partitionBy(*part_cols).orderBy(t_col)
     is_start = F.when(
-        (F.col(t_col) - F.lag(t_col).over(w)) > F.lit(gap), 1
+        (F.col(t_col) - F.lag(t_col).over(w)) >= F.lit(gap), 1
     ).otherwise(F.when(F.lag(t_col).over(w).isNull(), 1).otherwise(0))
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_start).over(wc))

@@ -1473,7 +1473,7 @@ def q_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
       SELECT user_id, t,
              CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                       > 1800000000
+                       >= 1800000000
                   OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
                   THEN 1 ELSE 0 END AS s
       FROM ev),

@@ -95,3 +95,40 @@ def test_catalog_register_views(spark):
     assert set(done) == {"events", "named_table"}
     assert spark.sql("SELECT count(*) AS n FROM events").collect()[0]["n"] == 1000
     assert spark.sql("SELECT count(*) FROM named_table").collect()[0][0] > 0
+
+
+def test_catalog_misconfig_raises_not_skips(spark, tmp_path):
+    """Review finding r4: only missing PARAMETER VALUES may skip a
+    source during register_views; a bad template field or missing args
+    key must raise at the config, not vanish into 'table not found'."""
+    import pytest
+
+    from deepicedrain_spark.catalog import Catalog
+
+    cat = Catalog.from_dict(
+        {
+            "sources": {
+                "bad_template": {
+                    "driver": "parquet",
+                    "args": {"urlpath": "/data/{undeclared}/x.parquet"},
+                },
+            }
+        }
+    )
+    with pytest.raises(ValueError, match="undeclared"):
+        cat.register_views(spark)
+
+
+def test_catalog_brace_escapes_consistent():
+    """{{...}} unescapes to {...} whether or not a field appears."""
+    from deepicedrain_spark.catalog import SourceSpec
+
+    spec = SourceSpec(
+        name="s",
+        driver="parquet",
+        args={"a": "/d/{{lit}}/x", "b": "/d/{{lit}}/{p}/x"},
+        parameters={"p": {"default": "v"}},
+    )
+    got = spec.resolve_args()
+    assert got["a"] == "/d/{lit}/x"
+    assert got["b"] == "/d/{lit}/v/x"

@@ -201,3 +201,24 @@ def test_avi_rejects_garbage_and_compressed():
     struct.pack_into("<I", data, pos + 8 + 16, 0x34363248)  # 'H264'
     with pytest.raises(NotImplementedError):
         avi_decode(bytes(data))
+
+
+def test_png_alpha_roundtrip_and_resize():
+    """Review finding r4: png_encode accepts the 2-/4-channel layouts
+    png_decode produces for color types 4/6, so the real-mode
+    decode->resize->encode path survives alpha images."""
+    import numpy as np
+
+    from deepicedrain_spark.functions.codecs import (
+        png_decode,
+        png_encode,
+        png_resize_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(6, 5, 2), (6, 5, 4)]:
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        back = png_decode(png_encode(a))
+        assert back.shape == a.shape and np.array_equal(back, a)
+        r = png_resize_nearest(back, 3, 4)
+        assert np.array_equal(png_decode(png_encode(r)), r)

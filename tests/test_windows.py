@@ -40,3 +40,23 @@ def test_trailing_range_sums_prefix_matches_native_frame(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_sessionize_boundary_matches_session_window(spark):
+    """Review finding r4: events exactly `gap` apart must land in
+    SEPARATE sessions — Spark's session_window merges only when the
+    next start is strictly before the current end."""
+    import pandas as pd
+
+    from deepicedrain_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 1], "t": [0, 10, 20, 25]})
+    )
+    got = {
+        r["t"]: r["session_id"]
+        for r in sessionize(df, ["k"], "t", gap=10).collect()
+    }
+    # 0 -> s1; 10 is exactly gap after 0 -> NEW session; 20 likewise;
+    # 25 is 5 < gap after 20 -> same session
+    assert got == {0: 1, 10: 2, 20: 3, 25: 3}
