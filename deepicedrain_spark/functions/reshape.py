@@ -38,8 +38,10 @@ def wide_to_long(
 
     ``stubnames=['h_corr','utc_time'], i=['id'], j='cycle_number'`` turns
     columns h_corr_3..9/utc_time_3..9 into rows
-    (id, cycle_number, h_corr, utc_time). Rows where ALL stub values are
-    null are dropped when ``dropna`` (reference drops NaN rows).
+    (id, cycle_number, h_corr, utc_time). When ``dropna``, rows where
+    ANY stub value is null are dropped — pandas ``dropna(how='any')``,
+    the reference's exact call (extraload.py wide_to_long ->
+    df_long.dropna()).
     """
     cycles = suffix_cycles(df, stubnames[0])
     for s in stubnames[1:]:
@@ -64,7 +66,7 @@ def wide_to_long(
         cond = None
         for s in stubnames:
             c = F.col(s).isNotNull()
-            cond = c if cond is None else (cond | c)
+            cond = c if cond is None else (cond & c)
         out = out.filter(cond)
     return out
 

@@ -194,7 +194,13 @@ def minhash_near_duplicates(
     MEMORY_AND_DISK on executors, the same footprint persist() would
     reach once hot."""
     shingled = word_shingles(df, text_col, n).localCheckpoint()
-    sigs = minhash_signature(shingled, "shingles", id_col, num_hashes)
+    # docs shorter than n words have NO shingles: their signatures
+    # would be 64 identical NULL slots, banding every such doc into one
+    # shared bucket (|bucket|^2 candidate pairs) whose Jaccard then
+    # divides by a zero union (ANSI error). They cannot near-duplicate
+    # anything by definition — drop them before signing.
+    signable = shingled.filter(F.size("shingles") > 0)
+    sigs = minhash_signature(signable, "shingles", id_col, num_hashes)
     # materialize the candidate pairs: they are tiny (O(near-dups)) but
     # Catalyst cannot know that from the banding plan, so the fused plan
     # shuffles the HEAVY shingle table into both verify joins. With the

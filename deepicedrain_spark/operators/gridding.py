@@ -53,8 +53,20 @@ def interpolate_grid(
     value — the DataFrame form of the reference's x/y/cycle data cube."""
     spark = df.sparkSession
     keys = [cycle_col] if cycle_col else []
+    if search_cells > block_cells:
+        # the halo only replicates into the +/-1 neighbor block, which
+        # covers a search radius of at most one block width — a larger
+        # radius would SILENTLY miss in-range cell medians
+        raise ValueError(
+            f"interpolate_grid: search_cells ({search_cells}) must be <= "
+            f"block_cells ({block_cells}) — the halo replicates one "
+            "neighbor block deep"
+        )
 
-    # 1. block-median per cell (reduces points → cells)
+    # 1. block-median per cell (reduces points → cells).
+    # localCheckpoint: this full point-table scan+shuffle feeds med,
+    # mad AND the halo — without materialization it re-runs 3x per
+    # action (it is the most expensive stage of the plan)
     cx = F.floor((F.col(x) - F.lit(region.xmin)) / F.lit(spacing)).alias("cx")
     cy = F.floor((F.col(y) - F.lit(region.ymin)) / F.lit(spacing)).alias("cy")
     cells = (
@@ -65,6 +77,7 @@ def interpolate_grid(
             F.expr(f"percentile({y}, 0.5D)").alias("my"),
             F.expr(f"percentile({z}, 0.5D)").alias("mz"),
         )
+        .localCheckpoint()
     )
 
     # clip limits: median ± k·MAD of the cell medians (GMT L option)
@@ -233,6 +246,10 @@ def tension_spline_grid(
             (F.col("gx") >= 0) & (F.col("gx") < nx)
             & (F.col("gy") >= 0) & (F.col("gy") < ny)
         )
+        # materialize: the point-table percentile aggregation feeds
+        # med, lim, the relaxation base AND the final mask — without
+        # this it re-runs up to 5x per action
+        .localCheckpoint()
     )
     med = cells.agg(F.expr("percentile(mz, 0.5D)").alias("m"))
     lim = (

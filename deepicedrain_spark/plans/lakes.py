@@ -135,7 +135,7 @@ def lake_attributes_and_significance(
         )
         .filter(~inner_pred)
         .select("_b", "_c", dhdt)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     donut = donut_pts.groupBy(
         F.col("_b").alias(basin_col), F.col("_c").alias("cluster_id")
@@ -183,8 +183,23 @@ def find_lakes(
     basin_col: str = "basin_name",
 ) -> DataFrame:
     """Full pipeline: PIP basins → filters → signed DBSCAN → hulls +
-    donut significance → lake attribute table."""
+    donut significance → lake attribute table.
+
+    The big intermediates (the labeled point table, the donut point
+    sets inside lake_attributes_and_significance) are cached because
+    multiple aggregation passes read them; the RESULT is an O(lakes)
+    table, so it is eagerly materialized here and the point-table cache
+    released before returning — repeated find_lakes calls (per region /
+    epoch) do not accumulate executor storage."""
     # labeled feeds both the cluster path and the donut all_points scan
     labeled = label_basins(points, basins).persist()
-    clustered = find_lake_clusters(labeled, basin_col, eps=eps, min_samples=min_samples)
-    return lake_attributes_and_significance(clustered, labeled, basin_col)
+    try:
+        clustered = find_lake_clusters(
+            labeled, basin_col, eps=eps, min_samples=min_samples
+        )
+        out = lake_attributes_and_significance(
+            clustered, labeled, basin_col
+        ).localCheckpoint(eager=True)
+    finally:
+        labeled.unpersist()
+    return out

@@ -110,9 +110,22 @@ def read_hdf5(
     if len(lengths) != 1:
         raise ValueError(f"read_hdf5: ragged datasets under {group}: {shapes}")
     n_rows = lengths.pop()
-    stride = chunk_rows or (max(native_chunks) if native_chunks else 65536)
-    chunks = plan_chunks(n_rows, stride)
+    if chunk_rows:
+        stride = chunk_rows
+    elif native_chunks:
+        # stripe = a multiple of the native chunk (decompression stays
+        # aligned) of at least 64k rows — a file gzip-chunked at e.g.
+        # 100 rows must not explode a 10M-row dataset into 100k tasks
+        native = max(native_chunks)
+        stride = native * max(1, -(-65536 // native))
+    else:
+        stride = 65536
     schema = spark_schema_for(dtypes)
+    if n_rows == 0:
+        # legal HDF5 (empty/missing beam in a real granule): an empty
+        # frame, not repartition(0)'s IllegalArgumentException
+        return spark.createDataFrame([], schema)
+    chunks = plan_chunks(n_rows, stride)
 
     # one task per chunk stripe: without the repartition the tiny task
     # table inherits the session default (32) partitions, so a union of

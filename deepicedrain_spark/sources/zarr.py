@@ -122,8 +122,14 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
         offsets[int(r["_pid"])] = acc
         acc += int(r["_n"])
     n_rows = acc
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    # stage the whole store in a sibling temp dir and rename into place
+    # only after every chunk task has succeeded — a mid-job failure
+    # must neither destroy the pre-existing store nor leave metadata
+    # that references missing chunk files (same pattern as the
+    # streaming sink's staged version publish)
+    final_path = path
+    path = f"{final_path}.staging.{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
 
     os.makedirs(path, exist_ok=True)
     for c in cols:
@@ -173,20 +179,35 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
             )
         for c in cols:
             arr = pdf[c].to_numpy(dtype=np_dtypes[c])
+            if len(arr) < chunk_rows:
+                # Zarr v2 stores edge chunks at FULL chunk shape (shape
+                # clips on read) — an unpadded ragged chunk breaks real
+                # zarr-python even though our own reader slices
+                full = np.zeros(chunk_rows, dtype=arr.dtype)
+                full[: len(arr)] = arr
+                arr = full
             payload = zlib.compress(arr.tobytes(order="C"), 1)
             with open(os.path.join(path, c, str(cid)), "wb") as f:
                 f.write(payload)
         return pd.DataFrame({"cid": [cid]})
 
-    (
-        indexed.withColumn("_cid", (F.col("_gidx") / F.lit(chunk_rows)).cast("long"))
-        .groupBy("_cid")
-        .applyInPandas(write_chunk, schema="cid long")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-    pinned.unpersist()
+    try:
+        (
+            indexed.withColumn("_cid", (F.col("_gidx") / F.lit(chunk_rows)).cast("long"))
+            .groupBy("_cid")
+            .applyInPandas(write_chunk, schema="cid long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)  # staging only; old store intact
+        raise
+    finally:
+        pinned.unpersist()
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    os.rename(path, final_path)
 
 
 def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
@@ -215,6 +236,15 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
     chunks_df = spark.range(n_chunks).withColumnRenamed("id", "cid")
     dtypes = {c: arrays[c]["dtype"] for c in cols}
     compressors = {c: arrays[c]["compressor"] for c in cols}
+    for c in cols:
+        if arrays[c].get("filters"):
+            # decoding would zlib-inflate then frombuffer the STILL-
+            # FILTERED bytes into garbage values with no error
+            raise ValueError(
+                f"read_zarr: array {c!r} uses codec filters "
+                f"{arrays[c]['filters']}; only plain zlib/no-compressor "
+                "stores are supported"
+            )
 
     def decode(batches):
         for pdf in batches:

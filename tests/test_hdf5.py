@@ -384,3 +384,18 @@ def test_dense_group_many_links_indirectable():
     assert sorted(f["grp"].keys())[:2] == ["d000", "d001"]
     assert len(list(f["grp"].keys())) == 150
     assert np.array_equal(f["grp/d149"][:], np.arange(5) + 149)
+
+
+def test_read_hdf5_empty_dataset(spark):
+    """Review finding r4: a zero-length dataset (empty beam in a real
+    granule) yields an empty DataFrame, not repartition(0)'s error."""
+    import numpy as np
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    p = "/tmp/spark_graft_test_empty_beam.h5"
+    write_hdf5(p, {"g": {"a": np.array([], dtype="f8"), "b": np.array([], dtype="i8")}})
+    df = read_hdf5(spark, p, "g", ["a", "b"])
+    assert df.count() == 0
+    assert set(df.columns) == {"row_index", "a", "b"}

@@ -229,3 +229,24 @@ def test_stateful_dedup_within_watermark_runs(spark):
     )
     base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert 0 < out.count() <= base.count()
+
+
+def test_minhash_short_docs_no_crash(spark):
+    """Review finding r4: docs shorter than n words have no shingles;
+    they must be dropped before signing (identical all-NULL signatures
+    previously banded them into one bucket whose Jaccard divided by a
+    zero union under ANSI mode)."""
+    from deepicedrain_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),
+            (2, "ok"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = minhash_near_duplicates(docs, threshold=0.8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(3, 4)}  # the real dup found; short docs ignored

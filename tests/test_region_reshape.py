@@ -66,3 +66,20 @@ def test_nanrange_wide(spark):
     )
     out = df.select(nanrange_wide(["a", "b", "c", "d", "e"]).alias("r")).collect()
     assert out[0]["r"] == 189.0
+
+
+def test_wide_to_long_dropna_any_semantics(spark):
+    """Review finding r4: dropna matches the reference's pandas
+    dropna(how='any') — a row with ANY null stub is dropped, not only
+    all-null rows."""
+    from deepicedrain_spark.functions.reshape import wide_to_long
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 100.0, None, None, 7.0, None)],
+        "id long, h_corr_1 double, utc_time_1 double, "
+        "h_corr_2 double, utc_time_2 double, h_corr_3 double, utc_time_3 double",
+    )
+    rows = wide_to_long(df, ["h_corr", "utc_time"], i=["id"]).collect()
+    # cycle 1: both present -> kept; cycle 2: both null -> dropped;
+    # cycle 3: h_corr present but utc_time null -> DROPPED (how='any')
+    assert [(r["cycle_number"]) for r in rows] == [1]

@@ -115,3 +115,58 @@ def test_zarr_crosscheck_against_zarr_python(spark, tmp_path):
     assert len(rows) == 5000
     assert rows[17]["a"] == 17
     assert abs(rows[17]["b"] - 17 / 4999) < 1e-12
+
+
+def test_zarr_edge_chunk_stored_full_size(spark, tmp_path):
+    """Review finding r4: Zarr v2 stores edge chunks at FULL chunk
+    shape — the raw final chunk must decompress to chunk_rows
+    elements, or real zarr-python cannot read the store."""
+    import zlib
+
+    import numpy as np
+
+    path = str(tmp_path / "edge.zarr")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    write_zarr(df, path, chunk_rows=64)
+    with open(os.path.join(path, "k", "0"), "rb") as fh:
+        raw = zlib.decompress(fh.read())
+    arr = np.frombuffer(raw, dtype="<i8")
+    assert len(arr) == 64  # full chunk shape, zero-padded
+    assert list(arr[:10]) == list(range(10))
+    back = read_zarr(spark, path)
+    assert back.count() == 10  # shape still clips on read
+
+
+def test_zarr_write_failure_preserves_old_store(spark, tmp_path):
+    """Review finding r4: the store is staged and renamed into place —
+    a failing write must leave the previous store readable."""
+    import pytest
+
+    path = str(tmp_path / "keep.zarr")
+    ok = spark.range(0, 5).select(F.col("id").alias("k"))
+    write_zarr(ok, path, chunk_rows=8)
+    bad = spark.range(0, 5).select(
+        F.when(F.col("id") == 3, None).otherwise(F.col("id")).alias("k")
+    )
+    with pytest.raises(Exception):
+        write_zarr(bad, path, chunk_rows=8)  # NULLs are rejected
+    back = read_zarr(spark, path)
+    assert back.count() == 5  # old store intact
+
+
+def test_zarr_read_rejects_filtered_store(spark, tmp_path):
+    """Review finding r4: a store using codec filters must raise, not
+    silently decode shuffled bytes into garbage."""
+    import json as _json
+
+    import pytest
+
+    path = str(tmp_path / "filt.zarr")
+    df = spark.range(0, 4).select(F.col("id").alias("k"))
+    write_zarr(df, path, chunk_rows=8)
+    meta_p = os.path.join(path, ".zmetadata")
+    meta = _json.load(open(meta_p))
+    meta["metadata"]["k/.zarray"]["filters"] = [{"id": "shuffle", "elementsize": 8}]
+    _json.dump(meta, open(meta_p, "w"))
+    with pytest.raises(ValueError, match="filters"):
+        read_zarr(spark, path).collect()
