@@ -26,8 +26,12 @@ def deltatime_to_utctime(delta_ns: Column, epoch: str = ATLAS_EPOCH) -> Column:
 
     The epoch literal is resolved to UTC epoch-µs python-side:
     ``to_timestamp(lit)`` would interpret it in the session timezone,
-    which the driver's vanilla session does not pin to UTC."""
-    return F.timestamp_micros(F.lit(us_of(epoch)) + (delta_ns / F.lit(1000)).cast("long"))
+    which the driver's vanilla session does not pin to UTC. The ns→µs
+    step uses exact decimal division (ns_to_us) — double division
+    rounds the int64 ns to the nearest representable double first
+    (32 ns granularity by 2025-era offsets), which measurably shifted
+    µs-aligned timestamps by 1 µs."""
+    return F.timestamp_micros(F.lit(us_of(epoch)) + ns_to_us(delta_ns))
 
 
 def utctime_to_deltans(ts: Column, epoch: str = ATLAS_EPOCH) -> Column:

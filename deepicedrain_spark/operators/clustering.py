@@ -152,9 +152,21 @@ def find_clusters_signed(
 ) -> DataFrame:
     """Reference semantics (atlxi_lake.py:212-227): cluster draining
     (sign<0) and filling (sign>0) populations separately; draining
-    cluster ids are NEGATED so signs encode direction."""
+    cluster ids are NEGATED so signs encode direction.
+
+    Rows belonging to NEITHER population (sign exactly 0, NULL, or
+    NaN) come back with a NULL cluster label instead of vanishing —
+    output row count equals input row count, matching find_clusters'
+    keep-noise convention (previously 0/NULL rows were silently
+    dropped and NaN rows leaked into a NaN-sign cluster group)."""
     base = df.withColumn("_sign", F.signum(F.col(sign_col)))
-    split = base.filter(F.col("_sign") != 0)
+    clusterable = (F.col("_sign") == 1) | (F.col("_sign") == -1)
+    split = base.filter(clusterable)
+    rest = (
+        base.filter(~F.coalesce(clusterable, F.lit(False)))
+        .withColumn(label_col, F.lit(None).cast("long"))
+        .drop("_sign")
+    )
     clustered = find_clusters(
         split,
         [*group_cols, "_sign"],
@@ -163,9 +175,13 @@ def find_clusters_signed(
         min_samples,
         label_col,
     )
-    return clustered.withColumn(
-        label_col, (F.col(label_col) * F.col("_sign")).cast("long")
-    ).drop("_sign")
+    return (
+        clustered.withColumn(
+            label_col, (F.col(label_col) * F.col("_sign")).cast("long")
+        )
+        .drop("_sign")
+        .unionByName(rest)
+    )
 
 
 def dbscan_distributed(
@@ -240,7 +256,11 @@ def dbscan_distributed(
         "_gid",
         F.concat_ws("_", F.col("_bx"), F.col("_by"), F.col("_local")),
     )
-    local = local.persist()
+    # eager checkpoint (not a bare persist): it feeds the edge collect,
+    # the gid collect AND the returned label join, and checkpoint
+    # blocks release automatically when the result is GC'd — a persist
+    # with no unpersist leaked the exploded point table per call
+    local = local.localCheckpoint(eager=True)
 
     # witness edges: same point id clustered in two blocks, core in ≥1
     copies = local.select(id_col, "_gid", "_is_core")

@@ -163,12 +163,10 @@ def grouped_linregress_pandas(df: DataFrame, group_cols: list[str], y: str, x: s
     import pandas as pd
     from scipy import stats  # import-gated: raises if absent
 
-    out_fields = ", ".join(f"{c} string" for c in group_cols)
     schema = (
         ", ".join(f"`{c}` " + dict(df.dtypes)[c] for c in group_cols)
         + ", n long, slope double, intercept double, rvalue double, pvalue double, stderr double"
     )
-    del out_fields
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         sub = pdf[[x, y]].dropna()

@@ -71,13 +71,18 @@ def raycast_predicate(px: str = "x", py: str = "y", xs: str = "xs", ys: str = "y
     inside. Identical double math to the standard C ray-cast, so an
     oracle can reproduce it edge-by-edge in SQL.
     """
+    # size < 2 guard: sequence(0, -1) DESCENDS in Spark, producing
+    # negative ring indices (ANSI: INVALID_ARRAY_INDEX) — a degenerate
+    # ring contains nothing
     return F.expr(
         f"""
+        CASE WHEN size({xs}) >= 2 THEN
         size(filter(sequence(0, size({xs}) - 2), i ->
             (({ys}[i+1] > {py}) != ({ys}[i] > {py})) AND
             ({px} < ({xs}[i] - {xs}[i+1]) * ({py} - {ys}[i+1])
                     / ({ys}[i] - {ys}[i+1]) + {xs}[i+1])
         )) % 2 = 1
+        ELSE false END
         """
     )
 
@@ -106,17 +111,9 @@ def point_in_polygon(
     predicate before the HOF). ``how='left'`` keeps unlabeled points
     with null poly_id (reference keeps unlabeled as NaN)."""
     pred = bbox_predicate(x, y) & raycast_predicate(x, y)
-    poly_cols = [c for c in polys.columns if c not in ("xs", "ys", "xmin", "xmax", "ymin", "ymax")]
-    if how == "inner":
-        return (
-            points.join(F.broadcast(polys), on=pred, how="inner")
-            .drop("xs", "ys", "xmin", "xmax", "ymin", "ymax")
-        )
-    labeled = (
-        points.join(F.broadcast(polys), on=pred, how="left")
-        .drop("xs", "ys", "xmin", "xmax", "ymin", "ymax")
+    return points.join(F.broadcast(polys), on=pred, how=how).drop(
+        "xs", "ys", "xmin", "xmax", "ymin", "ymax"
     )
-    return labeled
 
 
 def point_in_polygon_gridded(
@@ -182,9 +179,17 @@ def _monotone_chain(pts: list[tuple[float, float]]) -> list[tuple[float, float]]
 
 def _hull_udf():
     def hull(points):
-        if not points:
+        # drop points with NULL/NaN coordinates: sorted() cannot order
+        # None and a NaN vertex poisons every cross product
+        pts = [
+            (p["x"], p["y"])
+            for p in points or []
+            if p["x"] is not None and p["y"] is not None
+            and p["x"] == p["x"] and p["y"] == p["y"]
+        ]
+        if not pts:
             return []
-        ring = _monotone_chain([(p["x"], p["y"]) for p in points])
+        ring = _monotone_chain(pts)
         return [{"x": px, "y": py} for px, py in ring]
 
     return F.udf(hull, _RING)
@@ -229,12 +234,16 @@ def buffered(df: DataFrame, ring_col: str, radius: float, out: str = "hull_buffe
 
 
 def ring_area(ring_col: str) -> Column:
-    """Shoelace area of a closed ring — pure HOF expression."""
+    """Shoelace area of a closed ring — pure HOF expression. Degenerate
+    rings (size < 2) have area 0 (the sequence guard dodges the
+    descending sequence(0, -1) / negative-index trap)."""
     return F.expr(
         f"""
+        CASE WHEN size({ring_col}) >= 2 THEN
         abs(aggregate(sequence(0, size({ring_col}) - 2), cast(0.0 as double),
             (acc, i) -> acc + ({ring_col}[i].x * {ring_col}[i+1].y
                               - {ring_col}[i+1].x * {ring_col}[i].y))) / 2
+        ELSE 0.0D END
         """
     )
 

@@ -61,8 +61,17 @@ class Region:
         aggregation keeps shuffle volume at O(cells), not O(points)."""
         cell_w = (self.xmax - self.xmin) / width
         cell_h = (self.ymax - self.ymin) / height
-        px = F.floor((F.col(x) - F.lit(self.xmin)) / F.lit(cell_w)).alias("px")
-        py = F.floor((F.col(y) - F.lit(self.ymin)) / F.lit(cell_h)).alias("py")
+        # least(width-1): when cell_w rounds DOWN in fp, a point just
+        # under xmax can floor to `width`, minting a pixel column
+        # outside the raster — clamp to the canvas like datashader
+        px = F.least(
+            F.floor((F.col(x) - F.lit(self.xmin)) / F.lit(cell_w)),
+            F.lit(width - 1),
+        ).alias("px")
+        py = F.least(
+            F.floor((F.col(y) - F.lit(self.ymin)) / F.lit(cell_h)),
+            F.lit(height - 1),
+        ).alias("py")
         return (
             self.subset(df, x, y)
             .groupBy(px, py)

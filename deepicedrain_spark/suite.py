@@ -482,8 +482,8 @@ def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "raster_datashade",
     """
-    SELECT CAST(floor((CAST(embedding[1] AS DOUBLE) - (-0.5)) / 0.1) AS BIGINT) AS px,
-           CAST(floor((CAST(embedding[2] AS DOUBLE) - (-0.5)) / 0.1) AS BIGINT) AS py,
+    SELECT least(CAST(floor((CAST(embedding[1] AS DOUBLE) - (-0.5)) / 0.1) AS BIGINT), 9) AS px,
+           least(CAST(floor((CAST(embedding[2] AS DOUBLE) - (-0.5)) / 0.1) AS BIGINT), 9) AS py,
            round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS z_mean,
            count(*) AS n
     FROM embeddings

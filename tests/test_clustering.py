@@ -102,3 +102,26 @@ def test_dbscan_distributed_merges_across_blocks(spark):
     labels = {by_id[i] for i in range(81)}
     assert len(labels) == 1 and None not in labels  # one merged cluster
     assert by_id[999] is None
+
+
+def test_signed_clusters_keep_zero_null_nan_rows(spark):
+    """Review finding r4: rows in NEITHER sign population (0, NULL,
+    NaN dhdt) return with a NULL cluster label instead of vanishing."""
+    import pandas as pd
+
+    from deepicedrain_spark.operators.clustering import find_clusters_signed
+
+    rows = []
+    for i in range(30):  # a clusterable negative population
+        rows.append({"g": "a", "x": float(i % 6), "y": float(i // 6), "s": -1.0})
+    rows += [
+        {"g": "a", "x": 100.0, "y": 100.0, "s": 0.0},
+        {"g": "a", "x": 101.0, "y": 101.0, "s": None},
+        {"g": "a", "x": 102.0, "y": 102.0, "s": float("nan")},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = find_clusters_signed(df, ["g"], ["x", "y"], "s", eps=2.0, min_samples=4)
+    assert out.count() == len(rows)  # nothing dropped
+    null_lab = out.filter(F.col("cluster_id").isNull())
+    assert null_lab.count() == 3
+    assert sorted(r["x"] for r in null_lab.collect()) == [100.0, 101.0, 102.0]

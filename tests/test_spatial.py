@@ -110,3 +110,29 @@ def test_buffered_donut_ring(spark):
     )
     got = {r["pid"] for r in in_outer.collect()}
     assert got == {1, 2}  # 40,5 is outside even the buffer
+
+
+def test_hull_and_ring_area_degenerate_inputs(spark):
+    """Review finding r4: NULL/NaN coordinates are dropped before the
+    hull sort (previously TypeError), and degenerate rings have area 0
+    instead of tripping the descending-sequence negative-index trap."""
+    import pandas as pd
+
+    from deepicedrain_spark.operators.spatial import convex_hulls, ring_area
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": [1, 1, 1, 1, 2],
+                "x": [0.0, 1.0, None, 0.5, None],
+                "y": [0.0, 0.0, 2.0, 1.0, None],
+            }
+        )
+    )
+    hulls = convex_hulls(df, ["g"])
+    got = {r["g"]: r["hull"] for r in hulls.collect()}
+    assert len(got[1]) >= 4  # triangle ring from the 3 valid points
+    assert got[2] == []  # all-null group -> empty ring
+    areas = hulls.withColumn("a", ring_area("hull")).collect()
+    a = {r["g"]: r["a"] for r in areas}
+    assert a[2] == 0.0 and a[1] > 0

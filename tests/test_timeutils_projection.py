@@ -82,3 +82,25 @@ def test_projection_golden_pairs(spark):
     for r in out:
         assert math.isclose(r["x"], r["xe"], abs_tol=1.0)
         assert math.isclose(r["y"], r["ye"], abs_tol=1.0)
+
+
+def test_deltatime_to_utctime_exact_at_large_offsets(spark):
+    """Review finding r4 (confirmed numerically): ns offsets beyond
+    2^53 must convert by EXACT decimal division — double division
+    rounds the int64 to 32-ns granularity and shifted µs-aligned
+    2025-era timestamps by 1 µs."""
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.functions.timeutils import (
+        deltatime_to_utctime,
+        utctime_to_deltans,
+    )
+
+    vals = [247312754132874000, 2**53 + 1000, 123456789012345000]
+    df = spark.createDataFrame([(v,) for v in vals], "d long")
+    got = df.select(
+        F.col("d"), utctime_to_deltans(deltatime_to_utctime(F.col("d"))).alias("rt")
+    ).collect()
+    for r in got:
+        # exact at µs resolution: the round trip truncates sub-µs only
+        assert r["rt"] == (r["d"] // 1000) * 1000, (r["d"], r["rt"])
