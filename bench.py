@@ -42,8 +42,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
-    run_one(spark, suite.q_height_range, SF_DIR)
+    # warmup: JVM + codegen + parquet footer caches (tolerated like the
+    # timed loop — a bad SF dir must still produce the JSON line, with
+    # errors visible in it, not a naked traceback the capture drops)
+    try:
+        run_one(spark, suite.q_height_range, SF_DIR)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench warmup error: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for _pass in range(2):
@@ -61,6 +66,7 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    errors = sorted(n for n, t in timings.items() if t < 0)
     sf = 0.1
     try:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
@@ -73,7 +79,8 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(
             {"metric": "suite_total_wall", "value": total, "unit": "sec",
-             "queries": timings, "n_queries": len(timings), "sf": sf},
+             "queries": timings, "n_queries": len(timings), "sf": sf,
+             "errors": errors},
             f, indent=1, sort_keys=True,
         )
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
@@ -86,6 +93,7 @@ def main() -> None:
                 "queries": top10,
                 "n_queries": len(timings),
                 "sf": sf,
+                "n_errors": len(errors),
             },
             separators=(",", ":"),
         )

@@ -50,9 +50,12 @@ def replace_value(col: Column, to_replace, value=None) -> Column:
 
 def bin_label(col: Column, edges: list[float], labels: list[str]) -> Column:
     """pd.cut equivalent (F5; reference extraload.py:162-166 bins
-    y_atc at (−∞,−100,100,∞) → pt1/pt2/pt3)."""
+    y_atc at (−∞,−100,100,∞) → pt1/pt2/pt3). NULL and NaN inputs map
+    to NULL, matching pd.cut's NaN — without the explicit guard they
+    would fall through every `<= edge` WHEN into the TOP bin."""
     assert len(labels) == len(edges) + 1
-    expr = F.when(col <= F.lit(edges[0]), F.lit(labels[0]))
+    expr = F.when(col.isNull() | F.isnan(col), F.lit(None).cast("string"))
+    expr = expr.when(col <= F.lit(edges[0]), F.lit(labels[0]))
     for i in range(1, len(edges)):
         expr = expr.when(col <= F.lit(edges[i]), F.lit(labels[i]))
     return expr.otherwise(F.lit(labels[-1]))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from deepicedrain_spark.functions.timeutils import NS_PER_YEAR
+from deepicedrain_spark.functions.timeutils import slope_per_ns_to_per_year
 from deepicedrain_spark.operators.regression import linregress_aggs
 
 H_RANGE_FLOOR = 0.25  # m — reference atlxi_dhdt.py:248-251
@@ -53,7 +53,7 @@ def compute_dhdt(
         *linregress_aggs(h, t_ns),
     )
     return (
-        out.withColumn("dhdt_slope", F.col("slope") * F.lit(NS_PER_YEAR))
-        .withColumn("dhdt_intercept", F.col("intercept"))
-        .drop("slope", "intercept")
+        out.withColumn("dhdt_slope", slope_per_ns_to_per_year(F.col("slope")))
+        .withColumnRenamed("intercept", "dhdt_intercept")
+        .drop("slope")
     )

@@ -26,7 +26,11 @@ def get_spark(app_name: str = "deepicedrain-spark", cpus: int | None = None) -> 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
     """
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+        try:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+        except ValueError:  # malformed env var: fall back, don't crash
+            cpus = 0
+        cpus = cpus or os.cpu_count() or 4
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -553,7 +553,8 @@ def q_piped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bin_labels",
     """
-    SELECT CASE WHEN value <= 25.0 THEN 'low'
+    SELECT CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                WHEN value <= 25.0 THEN 'low'
                 WHEN value <= 75.0 THEN 'mid'
                 ELSE 'high' END AS bin,
            count(*) AS n,

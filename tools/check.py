@@ -120,10 +120,15 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            # ONE oracle execution: arrow() gives schema AND rows
+            # (a second fetchall() execution doubled oracle wall time)
             ares = con.execute(sql).arrow()
             dcols = ares.schema.names
             dtypes = {f.name: canon_type(f.type) for f in ares.schema}
-            drows = con.execute(sql).fetchall()
+            dcolumns = [col.to_pylist() for col in ares.columns]
+            drows = list(zip(*dcolumns)) if dcolumns else []
+            if not drows and ares.num_rows:
+                drows = [() for _ in range(ares.num_rows)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

@@ -84,8 +84,10 @@ def exchange_skew(spark, execution_id: int) -> list[dict]:
     return out
 
 
-def latest_execution_id(spark) -> int:
+def latest_execution_id(spark) -> int | None:
     execs = spark._jsparkSession.sharedState().statusStore().executionsList()
+    if execs.size() == 0:
+        return None  # listener bus hasn't delivered the first execution yet
     return execs.apply(execs.size() - 1).executionId()
 
 
@@ -105,24 +107,39 @@ def main() -> int:
 
         names = [n for n in PRIORITY if n in qs and not n.startswith("streaming_")]
 
+    import time
+
     n_skewed = 0
+    n_err = 0
     for name in names:
         try:
+            # execution ids seen BEFORE this query, so the poll below can
+            # tell this query's execution apart from a stale predecessor
+            # (the status store is fed asynchronously off the listener
+            # bus: reading "the latest" right after write() can still
+            # point at the PREVIOUS query)
+            prev_eid = latest_execution_id(spark)
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            eid = latest_execution_id(spark)
-            # the status store is fed asynchronously off the listener
-            # bus — poll briefly until the execution's metrics land
-            import time
-
             rows = []
-            for _ in range(20):
-                rows = exchange_skew(spark, eid)
-                if rows:
+            for _ in range(50):
+                try:
+                    eid = latest_execution_id(spark)
+                    if eid is None or (prev_eid is not None and eid <= prev_eid):
+                        time.sleep(0.1)  # this query's execution not landed
+                        continue
+                    rows = exchange_skew(spark, eid)
+                except Exception:  # metrics mid-flight: retry, don't abort
+                    time.sleep(0.1)
+                    continue
+                # require the metric we actually gate on — a broadcast
+                # 'data size' row can land before the shuffle rows do
+                if any(r["metric"] == "shuffle bytes written" for r in rows):
                     break
                 time.sleep(0.1)
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {e}")
+            n_err += 1
             continue
         finally:
             spark.catalog.clearCache()
@@ -143,8 +160,13 @@ def main() -> int:
             print(f"SKEW {name}: {det}")
         else:
             print(f"ok   {name}: {len(rows)} exchange metrics, worst max/med {worst:.1f}x")
-    print(f"\n{n_skewed} skewed quer{'y' if n_skewed == 1 else 'ies'}")
-    return n_skewed
+    print(
+        f"\n{n_skewed} skewed quer{'y' if n_skewed == 1 else 'ies'}"
+        + (f", {n_err} errored" if n_err else "")
+    )
+    # errored measurements gate too: a run where queries failed to
+    # measure must not pass CI as "zero skew"
+    return n_skewed + n_err
 
 
 if __name__ == "__main__":
