@@ -1,10 +1,12 @@
-"""Zarr v2 columnar source/sink — pure numpy + stdlib, no zarr lib
+"""Zarr v2 + v3 columnar source/sink — pure numpy + stdlib, no zarr lib
 (SURVEY S3/S4: the reference's canonical store is per-track Zarr;
 ``ds.to_zarr(store, mode='w', consolidated=True)`` at
 /root/reference/atl06_to_atl11.py:299-303, multi-store scan at
 /root/reference/atlxi_dhdt.py:73-82).
 
-Layout written (readable by the real zarr-python):
+Layouts written (readable by the real zarr-python; v3 per ZEP1 with
+the bytes+gzip codec chain, zarr.json nodes and c/<i> chunk keys;
+read_zarr auto-detects the format):
 
     path/.zgroup                 {"zarr_format": 2}
     path/.zmetadata              consolidated metadata
@@ -62,8 +64,50 @@ def _zarray_meta(n_rows: int, chunk_rows: int, np_dtype: str) -> dict:
     }
 
 
-def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
-    """Distributed Zarr v2 sink: one array per column, zlib chunks.
+_NP_TO_V3 = {
+    "<i8": "int64", "<i4": "int32", "<i2": "int16", "<i1": "int8",
+    "<f8": "float64", "<f4": "float32", "|b1": "bool",
+}
+_V3_TO_NP = {v: k for k, v in _NP_TO_V3.items()}
+
+
+def _zarray_meta_v3(n_rows: int, chunk_rows: int, np_dtype: str) -> dict:
+    """Zarr v3 (ZEP1) array metadata: bytes codec (little endian) +
+    gzip compression, regular chunk grid, default 'c/<i>' chunk keys."""
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [n_rows],
+        "data_type": _NP_TO_V3[np_dtype],
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": [chunk_rows]},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 1}},
+        ],
+        "fill_value": 0,
+        "attributes": {},
+    }
+
+
+def _gzip_compress(raw: bytes, level: int = 1) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)  # wbits 31 = gzip container
+    return co.compress(raw) + co.flush()
+
+
+def write_zarr(
+    df: DataFrame, path: str, chunk_rows: int = 65536, zarr_format: int = 2
+) -> None:
+    """Distributed Zarr sink: one array per column. ``zarr_format=2``
+    (default) writes the v2 layout (.zarray/.zmetadata, zlib chunks);
+    ``zarr_format=3`` writes the ZEP1 v3 layout (zarr.json per node,
+    bytes+gzip codec chain, 'c/<i>' chunk keys).
 
     Arrow end-to-end (no Python-row RDD anywhere): the count pass is a
     Catalyst aggregation, the global index is assigned per partition in
@@ -82,6 +126,8 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
 
     from pyspark.sql import functions as F
 
+    if zarr_format not in (2, 3):
+        raise ValueError("write_zarr: zarr_format must be 2 or 3")
     cols = df.columns
     dtypes = dict(df.dtypes)
     np_dtypes = {}
@@ -134,17 +180,27 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
     os.makedirs(path, exist_ok=True)
     for c in cols:
         os.makedirs(os.path.join(path, c), exist_ok=True)
-    meta = {"metadata": {".zgroup": {"zarr_format": 2}}, "zarr_format": 1}
-    for c in cols:
-        meta["metadata"][f"{c}/.zarray"] = _zarray_meta(
-            n_rows, chunk_rows, np_dtypes[c]
-        )
-        with open(os.path.join(path, c, ".zarray"), "w") as f:
-            json.dump(meta["metadata"][f"{c}/.zarray"], f)
-    with open(os.path.join(path, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": 2}, f)
-    with open(os.path.join(path, ".zmetadata"), "w") as f:
-        json.dump(meta, f)
+    if zarr_format == 2:
+        meta = {"metadata": {".zgroup": {"zarr_format": 2}}, "zarr_format": 1}
+        for c in cols:
+            meta["metadata"][f"{c}/.zarray"] = _zarray_meta(
+                n_rows, chunk_rows, np_dtypes[c]
+            )
+            with open(os.path.join(path, c, ".zarray"), "w") as f:
+                json.dump(meta["metadata"][f"{c}/.zarray"], f)
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        with open(os.path.join(path, ".zmetadata"), "w") as f:
+            json.dump(meta, f)
+    else:
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump(
+                {"zarr_format": 3, "node_type": "group", "attributes": {}}, f
+            )
+        for c in cols:
+            os.makedirs(os.path.join(path, c, "c"), exist_ok=True)
+            with open(os.path.join(path, c, "zarr.json"), "w") as f:
+                json.dump(_zarray_meta_v3(n_rows, chunk_rows, np_dtypes[c]), f)
 
     spark = df.sparkSession
     b_offsets = spark.sparkContext.broadcast(offsets)
@@ -186,8 +242,14 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
                 full = np.zeros(chunk_rows, dtype=arr.dtype)
                 full[: len(arr)] = arr
                 arr = full
-            payload = zlib.compress(arr.tobytes(order="C"), 1)
-            with open(os.path.join(path, c, str(cid)), "wb") as f:
+            raw = arr.tobytes(order="C")
+            if zarr_format == 2:
+                payload = zlib.compress(raw, 1)
+                target = os.path.join(path, c, str(cid))
+            else:  # v3: bytes(LE) + gzip codec chain, 'c/<i>' keys
+                payload = _gzip_compress(raw, 1)
+                target = os.path.join(path, c, "c", str(cid))
+            with open(target, "wb") as f:
                 f.write(payload)
         return pd.DataFrame({"cid": [cid]})
 
@@ -210,15 +272,69 @@ def write_zarr(df: DataFrame, path: str, chunk_rows: int = 65536) -> None:
     os.rename(path, final_path)
 
 
+def _v3_arrays(path: str) -> dict[str, dict]:
+    """Normalize a Zarr v3 store's array metadata into the v2-shaped
+    dict read_zarr consumes: {col: {shape, chunks, dtype (numpy str),
+    compressor, filters, _v3: True, _sep: separator}}."""
+    out = {}
+    for name in sorted(os.listdir(path)):
+        meta_p = os.path.join(path, name, "zarr.json")
+        if not os.path.isfile(meta_p):
+            continue
+        with open(meta_p) as f:
+            m = json.load(f)
+        if m.get("node_type") != "array":
+            continue
+        if m["data_type"] not in _V3_TO_NP:
+            raise ValueError(f"read_zarr: unsupported v3 data_type {m['data_type']}")
+        codecs = m.get("codecs", [])
+        names = [c.get("name") for c in codecs]
+        if names not in (["bytes"], ["bytes", "gzip"]):
+            raise ValueError(
+                f"read_zarr: unsupported v3 codec chain {names} for {name!r} "
+                "(bytes [+ gzip] only)"
+            )
+        be = next(c for c in codecs if c["name"] == "bytes")
+        if be.get("configuration", {}).get("endian", "little") != "little":
+            raise ValueError("read_zarr: big-endian v3 stores not supported")
+        cke = m.get("chunk_key_encoding", {"name": "default"})
+        sep = cke.get("configuration", {}).get("separator", "/")
+        out[name] = {
+            "shape": m["shape"],
+            "chunks": m["chunk_grid"]["configuration"]["chunk_shape"],
+            "dtype": _V3_TO_NP[m["data_type"]],
+            "compressor": (
+                {"id": "gzip"} if "gzip" in names else None
+            ),
+            "filters": None,
+            "_v3": True,
+            "_sep": sep,
+            "_cke": cke.get("name", "default"),
+        }
+    if not out:
+        raise ValueError(f"read_zarr: no v3 arrays under {path}")
+    return out
+
+
 def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
-    """Distributed Zarr v2 scan: one task per chunk stripe, all columns
-    of a stripe decoded together; adds ``row_index`` (the global array
-    position — Zarr's implicit key, which parquet has no analogue for)."""
-    with open(os.path.join(path, ".zmetadata")) as f:
-        consolidated = json.load(f)["metadata"]
-    arrays = {
-        k.split("/")[0]: v for k, v in consolidated.items() if k.endswith("/.zarray")
-    }
+    """Distributed Zarr scan (v2 OR v3 — auto-detected): one task per
+    chunk stripe, all columns of a stripe decoded together; adds
+    ``row_index`` (the global array position — Zarr's implicit key,
+    which parquet has no analogue for)."""
+    if os.path.isfile(os.path.join(path, ".zmetadata")):
+        with open(os.path.join(path, ".zmetadata")) as f:
+            consolidated = json.load(f)["metadata"]
+        arrays = {
+            k.split("/")[0]: v
+            for k, v in consolidated.items()
+            if k.endswith("/.zarray")
+        }
+    elif os.path.isfile(os.path.join(path, "zarr.json")):
+        arrays = _v3_arrays(path)
+    else:
+        raise ValueError(
+            f"read_zarr: {path} has neither .zmetadata (v2) nor zarr.json (v3)"
+        )
     if columns:
         arrays = {c: arrays[c] for c in columns}
     cols = sorted(arrays)
@@ -246,6 +362,16 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
                 "stores are supported"
             )
 
+    chunk_paths = {}
+    for c in cols:
+        if arrays[c].get("_v3"):
+            sep = arrays[c]["_sep"]
+            chunk_paths[c] = lambda cid, c=c, sep=sep: os.path.join(
+                path, c, f"c{sep}{cid}".replace("/", os.sep)
+            )
+        else:
+            chunk_paths[c] = lambda cid, c=c: os.path.join(path, c, str(cid))
+
     def decode(batches):
         for pdf in batches:
             for cid in pdf["cid"]:
@@ -254,11 +380,13 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
                 length = min(chunk_rows, n_rows - start)
                 out = {"row_index": np.arange(start, start + length, dtype=np.int64)}
                 for c in cols:
-                    with open(os.path.join(path, c, str(cid)), "rb") as f:
+                    with open(chunk_paths[c](cid), "rb") as f:
                         raw = f.read()
                     comp = compressors[c]
                     if comp is not None and comp.get("id") == "zlib":
                         raw = zlib.decompress(raw)
+                    elif comp is not None and comp.get("id") == "gzip":
+                        raw = zlib.decompress(raw, 47)  # gzip/zlib auto
                     elif comp is not None:
                         raise ValueError(f"unsupported compressor {comp}")
                     out[c] = np.frombuffer(raw, dtype=dtypes[c])[:length]

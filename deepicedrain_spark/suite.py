@@ -1046,6 +1046,7 @@ PRIORITY: list[str] = [
     "constraint_audit",
     "streaming_parquet_sink",
     "netcdf_record_append",
+    "zarr_v3_roundtrip",
     "atl06_ingest_dense_layout",
     "streaming_netcdf_append",
     "intradoc_dedup",

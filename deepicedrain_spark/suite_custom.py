@@ -2576,3 +2576,35 @@ def q_atl06_ingest_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_h"),
         F.max("h_li").cast("double").alias("max_h"),
     )
+
+
+# S3/S4 v3 variant (round 4): the SAME aggregate as zarr_roundtrip but
+# through the Zarr v3 (ZEP1) layout — zarr.json metadata nodes,
+# bytes+gzip codec chain, c/<i> chunk keys — written and scanned by
+# the same distributed machinery; read_zarr auto-detects the format.
+def _register_zarr_v3_roundtrip():
+    from deepicedrain_spark.suite import REGISTRY
+
+    base_oracle = REGISTRY["zarr_roundtrip"].sql
+
+    @register("zarr_v3_roundtrip", base_oracle)
+    def q_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deepicedrain_spark.functions.timeutils import ns_to_us
+        from deepicedrain_spark.sources.zarr import read_zarr, write_zarr
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "value", ns_to_us(F.col("ts")).alias("t_us")
+        )
+        path = scratch_path(sf_dir, "zarr_v3_roundtrip")
+        write_zarr(ev, path, chunk_rows=4096, zarr_format=3)
+        back = read_zarr(spark, path)
+        return back.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("t_us").alias("first_us"),
+        )
+
+    return q_zarr_v3_roundtrip
+
+
+q_zarr_v3_roundtrip = _register_zarr_v3_roundtrip()

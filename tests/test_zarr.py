@@ -170,3 +170,41 @@ def test_zarr_read_rejects_filtered_store(spark, tmp_path):
     _json.dump(meta, open(meta_p, "w"))
     with pytest.raises(ValueError, match="filters"):
         read_zarr(spark, path).collect()
+
+
+def test_zarr_v3_roundtrip_and_layout(spark, tmp_path):
+    """Round 4: the v3 (ZEP1) layout — zarr.json nodes, bytes+gzip
+    codec chain, c/<i> chunk keys — round-trips through the same
+    distributed writer/scanner, auto-detected by read_zarr."""
+    path = str(tmp_path / "v3.zarr")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 0.5).alias("v"),
+        (F.col("id") % 2 == 0).alias("b"),
+    )
+    write_zarr(df, path, chunk_rows=64, zarr_format=3)
+    root = json.load(open(os.path.join(path, "zarr.json")))
+    assert root == {"zarr_format": 3, "node_type": "group", "attributes": {}}
+    am = json.load(open(os.path.join(path, "k", "zarr.json")))
+    assert am["data_type"] == "int64"
+    assert [c["name"] for c in am["codecs"]] == ["bytes", "gzip"]
+    assert os.path.isfile(os.path.join(path, "k", "c", "0"))
+
+    back = read_zarr(spark, path)
+    assert back.count() == 500
+    r = back.orderBy("k").collect()[123]
+    assert r["k"] == 123 and r["v"] == 61.5 and r["b"] is False
+
+    # column pruning works on v3 too
+    pruned = read_zarr(spark, path, columns=["v"])
+    assert set(pruned.columns) == {"row_index", "v"}
+
+    # cross-check with real zarr-python when available
+    try:
+        import zarr
+    except ImportError:
+        return
+    import numpy as np
+
+    g = zarr.open_group(path, mode="r")
+    assert np.array_equal(np.asarray(g["k"]), np.arange(500))
