@@ -47,18 +47,30 @@ def asof_join_backward(
     engine's epoch-ns/µs longs). Returns all left columns plus
     ``value_cols`` and ``matched_time_alias`` (the matched right time),
     NULL where no right row precedes the left row (or none within
-    ``tolerance`` time units)."""
+    ``tolerance`` time units). Ties among right rows at the same
+    instant resolve to the greatest payload struct (deterministic; a
+    clean input has unique (key, time) on the right)."""
     left_cols = left.columns
     # guard the internal/output namespace: overlapping value_cols would
     # silently produce duplicate output columns, and pre-existing
     # reserved names would collide with the union/window scaffolding
-    overlap = set(value_cols) & (set(left_cols) - set(key_cols))
+    overlap = set(value_cols) & set(left_cols)
     if overlap:
         raise ValueError(
             f"asof_join_backward: value_cols {sorted(overlap)} collide with "
-            "non-key left columns — rename one side first"
+            "left columns — rename one side first"
         )
-    reserved = {"_r", "_side", "_ord_t"}
+    if "_t" in value_cols:
+        raise ValueError(
+            "asof_join_backward: '_t' is the payload's matched-time slot — "
+            "rename that value column first"
+        )
+    if matched_time_alias in set(left_cols) | set(value_cols):
+        raise ValueError(
+            f"asof_join_backward: matched_time_alias {matched_time_alias!r} "
+            "collides with an output column — pick another alias"
+        )
+    reserved = {"_r", "_side", "_ord_t", "_m"}
     taken = reserved & (set(left_cols) | set(right.columns))
     if taken:
         raise ValueError(
@@ -82,9 +94,13 @@ def asof_join_backward(
         F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *[F.col(c) for c in left_cols if c not in key_cols],
     )
+    # "_r" as the final sort key: two RIGHT rows at the same instant
+    # would otherwise tie and last() would pick by shuffle order — the
+    # struct comparison makes the winner the greatest payload,
+    # deterministic across runs and partitionings
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_ord_t", "_side")
+        .orderBy("_ord_t", "_side", F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l.unionByName(r).withColumn("_m", F.last("_r", ignorenulls=True).over(w))

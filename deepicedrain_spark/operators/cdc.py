@@ -45,13 +45,22 @@ def scd2_apply(
     highest attr tuple when the batch carries no ordering column —
     deterministic under shuffle, unlike first-seen).
     """
+    # a NULL business key cannot equi-join and would both (a) vanish
+    # from opened_now and (b) smuggle an all-NULL cur-side row through
+    # keep_open's "no update for this key" test (upd.key IS NULL is
+    # true for the unmatched full-outer row) — drop such rows by
+    # contract, and mark update presence with a non-null sentinel so
+    # the branch conditions never key off a nullable business column
+    updates = updates.where(F.col(key).isNotNull())
     updates = updates.withColumn(
         "_rn",
         F.row_number().over(
             Window.partitionBy(key).orderBy(*[F.col(a).desc_nulls_last() for a in attrs])
         ),
-    ).where(F.col("_rn") == 1).drop("_rn")
-    cur_open = current.where(F.col("valid_to").isNull())
+    ).where(F.col("_rn") == 1).drop("_rn").withColumn("_upd", F.lit(True))
+    cur_open = current.where(F.col("valid_to").isNull()).withColumn(
+        "_cur", F.lit(True)
+    )
     cur_closed = current.where(F.col("valid_to").isNotNull())
 
     changed_cond = F.lit(False)
@@ -63,30 +72,24 @@ def scd2_apply(
     j = cur_open.alias("cur").join(
         updates.alias("upd"), F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer"
     )
+    has_upd = F.col("upd._upd").isNotNull()
+    has_cur = F.col("cur._cur").isNotNull()
     # open rows with no update, or update equal to current → unchanged
-    keep_open = j.where(
-        F.col(f"upd.{key}").isNull()
-        | (F.col(f"cur.{key}").isNotNull() & ~changed_cond)
-    ).select(
+    keep_open = j.where(~has_upd | (has_cur & ~changed_cond)).select(
         F.col(f"cur.{key}").alias(key),
         *[F.col(f"cur.{a}").alias(a) for a in attrs],
         F.col("cur.valid_from").alias("valid_from"),
         F.col("cur.valid_to").alias("valid_to"),
     )
     # changed keys: close the old row
-    closed_now = j.where(
-        F.col(f"cur.{key}").isNotNull() & F.col(f"upd.{key}").isNotNull() & changed_cond
-    ).select(
+    closed_now = j.where(has_cur & has_upd & changed_cond).select(
         F.col(f"cur.{key}").alias(key),
         *[F.col(f"cur.{a}").alias(a) for a in attrs],
         F.col("cur.valid_from").alias("valid_from"),
         F.lit(batch_time).cast("long").alias("valid_to"),
     )
     # changed + brand-new keys: open a fresh row
-    opened_now = j.where(
-        F.col(f"upd.{key}").isNotNull()
-        & (F.col(f"cur.{key}").isNull() | changed_cond)
-    ).select(
+    opened_now = j.where(has_upd & (~has_cur | changed_cond)).select(
         F.col(f"upd.{key}").alias(key),
         *[F.col(f"upd.{a}").alias(a) for a in attrs],
         F.lit(batch_time).cast("long").alias("valid_from"),

@@ -169,13 +169,12 @@ def attach_avi_media(df: DataFrame, id_col: str, fps: int = 10) -> DataFrame:
     return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
 
 
-def _require_real_codec(kind: str) -> None:
-    raise NotImplementedError(
-        f"real {kind} decoding needs a codec library (av/ffmpeg) that is "
-        "not available in this container and has no practical pure-Python "
-        "implementation; use mode='fake' for pipeline plumbing, or install "
-        "the codec and fill in this seam"
-    )
+def _check_mode(mode: str) -> None:
+    """Fail loudly on a typo'd mode: anything except the two contract
+    values would otherwise silently take the fake byte-math path and
+    return plausible-looking wrong features."""
+    if mode not in ("real", "fake"):
+        raise ValueError(f"multimodal: mode must be 'real' or 'fake', got {mode!r}")
 
 
 def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
@@ -183,6 +182,7 @@ def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
     mean_byte, max_byte. In mode='real' the payload is parsed as PNG
     and the stats are over DECODED PIXELS (n_bytes = pixel·channel
     count); in mode='fake' they are over the raw payload bytes."""
+    _check_mode(mode)
     schema = "media_id string, n_bytes long, mean_byte double, max_byte int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,6 +225,7 @@ def resize_image(df: DataFrame, width: int, height: int, mode: str = "fake") -> 
     pixel space → PNG re-encode. mode='fake': re-packs a payload of
     exactly width×height bytes by tiling/truncating (shape-correct
     plumbing for non-PNG payloads)."""
+    _check_mode(mode)
     schema = "media_id string, payload binary, width int, height int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -277,6 +278,7 @@ def resample_audio(
     re-encodes a WAV at dst_rate (n_samples counts samples); the fake
     mode applies the same index rule to raw bytes. Output: media_id,
     payload, n_samples, sample_rate."""
+    _check_mode(mode)
     schema = "media_id string, payload binary, n_samples long, sample_rate int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -371,6 +373,7 @@ def sample_frames(
     video pretraining pipeline hands to the image tower. Compressed
     video still raises (the ffmpeg seam). Output is exploded
     (media_id, frame_idx, frame_bytes)."""
+    _check_mode(mode)
     schema = "media_id string, frame_idx int, frame_bytes binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -381,7 +384,11 @@ def sample_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if mode == "real":
                     arr, _fps = avi_decode(bytes(payload))
-                    for k, fi in enumerate(range(0, arr.shape[0], every_n_frames)):
+                    # frame_idx = SOURCE frame number (0, N, 2N, ...),
+                    # not the sample ordinal — downstream can map back
+                    # to container timestamps; fake mode's byte strides
+                    # have no source index, so there it is the ordinal
+                    for fi in range(0, arr.shape[0], every_n_frames):
                         ids.append(mid)
                         idxs.append(fi)
                         frames.append(png_encode(arr[fi]))

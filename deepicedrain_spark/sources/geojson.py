@@ -26,7 +26,6 @@ def read_geojson_polygons(spark: SparkSession, path: str, id_property: str = "na
     properties struct, xs, ys, bbox) — broadcast-ready polygon dim."""
     raw = spark.read.option("multiLine", "true").json(path)
     feats = raw.select(F.explode("features").alias("f"))
-    ring = F.col("f.geometry.coordinates")[0]
     return (
         feats.select(
             F.col(f"f.properties.{id_property}").alias("poly_id"),
@@ -44,12 +43,23 @@ def read_geojson_polygons(spark: SparkSession, path: str, id_property: str = "na
 def _feature_expr(ring_col: str, property_cols: list[str]) -> F.Column:
     props = F.to_json(F.struct(*[F.col(c) for c in property_cols]))
     coords = F.expr(f"transform({ring_col}, p -> array(p.x, p.y))")
-    return F.concat(
+    feature = F.concat(
         F.lit('{"type": "Feature", "properties": '),
         props,
         F.lit(', "geometry": {"type": "Polygon", "coordinates": ['),
         F.to_json(coords),
         F.lit("]}}"),
+    )
+    # a NULL ring would null-propagate through concat into a null
+    # feature line (json.loads(None) in the single-file writer, invalid
+    # geojsonl in the distributed one) — fail loudly at the source row
+    return F.when(
+        F.col(ring_col).isNotNull(), feature
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"geojson sink: NULL ring in column {ring_col!r} — filter "
+                  "or fix upstream (GeoJSON features need a geometry)")
+        )
     )
 
 
