@@ -149,7 +149,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH corpus AS (SELECT doc_id, text FROM documents),
     bench AS (
-      SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 50),
+      -- NEGATIVE ids: disjoint from any non-negative corpus doc_id at
+      -- ANY scale (a +20000 shift collided once the corpus passed 20k
+      -- docs, silently suppressing same-id cross pairs in BOTH engines)
+      SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 50),
     cw AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
       FROM corpus),
@@ -185,7 +188,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + F.lit(20000)).alias("doc_id"), "text"
+        (-(F.col("doc_id") + F.lit(1))).alias("doc_id"), "text"
     )
     return ngram_contamination(docs, bench, threshold=0.5)
 
@@ -529,7 +532,8 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(list_filter(ws, t -> list_contains(['el','la','los','y','es','un','una','en'], lower(t)))) AS score_es
       FROM toks)
     SELECT doc_id, score_en, score_de, score_fr, score_es,
-           CASE WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+           CASE WHEN score_en IS NULL THEN NULL
+                WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
                 WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
                 WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
                 ELSE 'es' END AS lang_pred
@@ -629,7 +633,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", ts_ops.rolling_hash().alias("roll_hash"))
+    # token-less docs (empty/whitespace/NULL text) carry no fingerprint
+    # — excluded explicitly so Spark and the oracle (whose unnest drops
+    # them implicitly) agree on any corpus, not just this one
+    toks = F.expr("size(filter(split(text, ' '), x -> x != ''))")
+    return docs.filter(toks > 0).select(
+        "doc_id", ts_ops.rolling_hash().alias("roll_hash")
+    )
 
 
 # --- multimodal plumbing ------------------------------------------------
