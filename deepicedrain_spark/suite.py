@@ -998,6 +998,7 @@ PRIORITY: list[str] = [
     "streaming_interval_join",  # NEW
     # --- tier 2: first in line past the driver's 50-query window ------
     # (rotated out of the window after 1-3 rounds of driver-green)
+    "range_join_attribution",  # NEW (r4): binned interval join
     "salted_skew_counts",
     "session_batch",
     "time_rollup",

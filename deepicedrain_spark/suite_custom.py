@@ -1812,6 +1812,53 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- range (interval) join: the other temporal join Spark lacks ------
+# Attribution shape: every click inside a purchase's 24 h window. The
+# oracle is the plain inequality join; the Spark side is the binned
+# equi-join strategy (operators/rangejoin.py — exploded interval bins,
+# one shuffle per side, AQE-splittable skew), which is what survives
+# when neither side broadcasts at cluster scale.
+_ATTR_WIN_US = 24 * 3_600_000_000
+
+
+@register(
+    "range_join_attribution",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'click'),
+    win AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_ATTR_WIN_US} AS e_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, c.t_us, w.purchase_id, w.s_us, w.e_us
+    FROM clicks c JOIN win w
+      ON c.user_id = w.user_id AND c.t_us BETWEEN w.s_us AND w.e_us
+    """,
+)
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.rangejoin import interval_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), _ts_us().alias("t_us")
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        _ts_us().alias("s_us"),
+        (_ts_us() + F.lit(_ATTR_WIN_US)).alias("e_us"),
+    )
+    return interval_join_binned(
+        clicks,
+        windows,
+        key_cols=["user_id"],
+        point_time="t_us",
+        start_col="s_us",
+        end_col="e_us",
+    )
+
+
 # --- TPC-H Q3 shape: top-k unshipped-order revenue (generic SQL surface)
 @register(
     "shipping_priority",
