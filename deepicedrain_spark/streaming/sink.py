@@ -155,6 +155,18 @@ def _commit_manifest(
     os.replace(tmp, _manifest_path(out_dir))  # atomic on POSIX
 
 
+def _history_entry(version: int, batch_id: int | None, op: str) -> dict:
+    return {"version": version, "batch_id": batch_id, "op": op, "ts": time.time()}
+
+
+def table_history(out_dir: str) -> list[dict]:
+    """Commit log: one entry per committed version — {version, batch_id
+    (None for compactions), op ('merge'|'compact'), ts}. The Delta
+    DESCRIBE HISTORY analogue; empty for tables written before history
+    was recorded."""
+    return _read_manifest(out_dir).get("history", [])
+
+
 def current_version_dir(out_dir: str) -> str | None:
     m = _read_manifest(out_dir)
     if m["version"] < 0:
@@ -165,6 +177,70 @@ def current_version_dir(out_dir: str) -> str | None:
 def read_upsert_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
     d = current_version_dir(out_dir)
     return spark.read.parquet(d) if d else None
+
+
+def read_upsert_table_at(
+    spark: SparkSession, out_dir: str, version: int
+) -> DataFrame:
+    """Time travel (Delta ``VERSION AS OF``): read snapshot ``version``.
+    Every committed version is immutable on disk until vacuumed, so this
+    is a plain directory read — O(snapshot), no log replay. Raises a
+    clear error for versions that never existed or were vacuumed."""
+    m = _read_manifest(out_dir)
+    if version < 0 or version > m["version"]:
+        raise ValueError(
+            f"read_upsert_table_at: version {version} does not exist "
+            f"(table is at version {m['version']})"
+        )
+    d = os.path.join(out_dir, f"v={version}")
+    if not os.path.isdir(d):
+        raise ValueError(
+            f"read_upsert_table_at: version {version} was vacuumed — "
+            "raise vacuum_versions(keep_last=...) retention to time-travel "
+            "further back"
+        )
+    return spark.read.option("recursiveFileLookup", "true").parquet(d)
+
+
+def diff_versions(
+    spark: SparkSession,
+    out_dir: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two snapshots (Delta CDF analogue):
+    one row per key whose state changed, with ``change_type`` in
+    {'insert', 'update', 'delete'} and the row's values — post-image
+    for insert/update, pre-image for delete. One full-outer shuffle
+    join on the keys; null-safe struct comparison so NULL field flips
+    count as updates."""
+    old = read_upsert_table_at(spark, out_dir, v_old)
+    new = read_upsert_table_at(spark, out_dir, v_new)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "diff_versions: snapshot schemas differ — "
+            f"{sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    vals = [c for c in new.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*vals).alias("_o"))
+    n = new.select(*key_cols, F.struct(*vals).alias("_n"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_o").isNull(), F.lit("insert"))
+        .when(F.col("_n").isNull(), F.lit("delete"))
+        .when(~F.col("_o").eqNullSafe(F.col("_n")), F.lit("update"))
+    )
+    picked = F.when(F.col("_n").isNull(), F.col("_o")).otherwise(F.col("_n"))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[picked.getField(c).alias(c) for c in vals],
+        )
+    )
 
 
 def apply_upsert_batch(
@@ -217,6 +293,8 @@ def apply_upsert_batch(
             {
                 "version": new_version,
                 "applied": sorted(manifest["applied"] + [batch_id]),
+                "history": manifest.get("history", [])
+                + [_history_entry(new_version, batch_id, "merge")],
             },
             expected_version=manifest["version"],
             publish=(staging, os.path.join(out_dir, f"v={new_version}")),
@@ -307,7 +385,12 @@ def compact_table(
             ).parquet(staging)
         _commit_manifest(
             out_dir,
-            {"version": new_version, "applied": manifest["applied"]},
+            {
+                "version": new_version,
+                "applied": manifest["applied"],
+                "history": manifest.get("history", [])
+                + [_history_entry(new_version, None, "compact")],
+            },
             expected_version=manifest["version"],
             publish=(staging, os.path.join(out_dir, f"v={new_version}")),
         )
@@ -391,6 +474,8 @@ def apply_upsert_batch_bucketed(
             {
                 "version": new_version,
                 "applied": sorted(manifest["applied"] + [batch_id]),
+                "history": manifest.get("history", [])
+                + [_history_entry(new_version, batch_id, "merge")],
             },
             expected_version=manifest["version"],
             publish=(new_dir, os.path.join(out_dir, f"v={new_version}")),
