@@ -106,5 +106,9 @@ def bucketed_join_is_shuffle_free(joined: DataFrame) -> bool:
     the assertion helper for co-bucketed join tests."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # BroadcastExchange is shuffle-FREE (a broadcast join of the small
-    # side) — only a shuffle exchange disproves co-location
-    return "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    # side) — any other Exchange node (hash, range, SinglePartition,
+    # ShuffleExchange) disproves co-location.
+    remaining = "\n".join(
+        ln for ln in plan.splitlines() if "BroadcastExchange" not in ln
+    )
+    return "Exchange" not in remaining

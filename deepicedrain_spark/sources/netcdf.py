@@ -29,6 +29,7 @@ via ``spark.createDataFrame`` for small cubes or a chunked
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -452,6 +453,33 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
         fh.seek(4)
         fh.write(struct.pack(_cnt_fmt(version), old_numrecs + n_add))
     return old_numrecs + n_add
+
+
+def append_records_once(
+    path: str, new_data: dict[str, np.ndarray], batch_id: int
+) -> bool:
+    """Idempotent :func:`append_records` for at-least-once writers
+    (Structured Streaming ``foreachBatch`` redelivers a micro-batch
+    after a failure). Applied batch ids live in a sidecar
+    ``<path>.applied.json``, updated atomically AFTER the append —
+    mirroring the upsert sink's manifest replay rule — so a redelivered
+    batch id is a no-op instead of a double append. Returns True when
+    the append ran, False when the batch was already applied."""
+    import json
+
+    sidecar = path + ".applied.json"
+    applied: list[int] = []
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            applied = json.load(fh)
+    if batch_id in applied:
+        return False
+    append_records(path, new_data)
+    tmp = f"{sidecar}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(applied + [batch_id]), fh)
+    os.replace(tmp, sidecar)  # atomic on POSIX
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -298,6 +298,15 @@ def _v3_arrays(path: str) -> dict[str, dict]:
         if be.get("configuration", {}).get("endian", "little") != "little":
             raise ValueError("read_zarr: big-endian v3 stores not supported")
         cke = m.get("chunk_key_encoding", {"name": "default"})
+        if cke.get("name", "default") != "default":
+            # e.g. the spec's "v2" encoding (keys "0.1", no "c/" prefix):
+            # accepted silently it would fail later with a bare
+            # FileNotFoundError from the wrong c/<i> path — reject up
+            # front like the codec-chain check above.
+            raise ValueError(
+                f"read_zarr: unsupported v3 chunk_key_encoding "
+                f"{cke.get('name')!r} for {name!r} ('default' only)"
+            )
         sep = cke.get("configuration", {}).get("separator", "/")
         out[name] = {
             "shape": m["shape"],

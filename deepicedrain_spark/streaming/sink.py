@@ -176,7 +176,12 @@ def current_version_dir(out_dir: str) -> str | None:
 
 def read_upsert_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
     d = current_version_dir(out_dir)
-    return spark.read.parquet(d) if d else None
+    if d is None:
+        return None
+    # recursiveFileLookup: bucketed versions nest files under b=<k>/;
+    # without it Spark's partition discovery would invent an int column
+    # "b". Plain (flat) versions are unaffected by the option.
+    return spark.read.option("recursiveFileLookup", "true").parquet(d)
 
 
 def read_upsert_table_at(
@@ -448,6 +453,21 @@ def apply_upsert_batch_bucketed(
             if manifest["version"] >= 0
             else None
         )
+        if cur_dir and os.path.isdir(cur_dir):
+            entries = os.listdir(cur_dir)
+            has_buckets = any(e.startswith("b=") for e in entries)
+            has_flat_data = any(
+                not e.startswith(("b=", "_", ".")) for e in entries
+            )
+            if has_flat_data and not has_buckets:
+                raise ValueError(
+                    "apply_upsert_batch_bucketed: current version "
+                    f"{cur_dir} is a flat (non-bucketed) layout — merging "
+                    "a bucketed batch into it would silently drop every "
+                    "existing row. Rewrite the table with "
+                    "apply_upsert_batch_bucketed from version 0, or keep "
+                    "using apply_upsert_batch."
+                )
         for b in touched:
             merged_b = batch_last.filter(F.col("_b") == b).drop("_b")
             bucket_path = os.path.join(cur_dir, f"b={b}") if cur_dir else None

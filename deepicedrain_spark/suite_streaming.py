@@ -472,7 +472,7 @@ def q_streaming_netcdf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from deepicedrain_spark.sources.netcdf import (
-        append_records,
+        append_records_once,
         read_netcdf,
         write_netcdf,
     )
@@ -481,6 +481,8 @@ def q_streaming_netcdf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/deepicedrain_nc_append_{key}.nc"
     if os.path.exists(path):
         os.unlink(path)
+    if os.path.exists(path + ".applied.json"):
+        os.unlink(path + ".applied.json")
     nx, ny = 12, 8
     write_netcdf(
         path,
@@ -500,7 +502,7 @@ def q_streaming_netcdf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
 
-    def write_batch(bdf: DataFrame, _bid: int) -> None:
+    def write_batch(bdf: DataFrame, bid: int) -> None:
         pdf = (
             bdf.groupBy("cx", "cy")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
@@ -511,7 +513,9 @@ def q_streaming_netcdf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(pdf):
             gn[pdf["cy"], pdf["cx"]] = pdf["n"]
             gc[pdf["cy"], pdf["cx"]] = pdf["cents"].astype("f8")
-        append_records(path, {"n": gn[None, :], "cents": gc[None, :]})
+        # at-least-once foreachBatch: the sidecar batch-id ledger makes
+        # a redelivered micro-batch a no-op instead of a double append
+        append_records_once(path, {"n": gn[None, :], "cents": gc[None, :]}, bid)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -264,3 +264,29 @@ def test_append_validates_shapes_and_writer_rejects_zero_dims():
         )
     with pytest.raises(ValueError, match="length >= 1"):
         write_netcdf(p, {"z": 0, "t": None}, {"v": (("t",), np.zeros(2))})
+
+
+def test_append_records_once_redelivery_noop(tmp_path):
+    """ADVICE r4 (low): at-least-once writers must not double-append —
+    append_records_once keeps a sidecar batch-id ledger."""
+    import numpy as np
+
+    from deepicedrain_spark.sources.netcdf import (
+        append_records_once,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = str(tmp_path / "once.nc")
+    write_netcdf(
+        p,
+        {"t": None, "x": 3},
+        {"v": (("t", "x"), np.empty((0, 3), dtype="f8"))},
+    )
+    a = np.array([[1.0, 2.0, 3.0]])
+    assert append_records_once(p, {"v": a}, batch_id=0) is True
+    assert append_records_once(p, {"v": a}, batch_id=0) is False  # redelivery
+    assert append_records_once(p, {"v": a * 2}, batch_id=1) is True
+    _dims, vs, _ = read_netcdf(p)
+    assert vs["v"][1].shape == (2, 3)
+    assert np.allclose(vs["v"][1], np.vstack([a, a * 2]))

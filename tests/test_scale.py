@@ -77,3 +77,27 @@ def test_bucketed_join_drops_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_shuffle_free_helper_catches_all_exchange_kinds(spark):
+    """ADVICE r4 (low): the helper must flag range-partitioning and
+    SinglePartition exchanges too, not just hash shuffles — while still
+    treating BroadcastExchange as shuffle-free."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    # orderBy on a derived column => Exchange rangepartitioning
+    # (orderBy("id") would NOT do: Range reports sorted-by-id output
+    # ordering and Catalyst eliminates that sort outright)
+    assert not bucketed_join_is_shuffle_free(df.orderBy("k"))
+    # global agg => Exchange SinglePartition
+    assert not bucketed_join_is_shuffle_free(df.groupBy().sum("id"))
+    # groupBy => Exchange hashpartitioning
+    assert not bucketed_join_is_shuffle_free(df.groupBy("k").count())
+    # broadcast join only => shuffle-free
+    small = spark.range(0, 7).select(F.col("id").alias("k"))
+    from pyspark.sql.functions import broadcast
+
+    assert bucketed_join_is_shuffle_free(df.join(broadcast(small), "k"))

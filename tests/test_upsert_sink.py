@@ -370,3 +370,32 @@ def test_compact_preserves_bucketed_layout(spark, tmp_path):
         for r in read_upsert_table_bucketed(spark, out).collect()
     }
     assert len(final) == 20 and final[5] == ("post", 7) and final[6] == ("b2", 2)
+
+
+def test_bucketed_refuses_flat_layout(spark, tmp_path):
+    """ADVICE r4 (medium): merging a bucketed batch on top of a FLAT
+    (non-bucketed) current version would silently drop every existing
+    row — the sink must refuse instead of committing a batch-only table."""
+    from deepicedrain_spark.streaming.sink import apply_upsert_batch_bucketed
+
+    out = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, "a", 10), (2, "b", 11)], "k long, v string, t long")
+    assert apply_upsert_batch(spark, out, b0, 0, ["k"], ["t"]) is True  # flat v0
+    b1 = spark.createDataFrame([(3, "c", 12)], "k long, v string, t long")
+    with pytest.raises(ValueError, match="flat"):
+        apply_upsert_batch_bucketed(spark, out, b1, 1, ["k"], ["t"], n_buckets=4)
+    # table unchanged — still the flat v0 rows
+    assert _table(spark, out) == {1: ("a", 10), 2: ("b", 11)}
+
+
+def test_read_upsert_table_no_spurious_bucket_column(spark, tmp_path):
+    """ADVICE r4 (low): read_upsert_table on a bucketed table must not
+    surface a partition-discovery column 'b' — recursiveFileLookup."""
+    from deepicedrain_spark.streaming.sink import apply_upsert_batch_bucketed
+
+    out = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, "a", 10), (2, "b", 11)], "k long, v string, t long")
+    assert apply_upsert_batch_bucketed(spark, out, b0, 0, ["k"], ["t"], n_buckets=4)
+    df = read_upsert_table(spark, out)
+    assert sorted(df.columns) == ["k", "t", "v"]
+    assert _table(spark, out) == {1: ("a", 10), 2: ("b", 11)}

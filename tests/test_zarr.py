@@ -208,3 +208,20 @@ def test_zarr_v3_roundtrip_and_layout(spark, tmp_path):
 
     g = zarr.open_group(path, mode="r")
     assert np.array_equal(np.asarray(g["k"]), np.arange(500))
+
+
+def test_v3_rejects_nondefault_chunk_key_encoding(spark, tmp_path):
+    """ADVICE r4 (low): a v3 store using the spec's 'v2' chunk-key
+    encoding must be rejected up front with a clear error, not a bare
+    FileNotFoundError from the wrong c/<i> path."""
+    import pytest
+
+    path = str(tmp_path / "cke.zarr")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    write_zarr(df, path, chunk_rows=8, zarr_format=3)
+    mp = os.path.join(path, "k", "zarr.json")
+    m = json.load(open(mp))
+    m["chunk_key_encoding"] = {"name": "v2", "configuration": {"separator": "."}}
+    json.dump(m, open(mp, "w"))
+    with pytest.raises(ValueError, match="chunk_key_encoding"):
+        read_zarr(spark, path).collect()
