@@ -2655,3 +2655,246 @@ def _register_zarr_v3_roundtrip():
 
 
 q_zarr_v3_roundtrip = _register_zarr_v3_roundtrip()
+
+
+# --- J6 geometry dissolve on the published lake catalog (VERDICT r4
+# task 3). The reference merges selected lake polygons with geopandas
+# .dissolve() (/root/reference/atlxi_lake.py:364-375); here the whole
+# 193-lake catalog dissolves per basin through the relational planar
+# overlay in operators/dissolve.py. The oracle replays the SAME
+# arithmetic in DuckDB SQL — edges in per-basin translated coords,
+# proper-crossing + endpoint-touch splits, pinned sub-edge endpoints,
+# eps-offset even-odd ray casts, Green's-theorem fold over deduped
+# boundary sub-edges, and recursive-CTE connected components for the
+# merged-part count — so every double matches bit-for-bit before the
+# final round(…, 3).
+@register(
+    "lake_catalog_dissolve",
+    f"""
+    WITH feat AS (
+      SELECT unnest(features) AS f
+      FROM read_json_auto('{_LAKE_CATALOG_PATH}',
+                          maximum_object_size=33554432)
+    ),
+    lakes0 AS (
+      SELECT f.properties.basin_name AS basin,
+             f.geometry.coordinates[1] AS ring
+      FROM feat
+    ),
+    lakes AS (
+      SELECT basin, ring,
+             row_number() OVER (
+               PARTITION BY basin ORDER BY ring[1][1], ring[1][2]) AS pid
+      FROM lakes0
+    ),
+    refs AS (
+      SELECT basin,
+             min(list_min(list_transform(ring, p -> p[1]))) AS xref,
+             min(list_min(list_transform(ring, p -> p[2]))) AS yref
+      FROM lakes GROUP BY basin
+    ),
+    edges AS (
+      SELECT l.basin, l.pid, i AS eid,
+             l.ring[i][1]   - r.xref AS x1, l.ring[i][2]   - r.yref AS y1,
+             l.ring[i+1][1] - r.xref AS x2, l.ring[i+1][2] - r.yref AS y2
+      FROM lakes l
+      JOIN refs r ON l.basin = r.basin,
+      UNNEST(generate_series(1, len(l.ring) - 1)) AS g(i)
+    ),
+    pairs AS (
+      SELECT a.basin, a.pid AS apid, a.eid AS aeid,
+             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             b.pid AS bpid,
+             b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+      FROM edges a JOIN edges b
+        ON a.basin = b.basin AND a.pid != b.pid
+    ),
+    crossraw AS (
+      SELECT *,
+             (ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1) AS den,
+             ((bx1-ax1)*(by2-by1) - (by1-ay1)*(bx2-bx1))
+               / ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) AS t,
+             ((bx1-ax1)*(ay2-ay1) - (by1-ay1)*(ax2-ax1))
+               / ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) AS u
+      FROM pairs
+    ),
+    splits AS (
+      SELECT DISTINCT basin, pid, eid, t FROM (
+        SELECT basin, apid AS pid, aeid AS eid, t
+        FROM crossraw
+        WHERE den != 0 AND t > 0 AND t < 1 AND u > 0 AND u < 1
+        UNION ALL
+        SELECT basin, apid AS pid, aeid AS eid,
+               ((bx1-ax1)*(ax2-ax1) + (by1-ay1)*(ay2-ay1))
+                 / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)) AS t
+        FROM pairs
+        WHERE (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) = 0
+          AND ((bx1-ax1)*(ax2-ax1) + (by1-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)) > 0
+          AND ((bx1-ax1)*(ax2-ax1) + (by1-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)) < 1
+        UNION ALL
+        SELECT basin, apid AS pid, aeid AS eid,
+               ((bx2-ax1)*(ax2-ax1) + (by2-ay1)*(ay2-ay1))
+                 / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)) AS t
+        FROM pairs
+        WHERE (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) = 0
+          AND ((bx2-ax1)*(ax2-ax1) + (by2-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)) > 0
+          AND ((bx2-ax1)*(ax2-ax1) + (by2-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)) < 1
+      )
+    ),
+    tls AS (
+      SELECT basin, pid, eid, list(t) AS ts
+      FROM splits GROUP BY basin, pid, eid
+    ),
+    sub0 AS (
+      SELECT e.basin, e.pid, e.eid, e.x1, e.y1, e.x2, e.y2,
+             list_sort(list_concat([CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)],
+                                   coalesce(ts, []))) AS tl
+      FROM edges e LEFT JOIN tls
+        ON e.basin = tls.basin AND e.pid = tls.pid AND e.eid = tls.eid
+    ),
+    sub AS (
+      SELECT basin, pid, eid, x1, y1, x2, y2,
+             tl[i] AS ta, tl[i+1] AS tb
+      FROM sub0, UNNEST(generate_series(1, len(tl) - 1)) AS g(i)
+      WHERE tl[i+1] > tl[i]
+    ),
+    subg AS (
+      SELECT basin, pid, eid, ta, tb,
+        CASE WHEN ta = 0 THEN x1 WHEN ta = 1 THEN x2
+             ELSE x1 + ta * (x2 - x1) END AS ax,
+        CASE WHEN ta = 0 THEN y1 WHEN ta = 1 THEN y2
+             ELSE y1 + ta * (y2 - y1) END AS ay,
+        CASE WHEN tb = 0 THEN x1 WHEN tb = 1 THEN x2
+             ELSE x1 + tb * (x2 - x1) END AS bx,
+        CASE WHEN tb = 0 THEN y1 WHEN tb = 1 THEN y2
+             ELSE y1 + tb * (y2 - y1) END AS by,
+        x1 + ((ta + tb) / 2) * (x2 - x1) AS mx,
+        y1 + ((ta + tb) / 2) * (y2 - y1) AS my,
+        -1e-6 * (y2 - y1) AS ox,
+        1e-6 * (x2 - x1) AS oy
+      FROM sub
+    ),
+    tlakes AS (
+      SELECT l.basin,
+             list_transform(l.ring, p -> p[1] - r.xref) AS txs,
+             list_transform(l.ring, p -> p[2] - r.yref) AS tys
+      FROM lakes l JOIN refs r ON l.basin = r.basin
+    ),
+    cov AS (
+      SELECT s.basin, s.pid, s.eid, s.ta, s.tb, s.ax, s.ay, s.bx, s.by,
+        max(CASE WHEN len(list_filter(generate_series(1, len(l.txs) - 1), i ->
+              ((l.tys[i+1] > (s.my + s.oy)) != (l.tys[i] > (s.my + s.oy))) AND
+              ((s.mx + s.ox) < (l.txs[i] - l.txs[i+1])
+                   * ((s.my + s.oy) - l.tys[i+1])
+                   / (l.tys[i] - l.tys[i+1])
+                   + l.txs[i+1])
+            )) % 2 = 1 THEN 1 ELSE 0 END) AS covl,
+        max(CASE WHEN len(list_filter(generate_series(1, len(l.txs) - 1), i ->
+              ((l.tys[i+1] > (s.my - s.oy)) != (l.tys[i] > (s.my - s.oy))) AND
+              ((s.mx - s.ox) < (l.txs[i] - l.txs[i+1])
+                   * ((s.my - s.oy) - l.tys[i+1])
+                   / (l.tys[i] - l.tys[i+1])
+                   + l.txs[i+1])
+            )) % 2 = 1 THEN 1 ELSE 0 END) AS covr
+      FROM subg s
+      JOIN tlakes l ON s.basin = l.basin
+      GROUP BY s.basin, s.pid, s.eid, s.ta, s.tb, s.ax, s.ay, s.bx, s.by
+    ),
+    bnd AS (
+      SELECT DISTINCT basin,
+        CASE WHEN covl = 1 THEN ax ELSE bx END AS ax,
+        CASE WHEN covl = 1 THEN ay ELSE by END AS ay,
+        CASE WHEN covl = 1 THEN bx ELSE ax END AS bx,
+        CASE WHEN covl = 1 THEN by ELSE ay END AS by
+      FROM cov WHERE covl != covr
+    ),
+    uarea AS (
+      SELECT basin, sum((ax * by - bx * ay) / 2) AS union_area
+      FROM bnd GROUP BY basin
+    ),
+    ovl AS (
+      SELECT DISTINCT basin, least(apid, bpid) AS p, greatest(apid, bpid) AS q
+      FROM crossraw
+      WHERE den != 0 AND t > 0 AND t < 1 AND u > 0 AND u < 1
+      UNION
+      SELECT DISTINCT a.basin, least(a.pid, b.pid) AS p, greatest(a.pid, b.pid) AS q
+      FROM lakes a JOIN lakes b
+        ON a.basin = b.basin AND a.pid != b.pid
+      WHERE len(list_filter(generate_series(1, len(b.ring) - 1), i ->
+              ((b.ring[i+1][2] > a.ring[1][2]) != (b.ring[i][2] > a.ring[1][2])) AND
+              (a.ring[1][1] < (b.ring[i][1] - b.ring[i+1][1])
+                 * (a.ring[1][2] - b.ring[i+1][2])
+                 / (b.ring[i][2] - b.ring[i+1][2]) + b.ring[i+1][1])
+            )) % 2 = 1
+    ),
+    sym AS (
+      SELECT basin, p, q FROM ovl
+      UNION SELECT basin, q AS p, p AS q FROM ovl
+    ),
+    reach AS (
+      WITH RECURSIVE walk(basin, a, b) AS (
+        SELECT basin, pid, pid FROM lakes
+        UNION
+        SELECT w.basin, w.a, e.q
+        FROM walk w JOIN sym e ON e.basin = w.basin AND e.p = w.b
+      ) SELECT * FROM walk
+    ),
+    comp AS (
+      SELECT basin, a AS pid, min(b) AS part FROM reach GROUP BY basin, a
+    ),
+    nparts AS (
+      SELECT basin, count(DISTINCT part) AS n_parts FROM comp GROUP BY basin
+    ),
+    parea AS (
+      SELECT basin, count(*) AS n_lakes,
+             sum(abs(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ring) - 1),
+                   i -> ring[i][1] * ring[i+1][2] - ring[i+1][1] * ring[i][2])),
+                 (acc, v) -> acc + v)) / 2) AS sum_part_area
+      FROM lakes GROUP BY basin
+    )
+    SELECT p.basin AS basin_name,
+           p.n_lakes,
+           CAST(np.n_parts AS BIGINT) AS n_parts,
+           round(u.union_area / 1e6, 3) AS dissolved_km2,
+           round(p.sum_part_area / 1e6, 3) AS sum_parts_km2
+    FROM parea p
+    JOIN nparts np ON p.basin = np.basin
+    JOIN uarea u ON p.basin = u.basin
+    ORDER BY basin_name
+    """,
+)
+def q_lake_catalog_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 dissolve: merge the 193 published lake polygons per drainage
+    basin (reference: geopandas .dissolve(), atlxi_lake.py:364-375)
+    via the relational planar overlay — union area from a
+    Green's-theorem fold over boundary sub-edges, merged-part count
+    from the overlap-graph components. n_parts < n_lakes and
+    dissolved_km2 < sum_parts_km2 exactly where lakes overlap."""
+    from deepicedrain_spark.operators.dissolve import dissolve_stats
+    from deepicedrain_spark.sources.geojson import read_geojson_polygons
+
+    df = read_geojson_polygons(spark, _LAKE_CATALOG_PATH, id_property="basin_name")
+    w = Window.partitionBy("basin_name").orderBy(
+        F.element_at("xs", 1), F.element_at("ys", 1)
+    )
+    polys = (
+        df.select(F.col("poly_id").alias("basin_name"), "xs", "ys")
+        .withColumn("pid", F.row_number().over(w).cast("long"))
+        # 193 rows feeding ~8 self-join branches: checkpoint once so the
+        # multiLine JSON scan doesn't re-execute per branch
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    stats = dissolve_stats(polys, ["basin_name"], pid="pid")
+    return stats.select(
+        "basin_name",
+        F.col("n_polys").alias("n_lakes"),
+        "n_parts",
+        F.round(F.col("union_area") / 1e6, 3).alias("dissolved_km2"),
+        F.round(F.col("sum_part_area") / 1e6, 3).alias("sum_parts_km2"),
+    ).orderBy("basin_name")

@@ -1,0 +1,193 @@
+"""J6 geometry dissolve (VERDICT r4 task 3): the relational planar
+overlay must produce exact union areas / part counts on constructed
+shapes (including the degenerate collinear-overlap and T-junction
+contacts geopandas handles via shapely), satisfy area(union) <= sum of
+part areas on random general-position inputs, and chain closed rings.
+Reference behavior: .dissolve(by=...) at atlxi_lake.py:364-375."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.operators.dissolve import (
+    dissolve_rings,
+    dissolve_stats,
+    overlap_components,
+)
+
+
+def _sq(x0, y0, s):
+    return (
+        [float(v) for v in (x0, x0 + s, x0 + s, x0, x0)],
+        [float(v) for v in (y0, y0, y0 + s, y0 + s, y0)],
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, pid long, xs array<double>, ys array<double>"
+    )
+
+
+def test_dissolve_exact_square_unions(spark):
+    rows = []
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("overlap", 0, xs, ys))
+    xs, ys = _sq(0.5, 0, 1)
+    rows.append(("overlap", 1, xs, ys))  # union 1.5, 1 part
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("disjoint", 0, xs, ys))
+    xs, ys = _sq(5, 5, 1)
+    rows.append(("disjoint", 1, xs, ys))  # union 2.0, 2 parts
+    xs, ys = _sq(0, 0, 2)
+    rows.append(("contained", 0, xs, ys))
+    xs, ys = _sq(0.5, 0.5, 0.3)
+    rows.append(("contained", 1, xs, ys))  # union 4.0, 1 part
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("chain", 0, xs, ys))
+    xs, ys = _sq(0.75, 0, 1)
+    rows.append(("chain", 1, xs, ys))
+    xs, ys = _sq(1.5, 0, 1)
+    rows.append(("chain", 2, xs, ys))  # union 2.5, 1 part
+
+    out = {r["key"]: r for r in dissolve_stats(_df(spark, rows), ["key"]).collect()}
+    assert out["overlap"]["union_area"] == pytest.approx(1.5, abs=1e-12)
+    assert out["overlap"]["n_parts"] == 1
+    assert out["disjoint"]["union_area"] == pytest.approx(2.0, abs=1e-12)
+    assert out["disjoint"]["n_parts"] == 2
+    assert out["contained"]["union_area"] == pytest.approx(4.0, abs=1e-12)
+    assert out["contained"]["n_parts"] == 1
+    assert out["chain"]["union_area"] == pytest.approx(2.5, abs=1e-12)
+    assert out["chain"]["n_parts"] == 1
+    for r in out.values():
+        assert r["union_area"] <= r["sum_part_area"] + 1e-9
+
+
+def test_dissolve_union_with_hole(spark):
+    """Four 1-wide rectangles forming a 4x4 annulus: union area 12,
+    one merged part, and the chained output is outer ring + CW hole."""
+
+    def rect(x0, y0, x1, y1):
+        return (
+            [float(v) for v in (x0, x1, x1, x0, x0)],
+            [float(v) for v in (y0, y0, y1, y1, y0)],
+        )
+
+    rows = []
+    for i, (x0, y0, x1, y1) in enumerate(
+        [(0, 0, 1, 4), (3, 0, 4, 4), (0, 0, 4, 1), (0, 3, 4, 4)]
+    ):
+        xs, ys = rect(x0, y0, x1, y1)
+        rows.append(("frame", i, xs, ys))
+    st = dissolve_stats(_df(spark, rows), ["key"]).collect()[0]
+    assert st["union_area"] == pytest.approx(12.0, abs=1e-12)
+    assert st["n_parts"] == 1
+    rr = dissolve_rings(_df(spark, rows), ["key"]).collect()[0]
+    assert rr["union_area"] == pytest.approx(12.0, abs=1e-12)
+    # outer ring (CCW, +16) and hole (CW, -4)
+    signed = []
+    for ring in rr["rings"]:
+        assert ring[0] == ring[-1]  # closed
+        a = 0.0
+        for p, q in zip(ring, ring[1:]):
+            a += (p["x"] * q["y"] - q["x"] * p["y"]) / 2
+        signed.append(round(a, 9))
+    assert sorted(signed) == [-4.0, 16.0]
+
+
+def test_dissolve_single_polygon_identity(spark):
+    xs, ys = _sq(2, 3, 5)
+    st = dissolve_stats(_df(spark, [("one", 0, xs, ys)]), ["key"]).collect()[0]
+    assert st["n_polys"] == 1 and st["n_parts"] == 1
+    assert st["union_area"] == pytest.approx(25.0, abs=1e-12)
+    assert st["sum_part_area"] == pytest.approx(25.0, abs=1e-12)
+
+
+def test_dissolve_random_general_position(spark):
+    """Random convex polygons (vertices on jittered circles — general
+    position): union <= sum of parts, union >= max part, and the
+    relational area agrees with a dense grid rasterization."""
+    rng = np.random.default_rng(42)
+    rows = []
+    polys = []
+    for pid in range(6):
+        cx, cy = rng.uniform(0, 8, 2)
+        r = rng.uniform(1.0, 2.5)
+        th = np.sort(rng.uniform(0, 2 * math.pi, rng.integers(5, 9)))
+        xs = [float(v) for v in cx + r * np.cos(th)] + [float(cx + r * np.cos(th[0]))]
+        ys = [float(v) for v in cy + r * np.sin(th)] + [float(cy + r * np.sin(th[0]))]
+        rows.append(("rand", pid, xs, ys))
+        polys.append((np.array(xs), np.array(ys)))
+    st = dissolve_stats(_df(spark, rows), ["key"]).collect()[0]
+    max_part = 0.0
+    for xs, ys in polys:
+        max_part = max(
+            max_part, abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])) / 2
+        )
+    assert max_part - 1e-9 <= st["union_area"] <= st["sum_part_area"] + 1e-9
+
+    # grid cross-check: fraction of covered cells * cell area
+    gx, gy = np.meshgrid(
+        np.linspace(-3, 12, 400, endpoint=False) + 15 / 800,
+        np.linspace(-3, 12, 400, endpoint=False) + 15 / 800,
+    )
+    covered = np.zeros(gx.shape, dtype=bool)
+    for xs, ys in polys:
+        inside = np.zeros(gx.shape, dtype=bool)
+        for i in range(len(xs) - 1):
+            straddle = (ys[i + 1] > gy) != (ys[i] > gy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (xs[i] - xs[i + 1]) * (gy - ys[i + 1]) / (
+                    ys[i] - ys[i + 1]
+                ) + xs[i + 1]
+            inside ^= straddle & (gx < xint)
+        covered |= inside
+    grid_area = covered.sum() * (15 / 400) ** 2
+    assert st["union_area"] == pytest.approx(grid_area, rel=0.02)
+
+
+def test_dissolve_rings_matches_stats_area(spark):
+    rows = []
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("k", 0, xs, ys))
+    xs, ys = _sq(0.4, 0.4, 1)
+    rows.append(("k", 1, xs, ys))
+    st = dissolve_stats(_df(spark, rows), ["key"]).collect()[0]
+    rr = dissolve_rings(_df(spark, rows), ["key"]).collect()[0]
+    assert rr["union_area"] == pytest.approx(st["union_area"], abs=1e-12)
+    assert st["union_area"] == pytest.approx(2 - 0.36, abs=1e-12)
+    for ring in rr["rings"]:
+        assert ring[0] == ring[-1]
+
+
+def test_overlap_components_containment_only(spark):
+    """A polygon strictly inside another (no edge crossings) must land
+    in the same part via the containment test."""
+    rows = []
+    xs, ys = _sq(0, 0, 10)
+    rows.append(("k", 0, xs, ys))
+    xs, ys = _sq(4, 4, 1)
+    rows.append(("k", 1, xs, ys))
+    xs, ys = _sq(20, 20, 1)
+    rows.append(("k", 2, xs, ys))
+    comp = {r["pid"]: r["part"] for r in overlap_components(_df(spark, rows), ["key"]).collect()}
+    assert comp[0] == comp[1]
+    assert comp[2] != comp[0]
+
+
+def test_dissolve_multi_key_partitioning(spark):
+    """Many keys in one frame — the per-key overlay never leaks
+    geometry across keys."""
+    rows = []
+    for k in range(12):
+        xs, ys = _sq(k * 100, 0, 1)
+        rows.append((f"k{k}", 0, xs, ys))
+        xs, ys = _sq(k * 100 + 0.5, 0, 1)
+        rows.append((f"k{k}", 1, xs, ys))
+    out = dissolve_stats(_df(spark, rows), ["key"]).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["union_area"] == pytest.approx(1.5, abs=1e-12)
+        assert r["n_parts"] == 1
