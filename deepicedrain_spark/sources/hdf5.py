@@ -169,3 +169,150 @@ def read_atl06_beam(
     return read_hdf5(
         spark, path, f"{beam}/land_ice_segments", ATL06_DATASETS, chunk_rows
     )
+
+
+def write_hdf5_partitioned(
+    df: DataFrame,
+    out_dir: str,
+    group: str,
+    key_col: str,
+    columns: list[str] | None = None,
+    chunk_rows: int | None = 4096,
+    gzip: int | None = None,
+    shuffle: bool = False,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Distributed HDF5 sink: ONE granule file per distinct ``key_col``
+    value (the reference's file-per-RGT layout — 1387 ATL11 stores
+    named by ground track, /root/reference/atlxi_dhdt.py:73-82), each
+    written ON AN EXECUTOR by the group's applyInPandas call. No
+    driver-side collect: the only driver state is the returned manifest
+    (one row per granule). Each file is staged ``*.tmp.<pid>`` and
+    os.replace'd, so a crashed task never leaves a half-granule behind.
+
+    Returns the LAZY manifest DataFrame (granule, key, n_rows) —
+    collect it (or otherwise act on it) to force the write. Groups must
+    fit in executor memory, same contract as the reference's per-RGT
+    stores; pick ``key_col`` accordingly (rgt, date bucket, hash mod N).
+    Writers target a shared filesystem on a real cluster (local FS here).
+    """
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    cols = columns or [c for c in df.columns if c != key_col]
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        if sort_col is not None:
+            pdf = pdf.sort_values(sort_col, kind="mergesort")
+        name = f"granule_{key}.h5"
+        path = os.path.join(out_dir, name)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_hdf5(
+            tmp,
+            {group: {c: pdf[c].to_numpy() for c in cols}},
+            chunk_rows=chunk_rows,
+            gzip=gzip,
+            shuffle=shuffle,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"granule": [name], key_col: [key], "n_rows": [len(pdf)]}
+        )
+
+    key_type = dict(df.dtypes)[key_col]
+    schema = f"granule string, `{key_col}` {key_type}, n_rows long"
+    return df.groupBy(key_col).applyInPandas(write_group, schema=schema)
+
+
+def read_hdf5_dir(
+    spark: SparkSession,
+    out_dir: str,
+    group: str,
+    datasets: list[str],
+    chunk_rows: int | None = None,
+    granule_col: str | None = None,
+) -> DataFrame:
+    """Multi-granule scan: ONE task table over (path × chunk stripe)
+    for every ``*.h5`` under ``out_dir`` — the file axis the
+    single-file scan's docstring promises. Deliberately NOT a union of
+    per-file reads: at the reference's 1387-granule store a union is a
+    1387-leg plan, while this stays a single mapInPandas whatever the
+    file count. Driver cost is one header read per file (schema
+    validation + row counts); each task then touches one contiguous
+    stripe of one file. ``granule_col`` adds the source filename (the
+    reference's add_path_to_ds, atlxi_dhdt.py:60-70)."""
+    import pandas as pd  # noqa: F811
+
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".h5")
+    )
+    if not files:
+        raise ValueError(f"read_hdf5_dir: no .h5 granules under {out_dir}")
+
+    tasks = []
+    dtypes_ref: dict[str, str] | None = None
+    for path in files:
+        with _open_h5(path) as f:
+            grp = f[group]
+            shapes = set()
+            dtypes = {}
+            native_chunks = set()
+            for name in datasets:
+                d = grp[name]
+                if len(d.shape) != 1:
+                    raise ValueError(f"read_hdf5_dir: {path}:{group}/{name} is not 1-D")
+                shapes.add(d.shape[0])
+                dtypes[name] = str(d.dtype)
+                if d.chunks:
+                    native_chunks.add(d.chunks[0])
+        if len(shapes) != 1:
+            raise ValueError(f"read_hdf5_dir: ragged datasets in {path}")
+        if dtypes_ref is None:
+            dtypes_ref = dtypes
+        elif dtypes != dtypes_ref:
+            raise ValueError(
+                f"read_hdf5_dir: schema drift at {path}: {dtypes} != {dtypes_ref}"
+            )
+        n_rows = shapes.pop()
+        if chunk_rows:
+            stride = chunk_rows
+        elif native_chunks:
+            native = max(native_chunks)
+            stride = native * max(1, -(-65536 // native))
+        else:
+            stride = 65536
+        tasks.extend(
+            (path, start, length) for start, length in plan_chunks(n_rows, stride)
+        )
+
+    schema = spark_schema_for(dtypes_ref)
+    if granule_col:
+        schema += f", `{granule_col}` string"
+    if not tasks:
+        return spark.createDataFrame([], schema)
+    tasks_df = spark.createDataFrame(
+        tasks, "path string, start long, length long"
+    ).repartition(len(tasks))
+
+    def decode(batches):
+        for pdf in batches:
+            for path, start, length in zip(pdf["path"], pdf["start"], pdf["length"]):
+                start, length = int(start), int(length)
+                with _open_h5(path) as f:
+                    grp = f[group]
+                    out = {
+                        "row_index": np.arange(start, start + length, dtype=np.int64)
+                    }
+                    for name in datasets:
+                        out[name] = grp[name][start : start + length]
+                if granule_col:
+                    out[granule_col] = np.full(length, os.path.basename(path))
+                yield pd.DataFrame(out)
+
+    return tasks_df.mapInPandas(decode, schema=schema)

@@ -2141,14 +2141,15 @@ def q_catalog_named_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# S3 — HDF5 scan, LIVE (atl06_to_atl11.py:171-196 reads per-beam ATL06
-# HDF5 groups; atl06_play.py:318-327 walks the same layout). Round-trip
-# through a real HDF5 granule: events staged as chunked+gzip 1-D
-# datasets under an ATL06-style group (vendored pure-numpy hdf5lite
-# writer, driver-side — HDF5 is the reference's INPUT format, so the
-# production path is the scan), then the distributed chunk-stripe
-# mapInPandas scan reads it back and aggregates. Values must survive
-# the byte-level format round trip exactly for the oracle to hash-match.
+# S3 — HDF5 scan AND distributed sink, LIVE (atl06_to_atl11.py:171-196
+# reads per-beam ATL06 HDF5 groups; atl06_play.py:318-327 walks the
+# same layout; atlxi_dhdt.py:73-82 is the file-per-track store layout).
+# Round-trip through REAL multi-granule HDF5: events shuffle once on a
+# granule key, each granule is written chunked+gzip ON AN EXECUTOR
+# (write_hdf5_partitioned — no driver-side fact-table collect, VERDICT
+# r4 task 4), then the multi-file chunk-stripe scan reads everything
+# back and aggregates. Values must survive the byte-level format round
+# trip exactly for the oracle to hash-match.
 @register(
     "hdf5_roundtrip",
     """
@@ -2160,32 +2161,36 @@ def q_catalog_named_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deepicedrain_spark.sources.hdf5 import read_hdf5
-    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+    import shutil
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "value", _ts_us().alias("t_us"))
-        .orderBy("event_id")
-        .toPandas()
+    from deepicedrain_spark.sources.hdf5 import (
+        read_hdf5_dir,
+        write_hdf5_partitioned,
     )
-    path = scratch_path(sf_dir, "hdf5_roundtrip.h5")
-    write_hdf5(
-        path,
-        {
-            "gt1l/land_ice_segments": {
-                "user_id": ev["user_id"].to_numpy("int64"),
-                "value": ev["value"].to_numpy("float64"),
-                "t_us": ev["t_us"].to_numpy("int64"),
-            }
-        },
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        _ts_us().alias("t_us"),
+        F.pmod("user_id", F.lit(8)).alias("rgt"),
+    )
+    out_dir = scratch_path(sf_dir, "hdf5_granules")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_hdf5_partitioned(
+        ev,
+        out_dir,
+        "gt1l/land_ice_segments",
+        key_col="rgt",
+        columns=["user_id", "value", "t_us"],
         chunk_rows=4096,
         gzip=4,
         shuffle=True,
     )
-    back = read_hdf5(
+    n_granules = manifest.count()  # forces the distributed write
+    assert n_granules == 8, f"expected 8 granules, wrote {n_granules}"
+    back = read_hdf5_dir(
         spark,
-        path,
+        out_dir,
         "gt1l/land_ice_segments",
         ["user_id", "value", "t_us"],
         chunk_rows=4096,

@@ -399,3 +399,61 @@ def test_read_hdf5_empty_dataset(spark):
     df = read_hdf5(spark, p, "g", ["a", "b"])
     assert df.count() == 0
     assert set(df.columns) == {"row_index", "a", "b"}
+
+
+def test_partitioned_sink_and_dir_scan(spark, tmp_path):
+    """VERDICT r4 task 4: write_hdf5_partitioned writes one granule per
+    key on executors (no driver collect), read_hdf5_dir scans them as a
+    single task table, and the round trip is exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5_dir, write_hdf5_partitioned
+
+    out = str(tmp_path / "granules")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("seg"),
+        (F.col("id") % 5).alias("rgt"),
+        (F.col("id") * 0.25).alias("h_li"),
+    )
+    manifest = write_hdf5_partitioned(
+        df, out, "gt1l/land_ice_segments", key_col="rgt",
+        columns=["seg", "h_li"], chunk_rows=512, gzip=4, shuffle=True,
+    ).collect()
+    assert sorted(r["rgt"] for r in manifest) == [0, 1, 2, 3, 4]
+    assert all(r["n_rows"] == 2000 for r in manifest)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".h5"))
+    assert files == [f"granule_{k}.h5" for k in range(5)]
+    assert not any(".tmp." in f for f in os.listdir(out))  # staged writes
+
+    back = read_hdf5_dir(
+        spark, out, "gt1l/land_ice_segments", ["seg", "h_li"],
+        chunk_rows=512, granule_col="granule",
+    )
+    assert back.count() == 10000
+    # exact value round trip
+    got = {r["seg"]: (r["h_li"], r["granule"]) for r in back.collect()}
+    assert got[4321] == (4321 * 0.25, "granule_1.h5")
+    # granule column maps back to the key
+    chk = (
+        back.withColumn("k", F.regexp_extract("granule", r"granule_(\d+)", 1).cast("long"))
+        .where(F.pmod("seg", F.lit(5)) != F.col("k"))
+        .count()
+    )
+    assert chk == 0
+
+
+def test_read_hdf5_dir_schema_drift_rejected(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5_dir
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    out = tmp_path / "drift"
+    out.mkdir()
+    write_hdf5(str(out / "a.h5"), {"g": {"v": np.arange(4, dtype="i8")}})
+    write_hdf5(str(out / "b.h5"), {"g": {"v": np.arange(4, dtype="f8")}})
+    with pytest.raises(ValueError, match="schema drift"):
+        read_hdf5_dir(spark, str(out), "g", ["v"])
