@@ -192,6 +192,7 @@ def dbscan_distributed(
     block_cells: int = 64,
     label_col: str = "cluster_id",
     id_col: str = "point_id",
+    merge_collect_max: int = 1_000_000,
 ) -> DataFrame:
     """Scale-out DBSCAN for a single huge cloud (beyond-reference).
 
@@ -274,26 +275,63 @@ def dbscan_distributed(
     )
 
     # connected components: the fragment graph has one node per
-    # (block, local-cluster) — O(blocks), microscopic next to the point
-    # table even at 100 TB — so union-find on the driver + broadcast of
-    # the root map back beats iterative label-propagation joins (whose
-    # unbounded lineage cripples planning)
-    parent: dict[str, str] = {}
+    # (block, local-cluster) — normally O(blocks), microscopic next to
+    # the point table even at 100 TB — so union-find on the driver +
+    # broadcast of the root map back beats iterative label-propagation
+    # joins (whose unbounded lineage cripples planning). GUARD (VERDICT
+    # r4 task 5): a pathological eps/block_cells choice can make
+    # fragments ~ points; count first and fall back to distributed
+    # min-label propagation above ``merge_collect_max`` instead of
+    # collecting an O(points) edge list to the driver.
+    gids = local.select(F.col("_gid").alias("gid")).distinct()
+    n_fragments = gids.count()
+    if n_fragments <= merge_collect_max:
+        parent: dict[str, str] = {}
 
-    def find(a: str) -> str:
-        while parent.setdefault(a, a) != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+        def find(a: str) -> str:
+            while parent.setdefault(a, a) != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
 
-    for row in edges.collect():
-        ra, rb = find(row["src"]), find(row["dst"])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+        for row in edges.collect():
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
 
-    all_gids = [r["gid"] for r in local.select(F.col("_gid").alias("gid")).distinct().collect()]
-    mapping = [(g, find(g)) for g in all_gids]
-    labels = df.sparkSession.createDataFrame(mapping, "gid string, root string")
+        mapping = [(r["gid"], find(r["gid"])) for r in gids.collect()]
+        labels = df.sparkSession.createDataFrame(mapping, "gid string, root string")
+    else:
+        # distributed fallback: min-label propagation over the fragment
+        # graph; converges in O(component diameter) rounds, driver sees
+        # one scalar (the changed-count) per round
+        sym = edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        sym = sym.localCheckpoint(eager=True)
+        lbl = gids.withColumn("root", F.col("gid")).localCheckpoint(eager=True)
+        while True:
+            nbr = (
+                sym.join(lbl, sym["b"] == lbl["gid"])
+                .groupBy("a")
+                .agg(F.min("root").alias("nroot"))
+            )
+            stepped = (
+                lbl.join(nbr, lbl["gid"] == nbr["a"], "left")
+                .select(
+                    "gid",
+                    "root",
+                    F.least(F.col("root"), F.coalesce("nroot", "root")).alias(
+                        "root_new"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.filter(F.col("root_new") != F.col("root")).count()
+            lbl = stepped.select("gid", F.col("root_new").alias("root"))
+            if changed == 0:
+                break
+        labels = lbl
 
     # Per-point label = min root over ALL copies, not just the home
     # copy: a border point can be reached by a cluster only in the

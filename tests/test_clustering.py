@@ -125,3 +125,53 @@ def test_signed_clusters_keep_zero_null_nan_rows(spark):
     null_lab = out.filter(F.col("cluster_id").isNull())
     assert null_lab.count() == 3
     assert sorted(r["x"] for r in null_lab.collect()) == [100.0, 101.0, 102.0]
+
+
+def test_dbscan_merge_guard_fallback_identical_labels(spark):
+    """VERDICT r4 task 5: an adversarial eps/grid making fragments ~
+    points (>10^4 isolated singleton clusters) must produce IDENTICAL
+    cluster partitions through the driver union-find path and the
+    distributed label-propagation fallback."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.clustering import dbscan_distributed
+
+    # 110x110 grid, spacing 3, eps=1, min_samples=1: every point is its
+    # own core cluster -> >=12100 fragments (more with halo copies)
+    n = 110
+    xs, ys = np.meshgrid(np.arange(n) * 3.0, np.arange(n) * 3.0)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(xs.ravel(), ys.ravel()))]
+    df = spark.createDataFrame(pts, "point_id long, x double, y double")
+
+    kw = dict(feature_cols=["x", "y"], eps=1.0, min_samples=1, block_cells=4)
+    a = dbscan_distributed(df, **kw).select("point_id", "cluster_id").collect()
+    b = dbscan_distributed(df, **kw, merge_collect_max=1).select(
+        "point_id", "cluster_id"
+    ).collect()
+    la = {r["point_id"]: r["cluster_id"] for r in a}
+    lb = {r["point_id"]: r["cluster_id"] for r in b}
+    assert len(la) == n * n == len(lb)
+    assert la == lb  # identical labels, not just identical partitions
+    assert len(set(la.values())) == n * n  # every point its own cluster
+
+
+def test_dbscan_merge_guard_fallback_merges_clusters(spark):
+    """The fallback path must still MERGE fragments across blocks: a
+    dense line of points spanning many blocks is one cluster on both
+    paths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.clustering import dbscan_distributed
+
+    xs = np.arange(0, 400, 0.5)
+    pts = [(int(i), float(x), 0.0) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(pts, "point_id long, x double, y double")
+    kw = dict(feature_cols=["x", "y"], eps=1.0, min_samples=3, block_cells=8)
+    a = {r["point_id"]: r["cluster_id"]
+         for r in dbscan_distributed(df, **kw).collect()}
+    b = {r["point_id"]: r["cluster_id"]
+         for r in dbscan_distributed(df, **kw, merge_collect_max=1).collect()}
+    assert a == b
+    assert len(set(a.values())) == 1  # one cluster spanning ~50 blocks
