@@ -926,57 +926,124 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-4 rotation (VERDICT r3 task 6):
-    # 15 of these have never earned a driver CORRECTNESS row before
-    # (marked NEW); the redundant scalar filters / window variants that
-    # have been driver-green since r1 drop to tier 2, still registered
-    # and locally checked. Family coverage is preserved: every SURVEY
-    # §2 zone, every LLM capability, and streaming keep a
-    # representative inside the window.
-    # flagship + regression
+    # --- driver top-50 window, round-5 rotation (VERDICT r4 task 1):
+    # 46 of these have never earned a driver CORRECTNESS row
+    # (cumulative driver-green target >=106/157). Every r4-green
+    # one-time row is demoted to tier 2 except the flagship, the two
+    # queries whose code CHANGED this round (hdf5_roundtrip's
+    # distributed sink, dbscan_distributed_summary's merge guard), and
+    # parquet_roundtrip (S1/S2 anchor). All 50 verified green through
+    # tools/check.py at sf0.01 + sf0.001 + non-UTC TZ before shipping.
+    # anchors / changed this round
     "dhdt_per_point_regression",
-    "dhdt_regression_pvalue",
-    # sources/sinks + catalog/SQL surface: S1/S2, S3, S4, S5, S6/S7,
-    # S8/S9, S11
     "parquet_roundtrip",
+    "hdf5_roundtrip",  # CHANGED r5: distributed granule sink
+    "lake_catalog_dissolve",  # NEW r5: J6 geometry dissolve
+    "dbscan_distributed_summary",  # CHANGED r5: merge guard
+    # sources/sinks never driver-checked
+    "zarr_v3_roundtrip",
+    "netcdf_record_append",
+    "atl06_ingest_dense_layout",
+    "streaming_netcdf_append",
+    "streaming_parquet_sink",
+    # joins / window / sort family variants never driver-checked
+    "range_join_attribution",
+    "morton_spatial_order",
+    "event_gaps_rank",
+    "conversion_funnel",
+    "customers_without_orders",
+    "grouped_correlation",
+    "mergeable_agg_state",
+    "revenue_rollup",
+    "revenue_cube",
+    "equi_depth_deciles",
+    "constraint_audit",
+    # LLM-pipeline capabilities never driver-checked
+    "intradoc_dedup",
+    "dedup_keep_best",
+    "pagerank_near_dup",
+    "triangle_count",
+    "pq_encode",
+    "ivf_topk_trained",
+    "embedding_int8_quantize",
+    "feature_hash_embed",
+    "leakage_safe_split",
+    "weighted_sample_docs",
+    "stratified_sample_events",
+    "source_mixture_balance",
+    "bigram_lm_score",
+    "keyword_snippets",
+    "oov_rate",
+    "lang_id_heuristic",
+    "quality_scores",
+    "text_cleaning",
+    # sketches never driver-checked
+    "hll_distinct_custkeys",
+    "hll_distinct_by_type",
+    "cms_heavy_hitters",
+    "bloom_cross_corpus",
+    "bloom_semijoin_reduction",
+    # multimodal never driver-checked
+    "multimodal_real_audio",
+    "multimodal_real_video",
+    "multimodal_audio_resample",
+    # streaming extension never driver-checked
+    "streaming_upsert_bucketed",
+    "streaming_stateful_dedup",
+    "streaming_tumbling_counts",
+    # --- tier 2: first in line past the driver's 50-query window ------
+    # remaining never-driver-checked first (next rotation candidates),
+    # then the r1-r4 driver-green demotions
+    "streaming_sliding_means",
+    "streaming_running_anomaly",
+    "streaming_raster_counts",
+    "streaming_hll_users",
+    "streaming_bloom_bits",
+    "streaming_kmeans_assign",
+    "track_densify_greatcircle",
+    "shipping_priority",
+    "large_order_customers",
+    "dhdt_wide_maponly",
+    "cosine_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "ivf_topk",
+    "doc_fingerprints",
+    "repetition_scores",
+    "tfidf_top_terms",
+    "corpus_vocabulary",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_decode_features",
+    # r1-r4 driver-green demotions (kept registered + locally checked)
+    "dhdt_regression_pvalue",
     "zarr_roundtrip",
-    "hdf5_roundtrip",
     "raster_cube",
     "netcdf_roundtrip",
     "geojson_roundtrip",
     "tsv_roundtrip",
-    "reference_lake_catalog",  # NEW (r4): published-catalog parity
-    "catalog_named_source",  # NEW
-    "sql_interface_demo",  # NEW
-    # §3 pipelines end-to-end
-    "atl06_ingest_pipeline",  # NEW
-    "atl06_dhdt_end_to_end",  # NEW
+    "reference_lake_catalog",
+    "catalog_named_source",
+    "sql_interface_demo",
+    "atl06_ingest_pipeline",
+    "atl06_dhdt_end_to_end",
     "dhdt_pipeline",
     "lake_finder_pipeline",
     "lake_finder_reference_params",
-    # filters (P9 represents the family; P2/P5/P6/P11 variants are
-    # r1-green, demoted)
     "adaptive_median_filter",
-    # joins: J1 gridded, J3 straight + curved, as-of, SCD2 merge
     "point_in_polygon_gridded",
     "crossover_track_intersections",
-    "crossover_curved_tracks",  # NEW
+    "crossover_curved_tracks",
     "asof_last_purchase",
-    "scd2_merge",  # NEW
-    # aggregates: A9, A11, A12, A13
+    "scd2_merge",
     "raster_datashade",
     "surface_tension_spline",
     "grouped_trend",
     "convex_hull_per_label",
-    # windows: W5 (carries *_std propagation)
     "volume_time_series",
-    # functions: F3 reprojection
     "reproject_lonlat_xy",
-    # ML: M1 exact + distributed, k-means
     "dbscan_clusters",
-    "dbscan_distributed_summary",
-    "kmeans_clusters",  # NEW
-    # LLM-pipeline capabilities
+    "kmeans_clusters",
     "exact_dedup_pairs",
     "minhash_near_dup",
     "ngram_jaccard_pairs",
@@ -986,19 +1053,15 @@ PRIORITY: list[str] = [
     "token_count_stats",
     "multimodal_real_decode",
     "dataset_split",
-    "paragraph_dedup",  # NEW
-    "sequence_packing",  # NEW
-    "pq_adc_topk",  # NEW
-    "pii_redaction",  # NEW
-    "benchmark_contamination",  # NEW
-    # streaming extension (§2.11)
+    "paragraph_dedup",
+    "sequence_packing",
+    "pq_adc_topk",
+    "pii_redaction",
+    "benchmark_contamination",
     "streaming_session_counts",
     "streaming_asof_join",
-    "streaming_upsert_sink",  # NEW: exactly-once keyed sink
-    "streaming_interval_join",  # NEW
-    # --- tier 2: first in line past the driver's 50-query window ------
-    # (rotated out of the window after 1-3 rounds of driver-green)
-    "range_join_attribution",  # NEW (r4): binned interval join
+    "streaming_upsert_sink",
+    "streaming_interval_join",
     "salted_skew_counts",
     "session_batch",
     "time_rollup",
@@ -1017,53 +1080,7 @@ PRIORITY: list[str] = [
     "expression_filter",
     "json_extract_filter",
     "outlier_clip_sigma",
-    "multimodal_decode_features",
-    "multimodal_real_audio",
-    "hll_distinct_custkeys",
-    "bloom_cross_corpus",
-    "cms_heavy_hitters",
-    "stratified_sample_events",
-    "ivf_topk_trained",
-    "streaming_hll_users",
-    "equi_depth_deciles",
-    "leakage_safe_split",
-    "revenue_rollup",
-    "revenue_cube",
-    "embedding_int8_quantize",
-    "customers_without_orders",
-    "event_gaps_rank",
-    "streaming_bloom_bits",
-    "morton_spatial_order",
-    "mergeable_agg_state",
-    "pagerank_near_dup",
-    "streaming_kmeans_assign",
-    "oov_rate",
-    "grouped_correlation",
-    "hll_distinct_by_type",
-    "pq_encode",
-    "weighted_sample_docs",
-    "dedup_keep_best",
-    "bloom_semijoin_reduction",
-    "constraint_audit",
-    "streaming_parquet_sink",
-    "netcdf_record_append",
-    "zarr_v3_roundtrip",
-    "atl06_ingest_dense_layout",
-    "streaming_netcdf_append",
-    "intradoc_dedup",
-    "multimodal_real_video",
-    "streaming_upsert_bucketed",
-    "feature_hash_embed",
-    "triangle_count",
-    "conversion_funnel",
-    "bigram_lm_score",
-    "keyword_snippets",
-    "source_mixture_balance",
-    "embedding_near_dup_lsh",
-    "track_densify_greatcircle",
-    "multimodal_audio_resample",
     "surface_interpolation_idw",
-    "dhdt_wide_maponly",
     "point_in_polygon",
 ]
 

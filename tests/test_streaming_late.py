@@ -1,0 +1,149 @@
+"""Event-time late-arrival semantics (VERDICT r4 task 7): pin what
+Structured Streaming actually does with late rows at the watermark
+boundary for the session aggregation and the stateful as-of join.
+
+Observed (Spark 4.x, deterministic under availableNow +
+maxFilesPerTrigger=1 with ordered file mtimes):
+
+- a late row whose session STATE IS STILL LIVE merges into the session
+  even when older than the watermark — the watermark is permission to
+  drop, not a guarantee (Spark's documented contract);
+- a late row arriving AFTER its session state was evicted is dropped
+  and never produces a duplicate/overlapping session in append mode;
+- a late row still inside the watermark is aggregated normally;
+- applyInPandasWithState (the as-of join) receives late rows — Spark
+  does not auto-filter input for arbitrary stateful operators; the
+  handler owns late-data policy.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.streaming.windows import run_to_batch, session_counts
+
+US = 1_000_000
+
+
+def _ts(minutes: int) -> int:
+    return minutes * 60 * US
+
+
+def _write_batch(spark, d: str, name: str, rows, mtime: float, schema: str, cols):
+    """One parquet dir per micro-batch; mtime ordering drives the file
+    source's batch order under maxFilesPerTrigger=1."""
+    pdf = spark.createDataFrame(rows, schema).select(*cols)
+    pdf.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}")
+    for root, _, files in os.walk(f"{d}/{name}"):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def _event_stream(spark, d: str):
+    return (
+        spark.readStream.schema("user_id long, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+
+
+def _sessions(spark, d: str):
+    out = run_to_batch(
+        session_counts(_event_stream(spark, d), gap_minutes=5, watermark_minutes=10),
+        "append",
+    )
+    return sorted(
+        (r["user_id"], r["session_start_us"] // (60 * US),
+         r["session_end_us"] // (60 * US), r["n_events"])
+        for r in out.collect()
+    )
+
+
+def _user_ts(spark, rows, d, name, mtime):
+    _write_batch(
+        spark, d, name,
+        [(u, _ts(m)) for u, m in rows],
+        mtime,
+        "user_id long, t_us long",
+        ["user_id", F.timestamp_micros("t_us").alias("event_time")],
+    )
+
+
+def test_late_row_merges_while_state_live(spark, tmp_path):
+    """Watermark 10:50 entering batch 2; the 10:02 row is 48 min late,
+    but user 1's session state is still live -> it merges (n=3), while
+    the 10:55 row (inside watermark) opens its own session."""
+    d = str(tmp_path / "s1")
+    base = time.time() - 1000
+    _user_ts(spark, [(1, 600), (1, 601), (9, 660)], d, "b1", base)
+    _user_ts(spark, [(1, 655), (1, 602)], d, "b2", base + 100)
+    _user_ts(spark, [(7, 750)], d, "b3", base + 200)  # watermark flusher
+    got = _sessions(spark, d)
+    assert (1, 600, 607, 3) in got  # late row MERGED into live state
+    assert (1, 655, 660, 1) in got  # within-watermark row aggregated
+    assert (9, 660, 665, 1) in got
+    # flusher's own session is still inside the final watermark: no row
+    assert not any(u == 7 for u, *_ in got)
+
+
+def test_late_row_dropped_after_state_evicted(spark, tmp_path):
+    """User 1's session finalizes at the batch-2 boundary (watermark
+    10:50 > session end 10:06). The 10:02 row arriving AFTER eviction is
+    dropped — and append mode never emits a duplicate session."""
+    d = str(tmp_path / "s2")
+    base = time.time() - 1000
+    _user_ts(spark, [(1, 600), (1, 601), (9, 660)], d, "b1", base)
+    _user_ts(spark, [(9, 661)], d, "b2", base + 100)  # finalizes user 1
+    _user_ts(spark, [(1, 602)], d, "b3", base + 200)  # late, state gone
+    _user_ts(spark, [(7, 750)], d, "b4", base + 300)  # flusher
+    got = _sessions(spark, d)
+    u1 = [g for g in got if g[0] == 1]
+    assert u1 == [(1, 600, 606, 2)]  # late row dropped, no duplicate
+    assert (9, 660, 666, 2) in got
+
+
+def test_asof_join_receives_late_rows(spark, tmp_path):
+    """applyInPandasWithState: Spark delivers late input to arbitrary
+    stateful operators (no auto-filter). A click 50 min older than the
+    watermark still reaches the as-of fold and attaches the latest
+    purchase state — the handler, not the engine, owns late policy."""
+    from deepicedrain_spark.streaming.windows import asof_attach
+
+    d = str(tmp_path / "s3")
+    base = time.time() - 1000
+    schema = "user_id long, event_id long, event_type string, value double, t_us long"
+    cols = [
+        "user_id", "event_id", "event_type", "value",
+        F.timestamp_micros("t_us").alias("event_time"),
+        (F.col("t_us") * 1000).alias("ts"),
+    ]
+    _write_batch(
+        spark, d, "b1",
+        [(1, 10, "purchase", 5.0, _ts(600)), (1, 11, "click", 0.0, _ts(601)),
+         (9, 12, "click", 0.0, _ts(660))],
+        base, schema, cols,
+    )
+    # batch 2: click at 10:05 — 45 min behind the 10:50 watermark
+    _write_batch(
+        spark, d, "b2",
+        [(1, 13, "click", 0.0, _ts(605))],
+        base + 100, schema, cols,
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, value double, "
+            "event_time timestamp, ts long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = run_to_batch(
+        asof_attach(stream, "click", "purchase", watermark_minutes=10), "append"
+    )
+    rows = {r["click_id"]: r["purchase_value"] for r in out.collect()}
+    assert rows[11] == 5.0            # in-order click sees the purchase
+    assert rows[12] is None           # other key: no purchase state
+    assert 13 in rows                 # LATE click was delivered, not dropped
+    assert rows[13] == 5.0            # and folded against the kept state
