@@ -120,3 +120,47 @@ def synthesize_reference_basins() -> pd.DataFrame:
     return pd.concat(
         [synthesize_basin(WHILLANS), synthesize_basin(SLESSOR)], ignore_index=True
     )
+
+
+def multi_basin_specs(lake_counts: tuple[int, ...] = (3, 5, 7, 4, 6, 2)) -> list[dict]:
+    """N side-by-side basins with a planted-lake count per basin — the
+    full-catalog shape (the reference's published layer spans 30 basins;
+    this scales the two-basin BDD fixture toward it). Lakes sit in a row
+    7 km apart (disjoint at 2.5 km radius), signs alternating."""
+    specs = []
+    for i, n in enumerate(lake_counts):
+        x0 = i * 90_000.0
+        specs.append(
+            {
+                "name": f"basin_{i:02d}",
+                "x0": x0,
+                "x1": x0 + 60_000.0,
+                "y0": 0.0,
+                "y1": 40_000.0,
+                "lakes": [
+                    (x0 + 8_000.0 + k * 7_000.0, 20_000.0, +1 if k % 2 == 0 else -1)
+                    for k in range(n)
+                ],
+            }
+        )
+    return specs
+
+
+def synthesize_multi_basins(lake_counts: tuple[int, ...] = (3, 5, 7, 4, 6, 2)) -> pd.DataFrame:
+    return pd.concat(
+        [synthesize_basin(s) for s in multi_basin_specs(lake_counts)],
+        ignore_index=True,
+    )
+
+
+def multi_basin_polygons(lake_counts: tuple[int, ...] = (3, 5, 7, 4, 6, 2)) -> list[dict]:
+    out = []
+    for spec in multi_basin_specs(lake_counts):
+        out.append(
+            {
+                "poly_id": spec["name"],
+                "xs": [spec["x0"] - 1.0, spec["x1"] + 1.0, spec["x1"] + 1.0, spec["x0"] - 1.0],
+                "ys": [spec["y0"] - 1.0, spec["y0"] - 1.0, spec["y1"] + 1.0, spec["y1"] + 1.0],
+            }
+        )
+    return out
