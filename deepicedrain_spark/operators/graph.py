@@ -55,7 +55,11 @@ def connected_components(
     )
     # labels only ever decrease, so the label sum is a strictly
     # decreasing convergence metric — one cheap agg per round instead
-    # of an old-vs-new join
+    # of an old-vs-new join. Probing every round is deliberate:
+    # batching 2 rounds per probe was A/B-measured SLOWER at sf0.1
+    # (4.3 s vs 3.3 s — deeper per-job plans + a forfeited early exit
+    # beat the saved driver round-trip; see ROADMAP.md "Measured dead
+    # ends").
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for it in range(max_iter):
