@@ -32,7 +32,7 @@ from tools.skew import exchange_skew, latest_execution_id
 
 N_TRACKS = int(sys.argv[1]) if len(sys.argv) > 1 else 1387
 REGION_M = 250_000.0
-ALONG_M = 100.0
+ALONG_M = float(sys.argv[2]) if len(sys.argv) > 2 else 100.0
 
 
 def synth_tracks(spark):
