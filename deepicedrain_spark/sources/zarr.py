@@ -325,11 +325,9 @@ def _v3_arrays(path: str) -> dict[str, dict]:
     return out
 
 
-def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
-    """Distributed Zarr scan (v2 OR v3 — auto-detected): one task per
-    chunk stripe, all columns of a stripe decoded together; adds
-    ``row_index`` (the global array position — Zarr's implicit key,
-    which parquet has no analogue for)."""
+def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
+    """Array metadata for one store (v2 consolidated or v3), restricted
+    to ``columns`` when given, ragged-validated."""
     if os.path.isfile(os.path.join(path, ".zmetadata")):
         with open(os.path.join(path, ".zmetadata")) as f:
             consolidated = json.load(f)["metadata"]
@@ -351,7 +349,19 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
     n_rows, chunk_rows = first["shape"][0], first["chunks"][0]
     for c in cols:
         if arrays[c]["shape"][0] != n_rows or arrays[c]["chunks"][0] != chunk_rows:
-            raise ValueError(f"read_zarr: ragged array {c}")
+            raise ValueError(f"read_zarr: ragged array {c} in {path}")
+    return arrays
+
+
+def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Distributed Zarr scan (v2 OR v3 — auto-detected): one task per
+    chunk stripe, all columns of a stripe decoded together; adds
+    ``row_index`` (the global array position — Zarr's implicit key,
+    which parquet has no analogue for)."""
+    arrays = _store_arrays(path, columns)
+    cols = sorted(arrays)
+    first = arrays[cols[0]]
+    n_rows, chunk_rows = first["shape"][0], first["chunks"][0]
     n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
     _REV = {"<i8": "long", "<i4": "int", "<i2": "short", "<i1": "byte",
             "<f8": "double", "<f4": "float", "|b1": "boolean"}
@@ -402,3 +412,113 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
                 yield pd.DataFrame(out)
 
     return chunks_df.mapInPandas(decode, schema=schema)
+
+
+def read_zarr_dir(
+    spark: SparkSession,
+    parent: str,
+    columns: list[str] | None = None,
+    store_col: str = "store",
+) -> DataFrame:
+    """Multi-store Zarr scan — the reference's ACTUAL ingest shape:
+    ``xr.open_mfdataset("ATL11_*.zarr", combine="nested",
+    concat_dim="ref_pt")`` over 1387 per-track stores with the source
+    path attached per row (add_path_to_ds,
+    /root/reference/atlxi_dhdt.py:60-82). Every direct child of
+    ``parent`` that is a Zarr store (v2 consolidated or v3) becomes
+    part of ONE (store × chunk-stripe) task table — a single
+    mapInPandas whatever the store count, like read_hdf5_dir, never a
+    per-store union plan. Stores must agree on column names/dtypes;
+    row counts, chunk sizes, versions and compressors may differ per
+    store. Output: ``store`` (dir name), ``row_index`` (position
+    WITHIN the store — the reference's per-granule ref_pt), plus the
+    data columns."""
+    stores = sorted(
+        d
+        for d in os.listdir(parent)
+        if os.path.isdir(os.path.join(parent, d))
+        and (
+            os.path.isfile(os.path.join(parent, d, ".zmetadata"))
+            or os.path.isfile(os.path.join(parent, d, "zarr.json"))
+        )
+    )
+    if not stores:
+        raise ValueError(f"read_zarr_dir: no zarr stores under {parent}")
+
+    _REV = {"<i8": "long", "<i4": "int", "<i2": "short", "<i1": "byte",
+            "<f8": "double", "<f4": "float", "|b1": "boolean"}
+    meta: dict[str, dict] = {}
+    sig_ref: list[tuple[str, str]] | None = None
+    tasks: list[tuple[str, int]] = []
+    for s in stores:
+        path = os.path.join(parent, s)
+        arrays = _store_arrays(path, columns)
+        cols = sorted(arrays)
+        sig = [(c, arrays[c]["dtype"]) for c in cols]
+        if sig_ref is None:
+            sig_ref = sig
+        elif sig != sig_ref:
+            raise ValueError(
+                f"read_zarr_dir: schema drift at {s}: {sig} != {sig_ref}"
+            )
+        for c in cols:
+            if arrays[c].get("filters"):
+                raise ValueError(
+                    f"read_zarr_dir: array {s}/{c} uses codec filters; "
+                    "only plain zlib/no-compressor stores are supported"
+                )
+        first = arrays[cols[0]]
+        n_rows, chunk_rows = first["shape"][0], first["chunks"][0]
+        meta[s] = {
+            "n_rows": n_rows,
+            "chunk_rows": chunk_rows,
+            "dtypes": {c: arrays[c]["dtype"] for c in cols},
+            "compressors": {c: arrays[c]["compressor"] for c in cols},
+            "v3": {c: bool(arrays[c].get("_v3")) for c in cols},
+            "sep": {c: arrays[c].get("_sep", "/") for c in cols},
+        }
+        n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
+        tasks.extend((s, cid) for cid in range(n_chunks))
+
+    cols = [c for c, _ in sig_ref]
+    schema = f"`{store_col}` string, row_index long, " + ", ".join(
+        f"`{c}` {_REV[meta[stores[0]]['dtypes'][c]]}" for c in cols
+    )
+    if not tasks:
+        return spark.createDataFrame([], schema)
+    tasks_df = spark.createDataFrame(tasks, "s string, cid long").repartition(
+        min(len(tasks), 512)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for s, cid in zip(pdf["s"], pdf["cid"]):
+                s, cid = str(s), int(cid)
+                m = meta[s]
+                start = cid * m["chunk_rows"]
+                length = min(m["chunk_rows"], m["n_rows"] - start)
+                out = {
+                    store_col: np.full(length, s),
+                    "row_index": np.arange(start, start + length, dtype=np.int64),
+                }
+                for c in cols:
+                    if m["v3"][c]:
+                        sep = m["sep"][c]
+                        cp = os.path.join(
+                            parent, s, c, f"c{sep}{cid}".replace("/", os.sep)
+                        )
+                    else:
+                        cp = os.path.join(parent, s, c, str(cid))
+                    with open(cp, "rb") as f:
+                        raw = f.read()
+                    comp = m["compressors"][c]
+                    if comp is not None and comp.get("id") == "zlib":
+                        raw = zlib.decompress(raw)
+                    elif comp is not None and comp.get("id") == "gzip":
+                        raw = zlib.decompress(raw, 47)
+                    elif comp is not None:
+                        raise ValueError(f"unsupported compressor {comp}")
+                    out[c] = np.frombuffer(raw, dtype=m["dtypes"][c])[:length]
+                yield pd.DataFrame(out)
+
+    return tasks_df.mapInPandas(decode, schema=schema)

@@ -994,6 +994,7 @@ PRIORITY: list[str] = [
     # --- tier 2: first in line past the driver's 50-query window ------
     # remaining never-driver-checked first (next rotation candidates),
     # then the r1-r4 driver-green demotions
+    "zarr_multistore_scan",  # NEW r5: multi-store nested-concat scan
     "streaming_sliding_means",
     "streaming_running_anomaly",
     "streaming_raster_counts",

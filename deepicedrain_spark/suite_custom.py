@@ -2903,3 +2903,54 @@ def q_lake_catalog_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("union_area") / 1e6, 3).alias("dissolved_km2"),
         F.round(F.col("sum_part_area") / 1e6, 3).alias("sum_parts_km2"),
     ).orderBy("basin_name")
+
+
+# --- S3 multi-store Zarr scan (round 5) -------------------------------
+# The reference's ACTUAL ingest is 1387 per-track Zarr stores opened in
+# one logical dataset (xr.open_mfdataset combine='nested' +
+# add_path_to_ds, atlxi_dhdt.py:60-82). Three per-shard stores are
+# written distributed, then read back through read_zarr_dir's single
+# (store x chunk) task table; per-store aggregates must match the
+# oracle's sharded aggregation of the original table exactly.
+@register(
+    "zarr_multistore_scan",
+    """
+    SELECT concat('shard_', CAST(user_id % 3 AS VARCHAR)) AS store,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(epoch_us(ts)) AS first_us
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_zarr_multistore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        _ts_us().alias("t_us"),
+        F.pmod("user_id", F.lit(3)).alias("_shard"),
+    )
+    parent = scratch_path(sf_dir, "zarr_stores")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    for shard in range(3):
+        write_zarr(
+            ev.filter(F.col("_shard") == shard).drop("_shard"),
+            os.path.join(parent, f"shard_{shard}"),
+            chunk_rows=4096,
+            # exercise BOTH layouts through one logical scan
+            zarr_format=3 if shard == 2 else 2,
+        )
+    back = read_zarr_dir(spark, parent, columns=["user_id", "value", "t_us"])
+    return (
+        back.groupBy("store")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("t_us").alias("first_us"),
+        )
+        .orderBy("store")
+    )

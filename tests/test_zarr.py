@@ -225,3 +225,44 @@ def test_v3_rejects_nondefault_chunk_key_encoding(spark, tmp_path):
     json.dump(m, open(mp, "w"))
     with pytest.raises(ValueError, match="chunk_key_encoding"):
         read_zarr(spark, path).collect()
+
+
+def test_read_zarr_dir_mixed_versions(spark, tmp_path):
+    """Multi-store scan (the reference's open_mfdataset shape): v2 and
+    v3 stores under one parent read as ONE task table with per-store
+    row_index and a store column; schema drift across stores is
+    rejected up front."""
+    import pytest
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir
+
+    parent = str(tmp_path / "stores")
+    os.makedirs(parent)
+    for i, fmt in enumerate([2, 2, 3]):
+        df = spark.range(i * 100, i * 100 + 50 + i).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        write_zarr(df, os.path.join(parent, f"s{i}"), chunk_rows=16, zarr_format=fmt)
+
+    back = read_zarr_dir(spark, parent)
+    assert set(back.columns) == {"store", "row_index", "k", "v"}
+    assert back.count() == 50 + 51 + 52
+    per = {r["store"]: r["n"] for r in back.groupBy("store").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 50, "s1": 51, "s2": 52}
+    # row_index restarts per store (the per-granule ref_pt axis)
+    mx = {r["store"]: (r["lo"], r["hi"]) for r in back.groupBy("store")
+          .agg(F.min("row_index").alias("lo"), F.max("row_index").alias("hi")).collect()}
+    assert mx == {"s0": (0, 49), "s1": (0, 50), "s2": (0, 51)}
+    # values survive: k=137 lives in s1 (100..150), v = 2k
+    r = back.where(F.col("k") == 137).collect()
+    assert len(r) == 1 and r[0]["store"] == "s1" and r[0]["v"] == 274.0
+
+    # column pruning
+    pruned = read_zarr_dir(spark, parent, columns=["v"])
+    assert set(pruned.columns) == {"store", "row_index", "v"}
+
+    # schema drift rejected
+    df = spark.range(0, 5).select(F.col("id").alias("DIFFERENT"))
+    write_zarr(df, os.path.join(parent, "bad"), chunk_rows=4)
+    with pytest.raises(ValueError, match="schema drift"):
+        read_zarr_dir(spark, parent)
