@@ -266,3 +266,45 @@ def test_read_zarr_dir_mixed_versions(spark, tmp_path):
     write_zarr(df, os.path.join(parent, "bad"), chunk_rows=4)
     with pytest.raises(ValueError, match="schema drift"):
         read_zarr_dir(spark, parent)
+
+
+def test_write_zarr_partitioned_per_key_stores(spark, tmp_path):
+    """One store per key written on executors (the reference's
+    per-track layout), read back by read_zarr_dir, byte-compatible with
+    the single-store reader; zarr-python cross-check when available."""
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_partitioned
+
+    parent = str(tmp_path / "tracks")
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 4).alias("rgt"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 0.5).alias("h"),
+    )
+    manifest = write_zarr_partitioned(
+        df, parent, key_col="rgt", chunk_rows=128, sort_col="seq", zarr_format=2
+    ).collect()
+    assert sorted(r["rgt"] for r in manifest) == [0, 1, 2, 3]
+    assert all(r["n_rows"] == 750 for r in manifest)
+    assert sorted(os.listdir(parent)) == [f"store_{k}" for k in range(4)]
+
+    back = read_zarr_dir(spark, parent)
+    assert back.count() == 3000
+    r = back.where(F.col("seq") == 1234).collect()[0]
+    assert r["store"] == "store_2" and r["h"] == 617.0  # 1234 % 4 == 2
+    # sort_col ordering inside each store: row_index follows seq order
+    s0 = back.where(F.col("store") == "store_0").orderBy("row_index").collect()
+    seqs = [x["seq"] for x in s0]
+    assert seqs == sorted(seqs)
+
+    # single-store reader agrees on one of the stores
+    one = read_zarr(spark, os.path.join(parent, "store_3"))
+    assert one.count() == 750
+
+    try:
+        import zarr
+    except ImportError:
+        return
+    import numpy as np
+
+    g = zarr.open_group(os.path.join(parent, "store_1"), mode="r")
+    assert np.array_equal(np.asarray(g["seq"])[:4], np.array([1, 5, 9, 13]))
