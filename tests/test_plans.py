@@ -204,3 +204,41 @@ def test_zordered_write_layout(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in per_file)
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file Z-ranges overlap — layout not range-partitioned"
+
+
+def test_dissolve_no_cartesian_no_nested_loop(spark):
+    """The planar overlay must plan as equi-joins on the dissolve key
+    (+pid/eid) — no cartesian product, no broadcast nested loop."""
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.dissolve import dissolve_stats
+
+    rows = []
+    for k in range(4):
+        rows.append((f"k{k}", 0, [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0]))
+        rows.append((f"k{k}", 1, [0.5, 1.5, 1.5, 0.5, 0.5], [0.0, 0.0, 1.0, 1.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "key string, pid long, xs array<double>, ys array<double>"
+    )
+    plan = plan_of(dissolve_stats(df, ["key"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hdf5_partitioned_write_no_driver_collect(spark, tmp_path):
+    """The distributed granule sink is one shuffle (groupBy key) into
+    applyInPandas — no CollectLimit / driver materialization node."""
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.sources.hdf5 import write_hdf5_partitioned
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).alias("rgt"), F.col("id").alias("seg"), (F.col("id") * 0.5).alias("h")
+    )
+    manifest = write_hdf5_partitioned(
+        df, str(tmp_path / "g"), "gt1l/land_ice_segments", key_col="rgt",
+        columns=["seg", "h"],
+    )
+    plan = plan_of(manifest)
+    assert "CollectLimit" not in plan and "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
