@@ -995,6 +995,7 @@ PRIORITY: list[str] = [
     # remaining never-driver-checked first (next rotation candidates),
     # then the r1-r4 driver-green demotions
     "zarr_multistore_scan",  # NEW r5: multi-store nested-concat scan
+    "lake_region_subset",  # NEW r5: dissolve -> region -> subset flow
     "streaming_sliding_means",
     "streaming_running_anomaly",
     "streaming_raster_counts",

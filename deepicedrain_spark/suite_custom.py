@@ -2954,3 +2954,183 @@ def q_zarr_multistore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("store")
     )
+
+
+# --- J6 follow-on: the reference's lake-selection flow end-to-end ----
+# atlxi_lake.py:350-380: pick a lake group, DISSOLVE the polygons into
+# one geometry, build a Region from it, and SUBSET the point table to
+# that region. Here: the Whillans basin's 19 published lakes dissolve
+# (2 merge), the region is the selection's bbox, and the embeddings
+# table is affine-mapped into that region and point-in-polygon tested
+# against the dissolved geometry (membership in the union == membership
+# in ANY part, which both engines evaluate with the identical ray-cast).
+@register(
+    "lake_region_subset",
+    f"""
+    WITH feat AS (
+      SELECT unnest(features) AS f
+      FROM read_json_auto('{_LAKE_CATALOG_PATH}',
+                          maximum_object_size=33554432)
+    ),
+    lakes0 AS (
+      SELECT f.properties.basin_name AS basin,
+             f.geometry.coordinates[1] AS ring
+      FROM feat WHERE f.properties.basin_name = 'Whillans'
+    ),
+    lakes AS (
+      SELECT basin, ring,
+             row_number() OVER (
+               PARTITION BY basin ORDER BY ring[1][1], ring[1][2]) AS pid
+      FROM lakes0
+    ),
+    pairs AS (
+      SELECT a.basin, a.pid AS apid, b.pid AS bpid,
+             ax.x1 AS ax1, ax.y1 AS ay1, ax.x2 AS ax2, ax.y2 AS ay2,
+             bx.x1 AS bx1, bx.y1 AS by1, bx.x2 AS bx2, bx.y2 AS by2
+      FROM lakes a JOIN lakes b ON a.basin = b.basin AND a.pid != b.pid,
+      LATERAL (SELECT a.ring[i][1] AS x1, a.ring[i][2] AS y1,
+                      a.ring[i+1][1] AS x2, a.ring[i+1][2] AS y2
+               FROM UNNEST(generate_series(1, len(a.ring) - 1)) AS g(i)) ax,
+      LATERAL (SELECT b.ring[j][1] AS x1, b.ring[j][2] AS y1,
+                      b.ring[j+1][1] AS x2, b.ring[j+1][2] AS y2
+               FROM UNNEST(generate_series(1, len(b.ring) - 1)) AS h(j)) bx
+    ),
+    ovl AS (
+      SELECT DISTINCT basin, least(apid, bpid) AS p, greatest(apid, bpid) AS q
+      FROM pairs
+      WHERE ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) != 0
+        AND ((bx1-ax1)*(by2-by1) - (by1-ay1)*(bx2-bx1))
+              / ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) > 0
+        AND ((bx1-ax1)*(by2-by1) - (by1-ay1)*(bx2-bx1))
+              / ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) < 1
+        AND ((bx1-ax1)*(ay2-ay1) - (by1-ay1)*(ax2-ax1))
+              / ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) > 0
+        AND ((bx1-ax1)*(ay2-ay1) - (by1-ay1)*(ax2-ax1))
+              / ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) < 1
+      UNION
+      SELECT DISTINCT a.basin, least(a.pid, b.pid), greatest(a.pid, b.pid)
+      FROM lakes a JOIN lakes b ON a.basin = b.basin AND a.pid != b.pid
+      WHERE len(list_filter(generate_series(1, len(b.ring) - 1), i ->
+              ((b.ring[i+1][2] > a.ring[1][2]) != (b.ring[i][2] > a.ring[1][2])) AND
+              (a.ring[1][1] < (b.ring[i][1] - b.ring[i+1][1])
+                 * (a.ring[1][2] - b.ring[i+1][2])
+                 / (b.ring[i][2] - b.ring[i+1][2]) + b.ring[i+1][1])
+            )) % 2 = 1
+    ),
+    sym AS (
+      SELECT basin, p, q FROM ovl UNION SELECT basin, q, p FROM ovl
+    ),
+    reach AS (
+      WITH RECURSIVE walk(basin, a, b) AS (
+        SELECT basin, pid, pid FROM lakes
+        UNION
+        SELECT w.basin, w.a, e.q
+        FROM walk w JOIN sym e ON e.basin = w.basin AND e.p = w.b
+      ) SELECT * FROM walk
+    ),
+    comp AS (SELECT basin, a AS pid, min(b) AS part FROM reach GROUP BY basin, a),
+    bbox AS (
+      SELECT min(list_min(list_transform(ring, p -> p[1]))) AS xmin,
+             max(list_max(list_transform(ring, p -> p[1]))) AS xmax,
+             min(list_min(list_transform(ring, p -> p[2]))) AS ymin,
+             max(list_max(list_transform(ring, p -> p[2]))) AS ymax
+      FROM lakes
+    ),
+    pts AS (
+      SELECT vec_id,
+             (SELECT xmin FROM bbox)
+               + (CAST(embedding[1] AS DOUBLE) + 0.5)
+                 * ((SELECT xmax FROM bbox) - (SELECT xmin FROM bbox)) AS px,
+             (SELECT ymin FROM bbox)
+               + (CAST(embedding[2] AS DOUBLE) + 0.5)
+                 * ((SELECT ymax FROM bbox) - (SELECT ymin FROM bbox)) AS py
+      FROM embeddings
+    ),
+    inside AS (
+      SELECT DISTINCT p.vec_id
+      FROM pts p JOIN lakes l ON len(list_filter(
+            generate_series(1, len(l.ring) - 1), i ->
+              ((l.ring[i+1][2] > p.py) != (l.ring[i][2] > p.py)) AND
+              (p.px < (l.ring[i][1] - l.ring[i+1][1])
+                 * (p.py - l.ring[i+1][2])
+                 / (l.ring[i][2] - l.ring[i+1][2]) + l.ring[i+1][1])
+          )) % 2 = 1
+    )
+    SELECT 'Whillans' AS basin_name,
+           (SELECT count(*) FROM lakes) AS n_lakes,
+           (SELECT count(DISTINCT part) FROM comp) AS n_parts,
+           (SELECT count(*) FROM pts) AS n_points,
+           (SELECT count(*) FROM pts
+            WHERE px >= (SELECT xmin FROM bbox) AND px <= (SELECT xmax FROM bbox)
+              AND py >= (SELECT ymin FROM bbox) AND py <= (SELECT ymax FROM bbox)
+           ) AS n_in_region,
+           (SELECT count(*) FROM inside) AS n_in_union
+    """,
+)
+def q_lake_region_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve-driven region subset: Whillans lakes → overlap-graph
+    parts (operators/dissolve.overlap_components) → bbox Region →
+    affine-mapped embeddings → ray-cast membership in the dissolved
+    geometry (PIP against any part == PIP against the union)."""
+    from deepicedrain_spark.operators.dissolve import overlap_components
+    from deepicedrain_spark.operators.spatial import raycast_predicate
+    from deepicedrain_spark.sources.geojson import read_geojson_polygons
+
+    df = read_geojson_polygons(spark, _LAKE_CATALOG_PATH, id_property="basin_name")
+    w = Window.partitionBy("basin_name").orderBy(
+        F.element_at("xs", 1), F.element_at("ys", 1)
+    )
+    polys = (
+        df.filter(F.col("poly_id") == "Whillans")
+        .select(F.col("poly_id").alias("basin_name"), "xs", "ys")
+        .withColumn("pid", F.row_number().over(w).cast("long"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    n_lakes = polys.count()
+    n_parts = (
+        overlap_components(polys, ["basin_name"])
+        .agg(F.countDistinct("part"))
+        .first()[0]
+    )
+    bbox = polys.agg(
+        F.min(F.array_min("xs")).alias("xmin"),
+        F.max(F.array_max("xs")).alias("xmax"),
+        F.min(F.array_min("ys")).alias("ymin"),
+        F.max(F.array_max("ys")).alias("ymax"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("e1"),
+        F.element_at("embedding", 2).cast("double").alias("e2"),
+    )
+    pts = emb.crossJoin(F.broadcast(bbox)).select(
+        "vec_id",
+        (F.col("xmin") + (F.col("e1") + 0.5) * (F.col("xmax") - F.col("xmin"))).alias("px"),
+        (F.col("ymin") + (F.col("e2") + 0.5) * (F.col("ymax") - F.col("ymin"))).alias("py"),
+        "xmin",
+        "xmax",
+        "ymin",
+        "ymax",
+    ).localCheckpoint()
+    n_points = pts.count()
+    n_in_region = pts.filter(
+        (F.col("px") >= F.col("xmin"))
+        & (F.col("px") <= F.col("xmax"))
+        & (F.col("py") >= F.col("ymin"))
+        & (F.col("py") <= F.col("ymax"))
+    ).count()
+    rings = polys.select("xs", "ys")
+    n_in_union = (
+        pts.select("vec_id", "px", "py")
+        .crossJoin(F.broadcast(rings))
+        .filter(raycast_predicate("px", "py"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [("Whillans", n_lakes, n_parts, n_points, n_in_region, n_in_union)],
+        "basin_name string, n_lakes bigint, n_parts bigint, n_points bigint, "
+        "n_in_region bigint, n_in_union bigint",
+    )

@@ -1,0 +1,99 @@
+"""Dissolve at many-keys scale: the catalog query is fixed-size (30
+basins), but the operator's 100 TB story is "keys partition across the
+cluster" — so measure dissolve_stats over K keys x P overlapping
+polygons per key, all synthesized Catalyst-side (no Python in the data
+path).
+
+Usage: python tools/scalecheck_dissolve.py [n_keys] [polys_per_key]
+Prints one JSON line; summary goes to SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.operators.dissolve import dissolve_stats
+from deepicedrain_spark.session import get_spark
+
+N_KEYS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+POLYS = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+VERTS = 16
+
+
+def synth(spark):
+    """P octagon-ish rings per key in a row, neighbors overlapping
+    (centers 1.5*r apart at radius r) so every key truly merges."""
+    rows = spark.range(0, N_KEYS * POLYS)
+    key = (F.col("id") / POLYS).cast("long")
+    pid = (F.col("id") % POLYS).cast("long")
+    r = F.lit(100.0)
+    cx = pid.cast("double") * 150.0 + (F.xxhash64("id") % 20).cast("double")
+    cy = (F.xxhash64("id", F.lit(7)) % 20).cast("double")
+    ring = lambda trig: F.expr(  # noqa: E731
+        f"transform(sequence(0, {VERTS}), i -> "
+        f"_c + _r * {trig}(2 * pi() * (i % {VERTS}) / {VERTS} + _ph))"
+    )
+    return rows.select(
+        key.alias("key"),
+        pid.alias("pid"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+        ((F.xxhash64("id", F.lit(13)) % 100).cast("double") / 1000.0).alias("_ph"),
+        r.alias("_r"),
+    ).select(
+        "key",
+        "pid",
+        F.expr(
+            f"transform(sequence(0, {VERTS}), i -> "
+            f"_cx + _r * cos(2 * pi() * (i % {VERTS}) / {VERTS} + _ph))"
+        ).alias("xs"),
+        F.expr(
+            f"transform(sequence(0, {VERTS}), i -> "
+            f"_cy + _r * sin(2 * pi() * (i % {VERTS}) / {VERTS} + _ph))"
+        ).alias("ys"),
+    )
+
+
+def main() -> None:
+    spark = get_spark("scalecheck_dissolve")
+    spark.sparkContext.setLogLevel("ERROR")
+    polys = synth(spark).localCheckpoint()
+    n = polys.count()
+    t0 = time.time()
+    out = dissolve_stats(polys, ["key"])
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    row = out.agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.sum("n_parts").alias("parts"),
+        F.min(F.col("n_parts")).alias("min_parts"),
+        F.max(F.col("n_parts")).alias("max_parts"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "metric": "dissolve_many_keys",
+                "n_keys": N_KEYS,
+                "polys_per_key": POLYS,
+                "n_polys": n,
+                "wall_sec": round(dt, 2),
+                "keys_per_sec": int(N_KEYS / dt),
+                "out_keys": row["keys"],
+                "parts_total": row["parts"],
+                "parts_min": row["min_parts"],
+                "parts_max": row["max_parts"],
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
