@@ -455,31 +455,125 @@ def append_records(path: str, new_data: dict[str, np.ndarray]) -> int:
     return old_numrecs + n_add
 
 
+def _load_append_ledger(sidecar: str) -> dict:
+    """Sidecar ledger: ``{"version": n, "applied": [...], "intent":
+    {"batch_id", "pre_len", "pre_numrecs"} | None}``. Round-5 sidecars
+    were a bare list of applied ids — normalize those to the dict form
+    (no intent pending, version 0)."""
+    import json
+
+    if not os.path.exists(sidecar):
+        return {"version": 0, "applied": [], "intent": None}
+    with open(sidecar) as fh:
+        raw = json.load(fh)
+    if isinstance(raw, list):  # legacy round-5 format
+        return {"version": 0, "applied": raw, "intent": None}
+    return raw
+
+
+def _write_ledger(sidecar: str, ledger: dict) -> None:
+    import json
+
+    tmp = f"{sidecar}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(ledger, fh)
+    os.replace(tmp, sidecar)  # atomic on POSIX
+
+
+def _rollback_intent(path: str, intent: dict) -> None:
+    """Undo a possibly-half-applied append: truncate the file back to
+    the pre-append length (removing any orphan tail bytes a mid-write
+    crash left — readers compute record offsets from numrecs, so tail
+    garbage would shift every later record once numrecs moves) and
+    restore the pre-append numrecs. Both steps are idempotent, so a
+    crash DURING rollback just reruns it on the next call."""
+    pre_len = int(intent["pre_len"])
+    if os.path.getsize(path) > pre_len:
+        with open(path, "r+b") as fh:
+            fh.truncate(pre_len)
+    with open(path, "r+b") as fh:
+        version = fh.read(4)[3]
+        fh.seek(4)
+        fh.write(struct.pack(_cnt_fmt(version), int(intent["pre_numrecs"])))
+
+
 def append_records_once(
     path: str, new_data: dict[str, np.ndarray], batch_id: int
 ) -> bool:
     """Idempotent :func:`append_records` for at-least-once writers
     (Structured Streaming ``foreachBatch`` redelivers a micro-batch
     after a failure). Applied batch ids live in a sidecar
-    ``<path>.applied.json``, updated atomically AFTER the append —
-    mirroring the upsert sink's manifest replay rule — so a redelivered
-    batch id is a no-op instead of a double append. Returns True when
-    the append ran, False when the batch was already applied."""
-    import json
+    ``<path>.applied.json`` so a redelivered batch id is a no-op
+    instead of a double append. Returns True when the append ran,
+    False when the batch was already applied.
+
+    Crash-atomic via a write-ahead INTENT (round-6, was append-then-
+    record): before any byte is appended the ledger records
+    ``(batch_id, pre_len, pre_numrecs)`` atomically; the ledger entry
+    that marks the batch applied is written only after the append
+    completes. A crash at ANY point leaves either (a) an intent with
+    an untouched file — rollback is a no-op, or (b) an intent with a
+    partial/complete append — the next call truncates back to
+    ``pre_len`` and restores ``numrecs`` before re-appending. Without
+    the intent, a crash between append and sidecar write would make
+    redelivery double-append, and a mid-write crash would leave
+    misaligned tail bytes — exactly the failure modes this function
+    exists to prevent.
+
+    Concurrent writer processes are serialized by a ``<path>.lock``
+    file (the upsert sink's :class:`~deepicedrain_spark.fslock.PathLock`
+    — O_EXCL acquire, rename-based stale break), and the final commit
+    carries a version CAS fence: if another writer moved the ledger
+    while this one held a broken-stale lock, the commit raises instead
+    of recording a batch whose bytes the other writer rolled back."""
+    from deepicedrain_spark.fslock import PathLock
 
     sidecar = path + ".applied.json"
-    applied: list[int] = []
-    if os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            applied = json.load(fh)
-    if batch_id in applied:
-        return False
-    append_records(path, new_data)
-    tmp = f"{sidecar}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(sorted(applied + [batch_id]), fh)
-    os.replace(tmp, sidecar)  # atomic on POSIX
-    return True
+    with PathLock(path + ".lock"):
+        ledger = _load_append_ledger(sidecar)
+        if ledger["intent"] is not None:
+            _rollback_intent(path, ledger["intent"])
+            ledger = {
+                "version": ledger["version"] + 1,
+                "applied": ledger["applied"],
+                "intent": None,
+            }
+            _write_ledger(sidecar, ledger)
+        if batch_id in ledger["applied"]:
+            return False
+        version, numrecs, _dims, rec_dim, _gatts, _meta = _read_header(path)
+        if rec_dim is None:
+            raise ValueError("netcdf append: file has no record (unlimited) dimension")
+        intent_version = ledger["version"] + 1
+        _write_ledger(
+            sidecar,
+            {
+                "version": intent_version,
+                "applied": ledger["applied"],
+                "intent": {
+                    "batch_id": batch_id,
+                    "pre_len": os.path.getsize(path),
+                    "pre_numrecs": numrecs,
+                },
+            },
+        )
+        append_records(path, new_data)
+        on_disk = _load_append_ledger(sidecar)
+        if on_disk["version"] != intent_version:
+            raise RuntimeError(
+                "netcdf append: lost-update fence tripped — ledger moved "
+                f"from {intent_version} to {on_disk['version']} mid-append; "
+                "another writer committed while this one held a broken lock"
+            )
+        _write_ledger(
+            sidecar,
+            {
+                "version": intent_version + 1,
+                "applied": sorted(ledger["applied"] + [batch_id]),
+                "intent": None,
+            },
+        )
+        return True
 
 
 # ---------------------------------------------------------------------------

@@ -33,73 +33,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from deepicedrain_spark.fslock import PathLock
+
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.json")
 
 
-class _SinkLock:
-    """Advisory lock-file serializing the read-merge-commit critical
-    section across concurrent writers (two streaming queries pointed at
-    one table, or a restart racing its own zombie). O_CREAT|O_EXCL is
-    atomic on POSIX local filesystems; locks older than ``stale_after``
-    are broken (crashed-holder recovery), which is why the commit ALSO
-    carries a version fence — see _commit_manifest.
-
-    Stale-lock breaking is RENAME-based: the breaker atomically renames
-    the stale lock to a unique sidecar name before deleting it, so of N
-    concurrent waiters exactly one rename succeeds (the others get
-    ENOENT and go back to waiting) — an unlink-based break would let a
-    slow second breaker delete the fast breaker's freshly-acquired NEW
-    lock. Release is token-checked: __exit__ deletes the lock only if
-    it still carries this holder's token, so a holder whose lock was
-    broken cannot cascade the race by removing the next holder's lock."""
+class _SinkLock(PathLock):
+    """Advisory lock on ``<out_dir>/_manifest.lock`` — the shared
+    :class:`deepicedrain_spark.fslock.PathLock` (O_CREAT|O_EXCL
+    acquisition, RENAME-based stale break, token-checked release; see
+    fslock.py for the full protocol). The commit ALSO carries a version
+    fence (_commit_manifest) because a lock broken as stale can leave
+    two holders alive."""
 
     def __init__(self, out_dir: str, timeout: float = 120.0, stale_after: float = 600.0):
-        self.path = os.path.join(out_dir, "_manifest.lock")
-        self.timeout = timeout
-        self.stale_after = stale_after
-        import uuid
-
-        self.token = f"{os.getpid()}:{uuid.uuid4().hex}"
-
-    def __enter__(self) -> "_SinkLock":
-        deadline = time.monotonic() + self.timeout
-        while True:
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, self.token.encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
-                try:
-                    stale = time.time() - os.path.getmtime(self.path) > self.stale_after
-                except OSError:
-                    continue  # holder released between exists and stat
-                if stale:
-                    # atomic rename: exactly one waiter wins the break
-                    side = f"{self.path}.stale.{self.token.split(':')[0]}"
-                    try:
-                        os.rename(self.path, side)
-                        os.unlink(side)
-                    except OSError:
-                        pass  # someone else broke it first
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"upsert sink: could not acquire {self.path} "
-                        f"within {self.timeout}s"
-                    )
-                time.sleep(0.05)
-
-    def __exit__(self, *exc) -> None:
-        try:
-            with open(self.path) as fh:
-                if fh.read() != self.token:
-                    return  # our lock was broken; the file is someone else's
-            os.unlink(self.path)
-        except OSError:
-            pass
+        super().__init__(os.path.join(out_dir, "_manifest.lock"), timeout, stale_after)
 
 
 def _read_manifest(out_dir: str) -> dict:
