@@ -13,22 +13,35 @@ library and no Python in the area path:
    (translated to a per-key local origin so the Green's-theorem fold
    below doesn't cancel 1e12-magnitude terms).
 2. **crossings**: per-key self-join of edges from different polygons;
-   proper segment intersections yield split parameters ``t`` (general
-   position assumed — same caveat as the convex-hull oracle).
+   proper segment intersections yield split parameters ``t``, and
+   exactly-representable degenerate contacts (T-junctions, endpoints
+   of collinear shared runs) split through the endpoint-on-edge
+   branch.
 3. **sub-edges**: split every edge at its sorted ``t`` list. Endpoint
    arithmetic is pinned (``t=0``/``t=1`` return the original vertex
    bits) so both engines produce identical doubles.
 4. **coverage**: each sub-edge midpoint is offset by ±eps along the
-   edge normal; an even-odd ray cast (the exact
-   ``raycast_predicate`` formula) against every polygon of the key
-   classifies each side as inside/outside the union.
+   edge normal, scaled by the SUB-edge span (``tb - ta``) so the probe
+   stays inside the sub-edge's sliver even when two crossings sit
+   close together on a long edge (round-6 fix, was full-edge scale).
+   An even-odd ray cast against every POLYGON of the key — ray
+   crossings summed over the polygon's rings, then parity, so input
+   holes count correctly — classifies each side as inside/outside the
+   union.
 5. **boundary + area**: a sub-edge lies on the union boundary iff
    exactly one side is covered. Orienting interior-left, the union
    area is the Green's-theorem fold ``sum((ax*by - bx*ay) / 2)`` over
    boundary sub-edges — no ring chaining needed for scalars.
-6. **parts**: connected components of the per-key overlap graph
-   (edge crossings or first-vertex containment) count the merged
-   regions, i.e. the number of geometries dissolve would output.
+6. **parts**: connected components of the per-key overlap graph.
+   Polygons are connected when they properly cross, when one has a
+   vertex strictly inside the other (any-vertex test, vertices ON the
+   other's boundary excluded — a first-vertex-only test misses
+   containment whose first vertex lands on the boundary), or when
+   their boundaries share a POSITIVE-LENGTH collinear run (round-6,
+   ADVICE r5): shapely ``unary_union`` merges edge-touching polygons
+   into one geometry. Touching at isolated points only (corner
+   contacts, T-junction vertices) stays two parts — GEOS returns a
+   MultiPolygon there, since a single ring may not self-touch.
 
 Every step is an equi-join or aggregation keyed by the dissolve key,
 so the plan shuffles on the key only; polygon groups (lakes per
@@ -36,10 +49,15 @@ basin) are small dims while the framework scales to many keys. The
 oracle can replay steps 1-5 verbatim in SQL because every float op is
 written identically on both sides.
 
-Scope: single-ring simple polygons in general position (no shared
-edges / vertex-on-edge contacts, no holes in the *inputs*) — the
-reference's lake hulls satisfy all of these. Holes in the *output*
-(a union enclosing a void) fall out of the boundary test naturally.
+Scope (round-6, was general-position single-ring only): simple
+polygons, optionally with HOLES — pass one row per ring with an
+``rid`` column (0 = outer, >0 = hole; omit the column for
+single-ring inputs) — including degenerate contacts whose
+coordinates are exactly representable (shared edges, partial
+collinear overlaps, duplicate rings, vertex-on-edge touches). Rings
+of one polygon must not cross each other (standard validity, same as
+shapely). Holes in the *output* (a union enclosing a void) fall out
+of the boundary test naturally.
 """
 
 from __future__ import annotations
@@ -47,6 +65,14 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _with_rid(polys: DataFrame) -> DataFrame:
+    """Back-compat: single-ring inputs carry no ring id — synthesize
+    rid=0 (every ring an outer ring)."""
+    if "rid" in polys.columns:
+        return polys
+    return polys.withColumn("rid", F.lit(0).cast("int"))
 
 
 def _edges(polys: DataFrame, key_cols: list[str], pid: str) -> DataFrame:
@@ -57,6 +83,7 @@ def _edges(polys: DataFrame, key_cols: list[str], pid: str) -> DataFrame:
     km-scale values instead of 1e6-scale EPSG:3031 coordinates, which
     shrinks float cancellation ~1e6-fold.
     """
+    polys = _with_rid(polys)
     refs = polys.groupBy(*key_cols).agg(
         F.min(F.array_min("xs")).alias("_xref"),
         F.min(F.array_min("ys")).alias("_yref"),
@@ -65,6 +92,7 @@ def _edges(polys: DataFrame, key_cols: list[str], pid: str) -> DataFrame:
     return p.select(
         *key_cols,
         F.col(pid).alias("pid"),
+        "rid",
         "_xref",
         "_yref",
         F.expr(
@@ -75,17 +103,18 @@ def _edges(polys: DataFrame, key_cols: list[str], pid: str) -> DataFrame:
                 xs[i+1] - _xref AS x2, ys[i+1] - _yref AS y2)))
             """
         ).alias("e"),
-    ).select(*key_cols, "pid", "_xref", "_yref", "e.*")
+    ).select(*key_cols, "pid", "rid", "_xref", "_yref", "e.*")
 
 
 def _crossings(edges: DataFrame, key_cols: list[str]) -> DataFrame:
     """Proper crossings between edges of DIFFERENT polygons of a key:
-    (key, pid, eid, t) — the split parameter on the (pid, eid) edge.
-    Emitted from BOTH sides of the e×f pair (t for e, u for f), so one
-    join covers every edge's splits."""
+    (key, pid, rid, eid, t) — the split parameter on the (pid, rid,
+    eid) edge. Emitted from BOTH sides of the e×f pair (t for e, u for
+    f), so one join covers every edge's splits."""
     a = edges.select(
         *key_cols,
         F.col("pid").alias("apid"),
+        F.col("rid").alias("arid"),
         F.col("eid").alias("aeid"),
         F.col("x1").alias("ax1"),
         F.col("y1").alias("ay1"),
@@ -95,7 +124,6 @@ def _crossings(edges: DataFrame, key_cols: list[str]) -> DataFrame:
     b = edges.select(
         *key_cols,
         F.col("pid").alias("bpid"),
-        F.col("eid").alias("beid"),
         F.col("x1").alias("bx1"),
         F.col("y1").alias("by1"),
         F.col("x2").alias("bx2"),
@@ -111,13 +139,20 @@ def _crossings(edges: DataFrame, key_cols: list[str]) -> DataFrame:
     denom = d1x * d2y - d1y * d2x
     t = (qpx * d2y - qpy * d2x) / denom
     u = (qpx * d1y - qpy * d1x) / denom
+    out_cols = [
+        *key_cols,
+        F.col("apid").alias("pid"),
+        F.col("arid").alias("rid"),
+        F.col("aeid").alias("eid"),
+        "t",
+    ]
     hit = (
         pair.withColumn("_den", denom)
         .where(F.col("_den") != 0)
         .withColumn("t", t)
         .withColumn("u", u)
         .where((F.col("t") > 0) & (F.col("t") < 1) & (F.col("u") > 0) & (F.col("u") < 1))
-        .select(*key_cols, F.col("apid").alias("pid"), F.col("aeid").alias("eid"), "t")
+        .select(*out_cols)
     )
     # Degenerate (but exactly-representable) contacts: an endpoint of f
     # lying ON e — covers T-junctions AND the endpoints of collinear
@@ -138,7 +173,7 @@ def _crossings(edges: DataFrame, key_cols: list[str]) -> DataFrame:
             pair.where(on_line == 0)
             .withColumn("t", tp)
             .where((F.col("t") > 0) & (F.col("t") < 1))
-            .select(*key_cols, F.col("apid").alias("pid"), F.col("aeid").alias("eid"), "t")
+            .select(*out_cols)
         )
     out = hit
     for tdf in touches:
@@ -154,16 +189,18 @@ def boundary_subedges(
 ) -> DataFrame:
     """Union-boundary sub-edges per key, oriented interior-LEFT:
     (key..., pid, eid, ax, ay, bx, by, _xref, _yref). ``polys`` needs
-    closed rings as xs/ys array<double> plus a per-key-unique ``pid``.
+    closed rings as xs/ys array<double> plus a ``pid`` (and optionally
+    ``rid`` for polygons with holes — see module docstring).
     """
+    polys = _with_rid(polys)
     edges = _edges(polys, key_cols, pid)
     splits = (
         _crossings(edges, key_cols)
-        .groupBy(*key_cols, "pid", "eid")
+        .groupBy(*key_cols, "pid", "rid", "eid")
         .agg(F.collect_list("t").alias("_ts"))
     )
     sub = (
-        edges.join(splits, [*key_cols, "pid", "eid"], "left")
+        edges.join(splits, [*key_cols, "pid", "rid", "eid"], "left")
         .withColumn(
             "_tl",
             F.array_sort(
@@ -176,6 +213,7 @@ def boundary_subedges(
         .select(
             *key_cols,
             "pid",
+            "rid",
             "eid",
             "x1",
             "y1",
@@ -188,7 +226,9 @@ def boundary_subedges(
                 "i -> struct(_tl[i] AS ta, _tl[i+1] AS tb)))"
             ).alias("s"),
         )
-        .select(*key_cols, "pid", "eid", "x1", "y1", "x2", "y2", "_xref", "_yref", "s.*")
+        .select(
+            *key_cols, "pid", "rid", "eid", "x1", "y1", "x2", "y2", "_xref", "_yref", "s.*"
+        )
         .where(F.col("tb") > F.col("ta"))
     )
     # endpoint arithmetic pinned at t=0 / t=1 so chained sub-edges of
@@ -204,6 +244,12 @@ def boundary_subedges(
         )
     )
     tm = (F.col("ta") + F.col("tb")) / 2
+    # probe offset: eps × the SUB-edge vector (tb - ta scales the full
+    # edge direction down to the sub-edge span), so the probe distance
+    # is proportional to the sliver being classified — an unnormalized
+    # full-edge offset overshoots short sub-edges near tangencies
+    # (ADVICE r5, dissolve.py:214)
+    span = F.col("tb") - F.col("ta")
     sub = (
         sub.withColumn("ax", px("ta"))
         .withColumn("ay", py("ta"))
@@ -211,8 +257,8 @@ def boundary_subedges(
         .withColumn("by", py("tb"))
         .withColumn("mx", F.col("x1") + tm * (F.col("x2") - F.col("x1")))
         .withColumn("my", F.col("y1") + tm * (F.col("y2") - F.col("y1")))
-        .withColumn("ox", F.lit(-eps) * (F.col("y2") - F.col("y1")))
-        .withColumn("oy", F.lit(eps) * (F.col("x2") - F.col("x1")))
+        .withColumn("ox", F.lit(-eps) * span * (F.col("y2") - F.col("y1")))
+        .withColumn("oy", F.lit(eps) * span * (F.col("x2") - F.col("x1")))
     )
     refs = polys.groupBy(*key_cols).agg(
         F.min(F.array_min("xs")).alias("_rxref"),
@@ -230,9 +276,12 @@ def boundary_subedges(
             F.expr("transform(ys, v -> v - _ryref)").alias("tys"),
         )
     )
-    # translated ray cast: identical formula to raycast_predicate, on
-    # ring coords shifted by the same per-key reference
-    pip = lambda qx, qy: F.expr(  # noqa: E731
+    # translated ray CROSSING COUNT (not parity): identical straddle
+    # test to raycast_predicate, on ring coords shifted by the same
+    # per-key reference. Counts are summed over each polygon's rings
+    # below and only then reduced mod 2 — even-odd across outer+holes,
+    # so a probe inside a hole reads "outside the polygon".
+    hits = lambda qx, qy: F.expr(  # noqa: E731
         f"""
         size(filter(sequence(0, size(txs) - 2), i ->
             ((tys[i+1] > {qy}) != (tys[i] > {qy})) AND
@@ -240,14 +289,22 @@ def boundary_subedges(
                     * ({qy} - tys[i+1])
                     / (tys[i] - tys[i+1])
                     + txs[i+1])
-        )) % 2 = 1
+        ))
         """
     )
-    cov = (
+    sub_keys = [*key_cols, "pid", "rid", "eid", "ta", "tb", "ax", "ay", "bx", "by", "_xref", "_yref"]
+    per_poly = (
         sub.join(rings, key_cols)
-        .withColumn("_inl", pip("(mx + ox)", "(my + oy)").cast("int"))
-        .withColumn("_inr", pip("(mx - ox)", "(my - oy)").cast("int"))
-        .groupBy(*key_cols, "pid", "eid", "ta", "tb", "ax", "ay", "bx", "by", "_xref", "_yref")
+        .withColumn("_hl", hits("(mx + ox)", "(my + oy)"))
+        .withColumn("_hr", hits("(mx - ox)", "(my - oy)"))
+        .groupBy(*sub_keys, "rpid")
+        .agg(
+            (F.sum("_hl") % 2 == 1).cast("int").alias("_inl"),
+            (F.sum("_hr") % 2 == 1).cast("int").alias("_inr"),
+        )
+    )
+    cov = (
+        per_poly.groupBy(*sub_keys)
         .agg(F.max("_inl").alias("covl"), F.max("_inr").alias("covr"))
         .where(F.col("covl") != F.col("covr"))
     )
@@ -271,11 +328,25 @@ def overlap_components(
     polys: DataFrame, key_cols: list[str], pid: str = "pid"
 ) -> DataFrame:
     """(key..., pid, part) — connected components of the per-key
-    overlap graph (proper edge crossing OR first-vertex containment).
-    ``part`` = min pid of the component. Union-find runs one call per
-    key over O(polygons) pairs — the dissolve analogue of the hull
-    UDF's per-group altitude; state is O(polygons per key), never
-    O(vertices)."""
+    overlap graph. ``part`` = min pid of the component. Edges of the
+    graph (matching shapely ``unary_union``'s merge behavior):
+
+    - proper edge crossing between two polygons;
+    - a vertex of one polygon STRICTLY inside the other (even-odd over
+      the other's rings — holes count; vertices exactly ON the other's
+      boundary are excluded from the vote, since their parity is
+      arbitrary);
+    - a positive-length collinear overlap of two boundary edges
+      (shared edges / partial shared runs / duplicate rings) — GEOS
+      merges edge-touching polygons into one geometry. Isolated point
+      contacts (corner touches, T-junction vertices) do NOT connect:
+      GEOS returns a MultiPolygon for those (round-6; ADVICE r5,
+      dissolve.py:308).
+
+    Union-find runs one call per key over O(polygons) pairs — the
+    dissolve analogue of the hull UDF's per-group altitude; state is
+    O(polygons per key), never O(vertices)."""
+    polys = _with_rid(polys)
     edges = _edges(polys, key_cols, pid)
     # crossing PAIRS (pid, pid) — _crossings drops the partner pid (it
     # only needs split params), so pairs are derived directly here
@@ -312,37 +383,85 @@ def overlap_components(
         .select(*key_cols, F.col("apid").alias("p"), F.col("bpid").alias("q"))
         .distinct()
     )
-    # containment: first vertex of one ring inside the other
-    pa = polys.select(
-        *key_cols,
-        F.col(pid).alias("p"),
-        F.element_at("xs", 1).alias("vx"),
-        F.element_at("ys", 1).alias("vy"),
+    # positive-length collinear overlap: parallel (den == 0), b1 on
+    # e's line (cross == 0), and the projection interval of f onto e
+    # strictly overlaps (0, 1). Endpoint-only contact projects to
+    # exactly {0} or {1} — measure zero, excluded by the strict
+    # inequalities, so corner touches stay separate parts.
+    len2 = d1x * d1x + d1y * d1y
+    t1 = (qpx * d1x + qpy * d1y) / len2
+    t2 = ((F.col("bx2") - F.col("ax1")) * d1x + (F.col("by2") - F.col("ay1")) * d1y) / len2
+    touch_pairs = (
+        pair.where((denom == 0) & (d1x * qpy - d1y * qpx == 0))
+        .where((F.least(t1, t2) < 1) & (F.greatest(t1, t2) > 0))
+        .select(*key_cols, F.col("apid").alias("p"), F.col("bpid").alias("q"))
+        .distinct()
+    )
+    # containment: ANY vertex of p strictly inside polygon q (parity
+    # over q's rings), vertices exactly on q's boundary excluded. A
+    # first-vertex-only test misses rings whose first vertex lies ON
+    # the other boundary; if every vertex of p is outside or on ∂q yet
+    # the interiors still overlap, a proper crossing exists and
+    # cross_pairs already connects the pair.
+    va = (
+        polys.select(
+            *key_cols,
+            F.col(pid).alias("p"),
+            F.expr(
+                "explode(transform(sequence(0, size(xs) - 2), "
+                "i -> struct(xs[i] AS vx, ys[i] AS vy)))"
+            ).alias("v"),
+        )
+        .select(*key_cols, "p", "v.*")
+        .distinct()
     )
     pb = polys.select(
         *key_cols, F.col(pid).alias("q"), F.col("xs").alias("rxs"), F.col("ys").alias("rys")
     )
-    inside = F.expr(
+    ray_hits = F.expr(
         """
         size(filter(sequence(0, size(rxs) - 2), i ->
             ((rys[i+1] > vy) != (rys[i] > vy)) AND
             (vx < (rxs[i] - rxs[i+1]) * (vy - rys[i+1])
                   / (rys[i] - rys[i+1]) + rxs[i+1])
-        )) % 2 = 1
+        ))
+        """
+    )
+    on_boundary = F.expr(
+        """
+        exists(sequence(0, size(rxs) - 2), i ->
+            (rxs[i+1] - rxs[i]) * (vy - rys[i]) -
+            (rys[i+1] - rys[i]) * (vx - rxs[i]) = 0 AND
+            (vx - rxs[i]) * (rxs[i+1] - rxs[i]) +
+            (vy - rys[i]) * (rys[i+1] - rys[i]) >= 0 AND
+            (vx - rxs[i]) * (rxs[i+1] - rxs[i]) +
+            (vy - rys[i]) * (rys[i+1] - rys[i]) <=
+            (rxs[i+1] - rxs[i]) * (rxs[i+1] - rxs[i]) +
+            (rys[i+1] - rys[i]) * (rys[i+1] - rys[i])
+        )
         """
     )
     contain_pairs = (
-        pa.join(pb, key_cols)
+        va.join(pb, key_cols)
         .where(F.col("p") != F.col("q"))
-        .where(inside)
+        .withColumn("_hits", ray_hits)
+        .withColumn("_onb", on_boundary)
+        .groupBy(*key_cols, "p", "q", "vx", "vy")
+        .agg(
+            (F.sum("_hits") % 2 == 1).alias("_in"),
+            F.max(F.col("_onb").cast("int")).alias("_onbi"),
+        )
+        .where(F.col("_in") & (F.col("_onbi") == 0))
         .select(*key_cols, F.least("p", "q").alias("p"), F.greatest("p", "q").alias("q"))
         .distinct()
     )
-    all_pairs = cross_pairs.unionByName(contain_pairs).distinct()
+    all_pairs = (
+        cross_pairs.unionByName(touch_pairs).unionByName(contain_pairs).distinct()
+    )
     pairs_per_key = all_pairs.groupBy(*key_cols).agg(
         F.collect_list(F.struct("p", "q")).alias("prs")
     )
-    nodes = polys.select(*key_cols, F.col(pid).alias("pid"))
+    nodes = polys.select(*key_cols, F.col(pid).alias("pid")).distinct()
     keyed = nodes.join(pairs_per_key, key_cols, "left")
 
     out_schema = ", ".join(
@@ -386,8 +505,10 @@ def dissolve_stats(
 ) -> DataFrame:
     """Scalar dissolve summary per key: n_polys, n_parts (merged
     regions), union_area (Green fold over boundary sub-edges) and
-    sum_part_area (Σ shoelace of the inputs) — by construction
+    sum_part_area (Σ per-polygon areas of the inputs: |outer ring| −
+    Σ|hole rings| when ``rid`` marks holes) — by construction
     union_area ≤ sum_part_area, equality iff nothing overlaps."""
+    polys = _with_rid(polys)
     bnd = boundary_subedges(polys, key_cols, pid, eps)
     area = bnd.groupBy(*key_cols).agg(
         F.sum((F.col("ax") * F.col("by") - F.col("bx") * F.col("ay")) / 2).alias(
@@ -400,14 +521,16 @@ def dissolve_stats(
             (acc, i) -> acc + (xs[i] * ys[i+1] - xs[i+1] * ys[i]))) / 2
         """
     )
+    # holes subtract: |outer| - Σ|holes| per polygon, orientation-free
+    signed = F.when(F.col("rid") == 0, shoelace).otherwise(-shoelace)
     parts = (
         overlap_components(polys, key_cols, pid)
         .groupBy(*key_cols)
         .agg(F.countDistinct("part").alias("n_parts"))
     )
     base = polys.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("n_polys"),
-        F.sum(shoelace).alias("sum_part_area"),
+        F.countDistinct(F.col(pid)).alias("n_polys"),
+        F.sum(signed).alias("sum_part_area"),
     )
     return base.join(parts, key_cols).join(area, key_cols)
 

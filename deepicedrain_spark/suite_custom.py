@@ -2779,35 +2779,42 @@ q_zarr_v3_roundtrip = _register_zarr_v3_roundtrip()
              ELSE y1 + tb * (y2 - y1) END AS by,
         x1 + ((ta + tb) / 2) * (x2 - x1) AS mx,
         y1 + ((ta + tb) / 2) * (y2 - y1) AS my,
-        -1e-6 * (y2 - y1) AS ox,
-        1e-6 * (x2 - x1) AS oy
+        -1e-6 * (tb - ta) * (y2 - y1) AS ox,
+        1e-6 * (tb - ta) * (x2 - x1) AS oy
       FROM sub
     ),
     tlakes AS (
-      SELECT l.basin,
+      SELECT l.basin, l.pid,
              list_transform(l.ring, p -> p[1] - r.xref) AS txs,
              list_transform(l.ring, p -> p[2] - r.yref) AS tys
       FROM lakes l JOIN refs r ON l.basin = r.basin
     ),
-    cov AS (
+    covp AS (
       SELECT s.basin, s.pid, s.eid, s.ta, s.tb, s.ax, s.ay, s.bx, s.by,
-        max(CASE WHEN len(list_filter(generate_series(1, len(l.txs) - 1), i ->
+        l.pid AS rpid,
+        CASE WHEN sum(len(list_filter(generate_series(1, len(l.txs) - 1), i ->
               ((l.tys[i+1] > (s.my + s.oy)) != (l.tys[i] > (s.my + s.oy))) AND
               ((s.mx + s.ox) < (l.txs[i] - l.txs[i+1])
                    * ((s.my + s.oy) - l.tys[i+1])
                    / (l.tys[i] - l.tys[i+1])
                    + l.txs[i+1])
-            )) % 2 = 1 THEN 1 ELSE 0 END) AS covl,
-        max(CASE WHEN len(list_filter(generate_series(1, len(l.txs) - 1), i ->
+            ))) % 2 = 1 THEN 1 ELSE 0 END AS inl,
+        CASE WHEN sum(len(list_filter(generate_series(1, len(l.txs) - 1), i ->
               ((l.tys[i+1] > (s.my - s.oy)) != (l.tys[i] > (s.my - s.oy))) AND
               ((s.mx - s.ox) < (l.txs[i] - l.txs[i+1])
                    * ((s.my - s.oy) - l.tys[i+1])
                    / (l.tys[i] - l.tys[i+1])
                    + l.txs[i+1])
-            )) % 2 = 1 THEN 1 ELSE 0 END) AS covr
+            ))) % 2 = 1 THEN 1 ELSE 0 END AS inr
       FROM subg s
       JOIN tlakes l ON s.basin = l.basin
-      GROUP BY s.basin, s.pid, s.eid, s.ta, s.tb, s.ax, s.ay, s.bx, s.by
+      GROUP BY s.basin, s.pid, s.eid, s.ta, s.tb, s.ax, s.ay, s.bx, s.by, l.pid
+    ),
+    cov AS (
+      SELECT basin, pid, eid, ta, tb, ax, ay, bx, by,
+             max(inl) AS covl, max(inr) AS covr
+      FROM covp
+      GROUP BY basin, pid, eid, ta, tb, ax, ay, bx, by
     ),
     bnd AS (
       SELECT DISTINCT basin,
@@ -2826,15 +2833,48 @@ q_zarr_v3_roundtrip = _register_zarr_v3_roundtrip()
       FROM crossraw
       WHERE den != 0 AND t > 0 AND t < 1 AND u > 0 AND u < 1
       UNION
+      -- positive-length collinear boundary overlap (shared edge runs):
+      -- parallel, b1 on e's line, projection interval strictly
+      -- overlapping (0, 1) — edge-touching polygons merge (round 6)
+      SELECT DISTINCT basin, least(apid, bpid) AS p, greatest(apid, bpid) AS q
+      FROM pairs
+      WHERE (ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1) = 0
+        AND (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) = 0
+        AND least(
+              ((bx1-ax1)*(ax2-ax1) + (by1-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)),
+              ((bx2-ax1)*(ax2-ax1) + (by2-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1))) < 1
+        AND greatest(
+              ((bx1-ax1)*(ax2-ax1) + (by1-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)),
+              ((bx2-ax1)*(ax2-ax1) + (by2-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1))) > 0
+      UNION
+      -- any-vertex containment: some vertex of a strictly inside b
+      -- (even-odd) and NOT exactly on b's boundary (round 6, was
+      -- first-vertex-only)
       SELECT DISTINCT a.basin, least(a.pid, b.pid) AS p, greatest(a.pid, b.pid) AS q
       FROM lakes a JOIN lakes b
         ON a.basin = b.basin AND a.pid != b.pid
-      WHERE len(list_filter(generate_series(1, len(b.ring) - 1), i ->
-              ((b.ring[i+1][2] > a.ring[1][2]) != (b.ring[i][2] > a.ring[1][2])) AND
-              (a.ring[1][1] < (b.ring[i][1] - b.ring[i+1][1])
-                 * (a.ring[1][2] - b.ring[i+1][2])
-                 / (b.ring[i][2] - b.ring[i+1][2]) + b.ring[i+1][1])
-            )) % 2 = 1
+      WHERE len(list_filter(generate_series(1, len(a.ring) - 1), vi ->
+              (len(list_filter(generate_series(1, len(b.ring) - 1), i ->
+                ((b.ring[i+1][2] > a.ring[vi][2]) != (b.ring[i][2] > a.ring[vi][2])) AND
+                (a.ring[vi][1] < (b.ring[i][1] - b.ring[i+1][1])
+                   * (a.ring[vi][2] - b.ring[i+1][2])
+                   / (b.ring[i][2] - b.ring[i+1][2]) + b.ring[i+1][1])
+              )) % 2 = 1)
+              AND NOT (len(list_filter(generate_series(1, len(b.ring) - 1), i ->
+                (b.ring[i+1][1] - b.ring[i][1]) * (a.ring[vi][2] - b.ring[i][2]) -
+                (b.ring[i+1][2] - b.ring[i][2]) * (a.ring[vi][1] - b.ring[i][1]) = 0 AND
+                (a.ring[vi][1] - b.ring[i][1]) * (b.ring[i+1][1] - b.ring[i][1]) +
+                (a.ring[vi][2] - b.ring[i][2]) * (b.ring[i+1][2] - b.ring[i][2]) >= 0 AND
+                (a.ring[vi][1] - b.ring[i][1]) * (b.ring[i+1][1] - b.ring[i][1]) +
+                (a.ring[vi][2] - b.ring[i][2]) * (b.ring[i+1][2] - b.ring[i][2]) <=
+                (b.ring[i+1][1] - b.ring[i][1]) * (b.ring[i+1][1] - b.ring[i][1]) +
+                (b.ring[i+1][2] - b.ring[i][2]) * (b.ring[i+1][2] - b.ring[i][2])
+              )) > 0)
+            )) > 0
     ),
     sym AS (
       SELECT basin, p, q FROM ovl

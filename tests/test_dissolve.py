@@ -250,3 +250,129 @@ def test_published_catalog_dissolve_properties(spark):
     for r in rows:
         u = so.unary_union(by_basin[r["basin_name"]])
         assert r["union_area"] == pytest.approx(u.area, rel=1e-9)
+
+def test_dissolve_shared_edge_merges(spark):
+    """Round 6 (ADVICE r5): shapely unary_union merges polygons
+    touching along a positive-length edge run into ONE geometry —
+    full shared edge, partial shared run, and duplicate rings all
+    connect; an isolated corner touch does not (GEOS returns a
+    MultiPolygon there)."""
+    rows = []
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("full_edge", 0, xs, ys))
+    xs, ys = _sq(1, 0, 1)
+    rows.append(("full_edge", 1, xs, ys))  # share x=1 edge: 1 part
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("partial_run", 0, xs, ys))
+    rows.append(
+        (
+            "partial_run",
+            1,
+            [0.25, 0.75, 0.75, 0.25, 0.25],
+            [1.0, 1.0, 2.0, 2.0, 1.0],
+        )
+    )  # shares y=1 for x in [0.25, 0.75]: 1 part
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("dup", 0, xs, ys))
+    rows.append(("dup", 1, xs, ys))  # identical rings: 1 part, area 1
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("corner", 0, xs, ys))
+    xs, ys = _sq(1, 1, 1)
+    rows.append(("corner", 1, xs, ys))  # touch at (1,1) only: 2 parts
+
+    out = {r["key"]: r for r in dissolve_stats(_df(spark, rows), ["key"]).collect()}
+    assert out["full_edge"]["n_parts"] == 1
+    assert out["full_edge"]["union_area"] == pytest.approx(2.0, abs=1e-12)
+    assert out["partial_run"]["n_parts"] == 1
+    assert out["partial_run"]["union_area"] == pytest.approx(1.5, abs=1e-12)
+    assert out["dup"]["n_parts"] == 1
+    assert out["dup"]["union_area"] == pytest.approx(1.0, abs=1e-12)
+    assert out["dup"]["sum_part_area"] == pytest.approx(2.0, abs=1e-12)
+    assert out["corner"]["n_parts"] == 2
+    assert out["corner"]["union_area"] == pytest.approx(2.0, abs=1e-12)
+
+
+def test_dissolve_t_junction_point_contact(spark):
+    """A triangle whose apex touches the interior of a square's edge
+    at a single point: union = sum of areas, and the contact is a
+    point, so GEOS semantics say 2 parts."""
+    rows = []
+    xs, ys = _sq(0, 0, 2)
+    rows.append(("t", 0, xs, ys))
+    # apex at (1, 2) on the square's top edge, triangle above
+    rows.append(("t", 1, [1.0, 2.0, 0.0, 1.0], [2.0, 3.0, 3.0, 2.0]))
+    st = dissolve_stats(_df(spark, rows), ["key"]).collect()[0]
+    assert st["n_parts"] == 2
+    assert st["union_area"] == pytest.approx(4.0 + 1.0, abs=1e-12)
+
+
+def test_dissolve_input_holes(spark):
+    """Round 6: polygons with HOLES via the rid column (0 = outer,
+    >0 = hole). A 4x4 donut with a 2x2 hole plus a separate unit
+    square: area 12 + 1, 2 parts; the same donut with a polygon
+    exactly filling the hole (sharing the hole boundary): area 16,
+    1 part; an island strictly inside the hole stays a separate part
+    and keeps the hole's void out of the union area."""
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "key string, pid long, rid int, xs array<double>, ys array<double>",
+        )
+
+    donut = [
+        ("d", 0, 0, *_sq(0, 0, 4)),
+        ("d", 0, 1, *_sq(1, 1, 2)),  # hole
+    ]
+    rows = donut + [("d", 1, 0, *_sq(10, 10, 1))]
+    st = dissolve_stats(df(rows), ["key"]).collect()[0]
+    assert st["n_polys"] == 2
+    assert st["n_parts"] == 2
+    assert st["union_area"] == pytest.approx(12.0 + 1.0, abs=1e-12)
+    assert st["sum_part_area"] == pytest.approx(12.0 + 1.0, abs=1e-12)
+
+    filled = [(k, p, r, xs, ys) for (k, p, r, xs, ys) in donut] + [
+        ("d", 1, 0, *_sq(1, 1, 2))  # exactly fills the hole
+    ]
+    st = dissolve_stats(df(filled), ["key"]).collect()[0]
+    assert st["n_parts"] == 1
+    assert st["union_area"] == pytest.approx(16.0, abs=1e-12)
+
+    island = donut + [("d", 1, 0, *_sq(1.5, 1.5, 1))]
+    st = dissolve_stats(df(island), ["key"]).collect()[0]
+    assert st["n_parts"] == 2  # island floats in the hole: not merged
+    assert st["union_area"] == pytest.approx(12.0 + 1.0, abs=1e-12)
+
+
+def test_containment_first_vertex_on_boundary(spark):
+    """Round 6 (any-vertex containment): a polygon inside another
+    whose FIRST vertex lies exactly ON the host boundary — the old
+    first-vertex-only test had undefined parity there; the any-vertex
+    test with on-boundary exclusion must still merge them."""
+    rows = []
+    xs, ys = _sq(0, 0, 4)
+    rows.append(("k", 0, xs, ys))
+    # diamond with first vertex at (2, 0) ON the square's bottom edge
+    rows.append(("k", 1, [2.0, 3.0, 2.0, 1.0, 2.0], [0.0, 1.0, 2.0, 1.0, 0.0]))
+    comp = {
+        r["pid"]: r["part"]
+        for r in overlap_components(_df(spark, rows), ["key"]).collect()
+    }
+    assert comp[0] == comp[1]
+    st = dissolve_stats(_df(spark, rows), ["key"]).collect()[0]
+    assert st["n_parts"] == 1
+    assert st["union_area"] == pytest.approx(16.0, abs=1e-12)
+
+
+def test_dissolve_rings_shared_edge_single_ring(spark):
+    """Chained output across a dissolved shared edge: one 2x1 ring,
+    no interior boundary."""
+    rows = []
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("k", 0, xs, ys))
+    xs, ys = _sq(1, 0, 1)
+    rows.append(("k", 1, xs, ys))
+    rr = dissolve_rings(_df(spark, rows), ["key"]).collect()[0]
+    assert rr["union_area"] == pytest.approx(2.0, abs=1e-12)
+    assert len(rr["rings"]) == 1
+    assert rr["rings"][0][0] == rr["rings"][0][-1]
