@@ -3048,14 +3048,45 @@ def q_zarr_multistore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND ((bx1-ax1)*(ay2-ay1) - (by1-ay1)*(ax2-ax1))
               / ((ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1)) < 1
       UNION
+      -- positive-length collinear boundary overlap (round 6, matches
+      -- overlap_components' touch-pair rule)
+      SELECT DISTINCT basin, least(apid, bpid) AS p, greatest(apid, bpid) AS q
+      FROM pairs
+      WHERE (ax2-ax1)*(by2-by1) - (ay2-ay1)*(bx2-bx1) = 0
+        AND (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) = 0
+        AND least(
+              ((bx1-ax1)*(ax2-ax1) + (by1-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)),
+              ((bx2-ax1)*(ax2-ax1) + (by2-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1))) < 1
+        AND greatest(
+              ((bx1-ax1)*(ax2-ax1) + (by1-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)),
+              ((bx2-ax1)*(ax2-ax1) + (by2-ay1)*(ay2-ay1))
+                / ((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1))) > 0
+      UNION
+      -- any-vertex strict containment with on-boundary exclusion
+      -- (round 6, was first-vertex-only)
       SELECT DISTINCT a.basin, least(a.pid, b.pid), greatest(a.pid, b.pid)
       FROM lakes a JOIN lakes b ON a.basin = b.basin AND a.pid != b.pid
-      WHERE len(list_filter(generate_series(1, len(b.ring) - 1), i ->
-              ((b.ring[i+1][2] > a.ring[1][2]) != (b.ring[i][2] > a.ring[1][2])) AND
-              (a.ring[1][1] < (b.ring[i][1] - b.ring[i+1][1])
-                 * (a.ring[1][2] - b.ring[i+1][2])
-                 / (b.ring[i][2] - b.ring[i+1][2]) + b.ring[i+1][1])
-            )) % 2 = 1
+      WHERE len(list_filter(generate_series(1, len(a.ring) - 1), vi ->
+              (len(list_filter(generate_series(1, len(b.ring) - 1), i ->
+                ((b.ring[i+1][2] > a.ring[vi][2]) != (b.ring[i][2] > a.ring[vi][2])) AND
+                (a.ring[vi][1] < (b.ring[i][1] - b.ring[i+1][1])
+                   * (a.ring[vi][2] - b.ring[i+1][2])
+                   / (b.ring[i][2] - b.ring[i+1][2]) + b.ring[i+1][1])
+              )) % 2 = 1)
+              AND NOT (len(list_filter(generate_series(1, len(b.ring) - 1), i ->
+                (b.ring[i+1][1] - b.ring[i][1]) * (a.ring[vi][2] - b.ring[i][2]) -
+                (b.ring[i+1][2] - b.ring[i][2]) * (a.ring[vi][1] - b.ring[i][1]) = 0 AND
+                (a.ring[vi][1] - b.ring[i][1]) * (b.ring[i+1][1] - b.ring[i][1]) +
+                (a.ring[vi][2] - b.ring[i][2]) * (b.ring[i+1][2] - b.ring[i][2]) >= 0 AND
+                (a.ring[vi][1] - b.ring[i][1]) * (b.ring[i+1][1] - b.ring[i][1]) +
+                (a.ring[vi][2] - b.ring[i][2]) * (b.ring[i+1][2] - b.ring[i][2]) <=
+                (b.ring[i+1][1] - b.ring[i][1]) * (b.ring[i+1][1] - b.ring[i][1]) +
+                (b.ring[i+1][2] - b.ring[i][2]) * (b.ring[i+1][2] - b.ring[i][2])
+              )) > 0)
+            )) > 0
     ),
     sym AS (
       SELECT basin, p, q FROM ovl UNION SELECT basin, q, p FROM ovl
@@ -3113,7 +3144,6 @@ def q_lake_region_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     affine-mapped embeddings → ray-cast membership in the dissolved
     geometry (PIP against any part == PIP against the union)."""
     from deepicedrain_spark.operators.dissolve import overlap_components
-    from deepicedrain_spark.operators.spatial import raycast_predicate
     from deepicedrain_spark.sources.geojson import read_geojson_polygons
 
     df = read_geojson_polygons(spark, _LAKE_CATALOG_PATH, id_property="basin_name")
@@ -3127,24 +3157,31 @@ def q_lake_region_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .localCheckpoint()
     )
-    n_lakes = polys.count()
-    n_parts = (
-        overlap_components(polys, ["basin_name"])
-        .agg(F.countDistinct("part"))
-        .first()[0]
-    )
-    bbox = polys.agg(
+    # fully lazy single-action assembly (VERDICT r5 task 7 — was
+    # count()×3 + first(), four driver actions): every scalar is a
+    # 1-row aggregate DataFrame, combined by broadcast cross-joins, so
+    # the driver's one collect runs the whole flow as one job.
+    base = polys.agg(
+        F.first(F.lit("Whillans")).alias("basin_name"),
+        F.count(F.lit(1)).alias("n_lakes"),
         F.min(F.array_min("xs")).alias("xmin"),
         F.max(F.array_max("xs")).alias("xmax"),
         F.min(F.array_min("ys")).alias("ymin"),
         F.max(F.array_max("ys")).alias("ymax"),
     )
+    parts = overlap_components(polys, ["basin_name"]).agg(
+        F.countDistinct("part").alias("n_parts")
+    )
+    # all rings in ONE row (19 small hulls) so the union-membership
+    # test is a map-only exists() over a broadcast literal — no ×rings
+    # row expansion, no distinct
+    rings_one = polys.agg(F.collect_list(F.struct("xs", "ys")).alias("rings"))
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.element_at("embedding", 1).cast("double").alias("e1"),
         F.element_at("embedding", 2).cast("double").alias("e2"),
     )
-    pts = emb.crossJoin(F.broadcast(bbox)).select(
+    pts = emb.crossJoin(F.broadcast(base)).select(
         "vec_id",
         (F.col("xmin") + (F.col("e1") + 0.5) * (F.col("xmax") - F.col("xmin"))).alias("px"),
         (F.col("ymin") + (F.col("e2") + 0.5) * (F.col("ymax") - F.col("ymin"))).alias("py"),
@@ -3152,25 +3189,38 @@ def q_lake_region_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xmax",
         "ymin",
         "ymax",
-    ).localCheckpoint()
-    n_points = pts.count()
-    n_in_region = pts.filter(
+    )
+    in_region = (
         (F.col("px") >= F.col("xmin"))
         & (F.col("px") <= F.col("xmax"))
         & (F.col("py") >= F.col("ymin"))
         & (F.col("py") <= F.col("ymax"))
-    ).count()
-    rings = polys.select("xs", "ys")
-    n_in_union = (
-        pts.select("vec_id", "px", "py")
-        .crossJoin(F.broadcast(rings))
-        .filter(raycast_predicate("px", "py"))
-        .select("vec_id")
-        .distinct()
-        .count()
     )
-    return spark.createDataFrame(
-        [("Whillans", n_lakes, n_parts, n_points, n_in_region, n_in_union)],
-        "basin_name string, n_lakes bigint, n_parts bigint, n_points bigint, "
-        "n_in_region bigint, n_in_union bigint",
+    # same ray-cast parity as raycast_predicate, per ring of the
+    # broadcast rings array, any-ring membership == union membership
+    in_union = F.expr(
+        """
+        exists(rings, r ->
+          size(filter(sequence(0, size(r.xs) - 2), i ->
+            ((r.ys[i+1] > py) != (r.ys[i] > py)) AND
+            (px < (r.xs[i] - r.xs[i+1]) * (py - r.ys[i+1])
+                  / (r.ys[i] - r.ys[i+1]) + r.xs[i+1])
+          )) % 2 = 1)
+        """
+    )
+    stats = (
+        pts.crossJoin(F.broadcast(rings_one))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(in_region.cast("bigint")).alias("n_in_region"),
+            F.sum(in_union.cast("bigint")).alias("n_in_union"),
+        )
+    )
+    return (
+        base.select("basin_name", "n_lakes")
+        .crossJoin(F.broadcast(parts))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "basin_name", "n_lakes", "n_parts", "n_points", "n_in_region", "n_in_union"
+        )
     )
