@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from deepicedrain_spark.sources.naming import safe_key_component
+
 _NP_TO_SPARK = {
     "int64": "long",
     "int32": "int",
@@ -208,7 +210,7 @@ def write_hdf5_partitioned(
         key = pdf[key_col].iloc[0]
         if sort_col is not None:
             pdf = pdf.sort_values(sort_col, kind="mergesort")
-        name = f"granule_{key}.h5"
+        name = f"granule_{safe_key_component(key)}.h5"
         path = os.path.join(out_dir, name)
         tmp = f"{path}.tmp.{os.getpid()}"
         write_hdf5(

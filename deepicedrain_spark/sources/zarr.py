@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from deepicedrain_spark.sources.naming import safe_key_component
+
 _SPARK_TO_NP = {
     "bigint": "<i8",
     "int": "<i4",
@@ -635,7 +637,7 @@ def write_zarr_partitioned(
         key = pdf[key_col].iloc[0]
         if sort_col is not None:
             pdf = pdf.sort_values(sort_col, kind="mergesort")
-        name = f"store_{key}"
+        name = f"store_{safe_key_component(key)}"
         write_zarr_local(
             os.path.join(parent, name),
             {c: pdf[c].to_numpy() for c in cols},

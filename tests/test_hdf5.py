@@ -457,3 +457,30 @@ def test_read_hdf5_dir_schema_drift_rejected(spark, tmp_path):
     write_hdf5(str(out / "b.h5"), {"g": {"v": np.arange(4, dtype="f8")}})
     with pytest.raises(ValueError, match="schema drift"):
         read_hdf5_dir(spark, str(out), "g", ["v"])
+
+
+def test_partitioned_sink_sanitizes_path_keys(spark, tmp_path):
+    """ADVICE r5 (low): a string key containing path separators or
+    '..' must not escape the output directory — keys are
+    percent-encoded per path component; integer keys pass through."""
+    import os
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5_dir, write_hdf5_partitioned
+    from deepicedrain_spark.sources.naming import safe_key_component
+
+    assert safe_key_component(1387) == "1387"
+    assert safe_key_component("a/b") == "a%2Fb"
+    assert safe_key_component("..") == "%2E%2E"
+    assert safe_key_component(2.5) == "2%2E5"
+
+    out = str(tmp_path / "granules")
+    df = spark.createDataFrame(
+        [("../escape", 1, 0.5), ("../escape", 2, 1.5), ("ok/key", 3, 2.5)],
+        "trk string, idx long, v double",
+    )
+    write_hdf5_partitioned(df, out, key_col="trk", group="g").collect()
+    names = sorted(os.listdir(out))
+    assert names == ["granule_%2E%2E%2Fescape.h5", "granule_ok%2Fkey.h5"]
+    assert not (tmp_path / "escape.h5").exists()
+    back = read_hdf5_dir(spark, out, "g", ["idx", "v"])
+    assert back.count() == 3
