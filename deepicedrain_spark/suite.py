@@ -926,82 +926,21 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-5 rotation (VERDICT r4 task 1):
-    # 46 of these have never earned a driver CORRECTNESS row
-    # (cumulative driver-green target >=106/157). Every r4-green
-    # one-time row is demoted to tier 2 except the flagship, the two
-    # queries whose code CHANGED this round (hdf5_roundtrip's
-    # distributed sink, dbscan_distributed_summary's merge guard), and
-    # parquet_roundtrip (S1/S2 anchor). All 50 verified green through
-    # tools/check.py at sf0.01 + sf0.001 + non-UTC TZ before shipping.
-    # anchors / changed this round
+    # --- driver top-50 window, round-6 rotation (VERDICT r5 task 1):
+    # the FINAL 22 never-driver-checked queries all enter the window —
+    # done means cumulative driver-green 159/159. The rest of the
+    # window: queries whose CODE changed this round (dissolve
+    # hardening, train-once ANN codebooks, crash-atomic NetCDF append,
+    # PathLock refactor, sanitized sink keys), the two anchors, and
+    # oldest r1-r3 rows for re-confirmation. All 50 verified green
+    # through tools/check.py at sf0.01 + sf0.001 + non-UTC TZ before
+    # shipping.
+    # anchors
     "dhdt_per_point_regression",
     "parquet_roundtrip",
-    "hdf5_roundtrip",  # CHANGED r5: distributed granule sink
-    "lake_catalog_dissolve",  # NEW r5: J6 geometry dissolve
-    "dbscan_distributed_summary",  # CHANGED r5: merge guard
-    # sources/sinks never driver-checked
-    "zarr_v3_roundtrip",
-    "netcdf_record_append",
-    "atl06_ingest_dense_layout",
-    "streaming_netcdf_append",
-    "streaming_parquet_sink",
-    # joins / window / sort family variants never driver-checked
-    "range_join_attribution",
-    "morton_spatial_order",
-    "event_gaps_rank",
-    "conversion_funnel",
-    "customers_without_orders",
-    "grouped_correlation",
-    "mergeable_agg_state",
-    "revenue_rollup",
-    "revenue_cube",
-    "equi_depth_deciles",
-    "constraint_audit",
-    # LLM-pipeline capabilities never driver-checked
-    "intradoc_dedup",
-    "dedup_keep_best",
-    "pagerank_near_dup",
-    "triangle_count",
-    "pq_encode",
-    "ivf_topk_trained",
-    "embedding_int8_quantize",
-    "feature_hash_embed",
-    "leakage_safe_split",
-    "weighted_sample_docs",
-    "stratified_sample_events",
-    "source_mixture_balance",
-    "bigram_lm_score",
-    "keyword_snippets",
-    "oov_rate",
-    "lang_id_heuristic",
-    "quality_scores",
-    "text_cleaning",
-    # sketches never driver-checked
-    "hll_distinct_custkeys",
-    "hll_distinct_by_type",
-    "cms_heavy_hitters",
-    "bloom_cross_corpus",
-    "bloom_semijoin_reduction",
-    # multimodal never driver-checked
-    "multimodal_real_audio",
-    "multimodal_real_video",
-    "multimodal_audio_resample",
-    # streaming extension never driver-checked
-    "streaming_upsert_bucketed",
-    "streaming_stateful_dedup",
-    "streaming_tumbling_counts",
-    # --- tier 2: first in line past the driver's 50-query window ------
-    # remaining never-driver-checked first (next rotation candidates),
-    # then the r1-r4 driver-green demotions
-    "zarr_multistore_scan",  # NEW r5: multi-store nested-concat scan
-    "lake_region_subset",  # NEW r5: dissolve -> region -> subset flow
-    "streaming_sliding_means",
-    "streaming_running_anomaly",
-    "streaming_raster_counts",
-    "streaming_hll_users",
-    "streaming_bloom_bits",
-    "streaming_kmeans_assign",
+    # the last 22 never-driver-checked (cumulative target 159/159)
+    "zarr_multistore_scan",
+    "lake_region_subset",  # also CHANGED r6: single-action assembly
     "track_densify_greatcircle",
     "shipping_priority",
     "large_order_customers",
@@ -1016,9 +955,47 @@ PRIORITY: list[str] = [
     "corpus_vocabulary",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "multimodal_decode_features",
-    # r1-r4 driver-green demotions (kept registered + locally checked)
-    "dhdt_regression_pvalue",
+    "streaming_sliding_means",
+    "streaming_running_anomaly",
+    "streaming_raster_counts",
+    "streaming_hll_users",
+    "streaming_bloom_bits",
+    "streaming_kmeans_assign",
+    # code CHANGED this round — re-earn their rows
+    "lake_catalog_dissolve",  # r6: degenerate contacts + holes + oracle
+    "kmeans_clusters",  # r6: train-once centroids
+    "ivf_topk_trained",  # r6: train-once centroids
+    "pq_encode",  # r6: train-once codebooks
+    "pq_adc_topk",  # r6: train-once codebooks
+    "netcdf_record_append",  # r6: crash-atomic intent ledger
+    "streaming_netcdf_append",  # r6: locked+fenced appender
+    "streaming_upsert_bucketed",  # r6: PathLock extraction
+    "streaming_upsert_sink",  # r6: PathLock extraction
+    "hdf5_roundtrip",  # r6: sanitized granule keys
+    "zarr_v3_roundtrip",  # r6: sanitized store keys
+    # oldest r1-r3 greens, re-confirmation rotation
+    "bbox_subset",
+    "null_threshold",
+    "dedup_distinct",
+    "grouped_median_mad",
+    "rolling_time_mean",
+    "topk_per_segment",
+    "gps_time_convert",
+    "wide_long_roundtrip",
+    "array_to_columns",
+    "expression_filter",
+    "json_extract_filter",
+    "outlier_clip_sigma",
+    # NEW r6 queries, in-window so they earn a driver row immediately
+    "doc_chunk_overlap",
+    "semantic_dedup_kmeans",
+    # --- tier 2: past the driver's 50-query window -------------------
+    "filename_parse",
+    "surface_interpolation_idw",
+    "point_in_polygon",
+    # every query below holds a driver-green row from r1-r5 (kept
+    # registered + locally checked)
+    "dbscan_distributed_summary",
     "zarr_roundtrip",
     "raster_cube",
     "netcdf_roundtrip",
@@ -1028,8 +1005,10 @@ PRIORITY: list[str] = [
     "catalog_named_source",
     "sql_interface_demo",
     "atl06_ingest_pipeline",
+    "atl06_ingest_dense_layout",
     "atl06_dhdt_end_to_end",
     "dhdt_pipeline",
+    "dhdt_regression_pvalue",
     "lake_finder_pipeline",
     "lake_finder_reference_params",
     "adaptive_median_filter",
@@ -1045,45 +1024,66 @@ PRIORITY: list[str] = [
     "volume_time_series",
     "reproject_lonlat_xy",
     "dbscan_clusters",
-    "kmeans_clusters",
+    "range_join_attribution",
+    "morton_spatial_order",
+    "event_gaps_rank",
+    "conversion_funnel",
+    "customers_without_orders",
+    "grouped_correlation",
+    "mergeable_agg_state",
+    "revenue_rollup",
+    "revenue_cube",
+    "equi_depth_deciles",
+    "constraint_audit",
+    "intradoc_dedup",
+    "dedup_keep_best",
+    "pagerank_near_dup",
+    "triangle_count",
     "exact_dedup_pairs",
     "minhash_near_dup",
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
     "cosine_topk_lsh",
     "near_dup_components",
+    "embedding_int8_quantize",
+    "feature_hash_embed",
+    "leakage_safe_split",
+    "weighted_sample_docs",
+    "stratified_sample_events",
+    "source_mixture_balance",
+    "bigram_lm_score",
+    "keyword_snippets",
+    "oov_rate",
+    "lang_id_heuristic",
+    "quality_scores",
+    "text_cleaning",
     "token_count_stats",
+    "hll_distinct_custkeys",
+    "hll_distinct_by_type",
+    "cms_heavy_hitters",
+    "bloom_cross_corpus",
+    "bloom_semijoin_reduction",
+    "multimodal_real_audio",
+    "multimodal_real_video",
+    "multimodal_audio_resample",
     "multimodal_real_decode",
+    "multimodal_decode_features",
     "dataset_split",
     "paragraph_dedup",
     "sequence_packing",
-    "pq_adc_topk",
     "pii_redaction",
     "benchmark_contamination",
     "streaming_session_counts",
     "streaming_asof_join",
-    "streaming_upsert_sink",
     "streaming_interval_join",
+    "streaming_stateful_dedup",
+    "streaming_tumbling_counts",
+    "streaming_parquet_sink",
     "salted_skew_counts",
     "session_batch",
     "time_rollup",
     "simhash_fingerprints",
     "rolling_hash_fingerprints",
-    "filename_parse",
-    "bbox_subset",
-    "null_threshold",
-    "dedup_distinct",
-    "grouped_median_mad",
-    "rolling_time_mean",
-    "topk_per_segment",
-    "gps_time_convert",
-    "wide_long_roundtrip",
-    "array_to_columns",
-    "expression_filter",
-    "json_extract_filter",
-    "outlier_clip_sigma",
-    "surface_interpolation_idw",
-    "point_in_polygon",
 ]
 
 

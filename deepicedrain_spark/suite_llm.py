@@ -1290,3 +1290,67 @@ def q_multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_avi_media(docs, "doc_id")
     sampled = sample_frames(media, mode="real", every_n_frames=2)
     return frame_stats(sampled)
+
+
+# --- RAG-style document chunking (round 6) ---------------------------
+# A training/retrieval pipeline splits documents into fixed word
+# windows with overlap before embedding. W=32-word chunks, stride 24
+# (8-word overlap); final chunk keeps the tail. Pure sequence/slice
+# arithmetic — one map-only explode, no shuffle except the ORDER BY,
+# so chunking a 100 TB corpus is a scan. Chunk identity = md5 of the
+# chunk text, so downstream exact-dedup of chunks composes directly.
+@register(
+    "doc_chunk_overlap",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words,
+             len(str_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             CAST(CASE WHEN n <= 32 THEN 1
+                  ELSE floor((n - 9) / 24) + 1 END AS BIGINT) AS n_chunks
+      FROM w
+    )
+    SELECT c.doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+           CAST(len(w.words[g.i * 24 + 1 : g.i * 24 + 32]) AS BIGINT)
+             AS chunk_words,
+           md5(array_to_string(w.words[g.i * 24 + 1 : g.i * 24 + 32], ' '))
+             AS chunk_hash
+    FROM c JOIN w USING (doc_id),
+    UNNEST(generate_series(0, c.n_chunks - 1)) AS g(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_chunks = (
+        F.when(n <= 32, F.lit(1).cast("long"))
+        .otherwise(F.floor((n - 9) / F.lit(24)) + 1)
+    )
+    out = (
+        docs.select(
+            "doc_id",
+            words.alias("words"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                F.col("words"), (F.col("chunk_id") * 24 + 1).cast("int"), 32
+            ).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("cw").cast("long").alias("chunk_words"),
+            F.md5(F.array_join("cw", " ")).alias("chunk_hash"),
+        )
+    )
+    return out.orderBy("doc_id", "chunk_id")

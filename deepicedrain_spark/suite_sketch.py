@@ -1910,3 +1910,51 @@ def q_keyword_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", F.col("pos").cast("long").alias("pos"), snippet.alias("snippet")
     ).orderBy("doc_id")
+
+
+# --- semantic dedup via k-means clusters (round 6) --------------------
+# Embedding-space dedup for training corpora: cluster the corpus with
+# the (cached, deterministic) Lloyd centroids, keep ONE representative
+# per cluster — the member closest to its centroid — and report how
+# much the corpus shrank. Assignment is map-only over literal
+# centroids (train-once via trained_centroids); the representative
+# pick is a per-cluster min on the ROUNDED distance (drift-pinned like
+# every k-means tie-break here), so both engines elect the same row.
+_SEMDUP_SQL = f"""
+{_kmeans_chain()},
+    reps AS (
+      SELECT cluster, vec_id, dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY round(dist, 6), vec_id) AS rk,
+             count(*) OVER (PARTITION BY cluster) AS n_members,
+             sum(dist) OVER (PARTITION BY cluster) AS sum_dist
+      FROM assign{_KM_ITERS})
+SELECT cluster, vec_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
+       round(sum_dist, 6) AS sum_dist
+FROM reps WHERE rk = 1
+ORDER BY cluster
+"""
+
+
+@register("semantic_dedup_kmeans", _SEMDUP_SQL)
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = lloyd_kmeans(
+        emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS,
+        cache_key=(sf_dir, "embeddings"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.round("dist", 6), "vec_id")
+    return (
+        assigned.select("cluster", "vec_id", "dist")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+        .withColumn("sum_dist", F.sum("dist").over(Window.partitionBy("cluster")))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("vec_id").alias("rep_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.round("sum_dist", 6).alias("sum_dist"),
+        )
+        .orderBy("cluster")
+    )
