@@ -376,3 +376,56 @@ def test_dissolve_rings_shared_edge_single_ring(spark):
     assert rr["union_area"] == pytest.approx(2.0, abs=1e-12)
     assert len(rr["rings"]) == 1
     assert rr["rings"][0][0] == rr["rings"][0][-1]
+
+
+def test_dissolve_random_snapped_degenerate(spark):
+    """Round-6 property sweep: random INTEGER-snapped axis-aligned
+    rectangles — shared edges, partial runs, corner touches and exact
+    containment occur constantly by construction. union_area must
+    match an exact cell rasterization (integer grid ⇒ no approximation
+    error), and n_parts must match a flood-fill part count computed on
+    the same raster with GEOS semantics (4-connectivity: regions
+    touching only at a corner stay separate parts)."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        rects = []
+        for pid in range(8):
+            x0 = int(rng.integers(0, 12))
+            y0 = int(rng.integers(0, 12))
+            w = int(rng.integers(1, 6))
+            h = int(rng.integers(1, 6))
+            rects.append((x0, y0, x0 + w, y0 + h))
+        rows = [
+            (
+                f"t{trial}",
+                pid,
+                [float(v) for v in (x0, x1, x1, x0, x0)],
+                [float(v) for v in (y0, y0, y1, y1, y0)],
+            )
+            for pid, (x0, y0, x1, y1) in enumerate(rects)
+        ]
+        st = dissolve_stats(_df(spark, rows), ["key"]).collect()[0]
+
+        # exact rasterization on the unit grid
+        grid = np.zeros((20, 20), dtype=bool)
+        for x0, y0, x1, y1 in rects:
+            grid[y0:y1, x0:x1] = True
+        assert st["union_area"] == pytest.approx(float(grid.sum()), abs=1e-9)
+
+        # flood-fill 4-connected part count == GEOS MultiPolygon parts
+        # (corner-only contact does not connect)
+        seen = np.zeros_like(grid)
+        parts = 0
+        for sy, sx in zip(*np.nonzero(grid)):
+            if seen[sy, sx]:
+                continue
+            parts += 1
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            while stack:
+                y, x = stack.pop()
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < 20 and 0 <= nx < 20 and grid[ny, nx] and not seen[ny, nx]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+        assert st["n_parts"] == parts, (trial, rects)
