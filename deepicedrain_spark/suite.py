@@ -985,11 +985,12 @@ PRIORITY: list[str] = [
     "array_to_columns",
     "expression_filter",
     "json_extract_filter",
-    "outlier_clip_sigma",
     # NEW r6 queries, in-window so they earn a driver row immediately
     "doc_chunk_overlap",
     "semantic_dedup_kmeans",
+    "dissolve_input_holes",
     # --- tier 2: past the driver's 50-query window -------------------
+    "outlier_clip_sigma",
     "filename_parse",
     "surface_interpolation_idw",
     "point_in_polygon",

@@ -3224,3 +3224,62 @@ def q_lake_region_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "basin_name", "n_lakes", "n_parts", "n_points", "n_in_region", "n_in_union"
         )
     )
+
+
+# --- J6 dissolve with input HOLES (round 6) ---------------------------
+# Driver-verifies the rid ring-role path end-to-end: per key k, a
+# donut (outer (4+k)-square with a 2x2 hole) plus a second polygon
+# that is (k%3==0) a square exactly FILLING the hole — shares the hole
+# boundary, merges, union = outer area; (k%3==1) an island strictly
+# inside the hole — stays a separate part and the hole's void stays
+# out of the union; (k%3==2) a square CROSSING the hole boundary —
+# proper crossings merge it and re-plug the hole. All coordinates are
+# small integers/halves, so every area is an exact double and the
+# oracle COMPUTES the expected stats in closed form from the same
+# construction parameters — an independent derivation, not a replay.
+@register(
+    "dissolve_input_holes",
+    """
+    WITH p AS (SELECT k, CAST(k AS DOUBLE) + CAST(4 AS DOUBLE) AS s
+               FROM range(5) t(k))
+    SELECT k,
+           CAST(2 AS BIGINT) AS n_polys,
+           CAST(CASE WHEN k % 3 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_parts,
+           CASE WHEN k % 3 = 1 THEN s*s - CAST(3 AS DOUBLE)
+                ELSE s*s END AS union_area,
+           CASE WHEN k % 3 = 0 THEN s*s
+                WHEN k % 3 = 1 THEN s*s - CAST(3 AS DOUBLE)
+                ELSE s*s + CAST(5 AS DOUBLE) END AS sum_part_area
+    FROM p
+    ORDER BY k
+    """,
+)
+def q_dissolve_input_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dissolve import dissolve_stats
+
+    rings = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.expr(
+            """
+            explode(array(
+              struct(CAST(0 AS BIGINT) AS pid, 0 AS rid,
+                array(0.0D, CAST(id AS DOUBLE) + 4.0, CAST(id AS DOUBLE) + 4.0, 0.0D, 0.0D) AS xs,
+                array(0.0D, 0.0D, CAST(id AS DOUBLE) + 4.0, CAST(id AS DOUBLE) + 4.0, 0.0D) AS ys),
+              struct(CAST(0 AS BIGINT) AS pid, 1 AS rid,
+                array(1.0D, 3.0D, 3.0D, 1.0D, 1.0D) AS xs,
+                array(1.0D, 1.0D, 3.0D, 3.0D, 1.0D) AS ys),
+              struct(CAST(1 AS BIGINT) AS pid, 0 AS rid,
+                CASE WHEN id % 3 = 0 THEN array(1.0D, 3.0D, 3.0D, 1.0D, 1.0D)
+                     WHEN id % 3 = 1 THEN array(1.5D, 2.5D, 2.5D, 1.5D, 1.5D)
+                     ELSE array(0.5D, 3.5D, 3.5D, 0.5D, 0.5D) END AS xs,
+                CASE WHEN id % 3 = 0 THEN array(1.0D, 1.0D, 3.0D, 3.0D, 1.0D)
+                     WHEN id % 3 = 1 THEN array(1.5D, 1.5D, 2.5D, 2.5D, 1.5D)
+                     ELSE array(0.5D, 0.5D, 3.5D, 3.5D, 0.5D) END AS ys)
+            ))
+            """
+        ).alias("r"),
+    ).select("k", "r.*")
+    st = dissolve_stats(rings, ["k"], pid="pid")
+    return st.select("k", "n_polys", "n_parts", "union_area", "sum_part_area").orderBy(
+        "k"
+    )
