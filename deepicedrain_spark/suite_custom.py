@@ -3279,6 +3279,10 @@ def q_dissolve_input_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("r"),
     ).select("k", "r.*")
+    # 15 tiny rows feeding ~8 self-join branches of the overlay: pin
+    # one partition + checkpoint so every branch reuses the same
+    # materialized fixture (same pattern as lake_catalog_dissolve)
+    rings = rings.coalesce(1).localCheckpoint()
     st = dissolve_stats(rings, ["k"], pid="pid")
     return st.select("k", "n_polys", "n_parts", "union_area", "sum_part_area").orderBy(
         "k"
