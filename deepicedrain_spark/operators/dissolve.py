@@ -192,6 +192,7 @@ def boundary_subedges(
     closed rings as xs/ys array<double> plus a ``pid`` (and optionally
     ``rid`` for polygons with holes — see module docstring).
     """
+    has_rid = "rid" in polys.columns  # hole-bearing inputs only
     polys = _with_rid(polys)
     edges = _edges(polys, key_cols, pid)
     splits = (
@@ -278,9 +279,13 @@ def boundary_subedges(
     )
     # translated ray CROSSING COUNT (not parity): identical straddle
     # test to raycast_predicate, on ring coords shifted by the same
-    # per-key reference. Counts are summed over each polygon's rings
-    # below and only then reduced mod 2 — even-odd across outer+holes,
-    # so a probe inside a hole reads "outside the polygon".
+    # per-key reference. For hole-bearing inputs the counts are summed
+    # over each polygon's rings and only then reduced mod 2 — even-odd
+    # across outer+holes, so a probe inside a hole reads "outside the
+    # polygon". Single-ring inputs (no rid column — the common case)
+    # skip the per-polygon level entirely: ring parity IS polygon
+    # parity, and one wide-key aggregation instead of two keeps the
+    # many-keys dissolve at its round-5 throughput.
     hits = lambda qx, qy: F.expr(  # noqa: E731
         f"""
         size(filter(sequence(0, size(txs) - 2), i ->
@@ -293,21 +298,25 @@ def boundary_subedges(
         """
     )
     sub_keys = [*key_cols, "pid", "rid", "eid", "ta", "tb", "ax", "ay", "bx", "by", "_xref", "_yref"]
-    per_poly = (
+    joined = (
         sub.join(rings, key_cols)
         .withColumn("_hl", hits("(mx + ox)", "(my + oy)"))
         .withColumn("_hr", hits("(mx - ox)", "(my - oy)"))
-        .groupBy(*sub_keys, "rpid")
-        .agg(
+    )
+    if has_rid:
+        per_poly = joined.groupBy(*sub_keys, "rpid").agg(
             (F.sum("_hl") % 2 == 1).cast("int").alias("_inl"),
             (F.sum("_hr") % 2 == 1).cast("int").alias("_inr"),
         )
-    )
-    cov = (
-        per_poly.groupBy(*sub_keys)
-        .agg(F.max("_inl").alias("covl"), F.max("_inr").alias("covr"))
-        .where(F.col("covl") != F.col("covr"))
-    )
+        cov = per_poly.groupBy(*sub_keys).agg(
+            F.max("_inl").alias("covl"), F.max("_inr").alias("covr")
+        )
+    else:
+        cov = joined.groupBy(*sub_keys).agg(
+            F.max((F.col("_hl") % 2 == 1).cast("int")).alias("covl"),
+            F.max((F.col("_hr") % 2 == 1).cast("int")).alias("covr"),
+        )
+    cov = cov.where(F.col("covl") != F.col("covr"))
     # orient interior-left: the +eps side is the left of (a -> b); if
     # only the right side is covered, flip the direction. The final
     # DISTINCT collapses identical oriented sub-edges: a collinear
