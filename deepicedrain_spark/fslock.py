@@ -48,25 +48,45 @@ class PathLock:
                 os.close(fd)
                 return self
             except FileExistsError:
+                pass
+            # every iteration below is deadline-bounded: a persistent
+            # non-ENOENT stat failure (e.g. EACCES on the lock dir) must
+            # time out, not busy-spin (ADVICE r6)
+            retry_now = False
+            try:
+                stale = time.time() - os.path.getmtime(self.path) > self.stale_after
+            except FileNotFoundError:
+                stale = False
+                retry_now = True  # holder released between exists and stat
+            except OSError:
+                stale = False  # unstat-able lock: treat as held, wait it out
+            if stale:
+                # atomic rename: exactly one waiter wins the break
+                side = f"{self.path}.stale.{self.token.split(':')[0]}"
                 try:
-                    stale = time.time() - os.path.getmtime(self.path) > self.stale_after
+                    os.rename(self.path, side)
+                    os.unlink(side)
                 except OSError:
-                    continue  # holder released between exists and stat
-                if stale:
-                    # atomic rename: exactly one waiter wins the break
-                    side = f"{self.path}.stale.{self.token.split(':')[0]}"
-                    try:
-                        os.rename(self.path, side)
-                        os.unlink(side)
-                    except OSError:
-                        pass  # someone else broke it first
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"fslock: could not acquire {self.path} "
-                        f"within {self.timeout}s"
-                    )
+                    pass  # someone else broke it first
+                retry_now = True
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"fslock: could not acquire {self.path} "
+                    f"within {self.timeout}s"
+                )
+            if not retry_now:
                 time.sleep(0.05)
+
+    def still_held(self) -> bool:
+        """True iff the lock file still carries THIS holder's token —
+        lets a critical section re-verify ownership right before an
+        irreversible write (a lock broken as stale leaves two holders
+        alive; the fence, not the lock, guarantees correctness)."""
+        try:
+            with open(self.path) as fh:
+                return fh.read() == self.token
+        except OSError:
+            return False
 
     def __exit__(self, *exc) -> None:
         try:

@@ -517,8 +517,13 @@ def dissolve_stats(
     sum_part_area (Σ per-polygon areas of the inputs: |outer ring| −
     Σ|hole rings| when ``rid`` marks holes) — by construction
     union_area ≤ sum_part_area, equality iff nothing overlaps."""
-    polys = _with_rid(polys)
+    # pass the ORIGINAL frame to the overlay: boundary_subedges keys its
+    # single-ring fast path off the absence of a rid column, so
+    # pre-applying _with_rid here would force every dissolve_stats call
+    # onto the two-level per-polygon aggregation (ADVICE r6)
     bnd = boundary_subedges(polys, key_cols, pid, eps)
+    components = overlap_components(polys, key_cols, pid)
+    polys = _with_rid(polys)
     area = bnd.groupBy(*key_cols).agg(
         F.sum((F.col("ax") * F.col("by") - F.col("bx") * F.col("ay")) / 2).alias(
             "union_area"
@@ -532,10 +537,8 @@ def dissolve_stats(
     )
     # holes subtract: |outer| - Σ|holes| per polygon, orientation-free
     signed = F.when(F.col("rid") == 0, shoelace).otherwise(-shoelace)
-    parts = (
-        overlap_components(polys, key_cols, pid)
-        .groupBy(*key_cols)
-        .agg(F.countDistinct("part").alias("n_parts"))
+    parts = components.groupBy(*key_cols).agg(
+        F.countDistinct("part").alias("n_parts")
     )
     base = polys.groupBy(*key_cols).agg(
         F.countDistinct(F.col(pid)).alias("n_polys"),

@@ -104,8 +104,40 @@ def seed_centroids(df: DataFrame, vec_col: str, id_col: str, k: int) -> list[lis
 # per (cache_key, vec_col, k, iters) lets "train once, score many"
 # pipelines (PQ/IVF over an immutable corpus) measure the SCORING plan
 # instead of re-running iters × (assign job + k*d collect) per query
-# (VERDICT r5 task 3)
+# (VERDICT r5 task 3). The key also folds in a content fingerprint of
+# the DataFrame's source files (name, size, mtime — driver-side stat,
+# no Spark job), so regenerating the table at a cached path invalidates
+# the entry instead of silently returning stale centroids (ADVICE r6).
 _TRAIN_CACHE: dict[tuple, tuple[list[list[float]], list[list[float]]]] = {}
+_TRAIN_CACHE_CAP = 64  # bounded: evict oldest insertion past this
+
+
+def clear_train_cache() -> None:
+    """Drop all memoized centroids (e.g. after mutating a source table
+    in ways the file fingerprint cannot see, such as an in-place edit
+    preserving size and mtime)."""
+    _TRAIN_CACHE.clear()
+
+
+def _input_fingerprint(df: DataFrame) -> tuple:
+    """Cheap content fingerprint: (basename, size, mtime_ns) of every
+    source file behind ``df``. Purely driver-side metadata — empty for
+    in-memory DataFrames (callers of those should pass cache_key=None)."""
+    import os
+
+    out = []
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return ()
+    for uri in sorted(files):
+        p = uri[7:] if uri.startswith("file://") else uri
+        try:
+            st = os.stat(p)
+            out.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((os.path.basename(p), -1, -1))
+    return tuple(out)
 
 
 def trained_centroids(
@@ -121,7 +153,11 @@ def trained_centroids(
     scored against. ``cache_key`` identifies the input table (e.g. the
     sf_dir plus a subspace tag); pass None to always retrain (mutable
     or ad-hoc inputs)."""
-    key = None if cache_key is None else (cache_key, vec_col, k, iters)
+    key = (
+        None
+        if cache_key is None
+        else (cache_key, vec_col, k, iters, _input_fingerprint(df))
+    )
     if key is not None and key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     cents = seed_centroids(df, vec_col, id_col, k)
@@ -131,6 +167,8 @@ def trained_centroids(
         prev = cents
         cents = updated_centroids(assigned, vec_col, cents)
     if key is not None:
+        while len(_TRAIN_CACHE) >= _TRAIN_CACHE_CAP:
+            _TRAIN_CACHE.pop(next(iter(_TRAIN_CACHE)))
         _TRAIN_CACHE[key] = (prev, cents)
     return prev, cents
 

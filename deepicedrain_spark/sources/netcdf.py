@@ -525,11 +525,23 @@ def append_records_once(
     — O_EXCL acquire, rename-based stale break), and the final commit
     carries a version CAS fence: if another writer moved the ledger
     while this one held a broken-stale lock, the commit raises instead
-    of recording a batch whose bytes the other writer rolled back."""
+    of recording a batch whose bytes the other writer rolled back.
+
+    Fence SELF-REPAIR (round-7, closes ADVICE r6 medium): ownership +
+    ledger version are re-verified immediately before any byte is
+    appended (a stalled loser bails with the file untouched), and the
+    file size / numrecs are re-captured at that same instant so a
+    fence trip AFTER the append truncates the loser's phantom records
+    back off — the common stall is sequential (loser sleeps through
+    the winner's whole append), so the re-captured state is the
+    winner's committed state and the repair removes exactly the
+    loser's bytes. True byte-interleaving (both writers inside
+    ``append_records`` at once) is unrecoverable by construction and
+    still surfaces as the raised fence error."""
     from deepicedrain_spark.fslock import PathLock
 
     sidecar = path + ".applied.json"
-    with PathLock(path + ".lock"):
+    with PathLock(path + ".lock") as lock:
         ledger = _load_append_ledger(sidecar)
         if ledger["intent"] is not None:
             _rollback_intent(path, ledger["intent"])
@@ -557,13 +569,31 @@ def append_records_once(
                 },
             },
         )
+        # pre-append fence: if our lock was broken and the winner
+        # already moved the ledger, bail BEFORE writing any bytes
+        if (
+            not lock.still_held()
+            or _load_append_ledger(sidecar)["version"] != intent_version
+        ):
+            raise RuntimeError(
+                "netcdf append: lock lost before append — another writer "
+                "broke this holder's stale lock; no bytes were written"
+            )
+        # re-capture the pre-append state at the last possible instant
+        # so a post-append fence trip can truncate the phantom records
+        pre_len = os.path.getsize(path)
+        _pv, pre_recs, *_rest = _read_header(path)
         append_records(path, new_data)
         on_disk = _load_append_ledger(sidecar)
         if on_disk["version"] != intent_version:
+            # self-repair: remove this loser's records (they sit after
+            # the winner's committed tail in the sequential-stall case)
+            _rollback_intent(path, {"pre_len": pre_len, "pre_numrecs": pre_recs})
             raise RuntimeError(
                 "netcdf append: lost-update fence tripped — ledger moved "
                 f"from {intent_version} to {on_disk['version']} mid-append; "
-                "another writer committed while this one held a broken lock"
+                "another writer committed while this one held a broken "
+                "lock. This writer's records were truncated back off."
             )
         _write_ledger(
             sidecar,
