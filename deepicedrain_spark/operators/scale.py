@@ -112,3 +112,47 @@ def bucketed_join_is_shuffle_free(joined: DataFrame) -> bool:
         ln for ln in plan.splitlines() if "BroadcastExchange" not in ln
     )
     return "Exchange" not in remaining
+
+
+def positional_index(
+    df: DataFrame, order_cols: list[str], idx_col: str = "idx"
+) -> DataFrame:
+    """Global 1-based row index over a total order WITHOUT the
+    single-partition Window (round 7, VERDICT r6 task 6 — J4's
+    positional zip used ``row_number() OVER (ORDER BY ...)``, which
+    moves every row to one partition).
+
+    The classic zipWithIndex recipe, DataFrame-native:
+
+    1. range-repartition on the order columns (the sort's own
+       exchange — rows of partition k all order before partition k+1);
+    2. LOCAL row_number keyed by ``spark_partition_id()`` (each window
+       partition is one range bucket, so the sort parallelizes);
+    3. per-bucket counts → cumulative offsets on the driver
+       (O(partitions) scalars, like the crossover's salt probe) →
+       broadcast-joined back: idx = offset + local row number.
+
+    ``order_cols`` must be a TOTAL order (no ties) for the index to be
+    deterministic — same contract the single-partition version had."""
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = part.withColumn("_lrn", F.row_number().over(w))
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid_v, n in counts:
+        offsets.append((pid_v, acc))
+        acc += n
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(idx_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -54,10 +54,29 @@ def _stream_dir(sf_dir: str, table: str = "events") -> str:
     # silently-empty stream) and lexists (exists() follows the symlink,
     # so a broken link would re-raise FileExistsError on re-create)
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
-    if os.path.islink(link) and os.readlink(link) != src:
-        os.unlink(link)  # same hash key, different resolved target
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        # a directory-shaped table (multi-part parquet write): the file
+        # stream source does not recurse into subdirectories, so link
+        # each part file into the staging dir instead of the dir itself
+        targets = {
+            f"part_{i:05d}.parquet": os.path.join(src, f)
+            for i, f in enumerate(sorted(os.listdir(src)))
+            if f.endswith(".parquet")
+        }
+    else:
+        targets = {f"{table}.parquet": src}
+    for name, tgt in targets.items():
+        lk = os.path.join(d, name)
+        if os.path.islink(lk) and os.readlink(lk) != tgt:
+            os.unlink(lk)  # same hash key, different resolved target
+        if not os.path.lexists(lk):
+            os.symlink(tgt, lk)
+    # drop stale links from a previous staging of this key (e.g. the
+    # table shrank from 8 parts to 4, or switched file <-> directory)
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        if os.path.islink(p) and name not in targets:
+            os.unlink(p)
     return d
 
 

@@ -42,6 +42,31 @@ def scratch_path(sf_dir: str, name: str) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return f"/tmp/spark_graft_{key}_{name}"
 
+
+def synth_once(path: str, make, token: str = "v1") -> str:
+    """Driver-side fixture-synthesis memo (round 7, VERDICT r6 task 5):
+    the synthetic ATL06 granules are a pure function of their layout
+    parameters, yet their bytes were re-encoded on every query run —
+    the top line of the bench was measuring gzip, not the scan. Write
+    once per (scratch path, token) like trained_centroids does for
+    codebooks: ``make(tmp)`` builds the file, an atomic rename
+    publishes it, and an ``.ok`` sidecar carrying ``token`` guards
+    against partial files from a killed run (bump ``token`` when the
+    generator changes shape)."""
+    ok = path + ".ok"
+    try:
+        with open(ok) as fh:
+            if fh.read() == token and os.path.exists(path):
+                return path
+    except OSError:
+        pass
+    tmp = f"{path}.tmp.{os.getpid()}"
+    make(tmp)
+    os.replace(tmp, path)
+    with open(ok, "w") as fh:
+        fh.write(token)
+    return path
+
 # --- literal polygon layer (a convex pentagon + a concave chevron) ---
 PIP_POLYGONS = [
     {
@@ -1296,20 +1321,21 @@ def q_crossover_curved(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_positional_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zip two same-length column sets by row position (the reference's
-    dask column-concat at ingest). Row index = row_number over an
-    explicit total order — the only deterministic positional key in a
-    distributed setting."""
+    dask column-concat at ingest). Row index = a scalable zipWithIndex
+    over an explicit total order (range buckets + local row_number +
+    broadcast offsets — operators/scale.positional_index), replacing
+    the round-1 single-partition Window (VERDICT r6 task 6)."""
+    from deepicedrain_spark.operators.scale import positional_index
+
     nation = load_table(spark, sf_dir, "nation")
-    a = nation.select(
-        F.row_number().over(Window.orderBy("n_name")).cast("long").alias("idx"),
-        F.col("n_name").alias("name_alpha"),
+    a = positional_index(
+        nation.select(F.col("n_name").alias("name_alpha")), ["name_alpha"]
     )
-    b = nation.select(
-        F.row_number().over(Window.orderBy("n_nationkey")).cast("long").alias("idx"),
-        F.col("n_name").alias("name_bykey"),
-        "n_regionkey",
-    )
-    return a.join(b, "idx")
+    b = positional_index(
+        nation.select(F.col("n_nationkey").alias("_k"), F.col("n_name").alias("name_bykey"), "n_regionkey"),
+        ["_k"],
+    ).drop("_k")
+    return a.join(b, "idx").select("idx", "name_alpha", "name_bykey", "n_regionkey")
 
 
 # --- F9: replace-to-null + conditional mask (atlxi_lake.py:239,273) ---
@@ -2257,7 +2283,12 @@ def q_atl06_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "delta_time": i.astype("f8") * 0.1,
                 "segment_id": i.astype("i8"),
             }
-        write_hdf5(path, groups, chunk_rows=512, gzip=2, shuffle=True)
+        synth_once(
+            path,
+            lambda p, groups=groups: write_hdf5(
+                p, groups, chunk_rows=512, gzip=2, shuffle=True
+            ),
+        )
         paths.append(path)
     df = ingest_atl06(spark, paths, chunk_rows=512)
     return df.groupBy("referencegroundtrack", "cycle_number", "beam").agg(
@@ -2327,7 +2358,10 @@ def q_atl06_dhdt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "delta_time": np.full(n, float(c)),
                 "segment_id": i.astype("i8"),
             }
-        write_hdf5(path, groups, chunk_rows=512, gzip=2)
+        synth_once(
+            path,
+            lambda p, groups=groups: write_hdf5(p, groups, chunk_rows=512, gzip=2),
+        )
         paths.append(path)
     pts = ingest_atl06(spark, paths, beams=beams, chunk_rows=512).select(
         "beam",
@@ -2619,7 +2653,10 @@ def q_atl06_ingest_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             # in the dense layout (ingest selects only the numerics)
             "beam_tag": np.array([beam.encode()] * n, dtype="S6"),
         }
-    write_hdf5(path, groups, dense_groups=True, chunk_rows=512, gzip=2)
+    synth_once(
+        path,
+        lambda p: write_hdf5(p, groups, dense_groups=True, chunk_rows=512, gzip=2),
+    )
     df = ingest_atl06(spark, [path], beams=beams, chunk_rows=512)
     return df.groupBy("beam").agg(
         F.count(F.lit(1)).alias("n"),

@@ -429,3 +429,158 @@ def test_dissolve_random_snapped_degenerate(spark):
                         seen[ny, nx] = True
                         stack.append((ny, nx))
         assert st["n_parts"] == parts, (trial, rects)
+
+
+def test_strategy_parity_plain_vs_cells(spark):
+    """Round 7 (VERDICT r6 task 1): the grid-bucketed 'cells' plan and
+    the in-key 'plain' plan are two physical strategies for ONE
+    logical overlay — every output (stats, boundary sub-edge set,
+    components) must be bit-identical across all the degenerate-contact
+    shapes plus random general-position polygons."""
+    from deepicedrain_spark.operators.dissolve import boundary_subedges
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # every constructed contact family on one frame
+    xs, ys = _sq(0, 0, 1)
+    rows += [("overlap", 0, xs, ys), ("dup", 0, xs, ys), ("dup", 1, xs, ys)]
+    xs, ys = _sq(0.5, 0, 1)
+    rows.append(("overlap", 1, xs, ys))
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("edge", 0, xs, ys))
+    xs, ys = _sq(1, 0, 1)
+    rows.append(("edge", 1, xs, ys))
+    xs, ys = _sq(0, 0, 2)
+    rows.append(("tj", 0, xs, ys))
+    rows.append(("tj", 1, [1.0, 2.0, 0.0, 1.0], [2.0, 3.0, 3.0, 2.0]))
+    xs, ys = _sq(0, 0, 2)
+    rows.append(("contained", 0, xs, ys))
+    xs, ys = _sq(0.5, 0.5, 0.3)
+    rows.append(("contained", 1, xs, ys))
+    for pid in range(7):
+        cx, cy = rng.uniform(0, 8, 2)
+        r = rng.uniform(1.0, 2.5)
+        th = np.sort(rng.uniform(0, 2 * math.pi, rng.integers(5, 9)))
+        pxs = [float(v) for v in cx + r * np.cos(th)] + [float(cx + r * np.cos(th[0]))]
+        pys = [float(v) for v in cy + r * np.sin(th)] + [float(cy + r * np.sin(th[0]))]
+        rows.append(("rand", pid, pxs, pys))
+    df = _df(spark, rows)
+
+    def stats(strategy):
+        return sorted(
+            map(tuple, dissolve_stats(df, ["key"], strategy=strategy).collect())
+        )
+
+    def bnd(strategy):
+        return sorted(
+            map(tuple, boundary_subedges(df, ["key"], strategy=strategy).collect())
+        )
+
+    def comps(strategy):
+        return sorted(
+            map(tuple, overlap_components(df, ["key"], strategy=strategy).collect())
+        )
+
+    # the boundary sub-edge SET and the component labels are bit-exact
+    # across strategies; the scalar areas are float SUMS over that set,
+    # whose accumulation order is plan-dependent — ulp tolerance there
+    assert bnd("plain") == bnd("cells")
+    assert comps("plain") == comps("cells")
+    for rp, rc in zip(stats("plain"), stats("cells")):
+        assert rp[:2] == rc[:2]  # key, n_polys
+        assert rp[3] == rc[3]  # n_parts
+        assert rp[2] == pytest.approx(rc[2], rel=1e-12)  # sum_part_area
+        assert rp[4] == pytest.approx(rc[4], rel=1e-12)  # union_area
+
+    # hole-bearing (rid) inputs through both paths
+    hole_rows = [
+        ("d", 0, 0, *_sq(0, 0, 4)),
+        ("d", 0, 1, *_sq(1, 1, 2)),
+        ("d", 1, 0, *_sq(1.5, 1.5, 1)),
+        ("d", 2, 0, *_sq(10, 0, 2)),
+    ]
+    hdf = spark.createDataFrame(
+        hole_rows, "key string, pid long, rid int, xs array<double>, ys array<double>"
+    )
+    hp = sorted(map(tuple, dissolve_stats(hdf, ["key"], strategy="plain").collect()))
+    hc = sorted(map(tuple, dissolve_stats(hdf, ["key"], strategy="cells").collect()))
+    for rp, rc in zip(hp, hc):
+        assert rp[:2] == rc[:2] and rp[3] == rc[3]
+        assert rp[2] == pytest.approx(rc[2], rel=1e-12)
+        assert rp[4] == pytest.approx(rc[4], rel=1e-12)
+
+
+def test_snap_vertices_recovers_noisy_degenerate_contacts(spark):
+    """Round 7 (VERDICT r6 task 3): degenerate contacts computed
+    through a lossy transform (rotate + unrotate — ulp-level noise on
+    every coordinate, like reprojection) no longer sit at exactly
+    representable coordinates, so the overlay's exact touch branches
+    miss them. snap_vertices quantizes to a key-bbox-scaled grid first
+    (as GEOS snap-rounding does for shapely unary_union), after which
+    union_area and the 4-connected part count must match the exact
+    integer rasterization of the ORIGINAL rectangles."""
+    from deepicedrain_spark.operators.dissolve import snap_vertices
+
+    rng = np.random.default_rng(23)
+    th = 1e-7  # rotation angle: round-trip noise ~1e-7 relative
+    c, s = math.cos(th), math.sin(th)
+
+    def noisy(v, w):
+        # rotate then rotate back: mathematically identity, float-wise
+        # off by ulps — the reprojection-noise model
+        rv = [c * x - s * y for x, y in zip(v, w)]
+        rw = [s * x + c * y for x, y in zip(v, w)]
+        return (
+            [c * x + s * y for x, y in zip(rv, rw)],
+            [-s * x + c * y for x, y in zip(rv, rw)],
+        )
+
+    for trial in range(3):
+        rects = []
+        for _ in range(8):
+            x0 = int(rng.integers(0, 10))
+            y0 = int(rng.integers(0, 10))
+            w = int(rng.integers(1, 5))
+            h = int(rng.integers(1, 5))
+            rects.append((x0, y0, x0 + w, y0 + h))
+        rows = []
+        for pid, (x0, y0, x1, y1) in enumerate(rects):
+            xs = [float(v) for v in (x0, x1, x1, x0, x0)]
+            ys = [float(v) for v in (y0, y0, y1, y1, y0)]
+            nxs, nys = noisy(xs, ys)
+            rows.append((f"t{trial}", pid, nxs, nys))
+        snapped = snap_vertices(_df(spark, rows), ["key"], rel=1e-5)
+        st = dissolve_stats(snapped, ["key"]).collect()[0]
+
+        grid = np.zeros((16, 16), dtype=bool)
+        for x0, y0, x1, y1 in rects:
+            grid[y0:y1, x0:x1] = True
+        assert st["union_area"] == pytest.approx(float(grid.sum()), abs=1e-3)
+
+        seen = np.zeros_like(grid)
+        parts = 0
+        for sy, sx in zip(*np.nonzero(grid)):
+            if seen[sy, sx]:
+                continue
+            parts += 1
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            while stack:
+                y, x = stack.pop()
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < 16 and 0 <= nx < 16 and grid[ny, nx] and not seen[ny, nx]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+        assert st["n_parts"] == parts, (trial, rects)
+
+        # exact-coordinate inputs: snapping may move vertices ≤ grid/2
+        # (the grid isn't integer-aligned) but must keep every exact
+        # contact exactly coincident — same parts, area within
+        # perimeter × grid of the unsnapped result
+        clean = _df(spark, [(f"c{trial}", p, [float(v) for v in (x0, x1, x1, x0, x0)],
+                             [float(v) for v in (y0, y0, y1, y1, y0)])
+                            for p, (x0, y0, x1, y1) in enumerate(rects)])
+        st_clean = dissolve_stats(clean, ["key"]).collect()[0]
+        st_snap = dissolve_stats(snap_vertices(clean, ["key"], rel=1e-5), ["key"]).collect()[0]
+        assert st_snap["union_area"] == pytest.approx(st_clean["union_area"], abs=1e-2)
+        assert st_snap["n_parts"] == st_clean["n_parts"]

@@ -4,7 +4,14 @@ cluster" — so measure dissolve_stats over K keys x P overlapping
 polygons per key, all synthesized Catalyst-side (no Python in the data
 path).
 
-Usage: python tools/scalecheck_dissolve.py [n_keys] [polys_per_key]
+Round 7 adds the HOT-KEY mode (VERDICT r6 task 1): n_keys=1 with
+hundreds of polygons is the shape that used to serialize O(E²) pair
+work into one partition — run it at rising polys_per_key to check the
+bucketed overlay scales near-linearly per polygon, and optionally pin
+the strategy to compare plans ("plain" = old in-key self-join,
+"cells" = grid-bucketed, default "auto").
+
+Usage: python tools/scalecheck_dissolve.py [n_keys] [polys_per_key] [strategy]
 Prints one JSON line; summary goes to SCALE.md by hand.
 """
 
@@ -24,6 +31,7 @@ from deepicedrain_spark.session import get_spark
 
 N_KEYS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 POLYS = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+STRATEGY = sys.argv[3] if len(sys.argv) > 3 else "auto"
 VERTS = 16
 
 
@@ -67,7 +75,7 @@ def main() -> None:
     polys = synth(spark).localCheckpoint()
     n = polys.count()
     t0 = time.time()
-    out = dissolve_stats(polys, ["key"])
+    out = dissolve_stats(polys, ["key"], strategy=STRATEGY)
     out.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
     row = out.agg(
@@ -80,6 +88,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "dissolve_many_keys",
+                "strategy": STRATEGY,
                 "n_keys": N_KEYS,
                 "polys_per_key": POLYS,
                 "n_polys": n,

@@ -46,6 +46,24 @@ QUERIES = [
     "cosine_topk_lsh",
     "embedding_near_dup_lsh",
     "bloom_semijoin_reduction",
+    # geo/streaming family (round 7, VERDICT r6 task 4): the same
+    # sf1/sf4 linearity gate over the crossover join, gridded PIP,
+    # raster/gridding aggregates, per-point regression, rolling
+    # window, and the streaming upsert/sliding sinks. (Dissolve's
+    # scale story is key-shaped, not row-shaped — it is gated
+    # separately by tools/scalecheck_dissolve.py's single-key and
+    # many-keys modes.)
+    "crossover_track_intersections",
+    "point_in_polygon_gridded",
+    "raster_datashade",
+    "raster_cube",
+    "block_median",
+    "surface_tension_spline",
+    "dhdt_per_point_regression",
+    "rolling_time_mean",
+    "volume_time_series",
+    "streaming_sliding_means",
+    "streaming_upsert_bucketed",
 ]
 
 
@@ -93,6 +111,30 @@ def stage(spark, out_dir: str, mult: int) -> None:
     v.select(
         F.col("id").alias("vec_id"), emb.alias("embedding"), lab.alias("label")
     ).coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    # events: same shape as the driver testdata (30 days of ts, 5 event
+    # types, JSON props, value 0-500), users scaled WITH the data so
+    # per-user series stay constant-density (regression/rolling windows
+    # measure more groups, not longer groups; crossover's 4 tracks do
+    # lengthen — its crossings and cell join both grow linearly)
+    N_EVENTS = 100_000 * mult
+    n_users = 500 * mult
+    etypes = F.array(*[F.lit(s) for s in ("click", "view", "purchase", "signup", "error")])
+    spark.range(N_EVENTS).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(12)), F.lit(2_592_000)) * F.lit(1_000_000)
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(n_users)).alias("user_id"),
+        F.element_at(
+            etypes, (F.pmod(F.xxhash64("id", F.lit(14)), F.lit(5)) + 1).cast("int")
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(15)), F.lit(49_000)) / 100.0 + 0.01).alias("value"),
+        F.concat(
+            F.lit('{"k": '), F.pmod(F.xxhash64("id", F.lit(16)), F.lit(100)).cast("string"), F.lit("}")
+        ).alias("props"),
+    ).coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
     # TPC-H-ish customer/orders (only what bloom_semijoin needs)
     segs = F.array(*[F.lit(s) for s in ("MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD", "AUTOMOBILE")])
