@@ -293,14 +293,22 @@ def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFr
     return a.join(b, keys).drop("cx", "cy", "_salt")
 
 
-def _crossings(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFrame:
+def _crossings(
+    edges: DataFrame,
+    key_cols: list[str],
+    bucketed: bool,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """Proper crossings between edges of DIFFERENT polygons of a key:
     (key, pid, rid, eid, t) — the split parameter on the (pid, rid,
     eid) edge. Emitted from BOTH sides of the e×f pair (t for e, u for
     f), so one join covers every edge's splits. The same contact
     re-found in several shared cells collapses in the final DISTINCT
-    (identical inputs ⇒ identical t bits)."""
-    pair = _edge_pairs(edges, key_cols, bucketed).where(F.col("apid") != F.col("bpid"))
+    (identical inputs ⇒ identical t bits). ``pairs`` lets dissolve_stats
+    share one candidate-pair table across its two overlay passes."""
+    if pairs is None:
+        pairs = _edge_pairs(edges, key_cols, bucketed)
+    pair = pairs.where(F.col("apid") != F.col("bpid"))
     d1x = F.col("ax2") - F.col("ax1")
     d1y = F.col("ay2") - F.col("ay1")
     d2x = F.col("bx2") - F.col("bx1")
@@ -358,25 +366,32 @@ def boundary_subedges(
     pid: str = "pid",
     eps: float = 1e-6,
     strategy: str = "auto",
+    _edges_df: DataFrame | None = None,
+    _pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Union-boundary sub-edges per key, oriented interior-LEFT:
     (key..., pid, eid, ax, ay, bx, by, _xref, _yref). ``polys`` needs
     closed rings as xs/ys array<double> plus a ``pid`` (and optionally
     ``rid`` for polygons with holes — see module docstring).
     ``strategy``: auto|plain|cells — see module docstring; both
-    produce bit-identical output."""
+    produce bit-identical output. ``_edges_df``/``_pairs`` are
+    dissolve_stats' internal share of the edge/candidate-pair tables
+    (it runs two overlay passes over the same input)."""
     has_rid = "rid" in polys.columns  # hole-bearing inputs only
     bucketed = _use_cells(polys, key_cols, strategy)
     polys = _with_rid(polys)
-    edges = _edges(polys, key_cols, pid)
-    if bucketed:
-        # one materialization feeds the pair join (both sides), the
-        # sub-edge split and the banded coverage edge table; also
-        # truncates lineage so Catalyst doesn't re-analyze the explode
-        # per branch (the crossover join does the same)
-        edges = edges.localCheckpoint()
+    if _edges_df is not None:
+        edges = _edges_df
+    else:
+        edges = _edges(polys, key_cols, pid)
+        if bucketed:
+            # one materialization feeds the pair join (both sides) and
+            # the sub-edge split; also truncates lineage so Catalyst
+            # doesn't re-analyze the explode per branch (the crossover
+            # join does the same)
+            edges = edges.localCheckpoint()
     splits = (
-        _crossings(edges, key_cols, bucketed)
+        _crossings(edges, key_cols, bucketed, _pairs)
         .groupBy(*key_cols, "pid", "rid", "eid")
         .agg(F.collect_list("t").alias("_ts"))
     )
@@ -674,7 +689,12 @@ def _coverage_cells(
 
 
 def overlap_components(
-    polys: DataFrame, key_cols: list[str], pid: str = "pid", strategy: str = "auto"
+    polys: DataFrame,
+    key_cols: list[str],
+    pid: str = "pid",
+    strategy: str = "auto",
+    _edges_df: DataFrame | None = None,
+    _pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(key..., pid, part) — connected components of the per-key
     overlap graph. ``part`` = min pid of the component. Edges of the
@@ -697,12 +717,17 @@ def overlap_components(
     O(polygons per key), never O(vertices)."""
     bucketed = _use_cells(polys, key_cols, strategy)
     polys = _with_rid(polys)
-    edges = _edges(polys, key_cols, pid)
-    if bucketed:
-        edges = edges.localCheckpoint()
+    if _edges_df is not None:
+        edges = _edges_df
+    else:
+        edges = _edges(polys, key_cols, pid)
+        if bucketed:
+            edges = edges.localCheckpoint()
     # crossing PAIRS (pid, pid) — _crossings drops the partner pid (it
     # only needs split params), so pairs are derived directly here
-    pair = _edge_pairs(edges, key_cols, bucketed).where(F.col("apid") < F.col("bpid"))
+    if _pairs is None:
+        _pairs = _edge_pairs(edges, key_cols, bucketed)
+    pair = _pairs.where(F.col("apid") < F.col("bpid"))
     d1x = F.col("ax2") - F.col("ax1")
     d1y = F.col("ay2") - F.col("ay1")
     d2x = F.col("bx2") - F.col("bx1")
@@ -911,12 +936,23 @@ def dissolve_stats(
     Σ|hole rings| when ``rid`` marks holes) — by construction
     union_area ≤ sum_part_area, equality iff nothing overlaps."""
     # resolve auto ONCE so the probe job doesn't run again in each of
-    # the two overlay passes; pass the ORIGINAL frame so
+    # the two overlay passes, and SHARE the edge + candidate-pair
+    # tables between them (in cells mode that halves the checkpoint/
+    # salt-probe fixed cost); pass the ORIGINAL frame so
     # boundary_subedges keys its single-ring fast path off the absence
     # of a rid column (ADVICE r6)
-    strategy = "cells" if _use_cells(polys, key_cols, strategy) else "plain"
-    bnd = boundary_subedges(polys, key_cols, pid, eps, strategy)
-    components = overlap_components(polys, key_cols, pid, strategy)
+    bucketed = _use_cells(polys, key_cols, strategy)
+    strategy = "cells" if bucketed else "plain"
+    edges = _edges(polys, key_cols, pid)
+    if bucketed:
+        edges = edges.localCheckpoint()
+    pairs = _edge_pairs(edges, key_cols, bucketed)
+    bnd = boundary_subedges(
+        polys, key_cols, pid, eps, strategy, _edges_df=edges, _pairs=pairs
+    )
+    components = overlap_components(
+        polys, key_cols, pid, strategy, _edges_df=edges, _pairs=pairs
+    )
     polys = _with_rid(polys)
     area = bnd.groupBy(*key_cols).agg(
         F.sum((F.col("ax") * F.col("by") - F.col("bx") * F.col("ay")) / 2).alias(

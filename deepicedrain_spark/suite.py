@@ -926,21 +926,73 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-6 rotation (VERDICT r5 task 1):
-    # the FINAL 22 never-driver-checked queries all enter the window —
-    # done means cumulative driver-green 159/159. The rest of the
-    # window: queries whose CODE changed this round (dissolve
-    # hardening, train-once ANN codebooks, crash-atomic NetCDF append,
-    # PathLock refactor, sanitized sink keys), the two anchors, and
-    # oldest r1-r3 rows for re-confirmation. All 50 verified green
-    # through tools/check.py at sf0.01 + sf0.001 + non-UTC TZ before
-    # shipping.
+    # --- driver top-50 window, round-7 rotation (VERDICT r6 task 2 —
+    # STANDING POLICY: every query's driver row must be at most 3
+    # rounds old; the window is anchors + ALL queries whose latest
+    # driver row breaches that age + everything whose CODE changed
+    # this round). Round 7: the 29 queries last driver-checked in
+    # r1-r3 all rotate in, plus the dissolve/ingest/positional/
+    # streaming/kmeans queries touched by the bucketed overlay,
+    # synth_once fixture cache, positional_index, _stream_dir and
+    # ADVICE fixes. All 50 verified through tools/check.py at sf0.01 +
+    # sf0.001 + non-UTC TZ before shipping.
     # anchors
     "dhdt_per_point_regression",
     "parquet_roundtrip",
-    # the last 22 never-driver-checked (cumulative target 159/159)
+    # the 29 oldest driver rows (r1-r3), rotation policy
+    "anomaly_vs_first",
+    "argmax_top1",
+    "bin_labels",
+    "block_median",
+    "cycle_delta",
+    "describe_stats",
+    "deterministic_sample",
+    "distinct_locations",
+    "height_range_per_point",
+    "magnitude_filter",
+    "piped_distinct_tracks",
+    "point_in_polygon",
+    "positional_concat",  # also CHANGED r7: scalable zipWithIndex
+    "pricing_summary",
+    "quality_mask",
+    "regional_revenue",
+    "replace_mask",
+    "set_ops_customers",
+    "sorted_distinct_types",
+    "surface_interpolation_idw",
+    "track_id_format",
+    "union_split_labels",
+    "multimodal_decode_features",
+    "filename_parse",
+    "rolling_hash_fingerprints",
+    "salted_skew_counts",
+    "session_batch",
+    "simhash_fingerprints",
+    "time_rollup",
+    # code CHANGED round 7 — re-earn their rows
+    "lake_catalog_dissolve",  # r7: adaptive cell-bucketed overlay
+    "dissolve_input_holes",  # r7: adaptive cell-bucketed overlay
+    "reference_lake_catalog",  # r7: overlap_components strategy probe
+    "atl06_ingest_pipeline",  # r7: synth_once fixture cache
+    "atl06_dhdt_end_to_end",  # r7: synth_once fixture cache
+    "atl06_ingest_dense_layout",  # r7: synth_once fixture cache
+    "netcdf_record_append",  # r7: fence self-repair (ADVICE r6)
+    "streaming_netcdf_append",  # r7: fence self-repair + lock loop
+    "streaming_upsert_bucketed",  # r7: PathLock deadline fix
+    "streaming_upsert_sink",  # r7: PathLock deadline fix
+    "streaming_sliding_means",  # r7: _stream_dir multi-part staging
+    "kmeans_clusters",  # r7: fingerprinted train cache (ADVICE r6)
+    "ivf_topk_trained",  # r7: fingerprinted train cache
+    "pq_encode",  # r7: fingerprinted train cache
+    "pq_adc_topk",  # r7: fingerprinted train cache
+    "semantic_dedup_kmeans",  # r7: fingerprinted train cache
+    # NEW r7 queries, in-window so they earn a driver row immediately
+    "dissolve_snapped_catalog",
+    "lake_geometry_gmt",
+    "dissolve_hot_key_bucketed",
+    # --- tier 2: past the driver's 50-query window -------------------
     "zarr_multistore_scan",
-    "lake_region_subset",  # also CHANGED r6: single-action assembly
+    "lake_region_subset",
     "track_densify_greatcircle",
     "shipping_priority",
     "large_order_customers",
@@ -955,25 +1007,13 @@ PRIORITY: list[str] = [
     "corpus_vocabulary",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "streaming_sliding_means",
     "streaming_running_anomaly",
     "streaming_raster_counts",
     "streaming_hll_users",
     "streaming_bloom_bits",
     "streaming_kmeans_assign",
-    # code CHANGED this round — re-earn their rows
-    "lake_catalog_dissolve",  # r6: degenerate contacts + holes + oracle
-    "kmeans_clusters",  # r6: train-once centroids
-    "ivf_topk_trained",  # r6: train-once centroids
-    "pq_encode",  # r6: train-once codebooks
-    "pq_adc_topk",  # r6: train-once codebooks
-    "netcdf_record_append",  # r6: crash-atomic intent ledger
-    "streaming_netcdf_append",  # r6: locked+fenced appender
-    "streaming_upsert_bucketed",  # r6: PathLock extraction
-    "streaming_upsert_sink",  # r6: PathLock extraction
-    "hdf5_roundtrip",  # r6: sanitized granule keys
-    "zarr_v3_roundtrip",  # r6: sanitized store keys
-    # oldest r1-r3 greens, re-confirmation rotation
+    "hdf5_roundtrip",
+    "zarr_v3_roundtrip",
     "bbox_subset",
     "null_threshold",
     "dedup_distinct",
@@ -985,15 +1025,8 @@ PRIORITY: list[str] = [
     "array_to_columns",
     "expression_filter",
     "json_extract_filter",
-    # NEW r6 queries, in-window so they earn a driver row immediately
     "doc_chunk_overlap",
-    "semantic_dedup_kmeans",
-    "dissolve_input_holes",
-    # --- tier 2: past the driver's 50-query window -------------------
     "outlier_clip_sigma",
-    "filename_parse",
-    "surface_interpolation_idw",
-    "point_in_polygon",
     # every query below holds a driver-green row from r1-r5 (kept
     # registered + locally checked)
     "dbscan_distributed_summary",
@@ -1002,12 +1035,8 @@ PRIORITY: list[str] = [
     "netcdf_roundtrip",
     "geojson_roundtrip",
     "tsv_roundtrip",
-    "reference_lake_catalog",
     "catalog_named_source",
     "sql_interface_demo",
-    "atl06_ingest_pipeline",
-    "atl06_ingest_dense_layout",
-    "atl06_dhdt_end_to_end",
     "dhdt_pipeline",
     "dhdt_regression_pvalue",
     "lake_finder_pipeline",
@@ -1068,7 +1097,6 @@ PRIORITY: list[str] = [
     "multimodal_real_video",
     "multimodal_audio_resample",
     "multimodal_real_decode",
-    "multimodal_decode_features",
     "dataset_split",
     "paragraph_dedup",
     "sequence_packing",
@@ -1080,11 +1108,6 @@ PRIORITY: list[str] = [
     "streaming_stateful_dedup",
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
-    "salted_skew_counts",
-    "session_batch",
-    "time_rollup",
-    "simhash_fingerprints",
-    "rolling_hash_fingerprints",
 ]
 
 

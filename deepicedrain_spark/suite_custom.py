@@ -2982,6 +2982,208 @@ def q_lake_catalog_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("basin_name")
 
 
+# --- J6 + fp-tolerance: snap-rounded noisy catalog dissolve (round 7,
+# VERDICT r6 task 3). The catalog coordinates pass through a
+# DETERMINISTIC pseudo-reprojection noise (integer-hash perturbation,
+# ±1 mm, closed-ring-consistent — pure int/double arithmetic both
+# engines reproduce bit-for-bit, unlike libm trig) and are then
+# snap-rounded to a 1 cm grid by snap_vertices before the overlay —
+# the GEOS-style tolerance pre-pass shapely's unary_union applies
+# implicitly (atlxi_lake.py:364-375). The oracle replays noise + snap
+# + the full relational overlay in DuckDB.
+def _register_dissolve_snapped() -> None:
+    from deepicedrain_spark.suite import REGISTRY
+
+    base = REGISTRY["lake_catalog_dissolve"].sql
+    old = """lakes AS (
+      SELECT basin, ring,
+             row_number() OVER (
+               PARTITION BY basin ORDER BY ring[1][1], ring[1][2]) AS pid
+      FROM lakes0
+    ),"""
+    assert old in base, "lake_catalog_dissolve oracle changed; update snap variant"
+    new = """lakes1 AS (
+      SELECT basin, ring,
+             row_number() OVER (
+               PARTITION BY basin ORDER BY ring[1][1], ring[1][2]) AS pid
+      FROM lakes0
+    ),
+    noisy AS (
+      SELECT basin, pid,
+        list_transform(generate_series(1, len(ring)), i ->
+          [ring[i][1] + ((CAST(pid AS BIGINT) * 1103515245
+              + (CASE WHEN i = len(ring) THEN 1 ELSE i END) * 12345)
+              % 1000 - 500) * 2e-6,
+           ring[i][2] + ((CAST(pid AS BIGINT) * 48271
+              + (CASE WHEN i = len(ring) THEN 1 ELSE i END) * 69621)
+              % 1000 - 500) * 2e-6]) AS ring
+      FROM lakes1
+    ),
+    srefs AS (
+      SELECT basin,
+             min(list_min(list_transform(ring, p -> p[1]))) AS sxr,
+             min(list_min(list_transform(ring, p -> p[2]))) AS syr
+      FROM noisy GROUP BY basin
+    ),
+    lakes AS (
+      SELECT n.basin, n.pid,
+             list_transform(n.ring, p ->
+               [round((p[1] - r.sxr) / 0.01) * 0.01 + r.sxr,
+                round((p[2] - r.syr) / 0.01) * 0.01 + r.syr]) AS ring
+      FROM noisy n JOIN srefs r ON n.basin = r.basin
+    ),"""
+    sql = base.replace(old, new)
+
+    @register("dissolve_snapped_catalog", sql)
+    def q_dissolve_snapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deepicedrain_spark.operators.dissolve import dissolve_stats, snap_vertices
+        from deepicedrain_spark.sources.geojson import read_geojson_polygons
+
+        df = read_geojson_polygons(spark, _LAKE_CATALOG_PATH, id_property="basin_name")
+        w = Window.partitionBy("basin_name").orderBy(
+            F.element_at("xs", 1), F.element_at("ys", 1)
+        )
+        polys = (
+            df.select(F.col("poly_id").alias("basin_name"), "xs", "ys")
+            .withColumn("pid", F.row_number().over(w).cast("long"))
+        )
+        # spark i is 0-based; DuckDB's generate_series is 1-based — the
+        # noise index j is the 1-based vertex, with the closing vertex
+        # reusing j=1 so rings stay exactly closed
+        jx = "(CASE WHEN i = size(xs) - 1 THEN 1 ELSE i + 1 END)"
+        jy = "(CASE WHEN i = size(ys) - 1 THEN 1 ELSE i + 1 END)"
+        noisy = polys.select(
+            "basin_name",
+            "pid",
+            F.expr(
+                f"transform(xs, (v, i) -> v + ((pid * 1103515245L + {jx} * 12345L)"
+                " % 1000 - 500) * 2e-6)"
+            ).alias("xs"),
+            F.expr(
+                f"transform(ys, (v, i) -> v + ((pid * 48271L + {jy} * 69621L)"
+                " % 1000 - 500) * 2e-6)"
+            ).alias("ys"),
+        )
+        snapped = snap_vertices(noisy, ["basin_name"], grid=0.01).coalesce(1).localCheckpoint()
+        stats = dissolve_stats(snapped, ["basin_name"], pid="pid")
+        return stats.select(
+            "basin_name",
+            F.col("n_polys").alias("n_lakes"),
+            "n_parts",
+            F.round(F.col("union_area") / 1e6, 3).alias("dissolved_km2"),
+            F.round(F.col("sum_part_area") / 1e6, 3).alias("sum_parts_km2"),
+        ).orderBy("basin_name")
+
+
+_register_dissolve_snapped()
+
+
+# --- J6 hot-key driver proof: the cells (grid-bucketed) strategy on a
+# constructed overlapping grid whose union is CLOSED-FORM (round 7 —
+# the bucketed plan is the new scale path; this row driver-proves it
+# directly rather than only via the plain/cells parity test). 64 unit
+# squares stepped 0.75 apart in an 8x8 grid fully tile the square
+# [0, 6.25]^2 (step < side ⇒ no gaps): union = 6.25^2, one part;
+# a second key holds two disjoint squares: union 2, two parts.
+@register(
+    "dissolve_hot_key_bucketed",
+    """
+    SELECT * FROM (VALUES
+      ('cold', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       round(CAST(2.0 AS DOUBLE), 6), round(CAST(2.0 AS DOUBLE), 6)),
+      ('hot', CAST(64 AS BIGINT), CAST(1 AS BIGINT),
+       round(CAST(6.25 * 6.25 AS DOUBLE), 6), round(CAST(64.0 AS DOUBLE), 6))
+    ) AS t(key, n_polys, n_parts, union_area, sum_part_area)
+    ORDER BY key
+    """,
+)
+def q_dissolve_hot_key_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dissolve import dissolve_stats
+
+    sq = (
+        "transform(array(0.0D, 1.0D, 1.0D, 0.0D, 0.0D), v -> v + {o})",
+        "transform(array(0.0D, 0.0D, 1.0D, 1.0D, 0.0D), v -> v + {o})",
+    )
+    hot = spark.range(64).select(
+        F.lit("hot").alias("key"),
+        F.col("id").alias("pid"),
+        F.expr(sq[0].format(o="CAST(id % 8 AS DOUBLE) * 0.75")).alias("xs"),
+        F.expr(sq[1].format(o="CAST(id DIV 8 AS DOUBLE) * 0.75")).alias("ys"),
+    )
+    cold = spark.range(2).select(
+        F.lit("cold").alias("key"),
+        F.col("id").alias("pid"),
+        F.expr(sq[0].format(o="CAST(id AS DOUBLE) * 5.0")).alias("xs"),
+        F.expr(sq[1].format(o="0.0D")).alias("ys"),
+    )
+    st = dissolve_stats(hot.unionByName(cold), ["key"], strategy="cells")
+    return st.select(
+        "key",
+        "n_polys",
+        "n_parts",
+        F.round("union_area", 6).alias("union_area"),
+        F.round("sum_part_area", 6).alias("sum_part_area"),
+    ).orderBy("key")
+
+
+# --- S7 OGR_GMT vector sink variant (round 7, VERDICT r6 task 8):
+# the reference writes lake geometries BOTH as GeoJSON and as
+# driver='OGR_GMT' for GMT plotting (atlxi_lake.py:407-412). Write the
+# catalog through the GMT ASCII sink, read it back (exact %.17g
+# round-trip), and aggregate per basin; the oracle aggregates the
+# GeoJSON source directly — any sink/parse drift breaks the hash.
+@register(
+    "lake_geometry_gmt",
+    f"""
+    WITH feat AS (
+      SELECT unnest(features) AS f
+      FROM read_json_auto('{_LAKE_CATALOG_PATH}', maximum_object_size=33554432)
+    ),
+    lakes AS (
+      SELECT f.properties.basin_name AS basin,
+             f.geometry.coordinates[1] AS ring
+      FROM feat
+    )
+    SELECT basin AS basin_name,
+           count(*) AS n_lakes,
+           CAST(sum(len(ring) - 1) AS BIGINT) AS n_vertices,
+           round(sum(abs(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(ring) - 1),
+                 i -> ring[i][1] * ring[i+1][2] - ring[i+1][1] * ring[i][2])),
+               (acc, v) -> acc + v)) / 2) / 1e6, 3) AS area_km2
+    FROM lakes GROUP BY basin ORDER BY basin
+    """,
+)
+def q_lake_geometry_gmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.sources.geojson import read_geojson_polygons
+    from deepicedrain_spark.sources.gmt import read_gmt_polygons, write_gmt_polygons
+
+    df = read_geojson_polygons(spark, _LAKE_CATALOG_PATH, id_property="basin_name")
+    out = scratch_path(sf_dir, "lakes_gmt") + ".gmt"
+    write_gmt_polygons(df.select("poly_id", "xs", "ys"), out)
+    back = read_gmt_polygons(spark, out)
+    shoelace = F.expr(
+        """
+        abs(aggregate(sequence(0, size(xs) - 2), cast(0.0 as double),
+            (acc, i) -> acc + (xs[i] * ys[i+1] - xs[i+1] * ys[i]))) / 2
+        """
+    )
+    return (
+        back.select(
+            F.col("poly_id").alias("basin_name"),
+            (F.size("xs") - 1).alias("nv"),
+            shoelace.alias("area"),
+        )
+        .groupBy("basin_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lakes"),
+            F.sum("nv").cast("long").alias("n_vertices"),
+            F.round(F.sum("area") / 1e6, 3).alias("area_km2"),
+        )
+        .orderBy("basin_name")
+    )
+
+
 # --- S3 multi-store Zarr scan (round 5) -------------------------------
 # The reference's ACTUAL ingest is 1387 per-track Zarr stores opened in
 # one logical dataset (xr.open_mfdataset combine='nested' +
