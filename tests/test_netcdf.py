@@ -418,3 +418,109 @@ def _appender_proc(path: str, worker: int) -> None:
             append_records_once(path, {"v": np.array([[float(bid)]])}, batch_id=bid)
             is False
         )
+
+def test_append_once_pre_fence_bails_before_bytes(tmp_path, monkeypatch):
+    """ADVICE r6 (medium): a loser whose stale lock was broken must bail
+    BEFORE writing any bytes when ownership is lost — file and ledger
+    untouched, so redelivery applies the batch cleanly."""
+    import numpy as np
+
+    from deepicedrain_spark import fslock
+    from deepicedrain_spark.sources.netcdf import (
+        append_records_once,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = str(tmp_path / "fence.nc")
+    write_netcdf(
+        p,
+        {"t": None, "x": 2},
+        {"v": (("t", "x"), np.empty((0, 2), dtype="f8"))},
+    )
+    a = np.array([[1.0, 2.0]])
+    assert append_records_once(p, {"v": a}, batch_id=0) is True
+    pre = open(p, "rb").read()
+
+    monkeypatch.setattr(fslock.PathLock, "still_held", lambda self: False)
+    with pytest.raises(RuntimeError, match="no bytes were written"):
+        append_records_once(p, {"v": a * 3}, batch_id=1)
+    assert open(p, "rb").read() == pre  # zero bytes written
+
+    monkeypatch.undo()
+    assert append_records_once(p, {"v": a * 3}, batch_id=1) is True
+    _dims, vs, _ = read_netcdf(p)
+    assert np.allclose(vs["v"][1], np.vstack([a, a * 3]))
+
+
+def test_append_once_post_fence_truncates_phantom_records(tmp_path, monkeypatch):
+    """ADVICE r6 (medium): if the ledger moves DURING the loser's append
+    (winner committed under a broken-stale lock), the loser's records
+    were bytes-on-disk with numrecs bumped but no ledger coverage —
+    phantom records that a redelivery would duplicate. The post-append
+    fence now truncates them back off before raising."""
+    import numpy as np
+
+    from deepicedrain_spark.sources import netcdf as ncmod
+    from deepicedrain_spark.sources.netcdf import (
+        append_records_once,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = str(tmp_path / "phantom.nc")
+    write_netcdf(
+        p,
+        {"t": None, "x": 2},
+        {"v": (("t", "x"), np.empty((0, 2), dtype="f8"))},
+    )
+    a = np.array([[1.0, 2.0]])
+    assert append_records_once(p, {"v": a}, batch_id=0) is True
+    pre = open(p, "rb").read()
+
+    real_load = ncmod._load_append_ledger
+    calls = {"n": 0}
+
+    def racing_load(sidecar):
+        led = real_load(sidecar)
+        calls["n"] += 1
+        if calls["n"] == 3:  # the POST-append fence read: winner moved it
+            led = dict(led)
+            led["version"] = led["version"] + 7
+        return led
+
+    monkeypatch.setattr(ncmod, "_load_append_ledger", racing_load)
+    with pytest.raises(RuntimeError, match="truncated back off"):
+        append_records_once(p, {"v": a * 9}, batch_id=1)
+    monkeypatch.undo()
+
+    # the loser's records are GONE (file back to the committed state
+    # modulo the rolled-back intent in the sidecar), no phantoms
+    assert open(p, "rb").read() == pre
+    assert append_records_once(p, {"v": a * 9}, batch_id=1) is True
+    _dims, vs, _ = read_netcdf(p)
+    assert vs["v"][1].shape == (2, 2)
+    assert np.allclose(vs["v"][1], np.vstack([a, a * 9]))
+
+
+def test_pathlock_unstatable_lock_times_out(tmp_path, monkeypatch):
+    """ADVICE r6 (low): a lock whose mtime cannot be statted (EACCES on
+    the directory) must TIME OUT, not busy-spin forever."""
+    import os
+    import time as _time
+
+    from deepicedrain_spark.fslock import PathLock
+
+    lock_path = str(tmp_path / "x.lock")
+    with open(lock_path, "w") as fh:
+        fh.write("someone-else")
+
+    def denied(_p):
+        raise PermissionError("stat denied")
+
+    monkeypatch.setattr(os.path, "getmtime", denied)
+    t0 = _time.monotonic()
+    with pytest.raises(TimeoutError):
+        with PathLock(lock_path, timeout=0.5):
+            pass
+    assert _time.monotonic() - t0 < 10.0  # bounded, no spin-forever
