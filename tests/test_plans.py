@@ -242,3 +242,23 @@ def test_hdf5_partitioned_write_no_driver_collect(spark, tmp_path):
     plan = plan_of(manifest)
     assert "CollectLimit" not in plan and "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dissolve_cells_strategy_no_cartesian(spark):
+    """Round 7: the grid-bucketed overlay must also plan every join as
+    an equi-join — (key, cx, cy[, salt]) for pair candidates,
+    (key, cx, cy) for the ray casts — never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.dissolve import dissolve_stats
+
+    rows = []
+    for k in range(3):
+        rows.append((f"k{k}", 0, [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0]))
+        rows.append((f"k{k}", 1, [0.5, 1.5, 1.5, 0.5, 0.5], [0.0, 0.0, 1.0, 1.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "key string, pid long, xs array<double>, ys array<double>"
+    )
+    plan = plan_of(dissolve_stats(df, ["key"], strategy="cells"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
