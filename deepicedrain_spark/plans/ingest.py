@@ -8,13 +8,14 @@ the granule's reference ground track parsed from the FILENAME
 (``atlxi_dhdt.py:65-70`` reverse_format), then concatenated into one
 table and persisted columnar (HDF5→Zarr there; →parquet here).
 
-Spark shape: the granule×beam matrix is the task axis — each
-``read_atl06_beam`` is already a chunk-parallel scan, and the
-pipeline unions them by name (J5) with the identity columns attached
-as literals (the mapInPandas scan has no input_file_name, so the
-filename parse happens once per granule on the driver — one regex per
-FILE, not per row). Nothing shuffles until the caller aggregates: the
-union of map-only scans stays map-only.
+Spark shape: the (granule × beam × chunk-stripe) matrix is the task
+axis of ONE mapInPandas over one task table (read_hdf5_many) — the
+identity columns ride the task rows as literals (the scan has no
+input_file_name, so the filename parse happens once per granule on
+the driver — one regex per FILE, not per row). Nothing shuffles until
+the caller aggregates: the single map-only scan stays map-only, and
+1000 granules plan exactly like 3 (capped task-table partitions, no
+per-granule plan legs).
 """
 
 from __future__ import annotations
@@ -24,8 +25,6 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from deepicedrain_spark.sources.hdf5 import read_atl06_beam
 
 # Two accepted granule-name conventions:
 #  - the repo's synthetic fixtures: ATL06_<rgt4><cycle2>_*.h5
@@ -55,23 +54,32 @@ def ingest_atl06(
     quality_col: str = "atl06_quality_summary",
     chunk_rows: int | None = None,
 ) -> DataFrame:
-    """Union of per-(granule, beam) scans with identity columns and the
+    """All (granule, beam) scans through ONE (part × chunk-stripe)
+    task table + ONE mapInPandas (round 7 — was a per-(granule, beam)
+    union of 18 independent scans, each carrying its own repartition
+    exchange: a stage storm at 3 granules and a 6000-leg union at
+    1000), with identity columns attached as task-row tags and the
     reference's quality mask applied (keep quality == 0 rows)."""
     if not paths or not beams:
         raise ValueError("ingest_atl06: no granule paths / beams given")
-    parts: list[DataFrame] = []
+    from deepicedrain_spark.sources.hdf5 import ATL06_DATASETS, read_hdf5_many
+
+    parts: list[tuple[str, str, dict]] = []
     for path in paths:
         rgt, cycle = parse_granule_name(path)
         for beam in beams:
-            df = read_atl06_beam(spark, path, beam, chunk_rows=chunk_rows)
             parts.append(
-                df.withColumn("referencegroundtrack", F.lit(rgt).cast("int"))
-                .withColumn("cycle_number", F.lit(cycle).cast("int"))
-                .withColumn("beam", F.lit(beam))
+                (
+                    path,
+                    f"{beam}/land_ice_segments",
+                    {
+                        "referencegroundtrack": rgt,
+                        "cycle_number": cycle,
+                        "beam": beam,
+                    },
+                )
             )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = read_hdf5_many(spark, parts, ATL06_DATASETS, chunk_rows)
     return out.filter(F.col(quality_col) == 0)
 
 

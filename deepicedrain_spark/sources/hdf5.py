@@ -86,6 +86,116 @@ def _open_h5(path: str):
         return hdf5lite.File(path)
 
 
+_TAG_SPARK = {int: "int", str: "string"}
+_MANY_TASK_CAP = 512  # same partition cap as the multi-store Zarr scan
+
+
+def read_hdf5_many(
+    spark: SparkSession,
+    parts: list[tuple[str, str, dict]],
+    datasets: list[str],
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Distributed scan of MANY (path, group) dataset sets through ONE
+    (part × chunk-stripe) task table and ONE mapInPandas — the same
+    single-task-table shape as the multi-store Zarr scan (round 7: the
+    per-(granule, beam) union built 18 separate tiny scans, each with
+    its own repartition exchange — a ~40-stage storm whose scheduling
+    latency dominated atl06_ingest_pipeline; at 1000 granules it would
+    be a 6000-leg union).
+
+    ``parts``: (path, group, tags) triples — ``tags`` maps identity
+    column name -> int|str literal (rgt/cycle/beam) attached to every
+    row of that part; all parts must share tag keys and dataset dtypes.
+    Driver cost is one header probe per part (O(parts), ~0.1 ms each —
+    the 1387-store Zarr probe measured 0.19 s total)."""
+    if not parts:
+        raise ValueError("read_hdf5_many: no parts given")
+    tag_keys = list(parts[0][2].keys())
+    ref_dtypes: dict[str, str] | None = None
+    rows: list[tuple] = []
+    for path, group, tags in parts:
+        path = os.path.abspath(path)
+        if list(tags.keys()) != tag_keys:
+            raise ValueError("read_hdf5_many: parts disagree on tag keys")
+        with _open_h5(path) as f:
+            grp = f[group]
+            shapes = {}
+            dtypes = {}
+            native_chunks = set()
+            for name in datasets:
+                d = grp[name]
+                if len(d.shape) != 1:
+                    raise ValueError(f"read_hdf5: {group}/{name} is not 1-D")
+                shapes[name] = d.shape[0]
+                dtypes[name] = str(d.dtype)
+                if d.chunks:
+                    native_chunks.add(d.chunks[0])
+        lengths = set(shapes.values())
+        if len(lengths) != 1:
+            raise ValueError(f"read_hdf5: ragged datasets under {group}: {shapes}")
+        if ref_dtypes is None:
+            ref_dtypes = dtypes
+        elif dtypes != ref_dtypes:
+            raise ValueError(
+                f"read_hdf5_many: {path}:{group} dtypes {dtypes} != {ref_dtypes}"
+            )
+        n_rows = lengths.pop()
+        if n_rows == 0:
+            continue  # legal HDF5 (empty beam); contributes no tasks
+        if chunk_rows:
+            stride = chunk_rows
+        elif native_chunks:
+            # stripe = a multiple of the native chunk (decompression
+            # stays aligned) of at least 64k rows — a file gzip-chunked
+            # at e.g. 100 rows must not explode a 10M-row dataset into
+            # 100k tasks
+            native = max(native_chunks)
+            stride = native * max(1, -(-65536 // native))
+        else:
+            stride = 65536
+        for start, length in plan_chunks(n_rows, stride):
+            rows.append((path, group, start, length, *[tags[k] for k in tag_keys]))
+
+    tag_ddl = "".join(
+        f", `{k}` {_TAG_SPARK[type(parts[0][2][k])]}" for k in tag_keys
+    )
+    out_schema = spark_schema_for(ref_dtypes) + tag_ddl
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    task_schema = "path string, grp string, start long, length long" + tag_ddl
+    chunks_df = spark.createDataFrame(rows, task_schema).repartition(
+        min(len(rows), _MANY_TASK_CAP)
+    )
+
+    def decode(batches):
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    f = handles.get(row.path)
+                    if f is None:
+                        f = handles[row.path] = _open_h5(row.path)
+                    grp = f[row.grp]
+                    start, length = int(row.start), int(row.length)
+                    out = {
+                        "row_index": np.arange(start, start + length, dtype=np.int64)
+                    }
+                    for name in datasets:
+                        out[name] = grp[name][start : start + length]
+                    for k in tag_keys:
+                        out[k] = [getattr(row, k)] * length
+                    yield pd.DataFrame(out)
+        finally:
+            for f in handles.values():
+                try:
+                    f.close()
+                except Exception:
+                    pass
+
+    return chunks_df.mapInPandas(decode, schema=out_schema)
+
+
 def read_hdf5(
     spark: SparkSession,
     path: str,
@@ -93,63 +203,9 @@ def read_hdf5(
     datasets: list[str],
     chunk_rows: int | None = None,
 ) -> DataFrame:
-    """Distributed scan of equal-length 1-D datasets under ``group``."""
-    path = os.path.abspath(path)
-    with _open_h5(path) as f:
-        grp = f[group]
-        shapes = {}
-        dtypes = {}
-        native_chunks = set()
-        for name in datasets:
-            d = grp[name]
-            if len(d.shape) != 1:
-                raise ValueError(f"read_hdf5: {group}/{name} is not 1-D")
-            shapes[name] = d.shape[0]
-            dtypes[name] = str(d.dtype)
-            if d.chunks:
-                native_chunks.add(d.chunks[0])
-    lengths = set(shapes.values())
-    if len(lengths) != 1:
-        raise ValueError(f"read_hdf5: ragged datasets under {group}: {shapes}")
-    n_rows = lengths.pop()
-    if chunk_rows:
-        stride = chunk_rows
-    elif native_chunks:
-        # stripe = a multiple of the native chunk (decompression stays
-        # aligned) of at least 64k rows — a file gzip-chunked at e.g.
-        # 100 rows must not explode a 10M-row dataset into 100k tasks
-        native = max(native_chunks)
-        stride = native * max(1, -(-65536 // native))
-    else:
-        stride = 65536
-    schema = spark_schema_for(dtypes)
-    if n_rows == 0:
-        # legal HDF5 (empty/missing beam in a real granule): an empty
-        # frame, not repartition(0)'s IllegalArgumentException
-        return spark.createDataFrame([], schema)
-    chunks = plan_chunks(n_rows, stride)
-
-    # one task per chunk stripe: without the repartition the tiny task
-    # table inherits the session default (32) partitions, so a union of
-    # many small scans explodes into mostly-empty tasks
-    chunks_df = spark.createDataFrame(
-        [(i, s, ln) for i, (s, ln) in enumerate(chunks)], "cid long, start long, length long"
-    ).repartition(len(chunks))
-
-    def decode(batches):
-        with _open_h5(path) as f:  # one handle per task, read-only
-            grp = f[group]
-            for pdf in batches:
-                for start, length in zip(pdf["start"], pdf["length"]):
-                    start, length = int(start), int(length)
-                    out = {
-                        "row_index": np.arange(start, start + length, dtype=np.int64)
-                    }
-                    for name in datasets:
-                        out[name] = grp[name][start : start + length]
-                    yield pd.DataFrame(out)
-
-    return chunks_df.mapInPandas(decode, schema=schema)
+    """Distributed scan of equal-length 1-D datasets under ``group``
+    (the single-file special case of read_hdf5_many)."""
+    return read_hdf5_many(spark, [(path, group, {})], datasets, chunk_rows)
 
 
 # ATL06 convenience: the reference's per-beam column set
