@@ -280,7 +280,10 @@ def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFr
         cells.withColumn("cx", F.explode(F.sequence(cx_lo, cx_hi)))
         .withColumn("cy", F.explode(F.sequence(cy_lo, cy_hi)))
         .drop("_cell")
-        .localCheckpoint()  # both join sides reuse one materialization
+        # both join sides reuse one materialization; lazy so the salt
+        # probe's count is the job that materializes it (an eager
+        # checkpoint would spend a separate job first)
+        .localCheckpoint(eager=False)
     )
     salt = _auto_salt(cells, key_cols)
     keys = [*key_cols, "cx", "cy"]
@@ -388,8 +391,9 @@ def boundary_subedges(
             # one materialization feeds the pair join (both sides) and
             # the sub-edge split; also truncates lineage so Catalyst
             # doesn't re-analyze the explode per branch (the crossover
-            # join does the same)
-            edges = edges.localCheckpoint()
+            # join does the same). Lazy: the pair join's salt probe
+            # forces it.
+            edges = edges.localCheckpoint(eager=False)
     splits = (
         _crossings(edges, key_cols, bucketed, _pairs)
         .groupBy(*key_cols, "pid", "rid", "eid")
@@ -722,7 +726,7 @@ def overlap_components(
     else:
         edges = _edges(polys, key_cols, pid)
         if bucketed:
-            edges = edges.localCheckpoint()
+            edges = edges.localCheckpoint(eager=False)
     # crossing PAIRS (pid, pid) — _crossings drops the partner pid (it
     # only needs split params), so pairs are derived directly here
     if _pairs is None:
@@ -945,7 +949,7 @@ def dissolve_stats(
     strategy = "cells" if bucketed else "plain"
     edges = _edges(polys, key_cols, pid)
     if bucketed:
-        edges = edges.localCheckpoint()
+        edges = edges.localCheckpoint(eager=False)
     pairs = _edge_pairs(edges, key_cols, bucketed)
     bnd = boundary_subedges(
         polys, key_cols, pid, eps, strategy, _edges_df=edges, _pairs=pairs
