@@ -55,9 +55,11 @@ results, selected per call by a cheap per-key edge-count probe
 - **cells** — the hot-key shape, reusing the crossover recipe
   (operators/crossover.py): pair candidates equi-joined on a per-key
   grid cell sized from the longest edge (≤4 cells/edge), hot cells
-  salted via the same absolute-budget auto-salt; ray casts equi-joined
-  on 1-D y-bands (a straddling edge's band range always contains the
-  probe's band) and re-aggregated per ring/polygon. A single hot
+  salted via the same absolute-budget auto-salt; ray casts equi-join
+  probes to candidate RINGS on ring-bbox cells (the gridded-PIP
+  recipe — a ring whose bbox excludes the probe crosses its ray an
+  EVEN number of times, so per-polygon even-odd over the surviving
+  rings is exact) and re-aggregate per ring/polygon. A single hot
   dissolve key (e.g. a continental catalog under one key) spreads
   over many partitions instead of serializing O(E²) into one.
 
