@@ -777,17 +777,31 @@ def overlap_components(
     all_pairs = (
         cross_pairs.unionByName(touch_pairs).unionByName(contain_pairs).distinct()
     )
+    # ONE row per key on both sides of the join: joining the pair LIST
+    # onto per-node rows (pre-round-7) replicated an O(polys)-sized
+    # list to every node — O(polys²) shuffle bytes on a hot key, the
+    # quadratic tail the cells strategy exists to remove. State stays
+    # O(polygons per key), now in exactly one copy.
     pairs_per_key = all_pairs.groupBy(*key_cols).agg(
         F.collect_list(F.struct("p", "q")).alias("prs")
     )
-    nodes = polys.select(*key_cols, F.col(pid).alias("pid")).distinct()
-    keyed = nodes.join(pairs_per_key, key_cols, "left")
+    nodes_per_key = (
+        polys.select(*key_cols, F.col(pid).alias("pid"))
+        .distinct()
+        .groupBy(*key_cols)
+        .agg(F.collect_list("pid").alias("_pids"))
+    )
+    keyed = nodes_per_key.join(pairs_per_key, key_cols, "left")
 
+    key_t = dict(keyed.dtypes)
+    pid_t = dict(polys.dtypes)[pid]  # output pid keeps the input dtype
     out_schema = ", ".join(
-        f"`{c}` {t}" for c, t in keyed.select(*key_cols, "pid").dtypes
-    ) + ", part bigint"
+        f"`{c}` {key_t[c]}" for c in key_cols
+    ) + f", pid {pid_t}, part bigint"
 
     def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        pids = [int(v) for v in row["_pids"]]
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -796,9 +810,9 @@ def overlap_components(
                 x = parent[x]
             return x
 
-        for v in pdf["pid"]:
-            find(int(v))
-        prs = pdf["prs"].iloc[0]
+        for v in pids:
+            find(v)
+        prs = row["prs"]
         if prs is not None:
             for e in prs:
                 rp, rq = find(int(e["p"])), find(int(e["q"]))
@@ -806,11 +820,12 @@ def overlap_components(
                     parent[max(rp, rq)] = min(rp, rq)
         # label = min pid of the component
         root_min: dict[int, int] = {}
-        for v in pdf["pid"]:
-            r = find(int(v))
-            root_min[r] = min(root_min.get(r, int(v)), int(v))
-        out = pdf[[*key_cols, "pid"]].copy()
-        out["part"] = [root_min[find(int(v))] for v in pdf["pid"]]
+        for v in pids:
+            r = find(v)
+            root_min[r] = min(root_min.get(r, v), v)
+        out = pd.DataFrame({c: [row[c]] * len(pids) for c in key_cols})
+        out["pid"] = pids
+        out["part"] = [root_min[find(v)] for v in pids]
         return out
 
     return keyed.groupBy(*key_cols).applyInPandas(uf, schema=out_schema)
