@@ -206,22 +206,53 @@ def _edges(polys: DataFrame, key_cols: list[str], pid: str) -> DataFrame:
     ).select(*key_cols, "pid", "rid", "_xref", "_yref", "e.*")
 
 
+# one oversized feature may cover at most (64+2)² grid cells — the
+# replication bound that lets the grid stay sized for the TYPICAL
+# feature instead of the largest one (round 7: a single continent-
+# scale ring among thousands of small lakes used to coarsen the whole
+# key's grid to its own span, degrading coverage/containment back to
+# probe×everything — measured 315.8 s for 1 giant + 1000 small polys)
+_CELL_SPAN_CAP = 64.0
+
+
+def _span_cell(spans: F.Column) -> list[F.Column]:
+    """Aggregates for the per-key grid size over a span column:
+    greatest(median span, max span / cap, 1e-12). Uniform-size keys
+    get median ≈ max (the round-6 behavior: each feature ≤ 2×2
+    cells); mixed-size keys get a grid sized for the median feature,
+    with the oversized ones bounded at ≤ (cap+2)² cells each. Any
+    cell size yields IDENTICAL results (the joins only gate which
+    candidates are tested; misses are impossible — a contact lies in
+    both bboxes — and extras contribute zero), so this is purely a
+    physical knob. Floor of 1e-12 keeps degenerate (all-point) keys
+    division-safe."""
+    return [
+        F.percentile_approx(spans, 0.5).alias("_med"),
+        F.max(spans).alias("_mx"),
+    ]
+
+
+def _cell_from_stats() -> F.Column:
+    return F.greatest(
+        F.col("_med"), F.col("_mx") / F.lit(_CELL_SPAN_CAP), F.lit(1e-12)
+    ).alias("_cell")
+
+
 def _key_cell(edges: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Per-key grid size = the longest edge's axis span, so every edge
-    covers at most 2×2 cells (≤2 y-bands) — the crossover recipe at
-    dissolve scale: the grid is as fine as the longest edge allows,
-    and many short-edged polygons spread over a key's bbox land in
-    distinct cells instead of one all-pairs partition. Spans are
-    translation-invariant, so one frame serves both the translated
-    overlay and the absolute-coordinate containment test. Floor of
-    1e-12 keeps degenerate (all-point) keys division-safe; such edges
-    still occupy exactly one cell each."""
-    return edges.groupBy(*key_cols).agg(
-        F.greatest(
-            F.max(F.abs(F.col("x2") - F.col("x1"))),
-            F.max(F.abs(F.col("y2") - F.col("y1"))),
-            F.lit(1e-12),
-        ).alias("_cell")
+    """Per-key grid size for EDGE bucketing: sized by the median edge
+    axis span (see _span_cell) — short-edged polygons spread over a
+    key's bbox land in distinct cells instead of one all-pairs
+    partition, and a few long edges can't coarsen the grid past the
+    cap. Spans are translation-invariant, so one frame serves both
+    the translated overlay and the absolute-coordinate containment
+    test."""
+    spans = F.greatest(
+        F.abs(F.col("x2") - F.col("x1")), F.abs(F.col("y2") - F.col("y1"))
+    )
+    return (
+        edges.groupBy(*key_cols)
+        .agg(*_span_cell(spans))
+        .select(*key_cols, _cell_from_stats())
     )
 
 
@@ -583,12 +614,16 @@ def _ring_cells(
         .withColumn("_by0", F.array_min("tys"))
         .withColumn("_by1", F.array_max("tys"))
     )
-    cellk = rings.groupBy(*key_cols).agg(
-        F.greatest(
-            F.max(F.col("_bx1") - F.col("_bx0")),
-            F.max(F.col("_by1") - F.col("_by0")),
-            F.lit(1e-12),
-        ).alias("_rcell")
+    # grid sized by the MEDIAN ring span with the oversized-feature cap
+    # (see _span_cell): a continent-scale ring among small lakes pays
+    # bounded replication instead of coarsening everyone's grid
+    spans = F.greatest(
+        F.col("_bx1") - F.col("_bx0"), F.col("_by1") - F.col("_by0")
+    )
+    cellk = (
+        rings.groupBy(*key_cols)
+        .agg(*_span_cell(spans))
+        .select(*key_cols, _cell_from_stats().alias("_rcell"))
     )
     return (
         rings.join(F.broadcast(cellk), key_cols)
