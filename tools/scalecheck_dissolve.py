@@ -11,7 +11,7 @@ bucketed overlay scales near-linearly per polygon, and optionally pin
 the strategy to compare plans ("plain" = old in-key self-join,
 "cells" = grid-bucketed, default "auto").
 
-Usage: python tools/scalecheck_dissolve.py [n_keys] [polys_per_key] [strategy]
+Usage: python tools/scalecheck_dissolve.py [n_keys] [polys_per_key] [strategy] [mixed]
 Prints one JSON line; summary goes to SCALE.md by hand.
 """
 
@@ -32,6 +32,12 @@ from deepicedrain_spark.session import get_spark
 N_KEYS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 POLYS = int(sys.argv[2]) if len(sys.argv) > 2 else 12
 STRATEGY = sys.argv[3] if len(sys.argv) > 3 else "auto"
+# "mixed" (4th arg) adds ONE continent-scale ring per key enclosing all
+# the small polygons — the feature-size-skew shape that used to coarsen
+# the whole key's grid to the giant's span (SCALE.md round-7:
+# 315.8 s → 12.1 s after median-span grid sizing). Expected output:
+# every key collapses to ONE part (the giant contains everything).
+MIXED = len(sys.argv) > 4 and sys.argv[4] == "mixed"
 VERTS = 16
 
 
@@ -69,10 +75,31 @@ def synth(spark):
     )
 
 
+def synth_giants(spark):
+    """One ring per key whose bbox encloses the whole chain of small
+    polygons — span ≈ POLYS×150 + margin vs the small rings' ~240."""
+    span = POLYS * 150.0 + 1000.0
+    return spark.range(0, N_KEYS).select(
+        F.col("id").alias("key"),
+        F.lit(10_000_000).cast("long").alias("pid"),
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            f"-500.0 + {span} * (0.5 + 0.5 * cos(2 * pi() * (i % 63) / 63 + 3.2)))"
+        ).alias("xs"),
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            f"-500.0 + {span} * (0.5 + 0.5 * sin(2 * pi() * (i % 63) / 63 + 3.2)))"
+        ).alias("ys"),
+    )
+
+
 def main() -> None:
     spark = get_spark("scalecheck_dissolve")
     spark.sparkContext.setLogLevel("ERROR")
-    polys = synth(spark).localCheckpoint()
+    polys = synth(spark)
+    if MIXED:
+        polys = polys.unionByName(synth_giants(spark))
+    polys = polys.localCheckpoint()
     n = polys.count()
     t0 = time.time()
     out = dissolve_stats(polys, ["key"], strategy=STRATEGY)
@@ -89,6 +116,7 @@ def main() -> None:
             {
                 "metric": "dissolve_many_keys",
                 "strategy": STRATEGY,
+                "mixed": MIXED,
                 "n_keys": N_KEYS,
                 "polys_per_key": POLYS,
                 "n_polys": n,
