@@ -584,3 +584,47 @@ def test_snap_vertices_recovers_noisy_degenerate_contacts(spark):
         st_snap = dissolve_stats(snap_vertices(clean, ["key"], rel=1e-5), ["key"]).collect()[0]
         assert st_snap["union_area"] == pytest.approx(st_clean["union_area"], abs=1e-2)
         assert st_snap["n_parts"] == st_clean["n_parts"]
+
+
+def test_snap_vertices_rotated_lattice_contacts(spark):
+    """Round 7: NON-axis-aligned degenerate contacts through noise +
+    snap. A staircase of 45°-rotated unit diamonds shares full edges
+    (diamond k's NE edge is diamond k+1's SW edge); after the
+    rotate-unrotate ulp noise the contacts sit at non-representable
+    coordinates, so without snapping the collinear-run merge rule
+    misses them. snap_vertices must restore ONE merged part and the
+    closed-form union area 2n (diamonds touch edge-to-edge, zero
+    overlap)."""
+    from deepicedrain_spark.operators.dissolve import snap_vertices
+
+    th = 1e-7
+    c, s = math.cos(th), math.sin(th)
+
+    def noisy(v, w):
+        rv = [c * x - s * y for x, y in zip(v, w)]
+        rw = [s * x + c * y for x, y in zip(v, w)]
+        return (
+            [c * x + s * y for x, y in zip(rv, rw)],
+            [-s * x + c * y for x, y in zip(rv, rw)],
+        )
+
+    n = 6
+    rows = []
+    for k in range(n):
+        cx, cy = float(k), float(k % 2)
+        xs = [cx + 1, cx, cx - 1, cx, cx + 1]
+        ys = [cy, cy + 1, cy, cy - 1, cy]
+        nxs, nys = noisy(xs, ys)
+        rows.append(("stairs", k, nxs, nys))
+    df = _df(spark, rows)
+
+    snapped = snap_vertices(df, ["key"], rel=1e-5)
+    st = dissolve_stats(snapped, ["key"]).collect()[0]
+    assert st["n_parts"] == 1, "snapped rotated lattice must merge into one part"
+    assert st["union_area"] == pytest.approx(2.0 * n, abs=1e-3)
+    assert st["sum_part_area"] == pytest.approx(2.0 * n, abs=1e-3)
+
+    # no un-snapped control assertion: ulp noise can tilt a shared edge
+    # either way (slight overlap → proper crossing → legitimately one
+    # part; slight gap → separate parts), so only the snapped outcome
+    # is deterministic
