@@ -133,9 +133,20 @@ def positional_index(
        broadcast-joined back: idx = offset + local row number.
 
     ``order_cols`` must be a TOTAL order (no ties) for the index to be
-    deterministic — same contract the single-partition version had."""
-    part = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    deterministic — same contract the single-partition version had.
+
+    The partitioned frame is materialized ONCE (localCheckpoint)
+    before both consumers: RangePartitioner samples its boundaries
+    per-execution (reservoir sample seeded by the RDD id), so without
+    pinning, the counts job and the returned DataFrame could see
+    DIFFERENT boundaries once partitions exceed the sample size —
+    frozen offsets would then duplicate or skip idx values. Small
+    data can't catch that; the checkpoint makes both jobs read the
+    same physical partitioning by construction."""
+    part = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 

@@ -34,8 +34,18 @@ def write_gmt_polygons(
         "# FEATURE_DATA",
     ]
     for r in rows:
+        fid = str(r[id_col])
+        if '"' in fid or "\n" in fid or "\r" in fid:
+            # a quote or newline inside the quoted @D payload corrupts
+            # the layer for every downstream GMT/OGR reader — reject at
+            # write time rather than emit an unparseable file
+            raise ValueError(
+                f"write_gmt_polygons: feature id {fid!r} contains a "
+                "double quote or newline, which the OGR-GMT @D field "
+                "encoding cannot represent"
+            )
         lines.append(">")
-        lines.append(f'# @D"{r[id_col]}"')
+        lines.append(f'# @D"{fid}"')
         lines.append("# @P")
         for x, y in zip(r[xs], r[ys]):
             lines.append(f"{x:.17g} {y:.17g}")
@@ -66,13 +76,25 @@ def read_gmt_polygons(spark: SparkSession, path: str, id_col: str = "poly_id") -
             if line == ">":
                 flush()
             elif line.startswith("# @D"):
-                cur_id = line[4:].strip().strip('"')
+                # the writer emits exactly `# @D"<id>"`; only strip the
+                # one MATCHED pair of surrounding quotes — a naive
+                # .strip('"') would also eat quotes that are part of an
+                # id written by other tools (ADVICE r7 low)
+                payload = line[4:].strip()
+                if len(payload) >= 2 and payload[0] == '"' and payload[-1] == '"':
+                    payload = payload[1:-1]
+                cur_id = payload
             elif line.startswith("#"):
                 continue
             else:
-                sx, sy = line.split()
-                cur_xs.append(float(sx))
-                cur_ys.append(float(sy))
+                toks = line.split()
+                if len(toks) != 2:
+                    raise ValueError(
+                        f"read_gmt_polygons: malformed coordinate line "
+                        f"{line!r} in {path} (expected 'x y')"
+                    )
+                cur_xs.append(float(toks[0]))
+                cur_ys.append(float(toks[1]))
     flush()
     return spark.createDataFrame(
         feats, f"{id_col} string, xs array<double>, ys array<double>"

@@ -86,8 +86,27 @@ def _open_h5(path: str):
         return hdf5lite.File(path)
 
 
-_TAG_SPARK = {int: "int", str: "string"}
 _MANY_TASK_CAP = 512  # same partition cap as the multi-store Zarr scan
+
+
+def _tag_spark_type(key: str, value) -> str:
+    """Spark DDL type for a per-file tag value. isinstance-based so
+    numpy scalars / bool / float from upstream parsers map cleanly
+    instead of raising a bare KeyError (ADVICE r7 low); bool is checked
+    before int because bool IS an int in Python."""
+    if isinstance(value, (bool, np.bool_)):
+        return "boolean"
+    if isinstance(value, (int, np.integer)):
+        return "int"  # tags are small metadata (cycle/track numbers)
+    if isinstance(value, (float, np.floating)):
+        return "double"
+    if isinstance(value, str):
+        return "string"
+    raise ValueError(
+        f"read_hdf5_many: tag {key!r} has unsupported type "
+        f"{type(value).__name__} (expected bool/int/float/str or numpy "
+        "scalar)"
+    )
 
 
 def read_hdf5_many(
@@ -155,10 +174,16 @@ def read_hdf5_many(
         else:
             stride = 65536
         for start, length in plan_chunks(n_rows, stride):
-            rows.append((path, group, start, length, *[tags[k] for k in tag_keys]))
+            # numpy scalars -> Python natives so createDataFrame accepts
+            # them against the DDL schema
+            tag_vals = [
+                t.item() if isinstance(t, np.generic) else t
+                for t in (tags[k] for k in tag_keys)
+            ]
+            rows.append((path, group, start, length, *tag_vals))
 
     tag_ddl = "".join(
-        f", `{k}` {_TAG_SPARK[type(parts[0][2][k])]}" for k in tag_keys
+        f", `{k}` {_tag_spark_type(k, parts[0][2][k])}" for k in tag_keys
     )
     out_schema = spark_schema_for(ref_dtypes) + tag_ddl
     if not rows:

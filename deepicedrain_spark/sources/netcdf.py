@@ -582,18 +582,56 @@ def append_records_once(
         # re-capture the pre-append state at the last possible instant
         # so a post-append fence trip can truncate the phantom records
         pre_len = os.path.getsize(path)
-        _pv, pre_recs, *_rest = _read_header(path)
+        _pv, pre_recs, hdr_dims, _rd2, _ga2, hdr_meta = _read_header(path)
+        # analytic size of THIS writer's contribution, so the repair can
+        # verify the file is pre-state + exactly our bytes before it
+        # touches anything (ADVICE r7 medium: if the stall happens AFTER
+        # append_records returns, a winner may roll our intent back and
+        # commit its own records above our pre_len — unconditional
+        # truncation would silently delete the winner's committed data)
+        rec_meta = [m for m in hdr_meta if m[1] and m[1][0] == rec_dim]
+        single_rec_var = len(rec_meta) == 1
+        per_rec_bytes = 0
+        for m in rec_meta:
+            vdims, nc_type = m[1], m[3]
+            nbytes = _NC_TO_DTYPE[nc_type].itemsize * int(
+                np.prod([hdr_dims[d] for d in vdims[1:]], dtype=np.int64)
+            )
+            per_rec_bytes += nbytes if single_rec_var else -(-nbytes // 4) * 4
+        n_add = int(np.asarray(next(iter(new_data.values()))).shape[0])
         append_records(path, new_data)
         on_disk = _load_append_ledger(sidecar)
         if on_disk["version"] != intent_version:
-            # self-repair: remove this loser's records (they sit after
-            # the winner's committed tail in the sequential-stall case)
-            _rollback_intent(path, {"pre_len": pre_len, "pre_numrecs": pre_recs})
+            cur_len = os.path.getsize(path)
+            with open(path, "rb") as fh:
+                fv = fh.read(4)[3]
+                fh.seek(4)
+                cur_recs = struct.unpack(
+                    _cnt_fmt(fv), fh.read(struct.calcsize(_cnt_fmt(fv)))
+                )[0]
+            if (
+                cur_len == pre_len + n_add * per_rec_bytes
+                and cur_recs == pre_recs + n_add
+            ):
+                # self-repair: the file is pre-state + exactly our
+                # records (sequential stall BEFORE the append) — safe
+                # to remove them
+                _rollback_intent(
+                    path, {"pre_len": pre_len, "pre_numrecs": pre_recs}
+                )
+                raise RuntimeError(
+                    "netcdf append: lost-update fence tripped — ledger "
+                    f"moved from {intent_version} to {on_disk['version']} "
+                    "mid-append; another writer committed while this one "
+                    "held a broken lock. This writer's records were "
+                    "truncated back off."
+                )
             raise RuntimeError(
-                "netcdf append: lost-update fence tripped — ledger moved "
-                f"from {intent_version} to {on_disk['version']} mid-append; "
-                "another writer committed while this one held a broken "
-                "lock. This writer's records were truncated back off."
+                "netcdf append: lost-update fence tripped AND the file "
+                "state no longer matches this writer's append (another "
+                "writer rolled back and committed on top) — leaving the "
+                "file untouched; manual reconciliation required for "
+                f"batch {batch_id}"
             )
         _write_ledger(
             sidecar,

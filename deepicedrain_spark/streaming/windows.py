@@ -58,9 +58,15 @@ def _stream_dir(sf_dir: str, table: str = "events") -> str:
         # a directory-shaped table (multi-part parquet write): the file
         # stream source does not recurse into subdirectories, so link
         # each part file into the staging dir instead of the dir itself
+        # link names derive from the TARGET file name (stable per
+        # content — Spark part files embed a job UUID), never from the
+        # sort position: a positional name could survive a rewrite while
+        # silently pointing at a different file, and the file-stream
+        # source dedups by seen path so the retargeted link's new
+        # contents would never be read (ADVICE r7 low)
         targets = {
-            f"part_{i:05d}.parquet": os.path.join(src, f)
-            for i, f in enumerate(sorted(os.listdir(src)))
+            f: os.path.join(src, f)
+            for f in os.listdir(src)
             if f.endswith(".parquet")
         }
     else:

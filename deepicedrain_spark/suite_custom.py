@@ -3064,8 +3064,12 @@ def _register_dissolve_snapped() -> None:
                 " % 1000 - 500) * 2e-6)"
             ).alias("ys"),
         )
-        snapped = snap_vertices(noisy, ["basin_name"], grid=0.01).coalesce(1).localCheckpoint()
-        stats = dissolve_stats(snapped, ["basin_name"], pid="pid")
+        # round 8: the snap pre-pass is now a dissolve_stats parameter
+        # (snap=0.01) instead of a composition callers must remember;
+        # checkpoint the noisy frame so the two overlay passes don't
+        # recompute the noise transforms (tiny data, lineage cut only)
+        noisy = noisy.coalesce(1).localCheckpoint()
+        stats = dissolve_stats(noisy, ["basin_name"], pid="pid", snap=0.01)
         return stats.select(
             "basin_name",
             F.col("n_polys").alias("n_lakes"),

@@ -628,3 +628,89 @@ def test_snap_vertices_rotated_lattice_contacts(spark):
     # either way (slight overlap → proper crossing → legitimately one
     # part; slight gap → separate parts), so only the snapped outcome
     # is deterministic
+
+
+def test_snap_parameter_matches_explicit_composition(spark):
+    """Round 8 (VERDICT r7 task 3): ``snap=`` on dissolve_stats /
+    boundary_subedges must equal the explicit snap_vertices composition
+    (float grid AND "auto"), and noisy input + snap="auto" must match
+    the integer rasterization oracle — the default-safe behavior the
+    reference user gets implicitly from GEOS inside unary_union."""
+    from deepicedrain_spark.operators.dissolve import (
+        boundary_subedges,
+        snap_vertices,
+    )
+
+    rng = np.random.default_rng(31)
+    th = 1e-7
+    c, s = math.cos(th), math.sin(th)
+
+    def noisy(v, w):
+        rv = [c * x - s * y for x, y in zip(v, w)]
+        rw = [s * x + c * y for x, y in zip(v, w)]
+        return (
+            [c * x + s * y for x, y in zip(rv, rw)],
+            [-s * x + c * y for x, y in zip(rv, rw)],
+        )
+
+    rects = []
+    for _ in range(8):
+        x0 = int(rng.integers(0, 10))
+        y0 = int(rng.integers(0, 10))
+        w = int(rng.integers(1, 5))
+        h = int(rng.integers(1, 5))
+        rects.append((x0, y0, x0 + w, y0 + h))
+    rows = []
+    for pid, (x0, y0, x1, y1) in enumerate(rects):
+        xs = [float(v) for v in (x0, x1, x1, x0, x0)]
+        ys = [float(v) for v in (y0, y0, y1, y1, y0)]
+        nxs, nys = noisy(xs, ys)
+        rows.append(("k", pid, nxs, nys))
+    df = _df(spark, rows)
+
+    # parameter ≡ explicit composition, bit-for-bit (float grid)
+    via_param = dissolve_stats(df, ["key"], snap=0.01).collect()[0]
+    via_compose = dissolve_stats(
+        snap_vertices(df, ["key"], grid=0.01), ["key"]
+    ).collect()[0]
+    for f in ("n_polys", "n_parts", "union_area", "sum_part_area"):
+        assert via_param[f] == via_compose[f], f
+
+    # same for boundary_subedges: identical oriented sub-edge sets
+    be_param = {
+        tuple(r) for r in boundary_subedges(df, ["key"], snap=0.01)
+        .select("ax", "ay", "bx", "by").collect()
+    }
+    be_compose = {
+        tuple(r) for r in boundary_subedges(
+            snap_vertices(df, ["key"], grid=0.01), ["key"]
+        ).select("ax", "ay", "bx", "by").collect()
+    }
+    assert be_param == be_compose
+
+    # noisy + snap="auto" recovers the exact rasterization oracle
+    st = dissolve_stats(df, ["key"], snap="auto").collect()[0]
+    grid = np.zeros((16, 16), dtype=bool)
+    for x0, y0, x1, y1 in rects:
+        grid[y0:y1, x0:x1] = True
+    assert st["union_area"] == pytest.approx(float(grid.sum()), abs=1e-3)
+    seen = np.zeros_like(grid)
+    parts = 0
+    for sy, sx in zip(*np.nonzero(grid)):
+        if seen[sy, sx]:
+            continue
+        parts += 1
+        stack = [(sy, sx)]
+        seen[sy, sx] = True
+        while stack:
+            y, x = stack.pop()
+            for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                if 0 <= ny < 16 and 0 <= nx < 16 and grid[ny, nx] and not seen[ny, nx]:
+                    seen[ny, nx] = True
+                    stack.append((ny, nx))
+    assert st["n_parts"] == parts
+
+    # default None is bit-parity with round-7 behavior (no snap at all)
+    st_none = dissolve_stats(df, ["key"]).collect()[0]
+    st_legacy = dissolve_stats(df, ["key"], snap=None).collect()[0]
+    assert tuple(st_none) == tuple(st_legacy)

@@ -104,3 +104,43 @@ def test_reference_lake_catalog_roundtrip(spark, tmp_path):
         )
 
     assert canon(back) == canon(df)
+
+
+def test_gmt_rejects_quote_ids_and_malformed_coords(spark, tmp_path):
+    """ADVICE r7 (low): a feature id containing a double quote would
+    corrupt the @D payload for every GMT/OGR reader — rejected at write
+    time; coordinate lines must be exactly two tokens; a matched quote
+    pair (and only a matched pair) is stripped on read."""
+    import pytest
+
+    from deepicedrain_spark.sources.gmt import (
+        read_gmt_polygons,
+        write_gmt_polygons,
+    )
+
+    bad = spark.createDataFrame(
+        [('la"ke', [0.0, 1.0, 0.0], [0.0, 0.0, 1.0])],
+        "poly_id string, xs array<double>, ys array<double>",
+    )
+    with pytest.raises(ValueError, match="double quote"):
+        write_gmt_polygons(bad, str(tmp_path / "bad.gmt"))
+
+    # ids that merely START or END with a quote-free token round-trip;
+    # an id written unquoted by another tool is taken verbatim
+    p = str(tmp_path / "alien.gmt")
+    with open(p, "w") as fh:
+        fh.write(
+            "# @VGMT1.0 @GPOLYGON\n# @Npoly_id\n# @Tstring\n"
+            "# FEATURE_DATA\n>\n# @Dlake1\n# @P\n0 0\n1 0\n0 1\n"
+        )
+    rows = read_gmt_polygons(spark, p).collect()
+    assert rows[0]["poly_id"] == "lake1"
+
+    p2 = str(tmp_path / "mal.gmt")
+    with open(p2, "w") as fh:
+        fh.write(
+            "# @VGMT1.0 @GPOLYGON\n# @Npoly_id\n# @Tstring\n"
+            "# FEATURE_DATA\n>\n# @D\"x\"\n# @P\n0 0 0\n"
+        )
+    with pytest.raises(ValueError, match="malformed coordinate"):
+        read_gmt_polygons(spark, p2).collect()

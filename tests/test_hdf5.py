@@ -484,3 +484,34 @@ def test_partitioned_sink_sanitizes_path_keys(spark, tmp_path):
     assert not (tmp_path / "escape.h5").exists()
     back = read_hdf5_dir(spark, out, "g", ["idx", "v"])
     assert back.count() == 3
+
+
+def test_read_hdf5_many_tag_types(spark, tmp_path):
+    """ADVICE r7 (low): tag values beyond exactly-int/str — numpy
+    scalars, bool, float — must map to Spark types instead of raising a
+    bare KeyError; genuinely unsupported types get a ValueError naming
+    the offending key."""
+    import pytest
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5_many
+
+    p = str(tmp_path / "tags.h5")
+    hdf5lite.write_hdf5(p, ATL06_LIKE)
+    grp = "gt1l/land_ice_segments"
+    tags = {
+        "cycle": np.int64(3),
+        "strong": True,
+        "weight": np.float32(0.5),
+        "beam": "gt1l",
+    }
+    df = read_hdf5_many(spark, [(p, grp, tags)], ["h_li"])
+    row = df.limit(1).collect()[0]
+    assert (row["cycle"], row["strong"], row["beam"]) == (3, True, "gt1l")
+    assert abs(row["weight"] - 0.5) < 1e-9
+    types = dict(df.dtypes)
+    assert types["cycle"] == "int"
+    assert types["strong"] == "boolean"
+    assert types["weight"] == "double"
+
+    with pytest.raises(ValueError, match="bad_tag"):
+        read_hdf5_many(spark, [(p, grp, {"bad_tag": [1, 2]})], ["h_li"])

@@ -524,3 +524,65 @@ def test_pathlock_unstatable_lock_times_out(tmp_path, monkeypatch):
         with PathLock(lock_path, timeout=0.5):
             pass
     assert _time.monotonic() - t0 < 10.0  # bounded, no spin-forever
+
+
+def test_append_once_repair_refuses_when_winner_committed_on_top(
+    tmp_path, monkeypatch
+):
+    """ADVICE r7 (medium): the post-append self-repair must NOT truncate
+    when the file no longer matches pre-state + exactly this writer's
+    bytes. Scenario: the loser stalls AFTER append_records returns; the
+    winner breaks the stale lock, rolls the loser's intent back, appends
+    its own records and commits — the winner's committed data now sits
+    above the loser's pre_len. An unconditional truncate would silently
+    delete it; the guarded repair raises and leaves the file alone."""
+    import numpy as np
+
+    from deepicedrain_spark.sources import netcdf as ncmod
+    from deepicedrain_spark.sources.netcdf import (
+        append_records,
+        append_records_once,
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = str(tmp_path / "ontop.nc")
+    write_netcdf(
+        p,
+        {"t": None, "x": 2},
+        {"v": (("t", "x"), np.empty((0, 2), dtype="f8"))},
+    )
+    a = np.array([[1.0, 2.0]])
+    assert append_records_once(p, {"v": a}, batch_id=0) is True
+
+    real_load = ncmod._load_append_ledger
+    real_append = ncmod.append_records
+    calls = {"n": 0}
+    winner = np.array([[7.0, 8.0], [9.0, 10.0]])
+
+    def racing_append(path, new_data):
+        # the loser's own append runs ...
+        real_append(path, new_data)
+        # ... then it stalls; the winner rolls the loser back, appends
+        # TWO records of its own and commits (simulated inline)
+        led = real_load(path + ".applied.json")
+        ncmod._rollback_intent(path, led["intent"])
+        real_append(path, {"v": winner})
+        ncmod._write_ledger(
+            path + ".applied.json",
+            {
+                "version": led["version"] + 2,
+                "applied": sorted(led["applied"] + [99]),
+                "intent": None,
+            },
+        )
+
+    monkeypatch.setattr(ncmod, "append_records", racing_append)
+    with pytest.raises(RuntimeError, match="manual reconciliation"):
+        append_records_once(p, {"v": a * 3}, batch_id=1)
+    monkeypatch.undo()
+
+    # the winner's committed records SURVIVE (old code truncated them)
+    _dims, vs, _ = read_netcdf(p)
+    assert vs["v"][1].shape == (3, 2)
+    assert np.allclose(vs["v"][1], np.vstack([a, winner]))

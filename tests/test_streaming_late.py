@@ -147,3 +147,36 @@ def test_asof_join_receives_late_rows(spark, tmp_path):
     assert rows[12] is None           # other key: no purchase state
     assert 13 in rows                 # LATE click was delivered, not dropped
     assert rows[13] == 5.0            # and folded against the kept state
+
+
+def test_stream_dir_links_are_named_by_target_not_position(tmp_path, monkeypatch):
+    """ADVICE r7 (low): link names must derive from the target part-file
+    names, not the sort position — positional names can survive a table
+    rewrite while pointing at a DIFFERENT file, and the file-stream
+    source dedups by seen path so the retargeted content is never read.
+    Non-parquet entries (_SUCCESS) must not shift the mapping either."""
+    import os
+
+    from deepicedrain_spark.streaming.windows import _stream_dir
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+    (src / "_SUCCESS").write_text("")
+    names_v1 = ["part-00000-aaaa.parquet", "part-00001-bbbb.parquet"]
+    for n in names_v1:
+        (src / n).write_bytes(b"v1" + n.encode())
+
+    d = _stream_dir(str(tmp_path), "events")
+    links = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert links == sorted(names_v1)  # target-derived, _SUCCESS ignored
+
+    # rewrite: different part names/count — old links vanish, new names
+    # appear as NEW paths (so the stream source will read them)
+    for n in names_v1:
+        (src / n).unlink()
+    (src / "part-00000-cccc.parquet").write_bytes(b"v2")
+    d2 = _stream_dir(str(tmp_path), "events")
+    assert d2 == d
+    links2 = sorted(f for f in os.listdir(d2) if f.endswith(".parquet"))
+    assert links2 == ["part-00000-cccc.parquet"]
+    assert not (set(links) & set(links2))  # no name reuse across rewrites

@@ -11,7 +11,14 @@ bucketed overlay scales near-linearly per polygon, and optionally pin
 the strategy to compare plans ("plain" = old in-key self-join,
 "cells" = grid-bucketed, default "auto").
 
-Usage: python tools/scalecheck_dissolve.py [n_keys] [polys_per_key] [strategy] [mixed]
+Round 8 adds the POWER-LAW mode (VERDICT r7 task 2): ``power<R>``
+(e.g. power256, power1024) draws each polygon's radius from a
+power-law spanning ratio R between smallest and largest feature —
+the heavy-tailed mix where the median-span grid with the max/64 cap
+could compromise (features straddling MORE than ~64×: oversized ones
+pay bounded replication AND the grid sits above the smallest).
+
+Usage: python tools/scalecheck_dissolve.py [n_keys] [polys_per_key] [strategy] [mixed|power<R>]
 Prints one JSON line; summary goes to SCALE.md by hand.
 """
 
@@ -37,7 +44,9 @@ STRATEGY = sys.argv[3] if len(sys.argv) > 3 else "auto"
 # the whole key's grid to the giant's span (SCALE.md round-7:
 # 315.8 s → 12.1 s after median-span grid sizing). Expected output:
 # every key collapses to ONE part (the giant contains everything).
-MIXED = len(sys.argv) > 4 and sys.argv[4] == "mixed"
+_MODE = sys.argv[4] if len(sys.argv) > 4 else ""
+MIXED = _MODE == "mixed"
+POWER_RATIO = int(_MODE[5:]) if _MODE.startswith("power") else 0
 VERTS = 16
 
 
@@ -93,10 +102,48 @@ def synth_giants(spark):
     )
 
 
+def synth_power(spark, ratio: int):
+    """P rings per key with POWER-LAW radii spanning ``ratio`` between
+    the smallest (rmin=100) and largest feature: r = rmin·ratio^(u²)
+    (u uniform — the square biases mass toward small features, the
+    heavy-tailed shape of real lake catalogs). Centers are uniform in
+    a box ~3× the largest feature, so small features both cluster
+    under giants and stand alone; plenty of genuine overlap at every
+    scale."""
+    rmin = 100.0
+    box = rmin * ratio * 3.0
+    rows = spark.range(0, N_KEYS * POLYS)
+    key = (F.col("id") / POLYS).cast("long")
+    pid = (F.col("id") % POLYS).cast("long")
+    u = (F.abs(F.xxhash64("id", F.lit(3))) % 100000).cast("double") / 100000.0
+    return rows.select(
+        key.alias("key"),
+        pid.alias("pid"),
+        (F.lit(rmin) * F.pow(F.lit(float(ratio)), u * u)).alias("_r"),
+        ((F.abs(F.xxhash64("id", F.lit(5))) % 100000).cast("double")
+         / 100000.0 * box).alias("_cx"),
+        ((F.abs(F.xxhash64("id", F.lit(7))) % 100000).cast("double")
+         / 100000.0 * box).alias("_cy"),
+        ((F.abs(F.xxhash64("id", F.lit(13))) % 100).cast("double") / 1000.0
+         ).alias("_ph"),
+    ).select(
+        "key",
+        "pid",
+        F.expr(
+            f"transform(sequence(0, {VERTS}), i -> "
+            f"_cx + _r * cos(2 * pi() * (i % {VERTS}) / {VERTS} + _ph))"
+        ).alias("xs"),
+        F.expr(
+            f"transform(sequence(0, {VERTS}), i -> "
+            f"_cy + _r * sin(2 * pi() * (i % {VERTS}) / {VERTS} + _ph))"
+        ).alias("ys"),
+    )
+
+
 def main() -> None:
     spark = get_spark("scalecheck_dissolve")
     spark.sparkContext.setLogLevel("ERROR")
-    polys = synth(spark)
+    polys = synth_power(spark, POWER_RATIO) if POWER_RATIO else synth(spark)
     if MIXED:
         polys = polys.unionByName(synth_giants(spark))
     polys = polys.localCheckpoint()
@@ -117,6 +164,7 @@ def main() -> None:
                 "metric": "dissolve_many_keys",
                 "strategy": STRATEGY,
                 "mixed": MIXED,
+                "power_ratio": POWER_RATIO,
                 "n_keys": N_KEYS,
                 "polys_per_key": POLYS,
                 "n_polys": n,
