@@ -926,20 +926,78 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-7 rotation (VERDICT r6 task 2 —
-    # STANDING POLICY: every query's driver row must be at most 3
-    # rounds old; the window is anchors + ALL queries whose latest
-    # driver row breaches that age + everything whose CODE changed
-    # this round). Round 7: the 29 queries last driver-checked in
-    # r1-r3 all rotate in, plus the dissolve/ingest/positional/
-    # streaming/kmeans queries touched by the bucketed overlay,
-    # synth_once fixture cache, positional_index, _stream_dir and
-    # ADVICE fixes. All 50 verified through tools/check.py at sf0.01 +
-    # sf0.001 + non-UTC TZ before shipping.
+    # --- driver top-50 window, round-8 rotation (VERDICT r7 task 1 —
+    # STANDING POLICY: every query's driver row at most 3 rounds old;
+    # window = anchors + ALL queries breaching that age + queries whose
+    # CODE changed this round). Round 8: the 40 queries whose latest
+    # driver row dates from round 4 — the policy's first full-width
+    # test — plus the 8 highest-risk code-touched queries (ADVICE r7
+    # fixes, snap= dissolve API, catalog-scale HDF5 layouts, CDF-5
+    # gate). Code-touched queries that did not fit the 50 (the r7-green
+    # dissolve family riding the default snap=None bit-parity path,
+    # atl06_dhdt_end_to_end, hdf5_roundtrip) are verified locally at
+    # sf0.01 + sf0.001 + non-UTC TZ and rotate in next round.
     # anchors
     "dhdt_per_point_regression",
     "parquet_roundtrip",
-    # the 29 oldest driver rows (r1-r3), rotation policy
+    # the 40 round-4-aged driver rows (rotation policy, full set)
+    "adaptive_median_filter",
+    "asof_last_purchase",
+    "benchmark_contamination",
+    "catalog_named_source",
+    "convex_hull_per_label",
+    "cosine_topk_lsh",
+    "crossover_curved_tracks",
+    "crossover_track_intersections",
+    "dataset_split",
+    "dbscan_clusters",
+    "dhdt_pipeline",
+    "dhdt_regression_pvalue",
+    "exact_dedup_pairs",
+    "geojson_roundtrip",
+    "grouped_trend",
+    "lake_finder_pipeline",
+    "lake_finder_reference_params",
+    "minhash_near_dup",
+    "multimodal_real_decode",
+    "near_dup_components",
+    "netcdf_roundtrip",
+    "ngram_jaccard_pairs",
+    "paragraph_dedup",
+    "pii_redaction",
+    "point_in_polygon_gridded",
+    "raster_cube",
+    "raster_datashade",
+    "reproject_lonlat_xy",
+    "scd2_merge",
+    "sequence_packing",
+    "simhash_near_pairs",
+    "sql_interface_demo",
+    "streaming_asof_join",
+    "streaming_interval_join",
+    "streaming_session_counts",
+    "surface_tension_spline",
+    "token_count_stats",
+    "tsv_roundtrip",
+    "volume_time_series",
+    "zarr_roundtrip",
+    # code CHANGED round 8 — re-earn their rows
+    "dissolve_snapped_catalog",  # r8: re-expressed through dissolve_stats(snap=)
+    "positional_concat",  # r8: positional_index pins partitioning (ADVICE r7 high)
+    "netcdf_record_append",  # r8: guarded fence self-repair (ADVICE r7 medium)
+    "streaming_netcdf_append",  # r8: guarded fence self-repair
+    "streaming_sliding_means",  # r8: target-named part links (ADVICE r7 low)
+    "atl06_ingest_pipeline",  # r8: isinstance tag typing (ADVICE r7 low)
+    "atl06_ingest_dense_layout",  # r8: multi-level B-tree / indirect-heap reader
+    "lake_geometry_gmt",  # r8: quote-safe @D field handling (ADVICE r7 low)
+    # --- tier 2: past the driver's 50-query window -------------------
+    # NEW r8 queries (time travel + CDF over the versioned upsert
+    # table): the r8 window is fully claimed by the 40-row age rotation,
+    # so these two wait at tier-2 top and MUST lead the r9 window
+    "time_travel_read",
+    "version_diff_cdf",
+    # every query below holds a driver-green row from r5-r7 (kept
+    # registered + locally checked)
     "anomaly_vs_first",
     "argmax_top1",
     "bin_labels",
@@ -952,7 +1010,6 @@ PRIORITY: list[str] = [
     "magnitude_filter",
     "piped_distinct_tracks",
     "point_in_polygon",
-    "positional_concat",  # also CHANGED r7: scalable zipWithIndex
     "pricing_summary",
     "quality_mask",
     "regional_revenue",
@@ -969,28 +1026,18 @@ PRIORITY: list[str] = [
     "session_batch",
     "simhash_fingerprints",
     "time_rollup",
-    # code CHANGED round 7 — re-earn their rows
-    "lake_catalog_dissolve",  # r7: adaptive cell-bucketed overlay
-    "dissolve_input_holes",  # r7: adaptive cell-bucketed overlay
-    "reference_lake_catalog",  # r7: overlap_components strategy probe
-    "atl06_ingest_pipeline",  # r7: synth_once fixture cache
-    "atl06_dhdt_end_to_end",  # r7: synth_once fixture cache
-    "atl06_ingest_dense_layout",  # r7: synth_once fixture cache
-    "netcdf_record_append",  # r7: fence self-repair (ADVICE r6)
-    "streaming_netcdf_append",  # r7: fence self-repair + lock loop
-    "streaming_upsert_bucketed",  # r7: PathLock deadline fix
-    "streaming_upsert_sink",  # r7: PathLock deadline fix
-    "streaming_sliding_means",  # r7: _stream_dir multi-part staging
-    "kmeans_clusters",  # r7: fingerprinted train cache (ADVICE r6)
-    "ivf_topk_trained",  # r7: fingerprinted train cache
-    "pq_encode",  # r7: fingerprinted train cache
-    "pq_adc_topk",  # r7: fingerprinted train cache
-    "semantic_dedup_kmeans",  # r7: fingerprinted train cache
-    # NEW r7 queries, in-window so they earn a driver row immediately
-    "dissolve_snapped_catalog",
-    "lake_geometry_gmt",
+    "lake_catalog_dissolve",
+    "dissolve_input_holes",
+    "reference_lake_catalog",
+    "atl06_dhdt_end_to_end",
+    "streaming_upsert_bucketed",
+    "streaming_upsert_sink",
+    "kmeans_clusters",
+    "ivf_topk_trained",
+    "pq_encode",
+    "pq_adc_topk",
+    "semantic_dedup_kmeans",
     "dissolve_hot_key_bucketed",
-    # --- tier 2: past the driver's 50-query window -------------------
     "zarr_multistore_scan",
     "lake_region_subset",
     "track_densify_greatcircle",
@@ -1027,33 +1074,7 @@ PRIORITY: list[str] = [
     "json_extract_filter",
     "doc_chunk_overlap",
     "outlier_clip_sigma",
-    # every query below holds a driver-green row from r1-r5 (kept
-    # registered + locally checked)
     "dbscan_distributed_summary",
-    "zarr_roundtrip",
-    "raster_cube",
-    "netcdf_roundtrip",
-    "geojson_roundtrip",
-    "tsv_roundtrip",
-    "catalog_named_source",
-    "sql_interface_demo",
-    "dhdt_pipeline",
-    "dhdt_regression_pvalue",
-    "lake_finder_pipeline",
-    "lake_finder_reference_params",
-    "adaptive_median_filter",
-    "point_in_polygon_gridded",
-    "crossover_track_intersections",
-    "crossover_curved_tracks",
-    "asof_last_purchase",
-    "scd2_merge",
-    "raster_datashade",
-    "surface_tension_spline",
-    "grouped_trend",
-    "convex_hull_per_label",
-    "volume_time_series",
-    "reproject_lonlat_xy",
-    "dbscan_clusters",
     "range_join_attribution",
     "morton_spatial_order",
     "event_gaps_rank",
@@ -1069,12 +1090,6 @@ PRIORITY: list[str] = [
     "dedup_keep_best",
     "pagerank_near_dup",
     "triangle_count",
-    "exact_dedup_pairs",
-    "minhash_near_dup",
-    "ngram_jaccard_pairs",
-    "simhash_near_pairs",
-    "cosine_topk_lsh",
-    "near_dup_components",
     "embedding_int8_quantize",
     "feature_hash_embed",
     "leakage_safe_split",
@@ -1087,7 +1102,6 @@ PRIORITY: list[str] = [
     "lang_id_heuristic",
     "quality_scores",
     "text_cleaning",
-    "token_count_stats",
     "hll_distinct_custkeys",
     "hll_distinct_by_type",
     "cms_heavy_hitters",
@@ -1096,15 +1110,6 @@ PRIORITY: list[str] = [
     "multimodal_real_audio",
     "multimodal_real_video",
     "multimodal_audio_resample",
-    "multimodal_real_decode",
-    "dataset_split",
-    "paragraph_dedup",
-    "sequence_packing",
-    "pii_redaction",
-    "benchmark_contamination",
-    "streaming_session_counts",
-    "streaming_asof_join",
-    "streaming_interval_join",
     "streaming_stateful_dedup",
     "streaming_tumbling_counts",
     "streaming_parquet_sink",

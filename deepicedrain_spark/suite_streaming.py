@@ -443,6 +443,130 @@ def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_versioned_table(spark, sf_dir: str) -> str:
+    """Three deterministic upsert batches (batch k = events with
+    event_id % 3 == k) applied through apply_upsert_batch — versions
+    0/1/2 of a table keyed on user_id, last-writer-wins by
+    (t_us, event_id). Staged once per sf_dir (the two snapshot queries
+    below share it); rebuilt if the manifest is missing."""
+    import hashlib
+    import os
+    import shutil
+
+    from deepicedrain_spark.streaming.sink import (
+        apply_upsert_batch,
+        table_history,
+    )
+
+    from deepicedrain_spark.io import load_table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/deepicedrain_timetravel_{key}"
+    if os.path.exists(os.path.join(out_dir, "_manifest.json")):
+        if len(table_history(out_dir)) == 3:
+            return out_dir
+        shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (F.col("ts").cast("decimal(38,0)") / 1000).cast("long").alias("t_us"),
+        "event_id",
+    )
+    for b in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == b)
+        applied = apply_upsert_batch(
+            spark, out_dir, batch, b, ["user_id"], ["t_us", "event_id"]
+        )
+        if not applied:
+            raise AssertionError(f"time travel staging: batch {b} not applied")
+    hist = table_history(out_dir)
+    if [h["version"] for h in hist] != [0, 1, 2]:
+        raise AssertionError(f"time travel staging: bad history {hist}")
+    return out_dir
+
+
+# Time travel (round 8): the versioned upsert table is immutable per
+# snapshot, so VERSION AS OF is a manifest lookup — this query gates
+# read_upsert_table_at + table_history through the driver: it reads
+# snapshot v1 (batches 0 and 1 applied, batch 2 NOT yet visible).
+# Upsert semantics are BATCH-WINS (a batch's winner per key replaces
+# the table row regardless of event time, like any CDC apply), so the
+# oracle orders by (batch DESC, t_us DESC, event_id DESC): a user's
+# state at v1 is their best row from the HIGHEST batch <= 1 they
+# appear in.
+@register(
+    "time_travel_read",
+    """
+    SELECT user_id, value AS last_value, epoch_us(ts) AS last_us
+    FROM (
+      SELECT user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id % 3 DESC, ts DESC,
+                                         event_id DESC) AS rn
+      FROM events WHERE event_id % 3 <= 1)
+    WHERE rn = 1
+    """,
+)
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.streaming.sink import read_upsert_table_at
+
+    out_dir = _staged_versioned_table(spark, sf_dir)
+    return read_upsert_table_at(spark, out_dir, 1).select(
+        "user_id", F.col("value").alias("last_value"), F.col("t_us").alias("last_us")
+    )
+
+
+# Change-data-feed between snapshots (round 8): diff_versions(v1, v2)
+# must emit exactly the keys batch 2 rewrote to a DIFFERENT state —
+# 'insert' for users first seen there, 'update' for users whose
+# batch-wins winner changed; upserts never delete, so the oracle is a
+# left-join comparison of the two batch-wins states (same b-DESC
+# ordering as time_travel_read).
+@register(
+    "version_diff_cdf",
+    """
+    WITH ev AS (
+      SELECT user_id, value, epoch_us(ts) AS t_us, event_id,
+             event_id % 3 AS b
+      FROM events),
+    s1 AS (
+      SELECT user_id, value, t_us FROM (
+        SELECT user_id, value, t_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY b DESC, t_us DESC,
+                                           event_id DESC) AS rn
+        FROM ev WHERE b <= 1) WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, value, t_us FROM (
+        SELECT user_id, value, t_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY b DESC, t_us DESC,
+                                           event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT s2.user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.value IS DISTINCT FROM s1.value
+                     OR s2.t_us != s1.t_us THEN 'update' END AS change_type,
+           s2.value AS value, s2.t_us AS t_us
+    FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+    WHERE (CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.value IS DISTINCT FROM s1.value
+                     OR s2.t_us != s1.t_us THEN 'update' END) IS NOT NULL
+    ORDER BY s2.user_id
+    """,
+)
+def q_version_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.streaming.sink import diff_versions
+
+    out_dir = _staged_versioned_table(spark, sf_dir)
+    return (
+        diff_versions(spark, out_dir, 1, 2, ["user_id"])
+        .select("user_id", "change_type", "value", "t_us")
+        .orderBy("user_id")
+    )
+
+
 # Streaming -> NetCDF record-append sink (round 4): each micro-batch
 # rasterizes its events onto a FIXED (cy, cx) grid and appends ONE
 # record to a classic-NetCDF cube whose record dimension is the batch

@@ -399,3 +399,63 @@ def test_read_upsert_table_no_spurious_bucket_column(spark, tmp_path):
     df = read_upsert_table(spark, out)
     assert sorted(df.columns) == ["k", "t", "v"]
     assert _table(spark, out) == {1: ("a", 10), 2: ("b", 11)}
+
+
+def test_time_travel_history_and_cdf(spark, tmp_path):
+    """Round 8: read_upsert_table_at / table_history / diff_versions —
+    snapshots are immutable, VERSION AS OF returns the exact historical
+    state, the commit log matches applies, the CDF diff classifies
+    insert/update/delete correctly, and vacuumed versions raise a clear
+    error instead of reading garbage."""
+    import pytest
+
+    from deepicedrain_spark.streaming.sink import (
+        diff_versions,
+        read_upsert_table_at,
+        table_history,
+        vacuum_versions,
+    )
+
+    out = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, "a", 10), (2, "b", 11)], "k long, v string, t long")
+    b1 = spark.createDataFrame([(2, "b2", 15), (3, "c", 13)], "k long, v string, t long")
+    b2 = spark.createDataFrame([(1, "a2", 20)], "k long, v string, t long")
+    for i, b in enumerate((b0, b1, b2)):
+        apply_upsert_batch(spark, out, b, i, ["k"], ["t"])
+
+    hist = table_history(out)
+    assert [(h["version"], h["batch_id"]) for h in hist] == [(0, 0), (1, 1), (2, 2)]
+
+    def snap(v):
+        return {
+            r["k"]: (r["v"], r["t"])
+            for r in read_upsert_table_at(spark, out, v).collect()
+        }
+
+    assert snap(0) == {1: ("a", 10), 2: ("b", 11)}
+    assert snap(1) == {1: ("a", 10), 2: ("b2", 15), 3: ("c", 13)}
+    assert snap(2) == {1: ("a2", 20), 2: ("b2", 15), 3: ("c", 13)}
+    with pytest.raises(ValueError, match="does not exist"):
+        read_upsert_table_at(spark, out, 3)
+
+    d01 = {
+        r["k"]: r["change_type"]
+        for r in diff_versions(spark, out, 0, 1, ["k"]).collect()
+    }
+    assert d01 == {2: "update", 3: "insert"}
+    d12 = {
+        r["k"]: (r["change_type"], r["v"])
+        for r in diff_versions(spark, out, 1, 2, ["k"]).collect()
+    }
+    assert d12 == {1: ("update", "a2")}
+    # reverse direction reads as deletes/pre-images
+    d21 = {
+        r["k"]: (r["change_type"], r["v"])
+        for r in diff_versions(spark, out, 2, 1, ["k"]).collect()
+    }
+    assert d21 == {1: ("update", "a")}
+
+    vacuum_versions(out, keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_upsert_table_at(spark, out, 0)
+    assert snap(2) == {1: ("a2", 20), 2: ("b2", 15), 3: ("c", 13)}
