@@ -1066,33 +1066,38 @@ def write_hdf5(
 
             def gen_blocks():
                 """Direct blocks in heap-address order, each tagged with
-                its root slot and (for nested ones) child-indirect slot."""
+                its ``path`` of (row, entry) slots from the root indirect
+                block down.  Rows whose block size exceeds max_direct
+                recurse into a child indirect block — at ANY depth
+                (round 8: doubly-nested indirect rows, the last writer
+                seam), exactly the structure the reader's descend()
+                walks."""
+
+                def walk(path, base, nrows):
+                    off = base
+                    for row in range(nrows):
+                        bsize = row_bsize(row)
+                        for ent in range(width):
+                            if bsize <= md:
+                                yield {"path": path + ((row, ent),),
+                                       "off": off, "size": bsize}
+                            else:
+                                yield from walk(path + ((row, ent),), off,
+                                                rows_covering(bsize))
+                            off += bsize
+
                 off = 0
                 row = 0
-                while True:
+                while True:  # root rows are unbounded
                     bsize = row_bsize(row)
-                    if bsize <= md:
-                        for ent in range(width):
-                            yield {"row": row, "ent": ent, "sub": None,
-                                   "off": off, "size": bsize, "pbase": None}
-                            off += bsize
-                    else:
-                        n = rows_covering(bsize)
-                        if row_bsize(n - 1) > md:
-                            raise NotImplementedError(
-                                "hdf5lite writer: heap rows needing doubly-"
-                                "nested indirect blocks"
-                            )
-                        for ent in range(width):
-                            coff = off
-                            for crow in range(n):
-                                cbsize = row_bsize(crow)
-                                for cent in range(width):
-                                    yield {"row": row, "ent": ent,
-                                           "sub": (crow, cent), "off": coff,
-                                           "size": cbsize, "pbase": off}
-                                    coff += cbsize
-                            off += bsize
+                    for ent in range(width):
+                        if bsize <= md:
+                            yield {"path": ((row, ent),), "off": off,
+                                   "size": bsize}
+                        else:
+                            yield from walk(((row, ent),), off,
+                                            rows_covering(bsize))
+                        off += bsize
                     row += 1
 
             gi = gen_blocks()
@@ -1124,29 +1129,44 @@ def write_hdf5(
                     + bytes(blk["payload"])
                 ).ljust(blk["size"], b"\x00")
                 writes.append((blk["addr"], fhdb))
-            root_slots: dict[tuple[int, int], int] = {}
-            child_slots: dict[tuple[int, int], dict] = {}
+            # indirect-block tree, bottom-up: slots[p] maps (row, ent)
+            # inside the indirect block at path-prefix p (() = root) to
+            # the file address of that entry's block — direct blocks
+            # first, then each child indirect block as it is emitted
+            slots: dict[tuple, dict[tuple[int, int], int]] = {}
             for blk in used:
-                if blk["sub"] is None:
-                    root_slots[(blk["row"], blk["ent"])] = blk["addr"]
-                else:
-                    c = child_slots.setdefault(
-                        (blk["row"], blk["ent"]), {"kids": {}, "pbase": blk["pbase"]}
-                    )
-                    c["kids"][blk["sub"]] = blk["addr"]
-            for (row, ent), c in child_slots.items():
-                n = rows_covering(row_bsize(row))
+                slots.setdefault(blk["path"][:-1], {})[blk["path"][-1]] = blk["addr"]
+            internal = {
+                blk["path"][:i] for blk in used for i in range(1, len(blk["path"]))
+            }
+
+            def entry_off(base: int, row: int, ent: int) -> int:
+                off = base
+                for r in range(row):
+                    off += width * row_bsize(r)
+                return off + ent * row_bsize(row)
+
+            def node_base(path: tuple) -> int:
+                base = 0
+                for row, ent in path:
+                    base = entry_off(base, row, ent)
+                return base
+
+            for path in sorted(internal, key=len, reverse=True):
+                n = rows_covering(row_bsize(path[-1][0]))
                 ib = (
                     b"FHIB"
                     + bytes([0])
                     + struct.pack("<Q", frhp_addr)
-                    + c["pbase"].to_bytes(offset_size, "little")
+                    + node_base(path).to_bytes(offset_size, "little")
                 )
+                ent_map = slots.get(path, {})
                 for crow in range(n):
                     for cent in range(width):
-                        ib += struct.pack("<Q", c["kids"].get((crow, cent), UNDEF))
+                        ib += struct.pack("<Q", ent_map.get((crow, cent), UNDEF))
                 ib += struct.pack("<I", _lookup3(ib))
-                root_slots[(row, ent)] = emit(ib)
+                slots.setdefault(path[:-1], {})[path[-1]] = emit(ib)
+            root_slots = slots[()]
             cur_rows = max(r for r, _ in root_slots) + 1
             rib = (
                 b"FHIB"

@@ -138,7 +138,7 @@ def test_hdf5lite_dense_group_fuzz(
     n_links=st.integers(30, 900),
     name_pad=st.integers(0, 24),
     node_size=st.sampled_from([512, 1024]),
-    heap=st.sampled_from([None, (256, 1024, 4), (512, 2048, 4)]),
+    heap=st.sampled_from([None, (256, 1024, 4), (512, 2048, 4), (256, 512, 2)]),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_hdf5lite_catalog_scale_dense_fuzz(

@@ -567,3 +567,48 @@ def test_catalog_scale_dense_granule_ingests_end_to_end(spark):
     got = df.groupBy("beam").count().collect()
     assert len(got) == 250
     assert all(r["count"] == keep_per_beam for r in got)
+
+
+def test_dense_heap_doubly_nested_indirect_blocks(tmp_path):
+    """Round 8 (ROADMAP writer seam): enough link messages under a
+    tiny doubling table (start 256, max_direct 512, width 2) push the
+    heap past 8 KiB into root row 5 (4096-byte blocks), whose child
+    indirect block itself holds a row past max_direct — a GRANDCHILD
+    indirect block.  The writer used to raise NotImplementedError
+    here; now the recursive block generator emits the full tree and
+    every link must resolve by name through the reader's descend()."""
+    import struct
+
+    from deepicedrain_spark.sources.hdf5lite import File, write_hdf5
+
+    names = [f"link{i:05d}" for i in range(600)]
+    vals = {nm: np.array([float(i)], dtype="f8") for i, nm in enumerate(names)}
+    p = str(tmp_path / "deep.h5")
+    write_hdf5(p, {"grp": vals}, dense_groups=True, dense_heap=(256, 512, 2))
+    raw = open(p, "rb").read()
+    # prove the doubly-nested layout is actually on disk: an FHIB whose
+    # block-offset field lands inside root row 5's span [8192, 16384)
+    # is a CHILD there, and one with a deeper (non-row-start) base in
+    # that span is the grandchild
+    sbs, width = 256, 2
+    offset_size = 4
+    bases = []
+    j = 0
+    while True:
+        j = raw.find(b"FHIB", j)
+        if j < 0:
+            break
+        bases.append(
+            int.from_bytes(raw[j + 13 : j + 13 + offset_size], "little")
+        )
+        j += 4
+    row5 = [b for b in bases if 8192 <= b < 16384]
+    assert row5, f"no indirect block in root row 5 (bases: {sorted(bases)})"
+    # the grandchild covers rows 0..1 of its child (1024-byte span) at
+    # child-internal offset 2048+...: its base is NOT a row-5 block
+    # start (8192 or 12288)
+    assert any(b not in (8192, 12288) for b in row5), sorted(bases)
+    with File(p) as f:
+        assert sorted(f["grp"].keys()) == sorted(names)
+        for k in (0, 137, 599, 431):
+            assert f[f"grp/{names[k]}"][:][0] == float(k)
