@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 
 def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # one py4j call (lit of the whole list), not len(vals) F.lit()s —
+    # at k centroids x d dims per scoring expression the per-lit py4j
+    # round trips dominated driver time (round 8, same finding as the
+    # bloom literal array)
+    return F.lit([float(v) for v in vals]).cast("array<double>")
 
 
 def sq_dist_to(vec_col: str, centroid: list[float]) -> Column:

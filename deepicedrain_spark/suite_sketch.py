@@ -1464,8 +1464,11 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["word"]): int(r["bits"])
         for r in bloom_bits(dim, F.col("c_custkey").cast("string"), k=k_hashes, m=m_bits).collect()
     }
-    lit_bits = F.array(
-        *[F.lit(words.get(w, 0)).cast("long") for w in range(m_bits // 32)]
+    # ONE lit(list) call, not m/32 F.lit()s — each F.lit is a py4j
+    # round trip, and 2048 of them cost ~5 s of DRIVER time before any
+    # job ran (measured round 8; the folded literal array is identical)
+    lit_bits = F.lit([words.get(w, 0) for w in range(m_bits // 32)]).cast(
+        "array<long>"
     )
     okey = F.col("o_custkey").cast("string")
     probed = orders.withColumn("_k", okey)
