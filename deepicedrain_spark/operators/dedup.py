@@ -84,21 +84,20 @@ def minhash_signature(
     zero shuffles, zero explode — at 100 TB the signature stage is a
     pure scan."""
     # one array column instead of num_hashes scalar columns keeps the
-    # generated code small (fast codegen compile) and the row narrow
+    # generated code small (fast codegen compile) and the row narrow;
+    # the coefficients ride in as TWO lit(list) arrays zipped inside a
+    # nested higher-order transform — not num_hashes F.lit()s, each a
+    # py4j round trip (~1.4 s of driver time per call at k=64,
+    # measured round 8; outputs bit-identical)
     p = F.lit(_MERSENNE31)
     hs = F.transform(F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), p))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_hs"),
-                    lambda h: F.pmod(
-                        F.lit(_minhash_coef(k, "a")) * h + F.lit(_minhash_coef(k, "b")), p
-                    ),
-                )
-            )
-            for k in range(num_hashes)
-        ]
+    pa = F.lit([_minhash_coef(k, "a") for k in range(num_hashes)]).alias("a")
+    pb = F.lit([_minhash_coef(k, "b") for k in range(num_hashes)]).alias("b")
+    sig = F.transform(
+        F.arrays_zip(pa, pb),
+        lambda ab: F.array_min(
+            F.transform(F.col("_hs"), lambda h: F.pmod(ab["a"] * h + ab["b"], p))
+        ),
     )
     return df.withColumn("_hs", hs).select(id_col, sig.alias("sig"))
 
