@@ -40,14 +40,21 @@ def _lit_vec(vals: list[float]) -> Column:
 def sq_dist_to(vec_col: str, centroid: list[float]) -> Column:
     """Squared L2 distance from a (float) array column to a literal
     centroid, folded left-to-right like DuckDB's list_sum."""
+    return sq_dist_cols(F.col(vec_col), _lit_vec(centroid))
+
+
+def sq_dist_cols(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array columns — the same
+    zip_with + aggregate fold as sq_dist_to (left-to-right, so the
+    doubles are bit-identical whichever side is a literal)."""
     return F.aggregate(
         F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            _lit_vec(centroid),
-            lambda a, b: (a - b) * (a - b),
+            a.cast("array<double>"),
+            b,
+            lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, v: acc + v,
     )
 
 

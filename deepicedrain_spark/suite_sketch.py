@@ -1081,6 +1081,41 @@ def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_S, _PQ_DS, _PQ_K, _PQ_ITERS = 4, 16, 8, 1
 
 
+def _pq_book_lit(cents: list[list[float]]):
+    """One codebook as a literal array<array<double>> — K _lit_vec
+    calls + one F.array, not K x dims F.lit()s (round-8 py4j finding)."""
+    from deepicedrain_spark.operators.kmeans import _lit_vec
+
+    return F.array(*[_lit_vec(c) for c in cents])
+
+
+def _pq_best_code(sv_col: str, cents: list[list[float]]):
+    """argmin struct (code, dist) of a sub-vector against one literal
+    codebook, via an indexed transform over the codebook array — the
+    distances, 6-d.p. tie keys, and lower-code tie-breaks are
+    bit-identical to the former per-centroid struct array (same
+    zip_with fold, same array_min struct compare)."""
+    from deepicedrain_spark.operators.kmeans import sq_dist_cols
+
+    scored = F.transform(
+        _pq_book_lit(cents),
+        lambda cvec, i: F.struct(
+            sq_dist_cols(F.col(sv_col), cvec).alias("dist"),
+            i.cast("long").alias("code"),
+        ),
+    )
+    return F.array_min(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                F.round(s["dist"], 6).alias("key"),
+                s["code"].alias("code"),
+                s["dist"].alias("dist"),
+            ),
+        )
+    )
+
+
 def _pq_oracle() -> str:
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
@@ -1151,7 +1186,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressing a 100 TB vector corpus is a pure scan emitting S
     small codes per row.  recon_err is the summed subspace
     quantization error (the quality metric PQ tuning watches)."""
-    from deepicedrain_spark.operators.kmeans import sq_dist_to, trained_centroids
+    from deepicedrain_spark.operators.kmeans import trained_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -1168,26 +1203,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         books.append(cents)
     out = sliced
     for j, cents in enumerate(books):
-        base = F.array(
-            *[
-                F.struct(
-                    sq_dist_to(f"sv{j}", c).alias("dist"),
-                    F.lit(i).cast("long").alias("code"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
-        best = F.array_min(
-            F.transform(
-                base,
-                lambda s: F.struct(
-                    F.round(s["dist"], 6).alias("key"),
-                    s["code"].alias("code"),
-                    s["dist"].alias("dist"),
-                ),
-            )
-        )
-        out = out.withColumn(f"_b{j}", best)
+        out = out.withColumn(f"_b{j}", _pq_best_code(f"sv{j}", cents))
     return out.select(
         "vec_id",
         *[F.col(f"_b{j}.code").alias(f"code{j}") for j in range(_PQ_S)],
@@ -1239,7 +1255,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction.  Codebooks are literals, queries broadcast — the
     corpus side stays a compressed scan, which is the entire point of
     PQ at 10^9 vectors."""
-    from deepicedrain_spark.operators.kmeans import sq_dist_to, trained_centroids
+    from deepicedrain_spark.operators.kmeans import sq_dist_cols, trained_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -1257,26 +1273,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         books.append(cents)
     corpus = sliced
     for j, cents in enumerate(books):
-        base = F.array(
-            *[
-                F.struct(
-                    sq_dist_to(f"sv{j}", c).alias("dist"),
-                    F.lit(i).cast("long").alias("code"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
-        best = F.array_min(
-            F.transform(
-                base,
-                lambda s: F.struct(
-                    F.round(s["dist"], 6).alias("key"),
-                    s["code"].alias("code"),
-                    s["dist"].alias("dist"),
-                ),
-            )
-        )
-        corpus = corpus.withColumn(f"code{j}", best["code"])
+        corpus = corpus.withColumn(f"code{j}", _pq_best_code(f"sv{j}", cents)["code"])
     corpus = corpus.select(
         F.col("vec_id").alias("cand_id"), *[f"code{j}" for j in range(_PQ_S)]
     )
@@ -1285,15 +1282,17 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"sv{j}").alias(f"qsv{j}") for j in range(_PQ_S)],
     )
     joined = corpus.join(F.broadcast(q)).where(F.col("query_id") != F.col("cand_id"))
-    adc_terms = []
-    for j, cents in enumerate(books):
-        expr = None
-        for i, c in enumerate(cents):
-            d = sq_dist_to(f"qsv{j}", c)
-            expr = F.when(F.col(f"code{j}") == i, d) if expr is None else expr.when(
-                F.col(f"code{j}") == i, d
-            )
-        adc_terms.append(expr)
+    # ADC term j = distance(query sub-vector, codebook[code_j]) — an
+    # indexed element_at into the literal codebook, not a K-branch
+    # when-chain (the chain cost ~2 s of driver-side expression build;
+    # the matched branch's arithmetic is identical, so values are too)
+    adc_terms = [
+        sq_dist_cols(
+            F.col(f"qsv{j}"),
+            F.element_at(_pq_book_lit(cents), F.col(f"code{j}").cast("int") + 1),
+        )
+        for j, cents in enumerate(books)
+    ]
     adc = F.round(sum(adc_terms[1:], adc_terms[0]), 6)
     scored = joined.withColumn("adc", adc)
     w = Window.partitionBy("query_id").orderBy("adc", "cand_id")
