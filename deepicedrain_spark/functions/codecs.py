@@ -14,11 +14,14 @@ container bytes. COMPRESSED video (H.264 etc.) remains a genuine seam:
 no pure-Python implementation of a real video codec is practical, and
 shipping one would be demo-math pretending to be production.
 
-Decoders accept anything the encoders emit plus the common cases a
-real corpus would hold (PNG: bit depth 8, color types 0/2/4/6 — the
-stats path aggregates over ALL decoded channels incl. alpha; all five
-filter types. WAV: PCM16 mono or interleaved multichannel, first
-channel returned).
+Decoders accept anything the encoders emit plus the cases a real
+corpus would hold (round 8 — every legal PNG layout: bit depths
+1/2/4/8/16, color types 0/2/3/4/6 incl. PLTE/tRNS palettes, Adam7
+interlace, all five filter types; the stats path aggregates over ALL
+decoded channels incl. alpha. WAV: PCM8/16/24/32 and IEEE float32,
+mono or interleaved multichannel, first channel returned, everything
+normalized to int16. Compressed audio/video stay NotImplementedError
+seams).
 """
 
 from __future__ import annotations
@@ -84,47 +87,31 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Decode PNG bytes to (H, W) uint8 (gray) or (H, W, C) uint8.
-    Bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    6 (RGBA), no interlace."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("png_decode: bad PNG signature")
-    pos = 8
-    idat = b""
-    w = h = None
-    color_type = None
-    while pos < len(data):
-        (clen,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + clen]
-        pos += 12 + clen
-        if ctype == b"IHDR":
-            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8:
-                raise NotImplementedError(f"png_decode: bit depth {depth}")
-            if interlace:
-                raise NotImplementedError("png_decode: interlaced PNG")
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if nch is None:
-        raise NotImplementedError(f"png_decode: color type {color_type}")
-    raw = zlib.decompress(idat)
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("png_decode: scanline payload size mismatch")
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per the PNG
+# spec's interlace section — pass images are stored consecutively,
+# each filtered independently with its own scanline stride
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse scanline filters for one (pass-)image of ``h`` rows of
+    ``stride`` bytes starting at byte ``off``; filters operate on BYTES
+    with the left neighbor ``bpp`` bytes back (so the same loop serves
+    every bit depth). Returns the (h, stride) recovered bytes."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for row in range(h):
-        ftype = raw[row * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row * (stride + 1) + 1
-        ).copy()
+        base = off + row * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).copy()
         if ftype == 0:
             cur = line
         elif ftype == 2:  # up
@@ -132,9 +119,9 @@ def png_decode(data: bytes) -> np.ndarray:
         elif ftype in (1, 3, 4):  # sub / average / paeth: left-dependent
             cur = np.zeros(stride, dtype=np.uint8)
             for i in range(stride):
-                a = int(cur[i - nch]) if i >= nch else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 x = int(line[i])
                 if ftype == 1:
                     cur[i] = (x + a) & 0xFF
@@ -146,9 +133,110 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"png_decode: filter type {ftype}")
         out[row] = cur
         prev = cur
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """(h, stride) recovered bytes -> (h, w*nch) samples (uint8 for
+    depth <= 8 — sub-byte samples are the raw index values — or uint16
+    for depth 16, big-endian per spec)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch]
+    if depth == 16:
+        return rows.reshape(h, -1).view(">u2").astype(np.uint16)[:, : w * nch]
+    # depths 1/2/4: legal only with one channel (gray or palette index)
+    per = 8 // depth
+    shifts = np.array([8 - depth * (i + 1) for i in range(per)], dtype=np.uint8)
+    mask = (1 << depth) - 1
+    unpacked = (rows[:, :, None] >> shifts[None, None, :]) & mask
+    return unpacked.reshape(h, -1)[:, :w].astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to (H, W) gray or (H, W, C) pixels — uint8, or
+    uint16 for 16-bit-depth images.  Round 8: ALL legal bit depth /
+    color type combinations (1/2/4/8/16; gray, RGB, palette with
+    optional tRNS alpha, gray+alpha, RGBA) and Adam7 interlace — the
+    former NotImplementedError seams.  Sub-byte grayscale is scaled to
+    full 8-bit range (x * 255/(2^d-1), exact for d in {1,2,4});
+    palette images decode through PLTE to RGB (RGBA when tRNS is
+    present).  All five filter types on every path."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("png_decode: bad PNG signature")
+    pos = 8
+    idat = b""
+    w = h = None
+    color_type = None
+    plte = trns = None
+    while pos < len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise NotImplementedError(f"png_decode: color type {color_type}")
+    legal_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color_type, (8, 16))
+    if depth not in legal_depths:
+        raise ValueError(f"png_decode: bit depth {depth} with color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("png_decode: palette image without PLTE chunk")
+    raw = zlib.decompress(idat)
+    bpp = max(1, (nch * depth) // 8)
+
+    def pass_stride(pw: int) -> int:
+        return (pw * nch * depth + 7) // 8
+
+    if not interlace:
+        stride = pass_stride(w)
+        if len(raw) != h * (stride + 1):
+            raise ValueError("png_decode: scanline payload size mismatch")
+        samples = _png_samples(_png_unfilter(raw, 0, h, stride, bpp), w, nch, depth)
+    else:
+        samples = np.zeros((h, w * nch), dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty passes contribute no bytes at all
+            stride = pass_stride(pw)
+            sub = _png_samples(
+                _png_unfilter(raw, off, ph, stride, bpp), pw, nch, depth
+            ).reshape(ph, pw, nch)
+            view = samples.reshape(h, w, nch)
+            view[y0::dy, x0::dx, :] = sub
+            off += ph * (stride + 1)
+        if off != len(raw):
+            raise ValueError("png_decode: interlaced payload size mismatch")
+    if color_type == 3:
+        idx = samples.reshape(h, w)
+        if idx.max() >= len(plte):
+            raise ValueError("png_decode: palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if depth < 8:  # sub-byte grayscale: scale to the full 8-bit range
+        samples = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if nch == 1:
-        return out.reshape(h, w)
-    return out.reshape(h, w, nch)
+        return samples.reshape(h, w)
+    return samples.reshape(h, w, nch)
 
 
 def png_resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -179,12 +267,19 @@ def wav_encode(samples: np.ndarray, rate: int = 16_000) -> bytes:
 
 
 def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
-    """(first-channel int16 samples, sample rate) from a PCM16 WAV."""
+    """(first-channel int16 samples, sample rate) from a WAV.  Round 8:
+    beyond PCM16, the other linear layouts a real corpus holds decode
+    too, normalized to int16 by the standard conversions — PCM8
+    (unsigned: (x-128)<<8), PCM24/PCM32 (top 16 bits), and IEEE
+    float32 (fmt 3: clip to [-1, 1], scale by 32767, round half away
+    from zero).  Compressed formats (ADPCM, mu-law, ...) remain a
+    NotImplementedError seam."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("wav_decode: not a RIFF/WAVE file")
     pos = 12
     rate = channels = None
-    samples = None
+    audio_fmt = bits = None
+    payload = None
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", data, pos + 4)
@@ -193,15 +288,34 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         if ctype == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("wav_decode: only PCM16 supported")
         elif ctype == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
-    if rate is None or samples is None:
+            payload = body
+    if rate is None or payload is None:
         raise ValueError("wav_decode: missing fmt/data chunk")
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(payload, dtype="<i2").astype(np.int16)
+    elif audio_fmt == 1 and bits == 8:
+        samples = ((np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif audio_fmt == 1 and bits == 24:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3)
+        # top 16 of the little-endian 24: bytes 1..2 ARE the int16
+        samples = (b[:, 1].astype(np.uint16) | (b[:, 2].astype(np.uint16) << 8)).view(
+            np.int16
+        ).astype(np.int16)
+    elif audio_fmt == 1 and bits == 32:
+        samples = (np.frombuffer(payload, dtype="<i4") >> 16).astype(np.int16)
+    elif audio_fmt == 3 and bits == 32:
+        f = np.clip(np.frombuffer(payload, dtype="<f4").astype(np.float64), -1.0, 1.0)
+        x = f * 32767.0
+        samples = np.trunc(x + np.where(x >= 0, 0.5, -0.5)).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"wav_decode: format {audio_fmt} / {bits}-bit not supported"
+        )
     if channels and channels > 1:
         samples = samples[::channels]
-    return samples.astype(np.int16), rate
+    return samples, rate
 
 
 def wav_resample_nearest(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:

@@ -222,3 +222,181 @@ def test_png_alpha_roundtrip_and_resize():
         assert back.shape == a.shape and np.array_equal(back, a)
         r = png_resize_nearest(back, 3, 4)
         assert np.array_equal(png_decode(png_encode(r)), r)
+
+
+# --- round 8: the former PNG seams (palette, sub-byte, 16-bit, Adam7) --
+
+
+def _filter_bytes(rows: np.ndarray, ftypes, bpp: int) -> bytes:
+    """Reference-side byte filter over (h, stride) raw scanlines with
+    the left neighbor bpp bytes back — the generalization a foreign
+    encoder applies at any bit depth."""
+    h, stride = rows.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r, ft in zip(range(h), ftypes):
+        cur = rows[r]
+        raw.append(ft)
+        for i in range(stride):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            x = int(cur[i])
+            if ft == 0:
+                raw.append(x)
+            elif ft == 1:
+                raw.append((x - a) & 0xFF)
+            elif ft == 2:
+                raw.append((x - b) & 0xFF)
+            elif ft == 3:
+                raw.append((x - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((x - C._paeth(a, b, c)) & 0xFF)
+        prev = cur
+    return bytes(raw)
+
+
+def _png_from(w, h, depth, color_type, payload: bytes, extra=b"", interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        C._PNG_SIG
+        + C._chunk(b"IHDR", ihdr)
+        + extra
+        + C._chunk(b"IDAT", zlib.compress(payload))
+        + C._chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_decode_with_and_without_trns():
+    rng = np.random.RandomState(3)
+    plte = rng.randint(0, 256, (6, 3), dtype=np.uint8)
+    idx = rng.randint(0, 6, (4, 7), dtype=np.uint8)
+    raw = _filter_bytes(idx, [0, 1, 2, 4], bpp=1)
+    data = _png_from(7, 4, 8, 3, raw, extra=C._chunk(b"PLTE", plte.tobytes()))
+    np.testing.assert_array_equal(C.png_decode(data), plte[idx])
+    trns = np.array([255, 0, 128], dtype=np.uint8)  # shorter than palette
+    data2 = _png_from(
+        7, 4, 8, 3, raw,
+        extra=C._chunk(b"PLTE", plte.tobytes()) + C._chunk(b"tRNS", trns.tobytes()),
+    )
+    out = C.png_decode(data2)
+    assert out.shape == (4, 7, 4)
+    np.testing.assert_array_equal(out[:, :, :3], plte[idx])
+    alpha_lut = np.array([255, 0, 128, 255, 255, 255], dtype=np.uint8)
+    np.testing.assert_array_equal(out[:, :, 3], alpha_lut[idx])
+
+
+def test_png_palette_4bit_packing():
+    plte = np.array([[i * 16, 255 - i * 16, i] for i in range(16)], dtype=np.uint8)
+    idx = np.array([[0, 15, 3, 9, 2], [7, 1, 14, 4, 11]], dtype=np.uint8)
+    # two 4-bit indexes per byte, high nibble first; odd width pads
+    packed = np.zeros((2, 3), dtype=np.uint8)
+    for r in range(2):
+        for i in range(5):
+            byte, hi = divmod(i, 2)
+            packed[r, byte] |= idx[r, i] << (4 if hi == 0 else 0)
+    raw = _filter_bytes(packed, [0, 2], bpp=1)
+    data = _png_from(5, 2, 4, 3, raw, extra=C._chunk(b"PLTE", plte.tobytes()))
+    np.testing.assert_array_equal(C.png_decode(data), plte[idx])
+
+
+def test_png_gray_1bit_scales_to_full_range():
+    bits = np.array([[0b10110000], [0b01001000]], dtype=np.uint8)  # 5 cols used
+    raw = _filter_bytes(bits, [0, 0], bpp=1)
+    data = _png_from(5, 2, 1, 0, raw)
+    np.testing.assert_array_equal(
+        C.png_decode(data),
+        np.array([[255, 0, 255, 255, 0], [0, 255, 0, 0, 255]], dtype=np.uint8),
+    )
+
+
+def test_png_gray16_and_rgb16_all_filters():
+    rng = np.random.RandomState(11)
+    g16 = rng.randint(0, 65536, (5, 4), dtype=np.uint16)
+    rows = g16.astype(">u2").view(np.uint8).reshape(5, 8)
+    data = _png_from(4, 5, 16, 0, _filter_bytes(rows, [0, 1, 2, 3, 4], bpp=2))
+    out = C.png_decode(data)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, g16)
+    rgb16 = rng.randint(0, 65536, (3, 4, 3), dtype=np.uint16)
+    rows = rgb16.reshape(3, -1).astype(">u2").view(np.uint8).reshape(3, 24)
+    data = _png_from(4, 3, 16, 2, _filter_bytes(rows, [4, 3, 1], bpp=6))
+    np.testing.assert_array_equal(C.png_decode(data), rgb16)
+
+
+def _adam7_payload(img: np.ndarray, depth=8, nch=3) -> bytes:
+    """Interlaced payload: each pass extracted, byte-filtered (type 0)."""
+    h, w = img.shape[:2]
+    payload = b""
+    for x0, y0, dx, dy in C._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        rows = sub.reshape(ph, pw * nch)
+        payload += _filter_bytes(rows, [0] * ph, bpp=max(1, nch * depth // 8))
+    return payload
+
+
+def test_png_adam7_rgb_roundtrip():
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = _png_from(8, 8, 8, 2, _adam7_payload(img), interlace=1)
+    np.testing.assert_array_equal(C.png_decode(data), img)
+
+
+def test_png_adam7_odd_dims_with_empty_passes():
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)  # pass 2 empty
+    data = _png_from(5, 3, 8, 2, _adam7_payload(img), interlace=1)
+    np.testing.assert_array_equal(C.png_decode(data), img)
+    tall = rng.randint(0, 256, (9, 1, 3), dtype=np.uint8)
+    data = _png_from(1, 9, 8, 2, _adam7_payload(tall), interlace=1)
+    np.testing.assert_array_equal(C.png_decode(data), tall)
+
+
+# --- round 8: the former WAV seams (PCM8/24/32, IEEE float) ------------
+
+
+def _wav_bytes(fmt: int, bits: int, payload: bytes, rate=8000, channels=1) -> bytes:
+    block = channels * bits // 8
+    fmtc = struct.pack("<HHIIHH", fmt, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_pcm8_unsigned():
+    s, rate = C.wav_decode(_wav_bytes(1, 8, bytes([0, 128, 255, 64])))
+    assert rate == 8000
+    np.testing.assert_array_equal(
+        s, np.array([-32768, 0, 32512, -16384], dtype=np.int16)
+    )
+
+
+def test_wav_pcm24_top_bits():
+    vals = [0x123456, 0xFFFFFF, 0x800000, 0x7FFFFF]
+    payload = b"".join(v.to_bytes(3, "little") for v in vals)
+    s, _ = C.wav_decode(_wav_bytes(1, 24, payload))
+    np.testing.assert_array_equal(
+        s, np.array([0x1234, -1, -32768, 0x7FFF], dtype=np.int16)
+    )
+
+
+def test_wav_pcm32_and_float32():
+    i32 = np.array([1 << 16, -(1 << 16), 0x7FFFFFFF, -0x80000000], dtype="<i4")
+    s, _ = C.wav_decode(_wav_bytes(1, 32, i32.tobytes()))
+    np.testing.assert_array_equal(s, np.array([1, -1, 32767, -32768], dtype=np.int16))
+    f = np.array([0.0, 1.0, -1.0, 0.5, -0.25, 2.0, -3.0], dtype="<f4")
+    s, _ = C.wav_decode(_wav_bytes(3, 32, f.tobytes()))
+    np.testing.assert_array_equal(
+        s, np.array([0, 32767, -32767, 16384, -8192, 32767, -32767], dtype=np.int16)
+    )
+
+
+def test_wav_adpcm_still_a_seam():
+    with pytest.raises(NotImplementedError):
+        C.wav_decode(_wav_bytes(2, 4, b"\x00\x00"))
