@@ -239,6 +239,19 @@ def png_decode(data: bytes) -> np.ndarray:
     return samples.reshape(h, w, nch)
 
 
+def image_decode(data: bytes) -> np.ndarray:
+    """Decode an image payload by container signature: PNG or baseline
+    JPEG (round 8) — the two formats a real corpus overwhelmingly
+    holds.  Returns (H, W[, C]) pixels."""
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:2] == b"\xff\xd8":
+        from deepicedrain_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    raise ValueError("image_decode: unknown image signature")
+
+
 def png_resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize (the deterministic choice — no filter
     kernel ambiguity between engines)."""

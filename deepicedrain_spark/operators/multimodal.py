@@ -106,6 +106,43 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
 
 
+def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real-JPEG media table (round 8): per row, a gray image of
+    (id%3+1) x (id%4+1) UNIFORM 8x8 blocks, block b's value
+    (id·31 + b·7) mod 256, encoded at quality 100 (all quantizers 1).
+    Uniform blocks put all energy in the integer DC coefficient, so
+    the lossy-in-general codec is EXACT here and a SQL oracle can
+    replay every pixel stat — certifying the full Huffman + DCT decode
+    path, including restart markers (ids divisible by 5 encode with
+    restart_interval=2)."""
+    schema = "media_id string, payload binary, width int, height int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from deepicedrain_spark.functions.jpeg import jpeg_encode
+
+        for pdf in it:
+            ids, payloads, ws, hs = [], [], [], []
+            for raw_id in pdf["_id"]:
+                i = int(raw_id)
+                bh, bw = i % 3 + 1, i % 4 + 1
+                vals = (i * 31 + np.arange(bh * bw) * 7) % 256
+                img = np.repeat(
+                    np.repeat(vals.reshape(bh, bw), 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                rst = 2 if i % 5 == 0 else 0
+                payloads.append(jpeg_encode(img, quality=100, restart_interval=rst))
+                ids.append(str(i))
+                ws.append(bw * 8)
+                hs.append(bh * 8)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "width": ws, "height": hs}
+            )
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
+
+
 def attach_wav_media(df: DataFrame, id_col: str, rate: int = 16_000) -> DataFrame:
     """Real-WAV media table: per row, mono PCM16 audio with samples
     s[i] = ((id·13 + i·5) mod 4001) − 2000 and n = id%400+100 — again a
@@ -187,12 +224,13 @@ def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "real":
-            from deepicedrain_spark.functions.codecs import png_decode
+            # signature-dispatched: PNG or baseline JPEG (round 8)
+            from deepicedrain_spark.functions.codecs import image_decode
 
             for pdf in it:
                 n, mean, mx = [], [], []
                 for b in pdf["payload"]:
-                    px = png_decode(bytes(b)).ravel()
+                    px = image_decode(bytes(b)).ravel()
                     n.append(int(px.size))
                     mean.append(float(px.sum()) / px.size if px.size else 0.0)
                     mx.append(int(px.max()) if px.size else 0)

@@ -992,10 +992,19 @@ PRIORITY: list[str] = [
     "lake_geometry_gmt",  # r8: quote-safe @D field handling (ADVICE r7 low)
     # --- tier 2: past the driver's 50-query window -------------------
     # NEW r8 queries (time travel + CDF over the versioned upsert
-    # table): the r8 window is fully claimed by the 40-row age rotation,
-    # so these two wait at tier-2 top and MUST lead the r9 window
+    # table; JPEG decode through the multimodal real path): the r8
+    # window is fully claimed by the 40-row age rotation, so these
+    # wait at tier-2 top and MUST lead the r9 window
     "time_travel_read",
     "version_diff_cdf",
+    "multimodal_jpeg_decode",
+    # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
+    # zipped minhash coefficients, indexed PQ codebooks) — all verified
+    # locally at sf0.01 value-exact this round; rotate into the r9
+    # window with the rows above
+    "bloom_semijoin_reduction",
+    "pq_encode",
+    "pq_adc_topk",
     # every query below holds a driver-green row from r5-r7 (kept
     # registered + locally checked)
     "anomaly_vs_first",
@@ -1034,8 +1043,6 @@ PRIORITY: list[str] = [
     "streaming_upsert_sink",
     "kmeans_clusters",
     "ivf_topk_trained",
-    "pq_encode",
-    "pq_adc_topk",
     "semantic_dedup_kmeans",
     "dissolve_hot_key_bucketed",
     "zarr_multistore_scan",
@@ -1106,7 +1113,6 @@ PRIORITY: list[str] = [
     "hll_distinct_by_type",
     "cms_heavy_hitters",
     "bloom_cross_corpus",
-    "bloom_semijoin_reduction",
     "multimodal_real_audio",
     "multimodal_real_video",
     "multimodal_audio_resample",

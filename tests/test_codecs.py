@@ -400,3 +400,99 @@ def test_wav_pcm32_and_float32():
 def test_wav_adpcm_still_a_seam():
     with pytest.raises(NotImplementedError):
         C.wav_decode(_wav_bytes(2, 4, b"\x00\x00"))
+
+
+# --- round 8: baseline JPEG codec --------------------------------------
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _smooth(h, w):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 200, h)
+    return np.clip(np.add.outer(y, x) / 2, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_quality_ladder():
+    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    img = _smooth(48, 48)
+    last = 0.0
+    for q in (50, 85, 95):
+        out = jpeg_decode(jpeg_encode(img, quality=q))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        p = _psnr(img, out)
+        assert p > 35.0
+        assert p >= last  # higher quality must not get worse
+        last = p
+
+
+def test_jpeg_rgb_444_and_420():
+    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    g = _smooth(40, 24)
+    rgb = np.stack([g, g[::-1], 255 - g], axis=2)
+    out = jpeg_decode(jpeg_encode(rgb, quality=90))
+    assert out.shape == rgb.shape
+    assert _psnr(rgb, out) > 35.0
+    out420 = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=True))
+    assert out420.shape == rgb.shape
+    assert _psnr(rgb, out420) > 30.0
+
+
+def test_jpeg_odd_dimensions():
+    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    g = _smooth(13, 17)
+    rgb = np.stack([g, g, g], axis=2)
+    for sub in (False, True):
+        out = jpeg_decode(jpeg_encode(rgb, quality=95, subsample=sub))
+        assert out.shape == (13, 17, 3)
+        assert _psnr(rgb, out) > 35.0
+
+
+def test_jpeg_uniform_blocks_exact_at_q100():
+    """Uniform 8x8 blocks at quality 100 (all quantizers 1) put all
+    energy in the integer DC coefficient — decode is EXACT, the
+    property the multimodal_jpeg_decode oracle relies on."""
+    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(17)
+    vals = rng.randint(0, 256, (3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    np.testing.assert_array_equal(jpeg_decode(jpeg_encode(img, quality=100)), img)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    img = _smooth(32, 48)  # 4x6 = 24 MCUs
+    plain = jpeg_decode(jpeg_encode(img, quality=85))
+    data = jpeg_encode(img, quality=85, restart_interval=3)
+    assert b"\xff\xdd" in data  # DRI
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    np.testing.assert_array_equal(jpeg_decode(data), plain)
+
+
+def test_jpeg_progressive_is_a_seam():
+    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    data = bytearray(jpeg_encode(_smooth(16, 16), quality=85))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(data))
+
+
+def test_image_decode_dispatches_by_signature():
+    from deepicedrain_spark.functions.codecs import image_decode
+    from deepicedrain_spark.functions.jpeg import jpeg_encode
+
+    g = _smooth(16, 16)
+    np.testing.assert_array_equal(image_decode(C.png_encode(g)), g)
+    assert image_decode(jpeg_encode(g, quality=90)).shape == g.shape
+    with pytest.raises(ValueError):
+        image_decode(b"GIF89a not supported")

@@ -152,13 +152,14 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_real_mode_rejects_non_png(spark):
-    """mode='real' now decodes actual PNG bytes (round 3); feeding it a
-    raw-text payload must fail loudly at the signature check, not
-    silently fall back to byte math. (Real-codec happy paths are
-    covered in tests/test_codecs.py.)"""
+    """mode='real' decodes actual image bytes (PNG since round 3, JPEG
+    since round 8, dispatched by signature); feeding it a raw-text
+    payload must fail loudly at the signature check, not silently fall
+    back to byte math. (Real-codec happy paths are covered in
+    tests/test_codecs.py.)"""
     docs = spark.createDataFrame(DOCS)
     media = attach_fake_media(docs, "doc_id", "text")
-    with pytest.raises(Exception, match="bad PNG signature"):
+    with pytest.raises(Exception, match="unknown image signature"):
         decode_image_features(media, mode="real").collect()
 
 
