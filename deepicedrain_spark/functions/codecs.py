@@ -350,18 +350,29 @@ def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
     return fourcc + struct.pack("<I", len(data)) + data + pad
 
 
-def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
-    """Encode (N, H, W, 3) RGB uint8 frames into an uncompressed AVI
-    (RIFF): 'hdrl' with avih + one video stream (strh 'vids'/'DIB ',
-    strf = BITMAPINFOHEADER, biCompression=0), 'movi' with one '00db'
-    DIB frame per input frame (bottom-up row order, BGR, rows padded
-    to 4 bytes — the BMP layout), and an idx1 index."""
+_MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
+def avi_encode(
+    frames: np.ndarray, fps: int = 10, codec: str = "DIB", quality: int = 95
+) -> bytes:
+    """Encode (N, H, W, 3) RGB uint8 frames into an AVI (RIFF): 'hdrl'
+    with avih + one video stream, 'movi' with one frame chunk per
+    input frame, and an idx1 index.
+
+    codec='DIB' (default): uncompressed '00db' DIB frames (bottom-up
+    BGR rows padded to 4 bytes, biCompression=0).  codec='MJPG'
+    (round 8): Motion JPEG — each frame is an independent baseline
+    JPEG in a '00dc' chunk (biCompression='MJPG'), the simplest REAL
+    compressed-video layout and the one the in-repo JPEG codec makes
+    honest; ``quality`` applies per frame."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("avi_encode: frames must be (N, H, W, 3) uint8")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"avi_encode: codec must be 'DIB' or 'MJPG', got {codec!r}")
     n, h, w, _ = frames.shape
     row_bytes = (w * 3 + 3) & ~3
-    frame_size = row_bytes * h
 
     def dib(frame: np.ndarray) -> bytes:
         bgr = frame[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
@@ -370,6 +381,16 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
         padded = np.zeros((h, row_bytes), dtype=np.uint8)
         padded[:, : w * 3] = bgr.reshape(h, w * 3)
         return padded.tobytes()
+
+    if codec == "DIB":
+        payloads = [dib(frames[i]) for i in range(n)]
+        chunk_id, handler, bi_comp = b"00db", b"DIB ", 0
+    else:
+        from deepicedrain_spark.functions.jpeg import jpeg_encode
+
+        payloads = [jpeg_encode(frames[i], quality=quality) for i in range(n)]
+        chunk_id, handler, bi_comp = b"00dc", b"MJPG", _MJPG
+    frame_size = max((len(p) for p in payloads), default=row_bytes * h)
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
@@ -381,31 +402,35 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
         0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, bi_comp, row_bytes * h, 0, 0, 0, 0
+    )
     strl = _riff_chunk(
         b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
     )
     hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
     movi_body = b"movi"
-    offsets = []
-    for i in range(n):
-        offsets.append(len(movi_body))
-        movi_body += _riff_chunk(b"00db", dib(frames[i]))
+    entries = []
+    for p in payloads:
+        entries.append((len(movi_body), len(p)))
+        movi_body += _riff_chunk(chunk_id, p)
     movi = _riff_chunk(b"LIST", movi_body)
     idx = b"".join(
-        b"00db" + struct.pack("<III", 0x10, off, frame_size) for off in offsets
+        chunk_id + struct.pack("<III", 0x10, off, ln) for off, ln in entries
     )
     body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
     return _riff_chunk(b"RIFF", body)
 
 
 def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode an uncompressed AVI back to ((N, H, W, 3) RGB uint8, fps).
-    Walks the RIFF tree: avih for dimensions, movi '00db'/'00dc'
-    chunks for frames. Rejects compressed streams."""
+    """Decode an AVI back to ((N, H, W, 3) RGB uint8, fps).  Walks the
+    RIFF tree: avih for dimensions, movi '00db'/'00dc' chunks for
+    frames.  biCompression=0 reads DIB frames; 'MJPG' (round 8)
+    decodes each frame with the in-repo baseline JPEG codec.  Other
+    codecs (H.264, ...) remain a NotImplementedError seam."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("avi: not a RIFF/AVI file")
 
@@ -437,17 +462,30 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
                 frames_raw.append(data[dpos : dpos + size])
 
     walk(12, len(data))
-    if compression != 0:
-        raise NotImplementedError(
-            "avi: compressed video streams need a real codec (ffmpeg seam)"
-        )
     if not (w and h):
         raise ValueError("avi: missing avih header")
+    fps = max(1, round(1_000_000 / usec_per_frame)) if usec_per_frame else 1
+    if compression == _MJPG:
+        from deepicedrain_spark.functions.jpeg import jpeg_decode
+
+        out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+        for i, raw in enumerate(frames_raw):
+            px = jpeg_decode(bytes(raw))
+            if px.ndim == 2:  # grayscale frame: replicate channels
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            if px.shape[:2] != (h, w):
+                raise ValueError("avi: MJPG frame dimensions disagree with avih")
+            out[i] = px
+        return out, fps
+    if compression != 0:
+        raise NotImplementedError(
+            f"avi: compressed video codec 0x{compression:08x} needs a real "
+            "codec (ffmpeg seam; MJPG and DIB are supported in-repo)"
+        )
     row_bytes = (w * 3 + 3) & ~3
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames_raw):
         rows = np.frombuffer(raw[: row_bytes * h], dtype=np.uint8).reshape(h, row_bytes)
         bgr = rows[:, : w * 3].reshape(h, w, 3)
         out[i] = bgr[::-1, :, ::-1]
-    fps = max(1, round(1_000_000 / usec_per_frame)) if usec_per_frame else 1
     return out, fps

@@ -4,15 +4,16 @@ decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` operators.
 
 Two modes per operator:
-  - mode='real'  → image, audio AND video (round 4) decode for real
-    via the pure-stdlib codecs in ``functions/codecs.py`` (PNG
-    gray8/RGB8, WAV PCM16, uncompressed RIFF/AVI): stats are over
-    decoded pixels/samples, resize/resample operate in pixel/sample
-    space and re-encode, and frame sampling walks real container
-    frames (each re-encoded PNG). COMPRESSED video remains a
-    NotImplementedError seam — no practical pure-Python H.264 etc.
-    exists, and a fake one would be demo-math wearing a production
-    label.
+  - mode='real'  → image, audio AND video decode for real via the
+    pure-stdlib codecs in ``functions/codecs.py`` / ``jpeg.py`` (PNG
+    at every legal layout, baseline JPEG, WAV PCM8/16/24/32 + float32,
+    RIFF/AVI both uncompressed DIB and Motion-JPEG — round 8): stats
+    are over decoded pixels/samples, resize/resample operate in
+    pixel/sample space and re-encode, and frame sampling walks real
+    container frames (each re-encoded PNG). Inter-frame-compressed
+    video (H.264 etc.) remains a NotImplementedError seam — no
+    practical pure-Python implementation exists, and a fake one would
+    be demo-math wearing a production label.
   - mode='fake'  → a deterministic stand-in computed from the raw
     bytes (kept for payloads that are not PNG/WAV, and as the
     plumbing-only path the round-2 oracles pin).
@@ -201,6 +202,44 @@ def attach_avi_media(df: DataFrame, id_col: str, fps: int = 10) -> DataFrame:
                 rows["n_frames"].append(nf)
                 rows["height"].append(h)
                 rows["width"].append(w)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
+
+
+def attach_mjpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real MOTION-JPEG media table (round 8): per row an AVI whose
+    '00dc' frames are baseline JPEGs.  Frames are UNIFORM-8x8-block
+    gray-as-RGB at quality 100: Y equals the block value exactly
+    (0.299+0.587+0.114 = 1) and Cb = Cr = 128 exactly, so every frame
+    survives the lossy codec bit-exactly and the closed form
+    v(id, frame, block) = (id·7 + frame·31 + block·13) mod 256 is
+    SQL-replayable — certifying the MJPG container + JPEG decode path.
+    Geometry: nf = id%4+2 frames of (id%2+1) x (id%3+1) blocks."""
+    schema = "media_id string, payload binary, n_frames int, height int, width int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from deepicedrain_spark.functions.codecs import avi_encode
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "payload", "n_frames", "height", "width")}
+            for raw_id in pdf["_id"]:
+                i = int(raw_id)
+                nf, bh, bw = i % 4 + 2, i % 2 + 1, i % 3 + 1
+                frames = np.empty((nf, bh * 8, bw * 8, 3), dtype=np.uint8)
+                for fi in range(nf):
+                    vals = (i * 7 + fi * 31 + np.arange(bh * bw) * 13) % 256
+                    g = np.repeat(
+                        np.repeat(vals.reshape(bh, bw), 8, axis=0), 8, axis=1
+                    )
+                    frames[fi] = g[:, :, None]
+                rows["media_id"].append(str(i))
+                rows["payload"].append(avi_encode(frames, codec="MJPG", quality=100))
+                rows["n_frames"].append(nf)
+                rows["height"].append(bh * 8)
+                rows["width"].append(bw * 8)
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)

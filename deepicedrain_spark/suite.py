@@ -998,6 +998,7 @@ PRIORITY: list[str] = [
     "time_travel_read",
     "version_diff_cdf",
     "multimodal_jpeg_decode",
+    "multimodal_mjpeg_frames",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

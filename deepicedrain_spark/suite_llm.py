@@ -1328,6 +1328,44 @@ def q_multimodal_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_stats(sampled)
 
 
+# Motion JPEG (round 8): same frame-sampling pipeline, but the AVI's
+# frames are COMPRESSED — independent baseline JPEGs in '00dc' chunks.
+# Uniform-block gray-as-RGB frames at quality 100 are bit-exact
+# through the codec (see attach_mjpeg_media), so the oracle replays
+# pixel stats for a genuinely compressed container without a parser.
+@register(
+    "multimodal_mjpeg_frames",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 4 + 2 AS nf, doc_id % 2 + 1 AS bh,
+             doc_id % 3 + 1 AS bw
+      FROM documents),
+    f AS (SELECT doc_id, bh, bw, unnest(range(0, nf)) AS fi FROM g),
+    sampled AS (SELECT * FROM f WHERE fi % 2 = 0),
+    blocks AS (
+      SELECT doc_id, fi, bh, bw,
+             (doc_id * 7 + fi * 31 + unnest(range(0, bh * bw)) * 13) % 256 AS v
+      FROM sampled)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(bh * bw * 64 * 3 AS BIGINT) AS n_px,
+           round(CAST(sum(v) AS DOUBLE) / (bh * bw), 6) AS mean_px,
+           CAST(max(v) AS INT) AS max_px
+    FROM blocks GROUP BY doc_id, fi, bh, bw
+    """,
+)
+def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.multimodal import (
+        attach_mjpeg_media,
+        frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_mjpeg_media(docs, "doc_id")
+    sampled = sample_frames(media, mode="real", every_n_frames=2)
+    return frame_stats(sampled)
+
+
 # --- RAG-style document chunking (round 6) ---------------------------
 # A training/retrieval pipeline splits documents into fixed word
 # windows with overlap before embedding. W=32-word chunks, stride 24

@@ -496,3 +496,39 @@ def test_image_decode_dispatches_by_signature():
     assert image_decode(jpeg_encode(g, quality=90)).shape == g.shape
     with pytest.raises(ValueError):
         image_decode(b"GIF89a not supported")
+
+
+# --- round 8: Motion JPEG AVI -------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_exactness():
+    from deepicedrain_spark.functions.codecs import avi_decode, avi_encode
+
+    g = _smooth(24, 32)
+    frames = np.stack(
+        [np.stack([g, np.roll(g, i * 3, axis=1), 255 - g], axis=2) for i in range(4)]
+    )
+    data = avi_encode(frames, fps=5, codec="MJPG", quality=90)
+    assert b"MJPG" in data and b"00dc" in data
+    out, fps = avi_decode(data)
+    assert fps == 5 and out.shape == frames.shape
+    assert _psnr(frames, out) > 33.0
+    # uniform-block gray-as-RGB frames at q100 are EXACT (the
+    # multimodal_mjpeg_frames oracle property)
+    vals = np.arange(6, dtype=np.uint8).reshape(2, 3) * 40
+    f0 = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:, :, None].repeat(3, axis=2)
+    exact = np.stack([f0, 255 - f0])
+    out, _ = avi_decode(avi_encode(exact, codec="MJPG", quality=100))
+    np.testing.assert_array_equal(out, exact)
+
+
+def test_avi_unknown_codec_still_a_seam():
+    from deepicedrain_spark.functions.codecs import avi_decode, avi_encode
+    import struct as _s
+
+    frames = np.zeros((1, 8, 8, 3), dtype=np.uint8)
+    data = bytearray(avi_encode(frames, codec="MJPG"))
+    i = data.index(b"strf") + 8 + 16  # biCompression field
+    data[i : i + 4] = _s.pack("<I", _s.unpack("<I", b"H264")[0])
+    with pytest.raises(NotImplementedError, match="avi: compressed video codec"):
+        avi_decode(bytes(data))
