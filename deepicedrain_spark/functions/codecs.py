@@ -54,6 +54,11 @@ def png_encode(pixels: np.ndarray, level: int = 6) -> bytes:
     produce, so decode -> transform -> encode round-trips alpha images
     too. Filter type 0 on every scanline (simplicity over ratio —
     ratio is zlib's job; correctness is what the pipeline needs)."""
+    if np.asarray(pixels).dtype != np.uint8:
+        # uint16 (16-bit PNG decode output) would silently wrap mod 256
+        raise ValueError(
+            f"png_encode: expected uint8 pixels, got {np.asarray(pixels).dtype}"
+        )
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, nch = 0, 1

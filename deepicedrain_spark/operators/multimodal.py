@@ -298,17 +298,19 @@ def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
 
 
 def resize_image(df: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
-    """Resize. mode='real': PNG decode → nearest-neighbor resize in
-    pixel space → PNG re-encode. mode='fake': re-packs a payload of
-    exactly width×height bytes by tiling/truncating (shape-correct
-    plumbing for non-PNG payloads)."""
+    """Resize. mode='real': image decode (PNG or JPEG by signature,
+    round 8) → nearest-neighbor resize in pixel space → PNG re-encode
+    (lossless output regardless of input container). mode='fake':
+    re-packs a payload of exactly width×height bytes by
+    tiling/truncating (shape-correct plumbing for non-image
+    payloads)."""
     _check_mode(mode)
     schema = "media_id string, payload binary, width int, height int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "real":
             from deepicedrain_spark.functions.codecs import (
-                png_decode,
+                image_decode,
                 png_encode,
                 png_resize_nearest,
             )
@@ -318,7 +320,7 @@ def resize_image(df: DataFrame, width: int, height: int, mode: str = "fake") -> 
                     {
                         "media_id": pdf["media_id"],
                         "payload": [
-                            png_encode(png_resize_nearest(png_decode(bytes(b)), width, height))
+                            png_encode(png_resize_nearest(image_decode(bytes(b)), width, height))
                             for b in pdf["payload"]
                         ],
                         "width": width,

@@ -1290,8 +1290,9 @@ def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frame. The oracle replays pixel(f,y,x,c) = (id*7+f*31+y*13+x*3+c*17)
 # mod 256 without touching a container parser: any drift in AVI
 # encode->decode, frame order (bottom-up flip), BGR<->RGB swap, row
-# padding, or PNG re-encode breaks the hash. Compressed video remains
-# an honest NotImplementedError seam.
+# padding, or PNG re-encode breaks the hash. Motion JPEG is covered
+# by multimodal_mjpeg_frames (round 8); inter-frame-compressed video
+# (H.264 etc.) remains an honest NotImplementedError seam.
 @register(
     "multimodal_real_video",
     """
