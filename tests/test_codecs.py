@@ -532,3 +532,29 @@ def test_avi_unknown_codec_still_a_seam():
     data[i : i + 4] = _s.pack("<I", _s.unpack("<I", b"H264")[0])
     with pytest.raises(NotImplementedError, match="avi: compressed video codec"):
         avi_decode(bytes(data))
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "site-packages/IPython/core/tests/2x2.jpg",
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "test/test_email/data/python.jpg",
+    ],
+)
+def test_jpeg_decodes_foreign_libjpeg_files(path):
+    """Cross-validation against files produced by a REAL encoder
+    (libjpeg, shipped inside CPython/IPython test data): Annex-K
+    typical Huffman tables, subsampled chroma — none of which our own
+    encoder emits, so decode success + sane geometry is independent
+    evidence. Skipped when the host provides no such files."""
+    import os
+
+    from deepicedrain_spark.functions.jpeg import jpeg_decode
+
+    if not os.path.exists(path):
+        pytest.skip("no foreign libjpeg sample on this host")
+    out = jpeg_decode(open(path, "rb").read())
+    assert out.dtype == np.uint8
+    assert out.shape[0] >= 2 and out.shape[1] >= 2
