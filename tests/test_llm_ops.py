@@ -53,6 +53,42 @@ def test_minhash_near_duplicates(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_pairs_memo(spark, tmp_path):
+    """File-scan inputs memoize the verified pair table per
+    (application, fingerprint, params); in-memory inputs bypass the
+    cache; a rewritten source file invalidates the entry."""
+    import time
+
+    from deepicedrain_spark.operators import dedup
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(DOCS).write.parquet(p)
+    dedup.clear_pairs_cache()
+    docs = spark.read.parquet(p)
+    a = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    assert len(dedup._PAIRS_CACHE) == 1
+    b = dedup.minhash_near_duplicates(spark.read.parquet(p), threshold=0.5)
+    assert b is a  # cache hit returns the checkpointed frame itself
+    rows_a = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    assert (0, 1) in rows_a
+    # different params -> different entry
+    dedup.minhash_near_duplicates(docs, threshold=0.9)
+    assert len(dedup._PAIRS_CACHE) == 2
+    # in-memory frame: no fingerprint, no caching
+    mem = spark.createDataFrame(DOCS)
+    out = dedup.minhash_near_duplicates(mem, threshold=0.5)
+    assert out is not a and len(dedup._PAIRS_CACHE) == 2
+    # rewriting the file (new mtime/size) invalidates
+    time.sleep(0.05)
+    spark.createDataFrame(DOCS + [Row(doc_id=9, text="the quick brown fox jumps high")]).write.mode(
+        "overwrite"
+    ).parquet(p)
+    c = dedup.minhash_near_duplicates(spark.read.parquet(p), threshold=0.5)
+    assert c is not a and len(dedup._PAIRS_CACHE) == 3
+    dedup.clear_pairs_cache()
+    assert not dedup._PAIRS_CACHE
+
+
 def test_simhash_identical_and_distinct(spark):
     df = spark.createDataFrame(DOCS)
     fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
