@@ -335,6 +335,66 @@ def ngram_jaccard_pairs(
     return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span finder (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    k-token window whose text occurs MORE THAN ONCE in the corpus
+    (across documents or repeated within one) is duplicated, and
+    overlapping/adjacent duplicated windows merge into maximal spans —
+    the unit a dedup pass would actually cut. Output one row per
+    maximal span: (id, span_start, span_tokens) with span_start the
+    0-based token offset and span_tokens = run_length + k − 1.
+
+    The reference corpus has no substring dedup (extension op); the
+    published method uses a suffix array over the concatenated corpus,
+    which is inherently single-machine — the window-hash formulation
+    below is the distributed equivalent for fixed k.
+
+    Scale shape (100 TB): windows are a map-side explode carrying a
+    16-byte md5 instead of the window text; ONE exchange keyed on the
+    hash computes corpus occurrence counts via a window function (no
+    join, no broadcast of a possibly-huge duplicated-hash set); the
+    maximal-run merge (gaps and islands: pos − row_number) is one
+    exchange keyed on the doc. Nothing is all-pairs and no driver
+    collect exists."""
+    ws = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    toks = df.select(F.col(id_col), ws.alias("_ws"))
+    # guard: sequence(0, negative) DESCENDS in Spark — short docs must
+    # short-circuit to an empty window list
+    win_idx = F.when(
+        F.size("_ws") >= k, F.sequence(F.lit(0), F.size("_ws") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                win_idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice("_ws", i + 1, F.lit(k)), " ")).alias("h"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup_pos = wins.withColumn("_occ", occ).filter(F.col("_occ") >= 2)
+    run = Window.partitionBy(id_col).orderBy("pos")
+    runs = dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(run))
+    return (
+        runs.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_tokens")
+    )
+
+
 def paragraph_dedup_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -999,6 +999,7 @@ PRIORITY: list[str] = [
     "version_diff_cdf",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_frames",
+    "exact_substring_spans",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -920,6 +920,44 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_stats(docs, chunk_tokens=10)
 
 
+# ExactSubstr dedup (Lee et al. 2022): maximal duplicated k-token
+# spans. The published tool is a single-machine suffix array; the
+# distributed equivalent for fixed k hashes every sliding window,
+# counts corpus occurrences in one hash-keyed exchange, and merges
+# adjacent duplicated positions gaps-and-islands style per doc.
+@register(
+    "exact_substring_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    wins AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS i, ws
+      FROM toks WHERE len(ws) >= 8),
+    winh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(ws[i:(i+7)], ' ')) AS h
+      FROM wins),
+    occ AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM winh),
+    dup_pos AS (SELECT doc_id, pos FROM occ WHERE c >= 2),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup_pos)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(count(*) + 7 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=8)
+
+
 # --- multimodal REAL codecs (round 3) -----------------------------------
 # mode='real' now decodes actual bytes: PNG payloads (signature, IHDR,
 # zlib IDAT, CRC-checked chunks) and PCM16 WAV, via the pure-stdlib

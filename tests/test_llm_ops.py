@@ -53,6 +53,36 @@ def test_minhash_near_duplicates(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_duplicated_spans_maximal_runs(spark):
+    """Two docs sharing a 6-token run with k=4: duplicated windows at
+    positions 0..2 merge into ONE maximal span of 6 tokens; an
+    intra-doc repeat is caught too; unique docs emit nothing."""
+    from deepicedrain_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=shared + " unique tail zero"),
+            Row(doc_id=1, text="head one " + shared),
+            Row(doc_id=2, text="w x y z w x y z"),  # intradoc repeat of 'w x y z'
+            Row(doc_id=3, text="totally different words entirely here now"),
+            Row(doc_id=4, text="short doc"),  # < k tokens
+        ]
+    )
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in duplicated_spans(df, k=4).collect()
+    }
+    assert (0, 0, 6) in rows  # maximal merged span, not 3 window rows
+    assert (1, 2, 6) in rows
+    # intradoc: only the exact 'w x y z' windows (pos 0 and 4) repeat;
+    # the rotated windows between them occur once, so the two
+    # occurrences stay separate 4-token spans
+    assert (2, 0, 4) in rows and (2, 4, 4) in rows
+    assert not any(d in (3, 4) for d, _, _ in rows)
+    assert len(rows) == 4
+
+
 def test_minhash_pairs_memo(spark, tmp_path):
     """File-scan inputs memoize the verified pair table per
     (application, fingerprint, params); in-memory inputs bypass the
