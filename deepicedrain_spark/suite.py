@@ -1000,6 +1000,7 @@ PRIORITY: list[str] = [
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_frames",
     "exact_substring_spans",
+    "ann_recall_at_k",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

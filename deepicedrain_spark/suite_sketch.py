@@ -417,6 +417,106 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN quality gate: recall@3 of the trained-IVF index vs exact
+# brute-force cosine, per query. Every approximate index needs this
+# measurement next to it — a fast index with silent recall collapse is
+# worse than no index. The exact side is the 20-query sampled
+# diagnostic (broadcast queries × corpus scan, the documented
+# brute-force baseline); the IVF side is the production cell-equi-join
+# plan. Both sides replicate their already-driver-green single-engine
+# semantics; the recall roll-up is one tiny join + groupBy.
+_ANN_RECALL_SQL = f"""
+{_kmeans_chain()},
+    corpus AS (
+      SELECT vec_id AS cand_id, v AS cv, cluster FROM (
+        SELECT vec_id, v, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(dist, 6), cluster) AS rk
+        FROM (SELECT e.vec_id, e.v, c.cluster,
+                     {_KM_DIST.format(d=_KM_D, p="e.v", c="c.cvec")} AS dist
+              FROM e CROSS JOIN cent{_KM_ITERS} c))
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    qprobe AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT q.query_id, q.qv, c.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({_KM_DIST.format(d=_KM_D, p="q.qv", c="c.cvec")}, 6),
+                                           c.cluster) AS rk
+        FROM q CROSS JOIN cent{_KM_ITERS} c)
+      WHERE rk <= 2),
+    ivf_scored AS (
+      SELECT p.query_id, c.cand_id,
+             round(
+               list_sum(list_transform(generate_series(1, {_KM_D}),
+                 i -> p.qv[i] * c.cv[i]))
+               / sqrt(list_sum(list_transform(generate_series(1, {_KM_D}),
+                        i -> p.qv[i] * p.qv[i]))
+                    * list_sum(list_transform(generate_series(1, {_KM_D}),
+                        i -> c.cv[i] * c.cv[i]))), 6) AS cos
+      FROM qprobe p JOIN corpus c USING (cluster)
+      WHERE p.query_id <> c.cand_id),
+    ivf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+        FROM ivf_scored)
+      WHERE rk <= 3),
+    exact_scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             list_sum(list_transform(generate_series(1, {_KM_D}),
+               i -> q.qv[i] * e.v[i]))
+             / sqrt(list_sum(list_transform(generate_series(1, {_KM_D}),
+                      i -> q.qv[i] * q.qv[i]))
+                  * list_sum(list_transform(generate_series(1, {_KM_D}),
+                      i -> e.v[i] * e.v[i]))) AS cos
+      FROM e CROSS JOIN q WHERE q.query_id <> e.vec_id),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(cos, 6) DESC, cand_id) AS rk
+        FROM exact_scored)
+      WHERE rk <= 3)
+SELECT x.query_id,
+       CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+       round(CAST(count(i.cand_id) AS DOUBLE) / 3, 6) AS recall
+FROM exact x LEFT JOIN ivf i
+  ON i.query_id = x.query_id AND i.cand_id = x.cand_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+
+@register("ann_recall_at_k", _ANN_RECALL_SQL)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the trained-IVF ANN against exact brute-force
+    cosine, per query: |IVF top-3 ∩ exact top-3| / 3.  Reuses the two
+    driver-green sides verbatim (train-once centroids; cell-equi-join
+    IVF; broadcast-query exact scan) and rolls up with one left join."""
+    from deepicedrain_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=3).select(
+        "query_id", "cand_id"
+    )
+    ivf = q_ivf_topk_trained(spark, sf_dir).select("query_id", "cand_id")
+    hit = exact.join(ivf, ["query_id", "cand_id"], "left_semi")
+    hits = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 3, 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- exact distributed quantile boundaries ----------------------------
 _QSQL = """
 WITH counts AS (
