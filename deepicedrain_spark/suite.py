@@ -1001,6 +1001,8 @@ PRIORITY: list[str] = [
     "multimodal_mjpeg_frames",
     "exact_substring_spans",
     "ann_recall_at_k",
+    "bpe_merge_table",
+    "bpe_encode_tokens",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -958,6 +958,126 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, k=8)
 
 
+# --- BPE tokenizer (train + encode) ------------------------------------
+# Sennrich et al. 2016 subword units. The oracle replays training
+# merge-for-merge: pair counts over the distinct-word table, winner by
+# (count DESC, pair ASC), application via a per-word recursive
+# index-scan — the leftmost-greedy-with-skip semantics the Spark fold
+# implements (a fold cannot re-merge its own output within a pass, so
+# the two formulations coincide; see operators/bpe.py).
+_BPE_MERGES = 6
+
+
+def _bpe_chain(m: int = _BPE_MERGES) -> str:
+    parts = [
+        "w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))"
+        " AS word FROM documents)",
+        """state0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+      FROM w GROUP BY word)""",
+    ]
+    for t in range(1, m + 1):
+        s = t - 1
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+        # reference, so without it each state/merge reference re-executes
+        # the whole upstream chain (exponential in n_merges — measured as
+        # a hang at 6). The one-row merge table cross-joins into the scan
+        # (a single reference) instead of repeated scalar subqueries.
+        parts.append(
+            f"""merge{t} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS n
+        FROM state{s}, unnest(generate_series(1, len(syms) - 1)) g(i)
+        WHERE len(syms) >= 2 GROUP BY 1, 2)
+      ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""state{t} AS MATERIALIZED (
+      WITH RECURSIVE scan{t}(word, freq, syms, i, out) AS (
+        SELECT word, freq, syms, 1, CAST([] AS VARCHAR[]) FROM state{s}
+        UNION ALL
+        SELECT sc.word, sc.freq, sc.syms,
+               CASE WHEN sc.i < len(sc.syms) AND sc.syms[sc.i] = m.a
+                         AND sc.syms[sc.i+1] = m.b
+                    THEN sc.i + 2 ELSE sc.i + 1 END,
+               CASE WHEN sc.i < len(sc.syms) AND sc.syms[sc.i] = m.a
+                         AND sc.syms[sc.i+1] = m.b
+                    THEN sc.out || [m.a || m.b]
+                    ELSE sc.out || [sc.syms[sc.i]] END
+        FROM scan{t} sc, merge{t} m WHERE sc.i <= len(sc.syms))
+      SELECT word, freq, out AS syms FROM scan{t} WHERE i = len(syms) + 1)"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_BPE_MERGE_SQL = (
+    _bpe_chain()
+    + "\n"
+    + "SELECT * FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged"
+        f" FROM merge{t}"
+        for t in range(1, _BPE_MERGES + 1)
+    )
+    + "\n) ORDER BY step"
+)
+
+
+@register("bpe_merge_table", _BPE_MERGE_SQL)
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge list (train-once per source fingerprint;
+    O(n_merges) driver state, the k-means-centroid shape)."""
+    from deepicedrain_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step long, lhs string, rhs string, merged string"
+    ).orderBy("step")
+
+
+_BPE_ENCODE_SQL = (
+    _bpe_chain()
+    + f""",
+    tok AS (
+      SELECT u.s AS token, CAST(sum(freq) AS BIGINT) AS n
+      FROM state{_BPE_MERGES}, unnest(syms) AS u(s) GROUP BY 1)
+SELECT token, n FROM tok ORDER BY n DESC, token LIMIT 30
+"""
+)
+
+
+@register("bpe_encode_tokens", _BPE_ENCODE_SQL)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequencies after BPE encoding. Tokenization
+    is dictionary-encoded: the corpus collapses to the distinct-word
+    frequency table (one shuffle), the merge folds run once per VOCAB
+    entry instead of once per word occurrence (zipfian text makes that
+    orders of magnitude less fold work), and token counts are the
+    freq-weighted explode of the encoded vocab — the same reduction the
+    oracle replays. bpe_encode() remains the map-only per-document
+    tokenizer for pipelines that need tokens attached to rows."""
+    from deepicedrain_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    vocab = word_frequencies(docs)
+    enc = bpe_encode(vocab, merges, text_col="word")
+    return (
+        enc.select("freq", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
+
+
 # --- multimodal REAL codecs (round 3) -----------------------------------
 # mode='real' now decodes actual bytes: PNG payloads (signature, IHDR,
 # zlib IDAT, CRC-checked chunks) and PCM16 WAV, via the pure-stdlib

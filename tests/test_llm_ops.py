@@ -53,6 +53,47 @@ def test_minhash_near_duplicates(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_bpe_train_and_encode(spark):
+    """Sennrich-style sanity: frequent word-internal pairs merge first,
+    encode applies them leftmost-greedy, and the train memo keys on the
+    source fingerprint."""
+    from deepicedrain_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="low lower lowest low low"),
+            Row(doc_id=1, text="new newer newest new"),
+        ]
+    )
+    merges = bpe.bpe_train(df, n_merges=4)
+    assert merges[0] == ("l", "o")  # 'lo' appears 5x, the corpus max
+    assert ("lo", "w") in merges
+    enc = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(df, merges).collect()}
+    assert enc[0][:2] == ["low", "low"]
+    assert "new" in enc[1]
+    # leftmost-greedy fold on a repeat run: pair (a,a) over 'aaa' -> aa, a
+    rep = spark.createDataFrame([Row(doc_id=0, text="aaa aaa")])
+    m2 = bpe.bpe_train(rep, n_merges=1)
+    assert m2 == [("a", "a")]
+    got = bpe.bpe_encode(rep, m2).collect()[0]["tokens"]
+    assert got == ["aa", "a", "aa", "a"]
+    # in-memory frames bypass the cache; file scans hit it
+    assert bpe._BPE_CACHE == {}
+
+
+def test_bpe_train_cache_on_files(spark, tmp_path):
+    from deepicedrain_spark.operators import bpe
+
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame([Row(doc_id=0, text="ab ab ab")]).write.parquet(p)
+    bpe.clear_bpe_cache()
+    m1 = bpe.bpe_train(spark.read.parquet(p), n_merges=1)
+    assert m1 == [("a", "b")] and len(bpe._BPE_CACHE) == 1
+    m2 = bpe.bpe_train(spark.read.parquet(p), n_merges=1)
+    assert m2 is m1  # memo hit
+    bpe.clear_bpe_cache()
+
+
 def test_duplicated_spans_maximal_runs(spark):
     """Two docs sharing a 6-token run with k=4: duplicated windows at
     positions 0..2 merge into ONE maximal span of 6 tokens; an
