@@ -229,22 +229,16 @@ def _block_grid(plane: np.ndarray) -> np.ndarray:
     return padded.reshape(ph // 8, 8, pw // 8, 8).swapaxes(1, 2)
 
 
-def jpeg_encode(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF JPEG from (H, W) gray or (H, W, 3) RGB uint8.
-    ``subsample=True`` emits 4:2:0 chroma (2x2 box average), else
-    4:4:4.  ``restart_interval=N`` emits DRI + an RSTn marker every N
-    MCUs (DC predictors reset, scan byte-aligned).  Huffman tables are
-    built from the image's own symbol set and written to DHT."""
+def _prepare_encode(
+    pixels: np.ndarray, quality: int, subsample: bool, caller: str
+) -> tuple:
+    """Shared encode front half: color transform, optional 4:2:0,
+    quantized zigzag coefficients, sampling geometry."""
     arr = np.asarray(pixels)
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
-        raise ValueError("jpeg_encode: expected (H,W) or (H,W,3) uint8")
+        raise ValueError(f"{caller}: expected (H,W) or (H,W,3) uint8")
     if arr.ndim == 3 and arr.shape[2] != 3:
-        raise ValueError("jpeg_encode: color images must be RGB")
+        raise ValueError(f"{caller}: color images must be RGB")
     h, w = arr.shape[:2]
     planes = _to_planes(arr)
     ncomp = len(planes)
@@ -274,6 +268,50 @@ def jpeg_encode(
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return h, w, ncomp, samp, comp_zz, qluma, qchroma, hmax, vmax, mcux, mcuy
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _headers(
+    h: int,
+    w: int,
+    ncomp: int,
+    samp: list,
+    qluma: np.ndarray,
+    qchroma: np.ndarray,
+    sof_marker: int,
+) -> bytearray:
+    """SOI + JFIF + DQT + SOF; DHT/DRI/SOS appended by the caller."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate([qluma] + ([qchroma] if ncomp == 3 else [])):
+        zzq = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += _seg(0xDB, bytes([tq]) + zzq)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tq])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def jpeg_encode(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF JPEG from (H, W) gray or (H, W, 3) RGB uint8.
+    ``subsample=True`` emits 4:2:0 chroma (2x2 box average), else
+    4:4:4.  ``restart_interval=N`` emits DRI + an RSTn marker every N
+    MCUs (DC predictors reset, scan byte-aligned).  Huffman tables are
+    built from the image's own symbol set and written to DHT."""
+    h, w, ncomp, samp, comp_zz, qluma, qchroma, hmax, vmax, mcux, mcuy = (
+        _prepare_encode(pixels, quality, subsample, "jpeg_encode")
+    )
 
     def mcu_blocks(my: int, mx: int):
         """(comp index, zz block) of one MCU in interleaved order."""
@@ -353,31 +391,209 @@ def jpeg_encode(
     scan = bw.flush()
 
     # ---- container ----
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tq, q in enumerate([qluma] + ([qchroma] if ncomp == 3 else [])):
-        zzq = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
-        out += seg(0xDB, bytes([tq]) + zzq)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for ci in range(ncomp):
-        tq = 0 if ci == 0 else 1
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tq])
-    out += seg(0xC0, sof)
+    out = _headers(h, w, ncomp, samp, qluma, qchroma, 0xC0)
     for cls in range(ncls):
         for tc, (bits, vals) in ((0, dc_tbl[cls]), (1, ac_tbl[cls])):
-            out += seg(0xC4, bytes([(tc << 4) | cls]) + bytes(bits) + bytes(vals))
+            out += _seg(0xC4, bytes([(tc << 4) | cls]) + bytes(bits) + bytes(vals))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         cls = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (cls << 4) | cls])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) JFIF JPEG with the standard four-phase scan
+    script: interleaved DC first (Al=1), per-component AC first
+    (Ss=1..63, Al=1) with EOB-run coding, interleaved DC refinement
+    (raw bits), per-component AC refinement (correction bits per T.81
+    G.1.2.3 / libjpeg encode_mcu_AC_refine).  Each scan carries its own
+    DHT built from exactly its symbol set.  Decoding a progressive
+    encode is bit-identical to decoding the baseline encode of the
+    same pixels (same quantized coefficients)."""
+    h, w, ncomp, samp, comp_zz, qluma, qchroma, hmax, vmax, mcux, mcuy = (
+        _prepare_encode(pixels, quality, subsample, "jpeg_encode_progressive")
+    )
+    al = 1  # successive-approximation split: first pass at Al=1, refine to 0
+
+    def comp_blocks(ci: int):
+        """Component blocks in raster order — comp_zz already has the
+        TRUE per-component block dims (ceil(samples/8), no MCU pad),
+        which is exactly what a non-interleaved scan covers."""
+        zzc = comp_zz[ci]
+        for r in range(zzc.shape[0]):
+            for c in range(zzc.shape[1]):
+                yield zzc[r, c]
+
+    def mcu_dc_blocks():
+        """(ci, zz) per block in interleaved MCU order."""
+        for m in range(mcuy * mcux):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                zzc = comp_zz[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        r = min(my * sv + by, zzc.shape[0] - 1)
+                        c = min(mx * sh + bx, zzc.shape[1] - 1)
+                        yield ci, zzc[r, c]
+
+    # tokens per scan: list of (cls_or_None, symbol, [(value, nbits)...])
+    def scan_segment(tokens, tables):
+        """Huffman-code one scan's tokens; tables maps class -> codes."""
+        bw_ = _BitWriter()
+        for cls, sym, extras in tokens:
+            if sym is not None:
+                code, ln = tables[cls][sym]
+                bw_.put(code, ln)
+            for v, nb in extras:
+                if nb:
+                    bw_.put(v, nb)
+        return bw_.flush()
+
+    def dht_for(tokens, tc: int) -> tuple[bytes, dict]:
+        """One DHT segment per class present in tokens + code dicts."""
+        syms: dict[int, set] = {}
+        for cls, sym, _ in tokens:
+            if sym is not None:
+                syms.setdefault(cls, set()).add(sym)
+        seg_bytes = b""
+        codes = {}
+        for cls in sorted(syms):
+            bits, vals = _fixed_table(syms[cls])
+            seg_bytes += _seg(
+                0xC4, bytes([(tc << 4) | cls]) + bytes(bits) + bytes(vals)
+            )
+            codes[cls] = _canonical_codes(bits, vals)
+        return seg_bytes, codes
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al_: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            cls = 0 if cid == 1 else 1
+            body += bytes([cid, (cls << 4) | cls])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al_]))
+
+    out = _headers(h, w, ncomp, samp, qluma, qchroma, 0xC2)
+
+    # --- scan 1: DC first, all components interleaved, Al=1 ----------
+    preds = [0] * ncomp
+    toks = []
+    for ci, zz in mcu_dc_blocks():
+        cls = 0 if ci == 0 else 1
+        v = int(zz[0]) >> al  # arithmetic shift (T.81 DC point transform)
+        diff = v - preds[ci]
+        preds[ci] = v
+        cat = _category(diff)
+        toks.append((cls, cat, [(diff if diff >= 0 else diff + (1 << cat) - 1, cat)]))
+    dht, codes = dht_for(toks, 0)
+    out += dht
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, al)
+    out += scan_segment(toks, codes)
+
+    # --- per component: AC first (Ss=1..63, Al=1) with EOB runs ------
+    def flush_eob(toks_, cls, eobrun_, pending_bits):
+        if eobrun_:
+            nb = eobrun_.bit_length() - 1
+            toks_.append((cls, nb << 4, [(eobrun_ - (1 << nb), nb)]))
+            toks_.extend((cls, None, [(b, 1)]) for b in pending_bits)
+            pending_bits.clear()
+        return 0
+
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 else 1
+        toks = []
+        eobrun = 0
+        for zz in comp_blocks(ci):
+            vals = [int(v) for v in zz]
+            shifted = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in vals]
+            nz = [k for k in range(1, 64) if shifted[k]]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = flush_eob(toks, cls, eobrun, [])
+                continue
+            eobrun = flush_eob(toks, cls, eobrun, [])
+            k = 1
+            for pos_ in nz:
+                run = pos_ - k
+                while run > 15:
+                    toks.append((cls, 0xF0, []))
+                    run -= 16
+                v = shifted[pos_]
+                cat = _category(v)
+                toks.append(
+                    (cls, (run << 4) | cat, [(v if v >= 0 else v + (1 << cat) - 1, cat)])
+                )
+                k = pos_ + 1
+            if k <= 63:
+                eobrun += 1
+        flush_eob(toks, cls, eobrun, [])
+        dht, codes = dht_for(toks, 1)
+        out += dht
+        out += sos_header([ci + 1], 1, 63, 0, al)
+        out += scan_segment(toks, codes)
+
+    # --- DC refinement: one raw bit per block, no Huffman ------------
+    bw_ = _BitWriter()
+    for _, zz in mcu_dc_blocks():
+        bw_.put(int(zz[0]) & 1, 1)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, al, 0)
+    out += bw_.flush()
+
+    # --- per component: AC refinement (Ah=1 -> Al=0) ------------------
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 else 1
+        toks = []
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered with the EOB run
+        for zz in comp_blocks(ci):
+            vals = [int(v) for v in zz]
+            absv = [abs(v) for v in vals]
+            eob_idx = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob_idx = k
+            r = 0
+            br_local: list[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_idx:
+                    eobrun = flush_eob(toks, cls, eobrun, pending)
+                    toks.append((cls, 0xF0, []))
+                    toks.extend((cls, None, [(b, 1)]) for b in br_local)
+                    br_local = []
+                    r -= 16
+                if t > 1:  # history-nonzero: correction bit, run unaffected
+                    br_local.append(t & 1)
+                    continue
+                eobrun = flush_eob(toks, cls, eobrun, pending)
+                toks.append((cls, (r << 4) | 1, [(1 if vals[k] >= 0 else 0, 1)]))
+                toks.extend((cls, None, [(b, 1)]) for b in br_local)
+                br_local = []
+                r = 0
+            if r > 0 or br_local:
+                eobrun += 1
+                pending.extend(br_local)
+                if eobrun == 0x7FFF:
+                    eobrun = flush_eob(toks, cls, eobrun, pending)
+        flush_eob(toks, cls, eobrun, pending)
+        dht, codes = dht_for(toks, 1)
+        out += dht
+        out += sos_header([ci + 1], 1, 63, al, 0)
+        out += scan_segment(toks, codes)
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -422,17 +638,194 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _scan_units(frame: dict, scan_comps: list) -> "list[list[tuple[int, int, int]]]":
+    """Restart units of one scan as lists of (scan index, block row,
+    block col).  Interleaved scans iterate the MCU grid (T.81 A.2.3);
+    single-component scans iterate the COMPONENT's own block grid
+    (A.2.2) — its true block dims, not the MCU-padded ones."""
+    if len(scan_comps) == 1:
+        comp = scan_comps[0][0]
+        return [[(0, r, c)] for r in range(comp["bh"]) for c in range(comp["bw"])]
+    out = []
+    for m in range(frame["mcuy"] * frame["mcux"]):
+        my, mx = divmod(m, frame["mcux"])
+        unit = []
+        for si, (comp, _, _) in enumerate(scan_comps):
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    unit.append((si, my * comp["v"] + by, mx * comp["h"] + bx))
+        out.append(unit)
+    return out
+
+
+def _refine_nonzero(br: _BitReader, zz: np.ndarray, k: int, p1: int) -> None:
+    """One AC-refinement correction bit (T.81 G.2.2.3 / libjpeg
+    decode_mcu_AC_refine): a 1-bit adds p1 toward the coefficient's
+    sign if bit Al is not already set."""
+    if br.bits(1) and (zz[k] & p1) == 0:
+        zz[k] += p1 if zz[k] >= 0 else -p1
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    body: bytes,
+    coefs: list[np.ndarray],
+    qtables: dict,
+    htables: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one SOS entropy segment into the frame's coefficient
+    arrays; returns the byte offset of the next marker.  Handles
+    baseline sequential scans and all four progressive scan kinds
+    (DC/AC × first/refinement)."""
+    ns = body[0]
+    scan_comps = []
+    for i in range(ns):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        idx, comp = next(
+            (j, c) for j, c in enumerate(frame["comps"]) if c["id"] == cs
+        )
+        scan_comps.append((comp, tt >> 4, tt & 0xF, idx))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+    progressive = frame["progressive"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        if ss > 0 and ns != 1:
+            raise ValueError("jpeg: progressive AC scan must be single-component")
+    units = _scan_units(frame, [(c, td, ta) for c, td, ta, _ in scan_comps])
+    br = _BitReader(data, pos)
+    preds = [0] * ns
+    eobrun = 0
+    for m, unit in enumerate(units):
+        if restart_interval and m and m % restart_interval == 0:
+            rst = br.align_marker()
+            if not 0xD0 <= rst <= 0xD7:
+                raise ValueError("jpeg: expected restart marker")
+            preds = [0] * ns
+            eobrun = 0
+        for si, r, c in unit:
+            comp, td, ta, idx = scan_comps[si]
+            zz = coefs[idx][r, c]
+            if not progressive:
+                dc = htables[(0, td)]
+                ac = htables[(1, ta)]
+                cat = dc.read(br)
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                preds[si] += diff
+                zz[0] = preds[si]
+                k = 1
+                while k < 64:
+                    sym = ac.read(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 0xF
+                    if cat == 0 and run == 15:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = _extend(br.bits(cat), cat)
+                    k += 1
+            elif ss == 0 and ah == 0:  # DC first (G.2.1)
+                cat = htables[(0, td)].read(br)
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                preds[si] += diff
+                zz[0] = preds[si] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                zz[0] |= br.bits(1) << al
+            elif ah == 0:  # AC first with EOB runs (G.2.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                ac = htables[(1, ta)]
+                k = ss
+                while k <= se:
+                    sym = ac.read(br)
+                    run, cat = sym >> 4, sym & 0xF
+                    if cat == 0:
+                        if run < 15:  # EOBn
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += br.bits(run)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = _extend(br.bits(cat), cat) << al
+                    k += 1
+            else:  # AC refinement (G.2.2.3)
+                p1 = 1 << al
+                ac = htables[(1, ta)]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = ac.read(br)
+                        run, cat = sym >> 4, sym & 0xF
+                        val = 0
+                        if cat == 0:
+                            if run < 15:  # EOBn
+                                # full (1<<r)+extra here — the tail below
+                                # runs for THIS block too and decrements,
+                                # unlike the AC-first path whose break
+                                # alone consumes the current block
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += br.bits(run)
+                                break
+                            # ZRL: skip 16 history-zero coefficients
+                        elif cat == 1:
+                            val = p1 if br.bits(1) else -p1
+                        else:
+                            raise ValueError("jpeg: bad refinement symbol")
+                        while k <= se:
+                            if zz[k]:
+                                _refine_nonzero(br, zz, k, p1)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k]:
+                            _refine_nonzero(br, zz, k, p1)
+                        k += 1
+                    eobrun -= 1
+    # advance to the next marker (skip pad bits / stuffed bytes)
+    pos = br.pos
+    while pos + 1 < len(data) and (
+        data[pos] != 0xFF or data[pos + 1] in (0x00,) or 0xD0 <= data[pos + 1] <= 0xD7
+    ):
+        pos += 1
+    return pos
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG to (H, W) uint8 gray or (H, W, 3) uint8
-    RGB.  Any sampling factors; chroma upsampled by pixel replication
-    (the nearest-neighbor rule every codec path here uses)."""
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG to (H, W)
+    uint8 gray or (H, W, 3) uint8 RGB.  Scans accumulate into
+    per-component coefficient arrays (progressive files carry many);
+    reconstruction happens once at EOI.  Any sampling factors; chroma
+    upsampled by pixel replication (the nearest-neighbor rule every
+    codec path here uses)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg_decode: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
-    frame = None
+    frame: dict | None = None
+    coefs: list[np.ndarray] = []
+    scanned = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg_decode: expected marker")
@@ -465,7 +858,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 htables[(tc, th)] = _HuffDecoder(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"jpeg: {prec}-bit precision")
@@ -475,9 +868,27 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("jpeg: progressive DCT")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # true per-component block dims (ceil of sample dims / 8)
+                c["bw"] = (fw * c["h"] + 8 * hmax - 1) // (8 * hmax)
+                c["bh"] = (fh * c["v"] + 8 * vmax - 1) // (8 * vmax)
+            frame = {
+                "fh": fh,
+                "fw": fw,
+                "comps": comps,
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcux": mcux,
+                "mcuy": mcuy,
+                "progressive": marker == 0xC2,
+            }
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64) for c in comps
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"jpeg: SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
@@ -485,80 +896,33 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("jpeg_decode: SOS before SOF")
-            ns = body[0]
-            scan_comps = []
-            for i in range(ns):
-                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame[2] if c["id"] == cs)
-                scan_comps.append((comp, tt >> 4, tt & 0xF))
-            fh, fw, _ = frame
-            hmax = max(c["h"] for c in frame[2])
-            vmax = max(c["v"] for c in frame[2])
-            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-            coefs = []
-            for comp, _, _ in scan_comps:
-                coefs.append(
-                    np.zeros((mcuy * comp["v"], mcux * comp["h"], 64), np.int64)
-                )
-            br = _BitReader(data, pos)
-            preds = [0] * ns
-            nmcu = mcuy * mcux
-            for m in range(nmcu):
-                if restart_interval and m and m % restart_interval == 0:
-                    rst = br.align_marker()
-                    if not 0xD0 <= rst <= 0xD7:
-                        raise ValueError("jpeg: expected restart marker")
-                    preds = [0] * ns
-                my, mx = divmod(m, mcux)
-                for si, (comp, td, ta) in enumerate(scan_comps):
-                    dc = htables[(0, td)]
-                    ac = htables[(1, ta)]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            zz = coefs[si][my * comp["v"] + by, mx * comp["h"] + bx]
-                            cat = dc.read(br)
-                            diff = _extend(br.bits(cat), cat) if cat else 0
-                            preds[si] += diff
-                            zz[0] = preds[si]
-                            k = 1
-                            while k < 64:
-                                sym = ac.read(br)
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, cat = sym >> 4, sym & 0xF
-                                if cat == 0 and run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError("jpeg: AC index overflow")
-                                zz[k] = _extend(br.bits(cat), cat)
-                                k += 1
-            # reconstruct planes
-            planes = []
-            for si, (comp, _, _) in enumerate(scan_comps):
-                q = qtables[comp["tq"]]
-                grid = np.zeros(coefs[si].shape[:2] + (8, 8))
-                grid[:, :, _ZZ_ROWS, _ZZ_COLS] = coefs[si]
-                grid *= q
-                px = np.einsum("xu,byuv,wv->byxw", _M.T, grid, _M.T)
-                by, bx = px.shape[:2]
-                plane = px.swapaxes(1, 2).reshape(by * 8, bx * 8) + 128.0
-                plane = np.repeat(
-                    np.repeat(plane, vmax // comp["v"], axis=0),
-                    hmax // comp["h"],
-                    axis=1,
-                )
-                planes.append(plane[:fh, :fw])
-            if ns == 1:
-                out = planes[0]
-                return np.clip(np.round(out), 0, 255).astype(np.uint8)
-            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-            r = y + 1.402 * cr
-            g = y - 0.344136286 * cb - 0.714136286 * cr
-            b = y + 1.772 * cb
-            rgb = np.stack([r, g, b], axis=2)
-            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            pos = _decode_scan(
+                data, pos, frame, body, coefs, qtables, htables, restart_interval
+            )
+            scanned = True
         # APPn / COM / anything else with a length: skipped
-    raise ValueError("jpeg_decode: no scan data found")
+    if frame is None or not scanned:
+        raise ValueError("jpeg_decode: no scan data found")
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        q = qtables[comp["tq"]]
+        grid = np.zeros(coefs[ci].shape[:2] + (8, 8))
+        grid[:, :, _ZZ_ROWS, _ZZ_COLS] = coefs[ci]
+        grid *= q
+        px = np.einsum("xu,byuv,wv->byxw", _M.T, grid, _M.T)
+        by, bx = px.shape[:2]
+        plane = px.swapaxes(1, 2).reshape(by * 8, bx * 8) + 128.0
+        plane = np.repeat(
+            np.repeat(plane, frame["vmax"] // comp["v"], axis=0),
+            frame["hmax"] // comp["h"],
+            axis=1,
+        )
+        planes.append(plane[: frame["fh"], : frame["fw"]])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

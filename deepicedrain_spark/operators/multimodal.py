@@ -107,7 +107,7 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("_id")).mapInPandas(batches, schema=schema)
 
 
-def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+def attach_jpeg_media(df: DataFrame, id_col: str, progressive: bool = False) -> DataFrame:
     """Real-JPEG media table (round 8): per row, a gray image of
     (id%3+1) x (id%4+1) UNIFORM 8x8 blocks, block b's value
     (id·31 + b·7) mod 256, encoded at quality 100 (all quantizers 1).
@@ -115,13 +115,19 @@ def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     the lossy-in-general codec is EXACT here and a SQL oracle can
     replay every pixel stat — certifying the full Huffman + DCT decode
     path, including restart markers (ids divisible by 5 encode with
-    restart_interval=2)."""
+    restart_interval=2).  ``progressive=True`` emits SOF2 files instead
+    (four-phase scan script: DC first/refine + AC first/refine with EOB
+    runs) — same exactness argument, so the same oracle certifies the
+    progressive decode path."""
     schema = "media_id string, payload binary, width int, height int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from deepicedrain_spark.functions.jpeg import jpeg_encode
+        from deepicedrain_spark.functions.jpeg import (
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
 
         for pdf in it:
             ids, payloads, ws, hs = [], [], [], []
@@ -132,8 +138,13 @@ def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 img = np.repeat(
                     np.repeat(vals.reshape(bh, bw), 8, axis=0), 8, axis=1
                 ).astype(np.uint8)
-                rst = 2 if i % 5 == 0 else 0
-                payloads.append(jpeg_encode(img, quality=100, restart_interval=rst))
+                if progressive:
+                    payloads.append(jpeg_encode_progressive(img, quality=100))
+                else:
+                    rst = 2 if i % 5 == 0 else 0
+                    payloads.append(
+                        jpeg_encode(img, quality=100, restart_interval=rst)
+                    )
                 ids.append(str(i))
                 ws.append(bw * 8)
                 hs.append(bh * 8)

@@ -1003,6 +1003,7 @@ PRIORITY: list[str] = [
     "ann_recall_at_k",
     "bpe_merge_table",
     "bpe_encode_tokens",
+    "multimodal_jpeg_progressive",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -1150,6 +1150,42 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Progressive JPEG (round 8): same closed-form images as
+# multimodal_jpeg_decode but encoded as SOF2 with the four-phase scan
+# script (DC first Al=1, per-component AC first with EOB runs, DC
+# refinement bits, AC refinement correction bits) — the q100 uniform
+# blocks keep the round trip exact, so the identical oracle certifies
+# the successive-approximation decode path value-exactly.
+@register(
+    "multimodal_jpeg_progressive",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 + 1 AS bh, doc_id % 4 + 1 AS bw FROM documents),
+    blocks AS (
+      SELECT doc_id, bh, bw,
+             (doc_id * 31 + unnest(range(0, bh * bw)) * 7) % 256 AS v
+      FROM g)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(bh * bw * 64 AS BIGINT) AS n_bytes,
+           round(CAST(sum(v) AS DOUBLE) / (bh * bw), 6) AS mean_byte,
+           CAST(max(v) AS INT) AS max_byte
+    FROM blocks GROUP BY doc_id, bh, bw
+    """,
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.multimodal import (
+        attach_jpeg_media,
+        decode_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_jpeg_media(docs, "doc_id", progressive=True)
+    feats = decode_image_features(media, mode="real")
+    return feats.select(
+        "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "max_byte"
+    )
+
+
 # Real audio: WAV-encode closed-form PCM16, nearest-neighbor resample
 # 16 kHz → 8 kHz in SAMPLE space (out[j] = s[2j]), WAV re-encode, then
 # a second real decode computes the stats the oracle replays:

@@ -477,14 +477,64 @@ def test_jpeg_restart_markers_roundtrip():
     np.testing.assert_array_equal(jpeg_decode(data), plain)
 
 
-def test_jpeg_progressive_is_a_seam():
-    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive encode carries the SAME quantized coefficients as
+    baseline, split across DC/AC first+refinement scans — so decoding
+    it must be bit-identical to decoding the baseline encode."""
+    from deepicedrain_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
 
-    data = bytearray(jpeg_encode(_smooth(16, 16), quality=85))
-    i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
-        jpeg_decode(bytes(data))
+    for shape, sub in [((16, 16), False), ((24, 33), False), ((17, 19), True)]:
+        g = _smooth(*shape)
+        rgb = np.stack([g, np.roll(g, 3, axis=1), 255 - g], axis=2)
+        for img in (g, rgb):
+            if sub and img.ndim == 2:
+                continue
+            base = jpeg_decode(jpeg_encode(img, quality=80, subsample=sub))
+            prog_bytes = jpeg_encode_progressive(img, quality=80, subsample=sub)
+            assert b"\xff\xc2" in prog_bytes  # really SOF2
+            prog = jpeg_decode(prog_bytes)
+            np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """A mostly-uniform image makes whole blocks AC-empty, forcing
+    multi-block EOB runs in both the first and refinement AC scans."""
+    from deepicedrain_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    img = np.full((48, 48), 100, dtype=np.uint8)
+    img[20, 20] = 240  # one busy block among many empty ones
+    base = jpeg_decode(jpeg_encode(img, quality=85))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=85))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_random_images_property():
+    from deepicedrain_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        if trial % 2:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        sub = img.ndim == 3 and trial % 3 == 0
+        q = int(rng.integers(50, 100))
+        base = jpeg_decode(jpeg_encode(img, quality=q, subsample=sub))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=q, subsample=sub))
+        np.testing.assert_array_equal(prog, base)
 
 
 def test_image_decode_dispatches_by_signature():
