@@ -409,20 +409,34 @@ def jpeg_encode(
 
 
 def jpeg_encode_progressive(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    scans: "list[tuple[list[int] | None, int, int, int, int]] | None" = None,
 ) -> bytes:
-    """Progressive (SOF2) JFIF JPEG with the standard four-phase scan
-    script: interleaved DC first (Al=1), per-component AC first
-    (Ss=1..63, Al=1) with EOB-run coding, interleaved DC refinement
-    (raw bits), per-component AC refinement (correction bits per T.81
-    G.1.2.3 / libjpeg encode_mcu_AC_refine).  Each scan carries its own
-    DHT built from exactly its symbol set.  Decoding a progressive
-    encode is bit-identical to decoding the baseline encode of the
-    same pixels (same quantized coefficients)."""
+    """Progressive (SOF2) JFIF JPEG.  ``scans`` is a scan script of
+    (component indices or None for all, Ss, Se, Ah, Al) tuples; the
+    default is the standard four-phase script (interleaved DC first at
+    Al=1, per-component AC first Ss=1..63 with EOB-run coding,
+    interleaved DC refinement raw bits, per-component AC refinement
+    correction bits per T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine).
+    Spectral bands (e.g. AC 1..5 then 6..63) and deeper
+    successive-approximation ladders (Al=2 → 1 → 0) are supported —
+    each band/level must refine the same band from Ah = previous Al.
+    Each Huffman scan carries its own DHT built from exactly its
+    symbol set.  Decoding a progressive encode is bit-identical to
+    decoding the baseline encode of the same pixels (same quantized
+    coefficients)."""
     h, w, ncomp, samp, comp_zz, qluma, qchroma, hmax, vmax, mcux, mcuy = (
         _prepare_encode(pixels, quality, subsample, "jpeg_encode_progressive")
     )
-    al = 1  # successive-approximation split: first pass at Al=1, refine to 0
+    if scans is None:
+        scans = (
+            [(None, 0, 0, 0, 1)]
+            + [([ci], 1, 63, 0, 1) for ci in range(ncomp)]
+            + [(None, 0, 0, 1, 0)]
+            + [([ci], 1, 63, 1, 0) for ci in range(ncomp)]
+        )
 
     def comp_blocks(ci: int):
         """Component blocks in raster order — comp_zz already has the
@@ -484,22 +498,6 @@ def jpeg_encode_progressive(
 
     out = _headers(h, w, ncomp, samp, qluma, qchroma, 0xC2)
 
-    # --- scan 1: DC first, all components interleaved, Al=1 ----------
-    preds = [0] * ncomp
-    toks = []
-    for ci, zz in mcu_dc_blocks():
-        cls = 0 if ci == 0 else 1
-        v = int(zz[0]) >> al  # arithmetic shift (T.81 DC point transform)
-        diff = v - preds[ci]
-        preds[ci] = v
-        cat = _category(diff)
-        toks.append((cls, cat, [(diff if diff >= 0 else diff + (1 << cat) - 1, cat)]))
-    dht, codes = dht_for(toks, 0)
-    out += dht
-    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, al)
-    out += scan_segment(toks, codes)
-
-    # --- per component: AC first (Ss=1..63, Al=1) with EOB runs ------
     def flush_eob(toks_, cls, eobrun_, pending_bits):
         if eobrun_:
             nb = eobrun_.bit_length() - 1
@@ -508,91 +506,126 @@ def jpeg_encode_progressive(
             pending_bits.clear()
         return 0
 
-    for ci in range(ncomp):
-        cls = 0 if ci == 0 else 1
-        toks = []
-        eobrun = 0
-        for zz in comp_blocks(ci):
-            vals = [int(v) for v in zz]
-            shifted = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in vals]
-            nz = [k for k in range(1, 64) if shifted[k]]
-            if not nz:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    eobrun = flush_eob(toks, cls, eobrun, [])
-                continue
-            eobrun = flush_eob(toks, cls, eobrun, [])
-            k = 1
-            for pos_ in nz:
-                run = pos_ - k
-                while run > 15:
-                    toks.append((cls, 0xF0, []))
-                    run -= 16
-                v = shifted[pos_]
-                cat = _category(v)
+    for comp_sel, ss, se, ah, al in scans:
+        comp_ids = (
+            list(range(1, ncomp + 1)) if comp_sel is None else [c + 1 for c in comp_sel]
+        )
+        if ss == 0 and comp_ids != list(range(1, ncomp + 1)):
+            raise ValueError(
+                "jpeg_encode_progressive: DC scans here cover all components"
+            )
+        if ss == 0 and ah == 0:
+            # DC first: interleaved, point transform = arithmetic shift
+            preds = [0] * ncomp
+            toks = []
+            for ci, zz in mcu_dc_blocks():
+                cls = 0 if ci == 0 else 1
+                v = int(zz[0]) >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                cat = _category(diff)
                 toks.append(
-                    (cls, (run << 4) | cat, [(v if v >= 0 else v + (1 << cat) - 1, cat)])
+                    (cls, cat, [(diff if diff >= 0 else diff + (1 << cat) - 1, cat)])
                 )
-                k = pos_ + 1
-            if k <= 63:
-                eobrun += 1
-        flush_eob(toks, cls, eobrun, [])
-        dht, codes = dht_for(toks, 1)
-        out += dht
-        out += sos_header([ci + 1], 1, 63, 0, al)
-        out += scan_segment(toks, codes)
-
-    # --- DC refinement: one raw bit per block, no Huffman ------------
-    bw_ = _BitWriter()
-    for _, zz in mcu_dc_blocks():
-        bw_.put(int(zz[0]) & 1, 1)
-    out += sos_header(list(range(1, ncomp + 1)), 0, 0, al, 0)
-    out += bw_.flush()
-
-    # --- per component: AC refinement (Ah=1 -> Al=0) ------------------
-    for ci in range(ncomp):
-        cls = 0 if ci == 0 else 1
-        toks = []
-        eobrun = 0
-        pending: list[int] = []  # correction bits buffered with the EOB run
-        for zz in comp_blocks(ci):
-            vals = [int(v) for v in zz]
-            absv = [abs(v) for v in vals]
-            eob_idx = 0
-            for k in range(1, 64):
-                if absv[k] == 1:
-                    eob_idx = k
-            r = 0
-            br_local: list[int] = []
-            for k in range(1, 64):
-                t = absv[k]
-                if t == 0:
-                    r += 1
-                    continue
-                while r > 15 and k <= eob_idx:
-                    eobrun = flush_eob(toks, cls, eobrun, pending)
-                    toks.append((cls, 0xF0, []))
-                    toks.extend((cls, None, [(b, 1)]) for b in br_local)
-                    br_local = []
-                    r -= 16
-                if t > 1:  # history-nonzero: correction bit, run unaffected
-                    br_local.append(t & 1)
-                    continue
-                eobrun = flush_eob(toks, cls, eobrun, pending)
-                toks.append((cls, (r << 4) | 1, [(1 if vals[k] >= 0 else 0, 1)]))
-                toks.extend((cls, None, [(b, 1)]) for b in br_local)
-                br_local = []
-                r = 0
-            if r > 0 or br_local:
-                eobrun += 1
-                pending.extend(br_local)
-                if eobrun == 0x7FFF:
-                    eobrun = flush_eob(toks, cls, eobrun, pending)
-        flush_eob(toks, cls, eobrun, pending)
-        dht, codes = dht_for(toks, 1)
-        out += dht
-        out += sos_header([ci + 1], 1, 63, al, 0)
-        out += scan_segment(toks, codes)
+            dht, codes = dht_for(toks, 0)
+            out += dht
+            out += sos_header(comp_ids, 0, 0, 0, al)
+            out += scan_segment(toks, codes)
+        elif ss == 0:
+            # DC refinement: one raw bit per block, no Huffman
+            bw_ = _BitWriter()
+            for _, zz in mcu_dc_blocks():
+                bw_.put((int(zz[0]) >> al) & 1, 1)
+            out += sos_header(comp_ids, 0, 0, ah, al)
+            out += bw_.flush()
+        elif ah == 0:
+            # AC first over band [ss, se] with EOB runs
+            for ci in comp_sel if comp_sel is not None else range(ncomp):
+                cls = 0 if ci == 0 else 1
+                toks = []
+                eobrun = 0
+                for zz in comp_blocks(ci):
+                    vals = [int(v) for v in zz]
+                    shifted = [
+                        (abs(v) >> al) * (1 if v >= 0 else -1) for v in vals
+                    ]
+                    nz = [k for k in range(ss, se + 1) if shifted[k]]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            eobrun = flush_eob(toks, cls, eobrun, [])
+                        continue
+                    eobrun = flush_eob(toks, cls, eobrun, [])
+                    k = ss
+                    for pos_ in nz:
+                        run = pos_ - k
+                        while run > 15:
+                            toks.append((cls, 0xF0, []))
+                            run -= 16
+                        v = shifted[pos_]
+                        cat = _category(v)
+                        toks.append(
+                            (
+                                cls,
+                                (run << 4) | cat,
+                                [(v if v >= 0 else v + (1 << cat) - 1, cat)],
+                            )
+                        )
+                        k = pos_ + 1
+                    if k <= se:
+                        eobrun += 1
+                flush_eob(toks, cls, eobrun, [])
+                dht, codes = dht_for(toks, 1)
+                out += dht
+                out += sos_header([ci + 1], ss, se, 0, al)
+                out += scan_segment(toks, codes)
+        else:
+            # AC refinement over band [ss, se]: Ah = al+1 -> Al = al
+            for ci in comp_sel if comp_sel is not None else range(ncomp):
+                cls = 0 if ci == 0 else 1
+                toks = []
+                eobrun = 0
+                pending: list[int] = []  # correction bits riding the EOB run
+                for zz in comp_blocks(ci):
+                    vals = [int(v) for v in zz]
+                    absv = [abs(v) >> al for v in vals]
+                    eob_idx = ss - 1
+                    for k in range(ss, se + 1):
+                        if absv[k] == 1:
+                            eob_idx = k
+                    r = 0
+                    br_local: list[int] = []
+                    for k in range(ss, se + 1):
+                        t = absv[k]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_idx:
+                            eobrun = flush_eob(toks, cls, eobrun, pending)
+                            toks.append((cls, 0xF0, []))
+                            toks.extend((cls, None, [(b, 1)]) for b in br_local)
+                            br_local = []
+                            r -= 16
+                        if t > 1:  # history-nonzero: correction bit only
+                            br_local.append(t & 1)
+                            continue
+                        eobrun = flush_eob(toks, cls, eobrun, pending)
+                        toks.append(
+                            (cls, (r << 4) | 1, [(1 if vals[k] >= 0 else 0, 1)])
+                        )
+                        toks.extend((cls, None, [(b, 1)]) for b in br_local)
+                        br_local = []
+                        r = 0
+                    if r > 0 or br_local:
+                        eobrun += 1
+                        pending.extend(br_local)
+                        if eobrun == 0x7FFF:
+                            eobrun = flush_eob(toks, cls, eobrun, pending)
+                flush_eob(toks, cls, eobrun, pending)
+                dht, codes = dht_for(toks, 1)
+                out += dht
+                out += sos_header([ci + 1], ss, se, ah, al)
+                out += scan_segment(toks, codes)
 
     out += b"\xff\xd9"  # EOI
     return bytes(out)

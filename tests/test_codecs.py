@@ -516,6 +516,51 @@ def test_jpeg_progressive_eobrun_spans_blocks():
     np.testing.assert_array_equal(prog, base)
 
 
+def test_jpeg_progressive_libjpeg_style_scan_script():
+    """libjpeg's default progressive script uses spectral BANDS and a
+    two-level successive-approximation ladder — shapes the default
+    four-phase script never emits.  Decode must still match baseline."""
+    from deepicedrain_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    g = _smooth(24, 24)
+    rgb = np.stack([g, np.roll(g, 5, axis=0), rng.integers(0, 256, (24, 24), dtype=np.uint8)], axis=2)
+    # the jcparam.c default scan script shape for 3-component images
+    script = [
+        (None, 0, 0, 0, 1),       # DC first, Al=1
+        ([0], 1, 5, 0, 2),        # luma AC band 1-5 first, Al=2
+        ([2], 1, 63, 0, 1),       # Cr full band
+        ([1], 1, 63, 0, 1),       # Cb full band
+        ([0], 6, 63, 0, 2),       # luma AC band 6-63 first, Al=2
+        ([0], 1, 63, 2, 1),       # luma refine Al 2->1 (full band)
+        (None, 0, 0, 1, 0),       # DC refine
+        ([2], 1, 63, 1, 0),       # Cr refine
+        ([1], 1, 63, 1, 0),       # Cb refine
+        ([0], 1, 63, 1, 0),       # luma refine Al 1->0
+    ]
+    for img in (rgb, rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)):
+        base = jpeg_decode(jpeg_encode(img, quality=75))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=75, scans=script))
+        np.testing.assert_array_equal(prog, base)
+    # gray variant with banded luma + 2-level ladder
+    gscript = [
+        (None, 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        (None, 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    img = rng.integers(0, 256, (30, 22), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(img, quality=60))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=60, scans=gscript))
+    np.testing.assert_array_equal(prog, base)
+
+
 def test_jpeg_progressive_random_images_property():
     from deepicedrain_spark.functions.jpeg import (
         jpeg_decode,

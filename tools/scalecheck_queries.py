@@ -46,6 +46,15 @@ QUERIES = [
     "cosine_topk_lsh",
     "embedding_near_dup_lsh",
     "bloom_semijoin_reduction",
+    # round 8 session 2: ExactSubstr spans (2-exchange window-hash
+    # plan), BPE train (vocab-table iterations) + dictionary-encoded
+    # token counts, ANN recall@3 roll-up. The near-dup graph family
+    # above now shares the memoized pair table within a staging dir,
+    # so each downstream query's ratio gates ITS OWN plan.
+    "exact_substring_spans",
+    "bpe_merge_table",
+    "bpe_encode_tokens",
+    "ann_recall_at_k",
     # geo/streaming family (round 7, VERDICT r6 task 4): the same
     # sf1/sf4 linearity gate over the crossover join, gridded PIP,
     # raster/gridding aggregates, per-point regression, rolling
