@@ -875,13 +875,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quantization tables")
-                zz = np.frombuffer(body, np.uint8, 64, off + 1).astype(np.float64)
+                if pq == 0:  # 8-bit entries
+                    zz = np.frombuffer(body, np.uint8, 64, off + 1).astype(np.float64)
+                    off += 65
+                elif pq == 1:  # 16-bit big-endian entries (Pq=1, T.81 B.2.4.1)
+                    zz = (
+                        np.frombuffer(body, ">u2", 64, off + 1).astype(np.float64)
+                    )
+                    off += 129
+                else:
+                    raise ValueError(f"jpeg: bad DQT precision {pq}")
                 q = np.zeros((8, 8))
                 q[_ZZ_ROWS, _ZZ_COLS] = zz
                 qtables[tq] = q
-                off += 65
         elif marker == 0xC4:  # DHT — multiple tables per segment
             off = 0
             while off < len(body):

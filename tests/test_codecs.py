@@ -516,6 +516,36 @@ def test_jpeg_progressive_eobrun_spans_blocks():
     np.testing.assert_array_equal(prog, base)
 
 
+def test_jpeg_16bit_quantization_tables():
+    """Rewrite our own file's 8-bit DQT segments into the 16-bit (Pq=1)
+    form with identical values — decode must be bit-identical."""
+    import struct as _s
+
+    from deepicedrain_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    g = _smooth(24, 17)
+    rgb = np.stack([g, 255 - g, np.roll(g, 2, axis=0)], axis=2)
+    data = jpeg_encode(rgb, quality=70, subsample=True)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos] == 0xFF and data[pos + 1] == 0xDB:
+            (seglen,) = _s.unpack_from(">H", data, pos + 2)
+            body = data[pos + 4 : pos + 2 + seglen]
+            tq = body[0] & 0xF
+            vals = body[1:65]
+            wide = bytes([(1 << 4) | tq]) + b"".join(
+                _s.pack(">H", v) for v in vals
+            )
+            out += bytes([0xFF, 0xDB]) + _s.pack(">H", len(wide) + 2) + wide
+            pos += 2 + seglen
+        else:
+            out.append(data[pos])
+            pos += 1
+    assert bytes(out) != data
+    np.testing.assert_array_equal(jpeg_decode(bytes(out)), jpeg_decode(data))
+
+
 def test_jpeg_progressive_libjpeg_style_scan_script():
     """libjpeg's default progressive script uses spectral BANDS and a
     two-level successive-approximation ladder — shapes the default
