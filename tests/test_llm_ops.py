@@ -81,6 +81,116 @@ def test_bpe_train_and_encode(spark):
     assert bpe._BPE_CACHE == {}
 
 
+def _ref_bpe_train(docs: list[str], n_merges: int):
+    """Reference BPE (Sennrich et al. 2016 algorithm, direct
+    index-scan-with-skip merge application) for cross-checking the
+    Spark fold implementation."""
+    from collections import Counter
+
+    vocab = Counter(w for d in docs for w in d.split(" ") if w)
+    state = {w: [ch for ch in w] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """Random corpora: Spark's fold-based training equals the direct
+    scan-with-skip reference merge-for-merge, and encoded tokens match
+    word-for-word — the fold-equivalence argument, tested."""
+    import random
+
+    from deepicedrain_spark.operators import bpe
+
+    rng = random.Random(13)
+    for trial in range(4):
+        alphabet = "abcd" if trial % 2 else "abcdefg"
+        docs = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(8)
+        ]
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+        )
+        n = rng.randint(2, 6)
+        got = bpe.bpe_train(df, n_merges=n)
+        want, state = _ref_bpe_train(docs, n)
+        assert got == want, (docs, got, want)
+        enc = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(df, got).collect()}
+        for i, d in enumerate(docs):
+            ref_toks = [t for w in d.split(" ") if w for t in state[w]]
+            assert enc[i] == ref_toks
+
+
+def test_duplicated_spans_matches_bruteforce(spark):
+    """Random corpora with planted repeats: the distributed window-hash
+    plan equals a direct per-position brute force."""
+    import random
+
+    from deepicedrain_spark.operators.dedup import duplicated_spans
+
+    rng = random.Random(29)
+    k = 4
+    for _ in range(3):
+        vocab = [f"w{j}" for j in range(6)]
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 20)))
+            for _ in range(10)
+        ]
+        # brute force: count every k-window across the corpus
+        from collections import Counter
+
+        wins = Counter()
+        doc_wins = []
+        for d in docs:
+            toks = d.split(" ")
+            ws = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            doc_wins.append(ws)
+            wins.update(ws)
+        expect = set()
+        for i, ws in enumerate(doc_wins):
+            dup_pos = [p for p, wdw in enumerate(ws) if wins[wdw] >= 2]
+            run_start = None
+            prev = None
+            for p in dup_pos + [None]:
+                if p is not None and prev is not None and p == prev + 1:
+                    prev = p
+                    continue
+                if prev is not None:
+                    expect.add((i, run_start, prev - run_start + 1 + k - 1))
+                run_start, prev = p, p
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_tokens"])
+            for r in duplicated_spans(df, k=k).collect()
+        }
+        assert got == expect, (docs, sorted(got), sorted(expect))
+
+
 def test_bpe_train_cache_on_files(spark, tmp_path):
     from deepicedrain_spark.operators import bpe
 
