@@ -1004,6 +1004,7 @@ PRIORITY: list[str] = [
     "bpe_merge_table",
     "bpe_encode_tokens",
     "multimodal_jpeg_progressive",
+    "dsir_importance_weights",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -1972,6 +1972,104 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR-style importance weighting (Xie et al. 2023) ----------------
+# Data Selection via Importance Resampling: score every raw-corpus
+# document by the log-likelihood ratio of a target-domain hashed-ngram
+# model vs the raw-corpus model. Here the target domain is lang='en',
+# features are md5-hashed bigram buckets (B=256), both models use
+# add-one smoothing, and the per-doc score is the MEAN bucket
+# log-ratio (length-normalized). The two model tables are B rows —
+# broadcast — so scoring is map-side; corpus-wide cost is the bigram
+# explode plus two bucket-keyed aggregations.
+_DSIR_B = 256
+
+_DSIR_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents),
+bg0 AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1])) AS b
+  FROM ws),
+bg AS (SELECT doc_id, lang, {_H60.format(x="b")} % {_DSIR_B} AS bkt FROM bg0),
+tgt AS (SELECT bkt, count(*) AS nt FROM bg WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT bkt, count(*) AS nr FROM bg GROUP BY 1),
+tot AS (SELECT (SELECT sum(nt) FROM tgt) AS t_total,
+               (SELECT sum(nr) FROM raw) AS r_total),
+ratio AS (
+  SELECT r.bkt,
+         ln((coalesce(t.nt, 0) + 1.0) / (tot.t_total + {_DSIR_B}))
+       - ln((r.nr + 1.0) / (tot.r_total + {_DSIR_B})) AS lr
+  FROM raw r LEFT JOIN tgt t USING (bkt) CROSS JOIN tot),
+scored AS (SELECT g.doc_id, ratio.lr FROM bg g JOIN ratio USING (bkt))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       round(sum(lr) / count(*), 6) AS logratio
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc mean log-ratio of the
+    target-domain (lang='en') hashed-bigram model over the raw-corpus
+    model — the published recipe for selecting pretraining data that
+    looks like a target domain, with the n-gram models collapsed to
+    B=256 hashed buckets so both fit in a broadcast."""
+    from deepicedrain_spark.operators.sketches import md5_long60
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    bg = (
+        docs.select("doc_id", "lang", w.alias("_w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN "
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) "
+                    "ELSE array() END"
+                )
+            ).alias("b"),
+        )
+        .withColumn("bkt", md5_long60(F.col("b")) % _DSIR_B)
+    )
+    tgt = bg.filter(F.col("lang") == "en").groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    raw = bg.groupBy("bkt").agg(F.count(F.lit(1)).alias("nr"))
+    tot = tgt.agg(F.sum("nt").alias("t_total")).crossJoin(
+        raw.agg(F.sum("nr").alias("r_total"))
+    )
+    ratio = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lr",
+            F.log(
+                (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(1.0))
+                / (F.col("t_total") + F.lit(_DSIR_B))
+            )
+            - F.log(
+                (F.col("nr") + F.lit(1.0)) / (F.col("r_total") + F.lit(_DSIR_B))
+            ),
+        )
+        .select("bkt", "lr")
+    )
+    return (
+        bg.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("logratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- keyword-in-context snippets --------------------------------------
 @register(
     "keyword_snippets",

@@ -296,3 +296,19 @@ def test_hll_ignores_nulls(spark):
     clean = spark.createDataFrame([(str(i),) for i in range(500)], "k string")
     est_clean = hll_estimate(clean, "k").collect()[0]["estimate"]
     assert est == est_clean
+
+
+def test_dsir_weights_rank_target_domain_higher(spark):
+    """Direction sanity: documents FROM the target domain (lang='en')
+    must average a higher importance log-ratio than the rest — DSIR's
+    whole point."""
+    from deepicedrain_spark.suite_sketch import q_dsir_importance_weights
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    out = q_dsir_importance_weights(spark, sf).join(docs, "doc_id")
+    rows = out.groupBy(F.col("lang") == "en").agg(
+        F.avg("logratio").alias("m")
+    ).collect()
+    means = {r[0]: r["m"] for r in rows}
+    assert means[True] > means[False]
