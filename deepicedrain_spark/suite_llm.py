@@ -1067,7 +1067,12 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=_BPE_MERGES)
-    vocab = word_frequencies(docs)
+    # materialize the vocab leaf: without it Catalyst collapses the
+    # (large) fold projection into the explode's consumers and
+    # re-evaluates it per output token — measured 11.0 s vs 0.5 s at
+    # sf0.1. The checkpoint is the distributed vocab table, tiny
+    # relative to the corpus at any scale.
+    vocab = word_frequencies(docs).localCheckpoint()
     enc = bpe_encode(vocab, merges, text_col="word")
     return (
         enc.select("freq", F.explode("tokens").alias("token"))
