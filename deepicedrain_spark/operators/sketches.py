@@ -289,3 +289,133 @@ def stratified_sample(
         .where(F.col("rk") <= n_per_stratum)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+def kmv_minima(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 64
+) -> DataFrame:
+    """K-minimum-values sketch table: per group, the ``k`` smallest
+    DISTINCT 60-bit md5 hash values of ``key`` → rows
+    ``(*group_cols, h, rk)`` with ``rk`` the 1-based hash rank.
+
+    Every exchange shrinks: the (group, h) groupBy collapses duplicate
+    keys MAP-SIDE (partial aggregation) so only distinct 16-byte pairs
+    shuffle; a per-(group, h mod 32) pre-rank then keeps ≤ k hashes
+    per bucket IN PARALLEL, so the final per-group rank — the only
+    place one task sees a whole group — reads at most 32·k rows per
+    group regardless of distinct cardinality (the classic distributed
+    top-k shape).  The sketch itself is ≤ k rows per group.  Unlike
+    HLL this sketch supports SET EXPRESSIONS (union / intersection /
+    difference estimates via ``kmv_theta_counts``), which is why
+    DataSketches ships theta alongside HLL.
+    """
+    from pyspark.sql import Window
+
+    distinct = (
+        df.select(*group_cols, md5_long60(key).alias("h"))
+        .groupBy(*group_cols, "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    # the k smallest of any bucket-partition of the hashes is a
+    # superset of the k smallest overall, so the pre-prune is exact
+    wb = Window.partitionBy(*group_cols, F.pmod(F.col("h"), F.lit(32))).orderBy("h")
+    pruned = (
+        distinct.withColumn("_bk", F.row_number().over(wb))
+        .where(F.col("_bk") <= k)
+        .drop("_bk")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return pruned.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+_KMV_SCALE = float(1 << 60)
+
+
+def kmv_estimate(minima: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from a ``kmv_minima`` table:
+    (k-1) / (R_k / 2^60) when the sketch is full (unbiased KMV
+    estimator), else the exact sketch size.  Emitted as a rounded
+    BIGINT so both engines hash identically."""
+    agg = minima.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("r_k")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise((k - 1) / (F.col("r_k").cast("double") / _KMV_SCALE))
+    return agg.select(
+        *group_cols,
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.round(est).cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_theta_counts(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-sketch set expressions over TWO single-group ``kmv_minima``
+    tables (columns ``h``): one row with theta (the k-th smallest hash
+    of the union sketch, normalized) and the union / intersection /
+    A-only / B-only estimates, each ``round(count_below_theta /
+    theta_norm)`` as BIGINT.
+
+    Everything is a composition over ≤ 2k driver-free rows: the union
+    re-rank is a window over the concatenated minima; the membership
+    joins are broadcast-sized.  This is the mergeability HLL lacks —
+    two corpus snapshots' sketches combine WITHOUT rescanning either
+    corpus, and intersections (shared-vocabulary, cross-corpus
+    contamination) fall out of the same k rows.
+    """
+    from pyspark.sql import Window
+
+    ah = a.select(F.col("h").alias("h"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    bh = b.select(F.col("h").alias("h"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ah.unionByName(bh)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.orderBy("h")
+    union_sk = merged.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+    # theta = the k-th smallest union hash; in estimation mode (sketch
+    # full) the theta row itself is EXCLUDED from the retained counts
+    # (DataSketches convention), so each estimate is count(h < theta)
+    # / theta_norm.  In exact mode (< k distinct hashes) theta_norm=1
+    # and every row counts.
+    def _cnt(expr: Column, name: str) -> list[Column]:
+        return [
+            F.sum(F.when(F.col("rk") < k, expr).otherwise(0)).alias(f"{name}_below"),
+            F.sum(expr).alias(f"{name}_all"),
+        ]
+
+    stats = union_sk.agg(
+        F.max("h").alias("theta"),
+        F.max(F.when(F.col("rk") == k, 1).otherwise(0)).alias("_full"),
+        *_cnt(F.lit(1), "n_union"),
+        *_cnt(F.col("in_a") * F.col("in_b"), "n_inter"),
+        *_cnt(F.col("in_a") * (1 - F.col("in_b")), "n_a_only"),
+        *_cnt(F.col("in_b") * (1 - F.col("in_a")), "n_b_only"),
+    )
+    theta_norm = F.when(
+        F.col("_full") == 1, F.col("theta").cast("double") / _KMV_SCALE
+    ).otherwise(F.lit(1.0))
+
+    def _est(name: str) -> Column:
+        cnt = F.when(F.col("_full") == 1, F.col(f"{name}_below")).otherwise(
+            F.col(f"{name}_all")
+        )
+        return F.round(cnt / theta_norm).cast("long")
+
+    return stats.select(
+        F.col("theta").cast("long").alias("theta"),
+        _est("n_union").alias("est_union"),
+        _est("n_inter").alias("est_intersection"),
+        _est("n_a_only").alias("est_a_only"),
+        _est("n_b_only").alias("est_b_only"),
+    )

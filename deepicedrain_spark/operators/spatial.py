@@ -288,3 +288,54 @@ def morton_code_sql(xe: str, ye: str, bits: int = 16, dialect: str = "spark") ->
             terms.append(f"(CAST((({xe} >> {i}) & 1) AS BIGINT) << {2 * i})")
             terms.append(f"(CAST((({ye} >> {i}) & 1) AS BIGINT) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def hilbert_order_sql(
+    source_sql: str,
+    xe: str,
+    ye: str,
+    id_cols: str,
+    bits: int = 16,
+    dialect: str = "spark",
+) -> str:
+    """Hilbert-curve index d(x, y) over two already-quantized
+    non-negative ``bits``-bit integer expressions, as a chain of
+    nested sub-selects over ``source_sql``.
+
+    Hilbert keys beat Morton for layout locality (no Z-curve seam
+    jumps: every consecutive pair of cells is 4-adjacent), which is
+    why Iceberg offers both orderings.  The classic xy2d loop
+    (Wikipedia "Hilbert curve"; Hamilton 2006) mutates x/y by
+    rotate-and-flip each level — naively inlined that doubles the
+    expression tree per level, so this emits the equivalent
+    4-state-machine form: track (swap, complement) flags and read
+    each ORIGINAL coordinate bit through them.  Verified exhaustively
+    against the reference loop (tests/test_sketch_queries.py).  Each
+    level is one nested SELECT — engines keep them as chained
+    projections, so plan size is O(bits), not O(2^bits).
+
+    ``id_cols``: comma-joined passthrough columns.  The final SELECT
+    exposes ``hilbert`` (BIGINT in [0, 4**bits)).
+    """
+    shr = (
+        (lambda e, i: f"shiftright({e}, {i})")
+        if dialect == "spark"
+        else (lambda e, i: f"({e} >> {i})")
+    )
+    q = (
+        f"SELECT {id_cols}, CAST({xe} AS BIGINT) AS hx, CAST({ye} AS BIGINT) AS hy,"
+        f" CAST(0 AS BIGINT) AS hd, 0 AS sw, 0 AS cm FROM ({source_sql})"
+    )
+    for i in range(bits - 1, -1, -1):
+        bx = f"({shr('hx', i)} & 1)"
+        by = f"({shr('hy', i)} & 1)"
+        xi = f"(((CASE WHEN sw = 1 THEN {by} ELSE {bx} END) + cm) % 2)"
+        yi = f"(((CASE WHEN sw = 1 THEN {bx} ELSE {by} END) + cm) % 2)"
+        q = (
+            f"SELECT {id_cols}, hx, hy,"
+            f" hd + CAST(2 * {xi} + (({xi} + {yi}) % 2) AS BIGINT) * {1 << (2 * i)} AS hd,"
+            f" CASE WHEN {yi} = 0 THEN 1 - sw ELSE sw END AS sw,"
+            f" CASE WHEN {yi} = 0 AND {xi} = 1 THEN 1 - cm ELSE cm END AS cm"
+            f" FROM ({q})"
+        )
+    return f"SELECT {id_cols}, hd AS hilbert FROM ({q})"

@@ -1005,6 +1005,10 @@ PRIORITY: list[str] = [
     "bpe_encode_tokens",
     "multimodal_jpeg_progressive",
     "dsir_importance_weights",
+    # NEW r8 session 3
+    "hilbert_spatial_order",
+    "kmv_distinct_shingles",
+    "kmv_set_ops_custkeys",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -205,6 +205,48 @@ def test_morton_code_roundtrip(spark):
         assert dm == m
 
 
+def test_hilbert_order_matches_reference_loop(spark):
+    """Both dialect emissions of the (swap, complement) state machine
+    equal the classic xy2d rotate-and-flip loop — exhaustively at
+    bits=5 (1024 cells) and spot-checked at the production bits=16."""
+    from deepicedrain_spark.operators.spatial import hilbert_order_sql
+
+    import duckdb
+
+    def xy2d(order, x, y):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT a.range AS x, b.range AS y"
+        " FROM range(32) a, range(32) b"
+    )
+    sql = hilbert_order_sql("SELECT * FROM pts", "x", "y", "x, y", bits=5, dialect="duckdb")
+    duck = {(x, y): h for x, y, h in con.execute(sql).fetchall()}
+    assert all(duck[(x, y)] == xy2d(5, x, y) for x in range(32) for y in range(32))
+    # hilbert is a bijection onto [0, 1024)
+    assert sorted(duck.values()) == list(range(1024))
+
+    pts16 = [(0, 0), (65535, 65535), (1234, 54321), (40000, 1), (32768, 32767)]
+    df = spark.createDataFrame(pts16, "x long, y long")
+    df.createOrReplaceTempView("hilb_pts16")
+    sql16 = hilbert_order_sql(
+        "SELECT * FROM hilb_pts16", "x", "y", "x, y", bits=16, dialect="spark"
+    )
+    got = {(r["x"], r["y"]): r["hilbert"] for r in spark.sql(sql16).collect()}
+    assert all(got[(x, y)] == xy2d(16, x, y) for x, y in pts16)
+
+
 def test_scd2_apply_history_and_idempotence(spark):
     from deepicedrain_spark.operators.cdc import scd2_apply
 
@@ -312,3 +354,65 @@ def test_dsir_weights_rank_target_domain_higher(spark):
     ).collect()
     means = {r[0]: r["m"] for r in rows}
     assert means[True] > means[False]
+
+
+def test_kmv_minima_exact_below_k_and_bucket_prune(spark):
+    """With fewer than k distinct keys the sketch IS the distinct hash
+    set (exact mode); the 32-bucket pre-prune never changes the
+    result vs a direct global rank."""
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_minima,
+        md5_long60,
+    )
+
+    rows = [(g, i % 40) for g in ("a", "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    minima = kmv_minima(df, ["g"], F.col("v").cast("string"), k=64)
+    got = minima.groupBy("g").count().collect()
+    assert {r["g"]: r["count"] for r in got} == {"a": 40, "b": 40}
+    est = {r["g"]: r["est_distinct"] for r in kmv_estimate(minima, ["g"], k=64).collect()}
+    assert est == {"a": 40, "b": 40}  # exact mode
+    # pre-prune parity: direct sorted-hash top-64 equals the sketch
+    direct = (
+        df.where(F.col("g") == "a")
+        .select(md5_long60(F.col("v").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+        .collect()
+    )
+    sk = minima.where(F.col("g") == "a").orderBy("h").select("h").collect()
+    assert [r["h"] for r in direct] == [r["h"] for r in sk]
+
+
+def test_kmv_theta_merge_equals_sketch_of_union(spark):
+    """Mergeability: the union sketch built from two independent
+    k-minima tables equals the KMV sketch of the concatenated input —
+    the property that lets snapshots combine without rescanning."""
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.sketches import kmv_minima, kmv_theta_counts
+
+    a_rows = [(i,) for i in range(500)]
+    b_rows = [(i,) for i in range(300, 900)]
+    a = spark.createDataFrame(a_rows, "v long")
+    b = spark.createDataFrame(b_rows, "v long")
+    k = 32
+    sk_a = kmv_minima(a, [], F.col("v").cast("string"), k=k)
+    sk_b = kmv_minima(b, [], F.col("v").cast("string"), k=k)
+    est = kmv_theta_counts(sk_a, sk_b, k=k).collect()[0]
+    # the merged-theta must equal the k-th smallest hash of the TRUE union
+    direct = kmv_minima(
+        a.unionByName(b), [], F.col("v").cast("string"), k=k
+    ).agg(F.max("h")).collect()[0][0]
+    assert est["theta"] == direct
+    # estimates are within 4 sigma of truth (deterministic, so this is
+    # a fixed fact about these inputs, not a flaky bound)
+    import math
+
+    rse = 1.0 / math.sqrt(k - 2)
+    assert abs(est["est_union"] - 900) / 900 < 4 * rse
+    assert abs(est["est_intersection"] - 200) / 200 < 6 * rse
