@@ -1009,6 +1009,8 @@ PRIORITY: list[str] = [
     "hilbert_spatial_order",
     "kmv_distinct_shingles",
     "kmv_set_ops_custkeys",
+    "perplexity_buckets",
+    "gopher_quality_rules",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

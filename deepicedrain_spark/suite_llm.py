@@ -1308,6 +1308,88 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+# --- Gopher quality rules (Rae et al. 2021, table A1) ------------------
+@register(
+    "gopher_quality_rules",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS b
+      FROM t WHERE len(w) >= 2),
+    bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+    bs AS (
+      SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bigram_frac
+      FROM bc GROUP BY 1),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w), 6) AS mean_word_len,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM t)
+    SELECT m.doc_id, m.n_tokens, m.mean_word_len, m.n_stop,
+           coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (m.n_tokens BETWEEN 20 AND 90
+            AND m.mean_word_len BETWEEN 3 AND 10
+            AND m.n_stop >= 2
+            AND coalesce(bs.top_bigram_frac, 0.0) <= 0.2) AS passes
+    FROM m LEFT JOIN bs USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: token count in range, mean
+    word length in [3, 10], ≥2 stopwords, most-common-bigram coverage
+    ≤ 0.2 — the published heuristics (MassiveText filtering) over the
+    whitespace token stream.  Everything except the per-doc bigram
+    mode is computed IN-ROW on the token array (one map-only pass, fp
+    sums in array order so both engines fold identically); the bigram
+    mode is one doc-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", ts_ops.whitespace_tokens(F.col("text")).alias("w"))
+    bg = t.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    bc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    bs = bc.groupBy("doc_id").agg(
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_frac")
+    )
+    m = t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / F.size("w"),
+            6,
+        ).alias("mean_word_len"),
+        F.size(F.filter("w", lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
+    )
+    joined = m.join(bs, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    )
+    passes = (
+        F.col("n_tokens").between(20, 90)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("n_stop") >= 2)
+        & (F.col("top_bigram_frac") <= 0.2)
+    )
+    return joined.select(
+        "doc_id", "n_tokens", "mean_word_len", "n_stop", "top_bigram_frac",
+        passes.alias("passes"),
+    ).orderBy("doc_id")
+
+
 # --- text cleaning (URL strip / lowercase / whitespace collapse) ------
 @register(
     "text_cleaning",

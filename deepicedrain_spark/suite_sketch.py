@@ -2164,6 +2164,107 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CCNet perplexity buckets (head / middle / tail) -------------------
+@register(
+    "perplexity_buckets",
+    """
+    WITH ws AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS b
+      FROM ws),
+    bgc AS (SELECT b, count(*) AS nb FROM bg GROUP BY b),
+    ugc AS (
+      SELECT split_part(b, ' ', 1) AS u, sum(nb) AS nu
+      FROM bgc GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v FROM (
+        SELECT unnest(w) AS tok FROM ws)),
+    scored AS (
+      SELECT g.doc_id,
+             ln((bgc.nb + 1.0) / (ugc.nu + (SELECT v FROM vocab))) AS lp
+      FROM bg g
+      JOIN bgc ON bgc.b = g.b
+      JOIN ugc ON ugc.u = split_part(g.b, ' ', 1)),
+    doc AS (
+      SELECT doc_id, round(sum(lp) / count(*), 6) AS avg_logp
+      FROM scored GROUP BY doc_id),
+    pp AS (
+      SELECT d.doc_id, w.lang, d.avg_logp,
+             round(exp(-d.avg_logp), 6) AS ppl
+      FROM doc d JOIN (SELECT doc_id, lang FROM documents) w USING (doc_id)),
+    bucketed AS (
+      SELECT doc_id, lang, ppl,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY avg_logp DESC, doc_id) AS nt
+      FROM pp)
+    SELECT doc_id, lang, ppl,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM bucketed
+    ORDER BY doc_id
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): score
+    every document with the self-trained bigram LM, convert to
+    perplexity, and split EACH LANGUAGE into equal head / middle /
+    tail thirds (head = lowest perplexity = cleanest).  The model
+    tables are broadcast like bigram_lm_score; the only added
+    exchange is the per-lang ntile window over doc-level rows (one
+    row per document, not per token).  At cluster scale a skewed
+    giant language ranks in one task — the documented swap is
+    approx-quantile cutoffs, traded away here for the exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    bg = docs.select("doc_id", w.alias("_w")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_w) - 1),"
+                " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    ugc = (
+        bgc.select(F.split(F.col("b"), " ").getItem(0).alias("u"), "nb")
+        .groupBy("u")
+        .agg(F.sum("nb").alias("nu"))
+    )
+    v = docs.select(F.explode(w).alias("tok")).agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        bg.join(F.broadcast(bgc), "b")
+        .withColumn("u", F.split(F.col("b"), " ").getItem(0))
+        .join(F.broadcast(ugc), "u")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lp", F.log((F.col("nb") + F.lit(1.0)) / (F.col("nu") + F.col("v")))
+        )
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logp")
+    )
+    pp = doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "avg_logp", F.round(F.exp(-F.col("avg_logp")), 6).alias("ppl")
+    )
+    wb = Window.partitionBy("lang").orderBy(F.desc("avg_logp"), "doc_id")
+    return (
+        pp.withColumn("nt", F.ntile(3).over(wb))
+        .select(
+            "doc_id",
+            "lang",
+            "ppl",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- DSIR-style importance weighting (Xie et al. 2023) ----------------
 # Data Selection via Importance Resampling: score every raw-corpus
 # document by the log-likelihood ratio of a target-domain hashed-ngram

@@ -468,3 +468,55 @@ def test_minhash_short_docs_no_crash(spark):
     got = minhash_near_duplicates(docs, threshold=0.8).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert pairs == {(3, 4)}  # the real dup found; short docs ignored
+
+
+def test_perplexity_buckets_balanced_thirds(spark):
+    """Every doc lands in exactly one bucket; per-lang bucket sizes
+    differ by at most 1 (ntile contract); head ppl ≤ tail ppl."""
+    from deepicedrain_spark.suite_sketch import q_perplexity_buckets
+
+    rows = q_perplexity_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(r["ppl"])
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if buckets.get("head") and buckets.get("tail"):
+            assert max(buckets["head"]) <= min(buckets["tail"]) + 1e-9, lang
+
+
+def test_gopher_rules_match_python_recompute(spark):
+    """Per-doc signals and the pass flag equal a pure-Python
+    recomputation from the raw text."""
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.suite_llm import q_gopher_quality_rules
+
+    sf = "/root/testdata/sf0.001"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    got = {r["doc_id"]: r for r in q_gopher_quality_rules(spark, sf).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        w = [x for x in text.split(" ") if x]
+        bigrams = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        top_bg = 0.0
+        if bigrams:
+            from collections import Counter
+
+            c = Counter(bigrams)
+            top_bg = round(max(c.values()) / len(bigrams), 6)
+        n_stop = sum(1 for x in w if x in ("the", "a"))
+        mwl = round(sum(len(x) for x in w) / len(w), 6)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(w)
+        assert abs(r["mean_word_len"] - mwl) < 1e-9
+        assert r["n_stop"] == n_stop
+        assert abs(r["top_bigram_frac"] - top_bg) < 1e-9
+        expect = (
+            20 <= len(w) <= 90 and 3 <= mwl <= 10 and n_stop >= 2 and top_bg <= 0.2
+        )
+        assert r["passes"] == expect, doc_id
