@@ -1011,6 +1011,7 @@ PRIORITY: list[str] = [
     "kmv_set_ops_custkeys",
     "perplexity_buckets",
     "gopher_quality_rules",
+    "ivfpq_topk",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -1408,11 +1408,12 @@ def _pq_best_code(sv_col: str, cents: list[list[float]]):
     )
 
 
-def _pq_oracle() -> str:
-    parts = [
-        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings)"
-    ]
+def _pq_parts() -> list[str]:
+    """The per-subspace PQ CTE chain (sub/cent0/assign1/cent1/enc per
+    subspace), WITHOUT the shared ``e`` base — so the same chain
+    splices after either its own base (``_pq_oracle``) or the k-means
+    coarse-quantizer chain (``ivfpq_topk``)."""
+    parts: list[str] = []
     dist = (
         "list_sum(list_transform(generate_series(1, {ds}),"
         " i -> ({p}[i] - {c}[i]) * ({p}[i] - {c}[i])))"
@@ -1459,6 +1460,14 @@ def _pq_oracle() -> str:
               FROM sub{j} s CROSS JOIN cent1_{j} c))
       WHERE rk = 1)"""
         )
+    return parts
+
+
+def _pq_oracle() -> str:
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)"
+    ] + _pq_parts()
     joins = " ".join(f"JOIN enc{j} ON enc{j}.vec_id = e.vec_id" for j in range(_PQ_S))
     code_cols = ", ".join(f"enc{j}.code AS code{j}" for j in range(_PQ_S))
     err = " + ".join(f"enc{j}.dist" for j in range(_PQ_S))
@@ -1587,6 +1596,157 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     adc = F.round(sum(adc_terms[1:], adc_terms[0]), 6)
     scored = joined.withColumn("adc", adc)
+    w = Window.partitionBy("query_id").orderBy("adc", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "adc", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --- IVF + PQ combined index (IVFADC, Jégou et al. 2011) ---------------
+def _ivfpq_oracle() -> str:
+    """Coarse k-means cells from the shared ``_kmeans_chain`` + the
+    per-subspace PQ chains (raw-vector codebooks, FAISS
+    by_residual=False variant); candidates only from the query's
+    nprobe=2 cells, ranked by asymmetric distance to the codebook
+    reconstruction."""
+    pq_chain = ",\n    ".join(_pq_parts())
+    dist_to_cent = _KM_DIST.format(d=_KM_D, p="e.v", c="c.cvec")
+    qdist = _KM_DIST.format(d=_KM_D, p="q.qv", c="c.cvec")
+    adc = " + ".join(
+        "list_sum(list_transform(generate_series(1, %d),"
+        " i -> (p.sv%d[i] - cb%d.cvec[i]) * (p.sv%d[i] - cb%d.cvec[i])))"
+        % (_PQ_DS, j, j, j, j)
+        for j in range(_PQ_S)
+    )
+    enc_joins = " ".join(
+        f"JOIN enc{j} ON enc{j}.vec_id = c.cand_id"
+        f" JOIN cent1_{j} cb{j} ON cb{j}.cluster = enc{j}.code"
+        for j in range(_PQ_S)
+    )
+    qslices = ", ".join(
+        f"v[{j * _PQ_DS + 1}:{j * _PQ_DS + _PQ_DS}] AS sv{j}" for j in range(_PQ_S)
+    )
+    return (
+        _kmeans_chain()
+        + ",\n    "
+        + pq_chain
+        + f""",
+    corpus AS (
+      SELECT vec_id AS cand_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(dist, 6), cluster) AS rk
+        FROM (SELECT e.vec_id, c.cluster, {dist_to_cent} AS dist
+              FROM e CROSS JOIN cent{_KM_ITERS} c))
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, {qslices} FROM e WHERE vec_id < 10),
+    qprobe AS (
+      SELECT query_id, cluster, {", ".join(f"sv{j}" for j in range(_PQ_S))} FROM (
+        SELECT q.query_id, c.cluster,
+               {", ".join(f"q.sv{j}" for j in range(_PQ_S))},
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({qdist}, 6), c.cluster) AS rk
+        FROM q CROSS JOIN cent{_KM_ITERS} c)
+      WHERE rk <= 2),
+    scored AS (
+      SELECT p.query_id, c.cand_id, round({adc}, 6) AS adc
+      FROM qprobe p JOIN corpus c USING (cluster) {enc_joins}
+      WHERE p.query_id <> c.cand_id)
+SELECT query_id, cand_id, adc, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT query_id, cand_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+  FROM scored)
+WHERE rk <= 3
+ORDER BY query_id, rank
+"""
+    )
+
+
+@register("ivfpq_topk", _ivfpq_oracle())
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production billion-vector index shape (FAISS IVFADC): a
+    trained coarse quantizer prunes the corpus to nprobe=2 cells AND
+    the candidates are stored only as S=4 PQ codes, scored by
+    asymmetric distance to the codebook reconstruction.  Both model
+    tables are literals (train-once cached), corpus cell+code
+    assignment is ONE map-only scan, and the search is a cell
+    equi-join — at 10^9 vectors the scan reads 4 bytes of codes per
+    candidate instead of 256 bytes of floats, on 1/(k/nprobe) of the
+    corpus."""
+    from deepicedrain_spark.operators.kmeans import (
+        sq_dist_cols,
+        trained_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, coarse = trained_centroids(
+        emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS,
+        cache_key=(sf_dir, "embeddings"),
+    )
+    v = F.col("embedding").cast("array<double>")
+    sliced = emb.select(
+        "vec_id",
+        "embedding",
+        *[F.slice(v, j * _PQ_DS + 1, _PQ_DS).alias(f"sv{j}") for j in range(_PQ_S)],
+    )
+    books = []
+    for j in range(_PQ_S):
+        sub = sliced.select("vec_id", F.col(f"sv{j}").alias("sv"))
+        _, cents = trained_centroids(
+            sub, "sv", "vec_id", k=_PQ_K, iters=_PQ_ITERS,
+            cache_key=(sf_dir, "pq", j),
+        )
+        books.append(cents)
+    # one map-only pass emits (cand_id, coarse cell, S codes)
+    corpus = assign_to_centroids(sliced, "embedding", coarse).select(
+        F.col("vec_id").alias("cand_id"),
+        "cluster",
+        *[
+            _pq_best_code(f"sv{j}", cents)["code"].alias(f"code{j}")
+            for j, cents in enumerate(books)
+        ],
+    )
+    probes = F.slice(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(sq_dist_to("embedding", c), 6).alias("key"),
+                        F.lit(i).cast("long").alias("cluster"),
+                    )
+                    for i, c in enumerate(coarse)
+                ]
+            )
+        ),
+        1,
+        2,
+    )
+    q = (
+        sliced.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *[F.col(f"sv{j}").alias(f"qsv{j}") for j in range(_PQ_S)],
+            F.explode(probes).alias("_p"),
+        )
+        .select(
+            "query_id",
+            *[f"qsv{j}" for j in range(_PQ_S)],
+            F.col("_p.cluster").alias("cluster"),
+        )
+    )
+    joined = corpus.join(F.broadcast(q), "cluster").where(
+        F.col("query_id") != F.col("cand_id")
+    )
+    adc_terms = [
+        sq_dist_cols(
+            F.col(f"qsv{j}"),
+            F.element_at(_pq_book_lit(cents), F.col(f"code{j}").cast("int") + 1),
+        )
+        for j, cents in enumerate(books)
+    ]
+    scored = joined.withColumn("adc", F.round(sum(adc_terms[1:], adc_terms[0]), 6))
     w = Window.partitionBy("query_id").orderBy("adc", "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
