@@ -314,14 +314,24 @@ def kmv_minima(
     difference estimates via ``kmv_theta_counts``), which is why
     DataSketches ships theta alongside HLL.
     """
-    from pyspark.sql import Window
-
     distinct = (
         df.select(*group_cols, md5_long60(key).alias("h"))
         .groupBy(*group_cols, "h")
         .agg(F.count(F.lit(1)).alias("_n"))
         .drop("_n")
     )
+    return kmv_minima_hashed(distinct, group_cols, k=k)
+
+
+def kmv_minima_hashed(
+    distinct: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Rank stage of ``kmv_minima`` over an ALREADY-DISTINCT
+    (group, h) table — exposed so a caller that needs the distinct
+    pair table for other aggregates too (e.g. an exact-count audit)
+    computes the expensive text→hash pass once and shares it."""
+    from pyspark.sql import Window
+
     # the k smallest of any bucket-partition of the hashes is a
     # superset of the k smallest overall, so the pre-prune is exact
     wb = Window.partitionBy(*group_cols, F.pmod(F.col("h"), F.lit(32))).orderBy("h")

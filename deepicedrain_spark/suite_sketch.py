@@ -918,16 +918,34 @@ def q_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row-per-group aggregate — corpus-diversity tracking at 100 TB
     without an exact-distinct shuffle of the shingle text."""
     from deepicedrain_spark.operators.dedup import word_shingles
-    from deepicedrain_spark.operators.sketches import kmv_estimate, kmv_minima
+    from deepicedrain_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_minima_hashed,
+        md5_long60,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "text", n=3).select(
-        "source", F.explode("shingles").alias("s")
+    # a small parquet scans as ONE partition and Catalyst pushes
+    # row-wise projections BELOW a bare repartition, so the shingle
+    # map would still run in the single scan task; the checkpoint is
+    # the optimizer barrier that pins the heavy map after the spread
+    # (same finding as multimodal._spread — only fires when the scan
+    # has fewer partitions than task slots, i.e. tiny inputs)
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism).localCheckpoint()
+    sh = (
+        word_shingles(docs, "text", n=3)
+        .select("source", F.explode("shingles").alias("s"))
+        .select("source", md5_long60(F.col("s")).alias("h"))
     )
-    minima = kmv_minima(sh, ["source"], F.col("s"), k=_KMV_K)
+    # ONE distinct (source, h) pass feeds BOTH the sketch ranks and
+    # the exact-count audit (identical subplan → exchange reuse)
+    pairs = sh.groupBy("source", "h").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    minima = kmv_minima_hashed(pairs, ["source"], k=_KMV_K)
     est = kmv_estimate(minima, ["source"], k=_KMV_K)
-    exact = sh.groupBy("source").agg(
-        F.countDistinct("s").cast("long").alias("exact_distinct")
+    exact = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
     return est.join(exact, "source").orderBy("source")
 

@@ -55,6 +55,18 @@ QUERIES = [
     "bpe_merge_table",
     "bpe_encode_tokens",
     "ann_recall_at_k",
+    # round 8 session 3: DSIR importance weights, CCNet perplexity
+    # thirds, Gopher quality gate, KMV distinct sketch (shingle
+    # explode + distributed top-k), Hilbert layout key (map-only +
+    # global sort), IVFADC search (cell equi-join over PQ codes).
+    # kmv_set_ops_custkeys is excluded: it filters orders to 1995,
+    # which the staged o_orderdate range (1996+) doesn't contain.
+    "dsir_importance_weights",
+    "perplexity_buckets",
+    "gopher_quality_rules",
+    "kmv_distinct_shingles",
+    "hilbert_spatial_order",
+    "ivfpq_topk",
     # geo/streaming family (round 7, VERDICT r6 task 4): the same
     # sf1/sf4 linearity gate over the crossover join, gridded PIP,
     # raster/gridding aggregates, per-point regression, rolling
