@@ -1308,6 +1308,145 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+# --- trained quality classifier (logreg over hashed bigrams) -----------
+_LR_B, _LR_ITERS, _LR_LR, _LR_Z = 64, 3, 5.0, 50.0
+_LR_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _logreg_chain() -> str:
+    """DuckDB CTE chain replaying logreg_train iteration-for-iteration
+    (the k-means oracle shape): feats → w0 → p1/w1 → … → w{iters}.
+    All multi-row sums are scaled-integer BIGINTs, so there is no
+    fold-order drift to pin — only the per-row sigmoid rounds.
+    MATERIALIZED everywhere per the round-8 plain-CTE dead end."""
+    h = _LR_H60.format(x="b")
+    parts = [
+        """docs0 AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents)""",
+        f"""feats AS MATERIALIZED (
+      SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, y, {h} % {_LR_B} AS bucket FROM (
+          SELECT doc_id, y, unnest(list_transform(generate_series(1, len(w) - 1),
+                                                  i -> w[i] || ' ' || w[i+1])) AS b
+          FROM docs0 WHERE len(w) >= 2))
+      GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT doc_id, y, {_LR_B}, CAST(1 AS BIGINT) FROM docs0)""",
+        "nd AS (SELECT count(*) AS n FROM docs0)",
+        f"""w0 AS (SELECT g.range AS bucket, CAST(0 AS BIGINT) AS w6
+      FROM range({_LR_B + 1}) g)""",
+    ]
+    for t in range(1, _LR_ITERS + 1):
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+      SELECT f.doc_id, any_value(f.y) AS y,
+             CAST(round(round(1.0 / (1.0 + exp(-(sum(f.cnt * w.w6)
+                  / (1e6 * {_LR_Z})))), 6) * 1e6) AS BIGINT) AS pm
+      FROM feats f JOIN w{t - 1} w USING (bucket)
+      GROUP BY f.doc_id)"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT w.bucket,
+             w.w6 - CAST(round({_LR_LR} * coalesce(g.gs, 0)
+                          / (nd.n * {_LR_Z})) AS BIGINT) AS w6
+      FROM w{t - 1} w CROSS JOIN nd LEFT JOIN (
+        SELECT f.bucket, sum(f.cnt * (p.pm - p.y * 1000000)) AS gs
+        FROM feats f JOIN p{t} p USING (doc_id) GROUP BY 1) g USING (bucket))"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+# train-once memo across the train/score queries (trained_centroids
+# key shape: params + source-file content fingerprint; the checkpointed
+# feature table is cached too, keyed by application id like the
+# near-dup pair memo, since checkpoint blocks die with the session)
+_LOGREG_CACHE: dict[tuple, tuple[list[int], DataFrame]] = {}
+
+
+def _trained_logreg(spark: SparkSession, sf_dir: str) -> tuple[list[int], DataFrame]:
+    from deepicedrain_spark.operators.classifier import (
+        hashed_bigram_features,
+        logreg_train,
+    )
+    from deepicedrain_spark.operators.kmeans import _input_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _LR_B,
+        _LR_ITERS,
+        _LR_LR,
+        _input_fingerprint(docs),
+    )
+    if key in _LOGREG_CACHE:
+        return _LOGREG_CACHE[key]
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism).localCheckpoint()
+    feats = hashed_bigram_features(
+        docs, F.col("lang") == "en", b=_LR_B
+    ).localCheckpoint()
+    w6 = logreg_train(feats, b=_LR_B, iters=_LR_ITERS, lr=_LR_LR)
+    _LOGREG_CACHE[key] = (w6, feats)
+    return w6, feats
+
+
+@register(
+    "quality_classifier_train",
+    _logreg_chain()
+    + f"""
+    SELECT bucket, w6 / 1000000.0 AS weight
+    FROM w{_LR_ITERS}
+    ORDER BY bucket
+    """,
+)
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the CCNet/DCLM-style quality classifier: logistic
+    regression by 3 batch-GD iterations over 64 hashed-bigram buckets
+    (+ intercept), weak label lang='en'.  Each iteration is one job —
+    map-only logits with the weight vector folded in as a literal,
+    one bucket-keyed gradient aggregate (65 rows to the driver).  The
+    oracle replays training iteration-for-iteration; every multi-row
+    sum is a scaled-integer BIGINT, so the replay is exact."""
+    w6, _ = _trained_logreg(spark, sf_dir)
+    rows = [(k, w6[k] / 1e6) for k in range(_LR_B + 1)]
+    return spark.createDataFrame(rows, "bucket long, weight double").orderBy("bucket")
+
+
+@register(
+    "quality_classifier_score",
+    _logreg_chain()
+    + f""",
+    pf AS (
+      SELECT f.doc_id, any_value(f.y) AS y,
+             CAST(round(round(1.0 / (1.0 + exp(-(sum(f.cnt * w.w6)
+                  / (1e6 * {_LR_Z})))), 6) * 1e6) AS BIGINT) AS pm
+      FROM feats f JOIN w{_LR_ITERS} w USING (bucket)
+      GROUP BY f.doc_id)
+    SELECT doc_id AS id, CAST(y AS BIGINT) AS y,
+           pm / 1000000.0 AS p,
+           CAST(CASE WHEN pm > 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+           CAST(CASE WHEN (CASE WHEN pm > 500000 THEN 1 ELSE 0 END) = y
+                THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM pf
+    ORDER BY id
+    """,
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained classifier (map-only:
+    literal weights, in-row dot product) — per-doc probability,
+    prediction, and label agreement.  Training is memoized across the
+    train/score pair, so this measures the scoring scan."""
+    from deepicedrain_spark.operators.classifier import logreg_score
+
+    w6, feats = _trained_logreg(spark, sf_dir)
+    return logreg_score(feats, w6).orderBy("id")
+
+
 # --- Gopher quality rules (Rae et al. 2021, table A1) ------------------
 @register(
     "gopher_quality_rules",

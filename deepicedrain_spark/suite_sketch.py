@@ -2412,10 +2412,15 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nb").alias("nu"))
     )
     v = docs.select(F.explode(w).alias("tok")).agg(F.countDistinct("tok").alias("v"))
+    # unlike bigram_lm_score, the model-table joins carry NO broadcast
+    # hint: on a near-unique bigram stream (this synthetic corpus, or
+    # any corpus before zipf-capping the model) bgc grows with the
+    # data, and a forced broadcast of the model is the scale bug —
+    # AQE still picks broadcast whenever the table is actually small
     scored = (
-        bg.join(F.broadcast(bgc), "b")
+        bg.join(bgc, "b")
         .withColumn("u", F.split(F.col("b"), " ").getItem(0))
-        .join(F.broadcast(ugc), "u")
+        .join(ugc, "u")
         .crossJoin(F.broadcast(v))
         .withColumn(
             "lp", F.log((F.col("nb") + F.lit(1.0)) / (F.col("nu") + F.col("v")))

@@ -520,3 +520,56 @@ def test_gopher_rules_match_python_recompute(spark):
             20 <= len(w) <= 90 and 3 <= mwl <= 10 and n_stop >= 2 and top_bg <= 0.2
         )
         assert r["passes"] == expect, doc_id
+
+
+def test_logreg_train_matches_python_replay(spark):
+    """The distributed trainer's scaled-integer weight vector equals a
+    pure-Python replay of the same GD from the raw text (hash, logit,
+    sigmoid rounding, and update reproduced bit-for-bit)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.classifier import (
+        Z_SCALE,
+        hashed_bigram_features,
+        logreg_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    B, ITERS, LR = 64, 3, 5.0
+    docs = load_table(spark, sf, "documents")
+    feats = hashed_bigram_features(docs, F.col("lang") == "en", b=B)
+    got = logreg_train(feats, b=B, iters=ITERS, lr=LR)
+
+    rows = docs.select("doc_id", "lang", "text").collect()
+    pydocs = []
+    for r in rows:
+        w = [x for x in r["text"].split(" ") if x]
+        c = Counter(
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % B
+            for a, b in zip(w, w[1:])
+        )
+        c[B] = 1  # intercept
+        pydocs.append((dict(c), 1 if r["lang"] == "en" else 0))
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    w6 = [0] * (B + 1)
+    n = len(pydocs)
+    for _ in range(ITERS):
+        gs = [0] * (B + 1)
+        for cnts, y in pydocs:
+            zs = sum(cnt * w6[k] for k, cnt in cnts.items())
+            p6 = round(1.0 / (1.0 + math.exp(-(zs / (1e6 * Z_SCALE)))), 6)
+            pm = half_away(p6 * 1e6)
+            for k, cnt in cnts.items():
+                gs[k] += cnt * (pm - y * 1_000_000)
+        w6 = [w6[k] - half_away(LR * gs[k] / (n * Z_SCALE)) for k in range(B + 1)]
+
+    assert got == w6
+    assert any(v != 0 for v in got)  # it actually learned something

@@ -67,6 +67,8 @@ QUERIES = [
     "kmv_distinct_shingles",
     "hilbert_spatial_order",
     "ivfpq_topk",
+    "quality_classifier_train",
+    "quality_classifier_score",
     # geo/streaming family (round 7, VERDICT r6 task 4): the same
     # sf1/sf4 linearity gate over the crossover join, gridded PIP,
     # raster/gridding aggregates, per-point regression, rolling
