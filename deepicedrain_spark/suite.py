@@ -1014,6 +1014,7 @@ PRIORITY: list[str] = [
     "ivfpq_topk",
     "quality_classifier_train",
     "quality_classifier_score",
+    "streaming_classifier_score",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

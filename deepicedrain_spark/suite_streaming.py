@@ -344,6 +344,52 @@ def q_streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(scored, "append").orderBy("vec_id")
 
 
+# Streaming quality-classifier scoring: the trained-filter analogue of
+# streaming_kmeans_assign — train batch-side (memoized GD logreg over
+# hashed bigrams), score the document STREAM map-only with the weight
+# vector folded in as a literal. Stateless → append mode, no
+# watermark; the batch scoring chain is the oracle verbatim.
+def _streaming_classifier_oracle() -> str:
+    from deepicedrain_spark.suite_llm import _logreg_chain, _LR_ITERS, _LR_Z
+
+    return (
+        _logreg_chain()
+        + f""",
+    pf AS (
+      SELECT f.doc_id, any_value(f.y) AS y,
+             CAST(round(round(1.0 / (1.0 + exp(-(sum(f.cnt * w.w6)
+                  / (1e6 * {_LR_Z})))), 6) * 1e6) AS BIGINT) AS pm
+      FROM feats f JOIN w{_LR_ITERS} w USING (bucket)
+      GROUP BY f.doc_id)
+    SELECT doc_id AS id, CAST(y AS BIGINT) AS y,
+           pm / 1000000.0 AS p,
+           CAST(CASE WHEN pm > 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+    FROM pf
+    ORDER BY id
+    """
+    )
+
+
+@register("streaming_classifier_score", _streaming_classifier_oracle())
+def q_streaming_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.classifier import (
+        hashed_bigram_features,
+        logreg_score,
+    )
+    from deepicedrain_spark.streaming.windows import _stream_dir
+    from deepicedrain_spark.suite_llm import _LR_B, _trained_logreg
+
+    w6, _ = _trained_logreg(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+    feats = hashed_bigram_features(stream, F.col("lang") == "en", b=_LR_B)
+    scored = logreg_score(feats, w6).drop("correct")
+    return run_to_batch(scored, "append").orderBy("id")
+
+
 # Streaming → parquet table via foreachBatch: the production sink
 # (memory sinks are demo-only). Each micro-batch of the complete-mode
 # aggregate overwrites the managed parquet dir — idempotent under

