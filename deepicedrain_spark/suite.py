@@ -1015,6 +1015,7 @@ PRIORITY: list[str] = [
     "quality_classifier_train",
     "quality_classifier_score",
     "streaming_classifier_score",
+    "temperature_mixture_quota",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -822,6 +822,93 @@ def q_source_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temperature-scaled source mixing (T5 / Pile / LLaMA recipe) --------
+# Sampling weight per source ∝ n^alpha flattens the source
+# distribution (alpha=0.5 here); quotas derive from integer-scaled
+# weights (w6 = round(sqrt(n)*1e6) as BIGINT) so the weight-sum — the
+# one cross-source fold — is exact and order-free in both engines,
+# and selection is the md5-ranked prefix per source (content-stable,
+# no RNG). One window + O(sources) aggregates.
+_TMIX_ALPHA_SQL = "CAST(round(sqrt(c) * 1e6) AS BIGINT)"
+
+
+@register(
+    "temperature_mixture_quota",
+    f"""
+    WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    w AS (SELECT source, c, {_TMIX_ALPHA_SQL} AS w6 FROM counts),
+    tot AS (SELECT sum(w6) AS sw, CAST(sum(c) // 2 AS BIGINT) AS target FROM w),
+    quota AS (
+      SELECT w.source, w.c,
+             least(w.c, CAST(round(tot.target * w.w6 / CAST(tot.sw AS DOUBLE))
+                             AS BIGINT)) AS q
+      FROM w CROSS JOIN tot),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT q.source,
+           CAST(q.c AS BIGINT) AS n_docs,
+           q.q AS quota,
+           CAST(count(r.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(r.doc_id), 0) AS BIGINT) AS id_sum
+    FROM quota q LEFT JOIN ranked r ON r.source = q.source AND r.rk <= q.q
+    GROUP BY q.source, q.c, q.q
+    ORDER BY q.source
+    """,
+)
+def q_temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling: per-source quota ∝ n^0.5
+    against a corpus-half target, selection by md5 rank.  The id_sum
+    checksum binds the exact kept SET.  At 100 TB this is the same
+    plan: a per-source count, O(sources) quota math, one ranked
+    window on the source key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    w = counts.withColumn(
+        "w6", F.round(F.sqrt(F.col("c")) * 1e6).cast("long")
+    )
+    tot = w.agg(
+        F.sum("w6").alias("sw"),
+        (F.sum("c").cast("long") / 2).cast("long").alias("target"),
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        F.least(
+            F.col("c"),
+            F.round(
+                F.col("target") * F.col("w6") / F.col("sw").cast("double")
+            ).cast("long"),
+        ).alias("q"),
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(rk).alias("rk")
+    )
+    kept = ranked.join(F.broadcast(quota), "source").where(F.col("rk") <= F.col("q"))
+    stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    return (
+        quota.join(stats, "source", "left")
+        .select(
+            "source",
+            F.col("c").cast("long").alias("n_docs"),
+            F.col("q").alias("quota"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- int8 embedding quantization (round 3) ------------------------------
 # The storage/bandwidth step an embedding pipeline runs before ANN
 # serving: per-vector affine int8 (min/max → scale, x → round((x−mn)/s)
