@@ -344,6 +344,37 @@ def q_streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(scored, "append").orderBy("vec_id")
 
 
+# Stream-static enrichment join: the standard production shape a
+# streaming pipeline uses to attach dimension attributes to events —
+# the static side is a plain batch DataFrame Spark re-broadcasts per
+# micro-batch (no state store, no watermark), so the complete-mode
+# rollup after it equals the batch join exactly.
+@register(
+    "streaming_dim_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.io import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return run_to_batch(agg, "complete").orderBy("segment")
+
+
 # Streaming quality-classifier scoring: the trained-filter analogue of
 # streaming_kmeans_assign — train batch-side (memoized GD logreg over
 # hashed bigrams), score the document STREAM map-only with the weight
