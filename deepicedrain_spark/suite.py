@@ -1016,6 +1016,8 @@ PRIORITY: list[str] = [
     "quality_classifier_score",
     "streaming_classifier_score",
     "temperature_mixture_quota",
+    "ivfpq_recall_at_k",
+    "streaming_dim_enrich",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

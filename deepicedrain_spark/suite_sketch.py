@@ -1774,6 +1774,89 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_recall_oracle() -> str:
+    """Recall@3 of IVFADC vs exact L2 (the apples-to-apples ground
+    truth for an L2 code distance): reuse the full ivfpq chain, add a
+    brute-force exact side, roll up per query."""
+    base = _ivfpq_oracle()
+    chain, tail = base.split("\nSELECT query_id, cand_id, adc,", 1)
+    exact_d = _KM_DIST.format(d=_KM_D, p="q.qv", c="e")
+    return (
+        chain.replace("ORDER BY query_id, rank", "")
+        + f""",
+    ivf3 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+        FROM scored)
+      WHERE rk <= 3),
+    exact3 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({_KM_DIST.format(d=_KM_D, p='q.qv', c='e.v')}, 6),
+                                           e.vec_id) AS rk
+        FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id)
+      WHERE rk <= 3)
+SELECT x.query_id,
+       CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+       round(CAST(count(i.cand_id) AS DOUBLE) / 3, 6) AS recall
+FROM exact3 x LEFT JOIN ivf3 i
+  ON i.query_id = x.query_id AND i.cand_id = x.cand_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+    )
+
+
+@register("ivfpq_recall_at_k", _ivfpq_recall_oracle())
+def q_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the compressed IVFADC index against exact
+    brute-force L2 — quantifying BOTH approximation sources at once
+    (cell pruning + code reconstruction).  Reuses the driver-green
+    ivfpq plan and a broadcast-query exact scan; the roll-up is one
+    left-semi join on 30 rows."""
+    from deepicedrain_spark.operators.kmeans import sq_dist_cols
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = cand.join(F.broadcast(q)).where(
+        F.col("query_id") != F.col("cand_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(sq_dist_cols(F.col("qv"), F.col("cv")), 6), "cand_id"
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "cand_id")
+    )
+    ivf = q_ivfpq_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = exact.join(ivf, ["query_id", "cand_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 3, 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- weighted sampling (Efraimidis–Spirakis, deterministic) -----------
 @register(
     "weighted_sample_docs",
