@@ -416,3 +416,19 @@ def test_kmv_theta_merge_equals_sketch_of_union(spark):
     rse = 1.0 / math.sqrt(k - 2)
     assert abs(est["est_union"] - 900) / 900 < 4 * rse
     assert abs(est["est_intersection"] - 200) / 200 < 6 * rse
+
+
+def test_kmv_theta_counts_one_empty_side(spark):
+    """An empty A sketch must yield est_a_only = est_intersection = 0
+    and est_union ≈ |B| — the year-with-no-orders shape."""
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.sketches import kmv_minima, kmv_theta_counts
+
+    a = spark.createDataFrame([], "v string")
+    b = spark.createDataFrame([(str(i),) for i in range(20)], "v string")
+    sk_a = kmv_minima(a, [], F.col("v"), k=32)
+    sk_b = kmv_minima(b, [], F.col("v"), k=32)
+    est = kmv_theta_counts(sk_a, sk_b, k=32).collect()[0]
+    assert est["est_a_only"] == 0 and est["est_intersection"] == 0
+    assert est["est_union"] == 20 and est["est_b_only"] == 20  # exact mode

@@ -69,6 +69,10 @@ QUERIES = [
     "ivfpq_topk",
     "quality_classifier_train",
     "quality_classifier_score",
+    "streaming_classifier_score",
+    "temperature_mixture_quota",
+    "streaming_dim_enrich",
+    "ivfpq_recall_at_k",
     # geo/streaming family (round 7, VERDICT r6 task 4): the same
     # sf1/sf4 linearity gate over the crossover join, gridded PIP,
     # raster/gridding aggregates, per-point regression, rolling
