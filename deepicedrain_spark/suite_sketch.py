@@ -940,8 +940,14 @@ def q_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", md5_long60(F.col("s")).alias("h"))
     )
     # ONE distinct (source, h) pass feeds BOTH the sketch ranks and
-    # the exact-count audit (identical subplan → exchange reuse)
-    pairs = sh.groupBy("source", "h").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    # the exact-count audit. cache() is what actually shares it:
+    # exchange reuse does NOT fire here because column pruning gives
+    # the audit branch a narrower (and thus non-identical) subplan.
+    # State is O(distinct)×16B with disk spill — the audit branch is
+    # a test-time diagnostic; the production est-only call drops it.
+    pairs = (
+        sh.groupBy("source", "h").agg(F.count(F.lit(1)).alias("_n")).drop("_n").cache()
+    )
     minima = kmv_minima_hashed(pairs, ["source"], k=_KMV_K)
     est = kmv_estimate(minima, ["source"], k=_KMV_K)
     exact = pairs.groupBy("source").agg(
