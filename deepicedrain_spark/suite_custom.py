@@ -1414,6 +1414,39 @@ def q_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S8-adjacent: JSONL sink + scan round-trip -------------------------
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (one JSON object per line) sink + scan: the interchange
+    format LLM data pipelines actually ship (HF datasets, Dolma, C4
+    dumps).  Writes the documents table as JSON lines, reads it back
+    with an EXPLICIT schema (inference on a 100 TB dump is a full
+    extra pass), and proves value fidelity by emitting per-row
+    checksums the oracle computes from the source table directly —
+    JSON string escaping must round-trip the text byte-exactly for
+    the md5s to match."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_path(sf_dir, "jsonl_roundtrip")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 # --- S2: partitioned parquet sink round-trip (extraload.py:54-128) ----
 @register(
     "parquet_roundtrip",
