@@ -1019,6 +1019,7 @@ PRIORITY: list[str] = [
     "ivfpq_recall_at_k",
     "streaming_dim_enrich",
     "jsonl_roundtrip",
+    "llm_corpus_pipeline",
     # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
     # zipped minhash coefficients, indexed PQ codebooks) — all verified
     # locally at sf0.01 value-exact this round; rotate into the r9

@@ -909,6 +909,244 @@ def q_temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end corpus curation pipeline --------------------------------
+# The LLM analogue of atl06_dhdt_end_to_end: chain the driver-green
+# stages the way a real curation run does — Gopher quality gate →
+# exact dedup (keep lowest id) → self-trained bigram-LM perplexity
+# with the tail third dropped per language (CCNet) → temperature-
+# scaled per-source quotas (n^0.5 against a half-corpus target).
+# Each stage reuses the exact logic its standalone query certifies;
+# the value here is the COMPOSITION: one plan, one pass per stage
+# boundary, per-source stage counts + an id_sum binding the final set.
+_PIPE_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents),
+bgm AS (
+  SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bg FROM (
+    SELECT doc_id, b, count(*) AS n FROM (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS b
+      FROM t WHERE len(w) >= 2)
+    GROUP BY doc_id, b)
+  GROUP BY doc_id),
+g AS (
+  SELECT t.* FROM t LEFT JOIN bgm USING (doc_id)
+  WHERE len(w) BETWEEN 20 AND 90
+    AND (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w))
+        BETWEEN 3 AND 10
+    AND len(list_filter(w, x -> x IN ('the', 'a'))) >= 2
+    AND coalesce(bgm.top_bg, 0.0) <= 0.2),
+d AS (
+  SELECT * FROM (
+    SELECT g.*, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS _rk
+    FROM g) WHERE _rk = 1),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1])) AS b
+  FROM d),
+bgc AS (SELECT b, count(*) AS nb FROM bg GROUP BY b),
+ugc AS (SELECT split_part(b, ' ', 1) AS u, sum(nb) AS nu FROM bgc GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM d)),
+lm AS (
+  SELECT g.doc_id,
+         round(sum(ln((bgc.nb + 1.0) / (ugc.nu + (SELECT v FROM vocab))))
+               / count(*), 6) AS avg_logp
+  FROM bg g
+  JOIN bgc ON bgc.b = g.b
+  JOIN ugc ON ugc.u = split_part(g.b, ' ', 1)
+  GROUP BY g.doc_id),
+p AS (
+  SELECT d.doc_id, d.lang, d.source FROM (
+    SELECT d.doc_id, d.lang, d.source,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY lm.avg_logp DESC, d.doc_id) AS nt
+    FROM d JOIN lm USING (doc_id)) d
+  WHERE nt <= 2),
+counts AS (SELECT source, count(*) AS c FROM p GROUP BY source),
+wq AS (SELECT source, c, CAST(round(sqrt(c) * 1e6) AS BIGINT) AS w6 FROM counts),
+tot AS (SELECT sum(w6) AS sw, CAST(sum(c) // 2 AS BIGINT) AS target FROM wq),
+quota AS (
+  SELECT wq.source, wq.c,
+         least(wq.c, CAST(round(tot.target * wq.w6 / CAST(tot.sw AS DOUBLE))
+                          AS BIGINT)) AS q
+  FROM wq CROSS JOIN tot),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM p),
+stage_counts AS (
+  SELECT t.source,
+         CAST(count(*) AS BIGINT) AS n_input,
+         CAST(count(g.doc_id) AS BIGINT) AS n_gopher,
+         CAST(count(d.doc_id) AS BIGINT) AS n_dedup,
+         CAST(count(p.doc_id) AS BIGINT) AS n_ppl
+  FROM t
+  LEFT JOIN (SELECT doc_id FROM g) g USING (doc_id)
+  LEFT JOIN (SELECT doc_id FROM d) d USING (doc_id)
+  LEFT JOIN (SELECT doc_id FROM p) p USING (doc_id)
+  GROUP BY t.source)
+SELECT s.source, s.n_input, s.n_gopher, s.n_dedup, s.n_ppl,
+       q.q AS quota,
+       CAST(count(r.doc_id) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(r.doc_id), 0) AS BIGINT) AS id_sum
+FROM stage_counts s
+JOIN quota q ON q.source = s.source
+LEFT JOIN ranked r ON r.source = s.source AND r.rk <= q.q
+GROUP BY s.source, s.n_input, s.n_gopher, s.n_dedup, s.n_ppl, q.q
+ORDER BY s.source
+"""
+
+
+@register("llm_corpus_pipeline", _PIPE_SQL)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE plan: Gopher gate → exact
+    dedup → LM-perplexity tail-drop per lang (model trained on the
+    POST-dedup survivors, as a real run would) → temperature-scaled
+    per-source quotas.  Per-source funnel counts at every stage plus
+    an id_sum binding the exact final set.  Stage boundaries are each
+    one shuffle; the corpus-wide text passes happen exactly twice
+    (gopher metrics; LM bigrams over survivors)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = ts_ops.whitespace_tokens(F.col("text"))
+    t = docs.select("doc_id", "lang", "source", "text", w.alias("w"))
+
+    bg_all = t.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    bgm = (
+        bg_all.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bg"))
+    )
+    mwl = F.aggregate(
+        "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / F.size("w")
+    g = (
+        t.join(bgm, "doc_id", "left")
+        .withColumn("top_bg", F.coalesce(F.col("top_bg"), F.lit(0.0)))
+        .where(
+            F.size("w").between(20, 90)
+            & mwl.between(3, 10)
+            & (F.size(F.filter("w", lambda x: x.isin("the", "a"))) >= 2)
+            & (F.col("top_bg") <= 0.2)
+        )
+        .drop("top_bg")
+    )
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = g.withColumn("_rk", F.row_number().over(wd)).where(F.col("_rk") == 1).drop("_rk")
+
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    ugc = (
+        bgc.select(F.split("b", " ").getItem(0).alias("u"), "nb")
+        .groupBy("u")
+        .agg(F.sum("nb").alias("nu"))
+    )
+    v = d.select(F.explode("w").alias("tok")).agg(F.countDistinct("tok").alias("v"))
+    lm = (
+        bg.join(bgc, "b")
+        .withColumn("u", F.split("b", " ").getItem(0))
+        .join(ugc, "u")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log((F.col("nb") + F.lit(1.0)) / (F.col("nu") + F.col("v")))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logp")
+        )
+    )
+    wn = Window.partitionBy("lang").orderBy(F.desc("avg_logp"), "doc_id")
+    p = (
+        d.select("doc_id", "lang", "source")
+        .join(lm, "doc_id")
+        .withColumn("nt", F.ntile(3).over(wn))
+        .where(F.col("nt") <= 2)
+        .select("doc_id", "lang", "source")
+    )
+
+    counts = p.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    wq = counts.withColumn("w6", F.round(F.sqrt("c") * 1e6).cast("long"))
+    tot = wq.agg(
+        F.sum("w6").alias("sw"),
+        (F.sum("c").cast("long") / 2).cast("long").alias("target"),
+    )
+    quota = wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        F.least(
+            F.col("c"),
+            F.round(F.col("target") * F.col("w6") / F.col("sw").cast("double")).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    rkw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = p.select("source", "doc_id", F.row_number().over(rkw).alias("rk"))
+    kept = ranked.join(F.broadcast(quota.select("source", "q")), "source").where(
+        F.col("rk") <= F.col("q")
+    )
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+    stage_counts = (
+        t.select("doc_id", "source")
+        .join(g.select("doc_id", F.lit(1).alias("_g")), "doc_id", "left")
+        .join(d.select("doc_id", F.lit(1).alias("_d")), "doc_id", "left")
+        .join(p.select("doc_id", F.lit(1).alias("_p")), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input"),
+            F.count("_g").cast("long").alias("n_gopher"),
+            F.count("_d").cast("long").alias("n_dedup"),
+            F.count("_p").cast("long").alias("n_ppl"),
+        )
+    )
+    return (
+        stage_counts.join(quota.select("source", F.col("q").alias("quota")), "source")
+        .join(kept_stats, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            "n_gopher",
+            "n_dedup",
+            "n_ppl",
+            "quota",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- int8 embedding quantization (round 3) ------------------------------
 # The storage/bandwidth step an embedding pipeline runs before ANN
 # serving: per-vector affine int8 (min/max → scale, x → round((x−mn)/s)

@@ -73,6 +73,8 @@ QUERIES = [
     "temperature_mixture_quota",
     "streaming_dim_enrich",
     "ivfpq_recall_at_k",
+    "llm_corpus_pipeline",
+    "jsonl_roundtrip",
     # geo/streaming family (round 7, VERDICT r6 task 4): the same
     # sf1/sf4 linearity gate over the crossover join, gridded PIP,
     # raster/gridding aggregates, per-point regression, rolling
