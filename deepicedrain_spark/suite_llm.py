@@ -1013,6 +1013,11 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # spread the tiny-scan case past projection pushdown (the kmv
+    # finding) — both corpus-wide bigram passes hang off this frame
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism).localCheckpoint()
     w = ts_ops.whitespace_tokens(F.col("text"))
     t = docs.select("doc_id", "lang", "source", "text", w.alias("w"))
 
