@@ -122,6 +122,10 @@ def logreg_train(
         return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
     n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError(
+            "logreg_train: empty feature table — nothing to train on"
+        )
     w6 = [0] * (b + 1)
     for _ in range(iters):
         w_lit = F.lit(w6)

@@ -317,6 +317,8 @@ def hilbert_order_sql(
     ``id_cols``: comma-joined passthrough columns.  The final SELECT
     exposes ``hilbert`` (BIGINT in [0, 4**bits)).
     """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"hilbert bits must be in [1, 31], got {bits}")
     shr = (
         (lambda e, i: f"shiftright({e}, {i})")
         if dialect == "spark"
