@@ -181,15 +181,26 @@ def write_zordered(
     if curve == "hilbert":
         bits = 16
         spark = df.sparkSession
+        reserved = {"hilbert", "_z"} & set(df.columns)
+        if reserved:
+            raise ValueError(
+                f"write_zordered(curve='hilbert') reserves column names"
+                f" {sorted(reserved)}; rename them in the input frame"
+            )
         view = f"_zorder_src_{abs(hash(path)) % (1 << 30)}"
         df.createOrReplaceTempView(view)
         cols = ", ".join(df.columns)
-        staged = spark.sql(
-            hilbert_order_sql(
-                f"SELECT * FROM {view}", x_int_col, y_int_col, cols, bits=bits,
-                dialect="spark",
-            )
-        ).withColumnRenamed("hilbert", "_z")
+        # spark.sql analyzes eagerly, so the view can be dropped as
+        # soon as the staged plan exists (it is not needed at write)
+        try:
+            staged = spark.sql(
+                hilbert_order_sql(
+                    f"SELECT * FROM {view}", x_int_col, y_int_col, cols, bits=bits,
+                    dialect="spark",
+                )
+            ).withColumnRenamed("hilbert", "_z")
+        finally:
+            spark.catalog.dropTempView(view)
     elif curve == "morton":
         code = F.expr(morton_code_sql(x_int_col, y_int_col, dialect="spark"))
         staged = df.withColumn("_z", code)

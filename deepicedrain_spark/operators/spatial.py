@@ -315,7 +315,10 @@ def hilbert_order_sql(
     projections, so plan size is O(bits), not O(2^bits).
 
     ``id_cols``: comma-joined passthrough columns.  The final SELECT
-    exposes ``hilbert`` (BIGINT in [0, 4**bits)).
+    exposes ``hilbert`` (BIGINT in [0, 4**bits)).  The state-machine
+    working columns are sentinel-prefixed (``__hilb_*``) so a source
+    frame that already has ``hx``/``sw``/... passthrough columns
+    cannot collide with them in the nested selects.
     """
     if not 1 <= bits <= 31:
         raise ValueError(f"hilbert bits must be in [1, 31], got {bits}")
@@ -324,20 +327,23 @@ def hilbert_order_sql(
         if dialect == "spark"
         else (lambda e, i: f"({e} >> {i})")
     )
+    hx, hy, hd, sw, cm = (
+        "__hilb_hx", "__hilb_hy", "__hilb_hd", "__hilb_sw", "__hilb_cm",
+    )
     q = (
-        f"SELECT {id_cols}, CAST({xe} AS BIGINT) AS hx, CAST({ye} AS BIGINT) AS hy,"
-        f" CAST(0 AS BIGINT) AS hd, 0 AS sw, 0 AS cm FROM ({source_sql})"
+        f"SELECT {id_cols}, CAST({xe} AS BIGINT) AS {hx}, CAST({ye} AS BIGINT) AS {hy},"
+        f" CAST(0 AS BIGINT) AS {hd}, 0 AS {sw}, 0 AS {cm} FROM ({source_sql})"
     )
     for i in range(bits - 1, -1, -1):
-        bx = f"({shr('hx', i)} & 1)"
-        by = f"({shr('hy', i)} & 1)"
-        xi = f"(((CASE WHEN sw = 1 THEN {by} ELSE {bx} END) + cm) % 2)"
-        yi = f"(((CASE WHEN sw = 1 THEN {bx} ELSE {by} END) + cm) % 2)"
+        bx = f"({shr(hx, i)} & 1)"
+        by = f"({shr(hy, i)} & 1)"
+        xi = f"(((CASE WHEN {sw} = 1 THEN {by} ELSE {bx} END) + {cm}) % 2)"
+        yi = f"(((CASE WHEN {sw} = 1 THEN {bx} ELSE {by} END) + {cm}) % 2)"
         q = (
-            f"SELECT {id_cols}, hx, hy,"
-            f" hd + CAST(2 * {xi} + (({xi} + {yi}) % 2) AS BIGINT) * {1 << (2 * i)} AS hd,"
-            f" CASE WHEN {yi} = 0 THEN 1 - sw ELSE sw END AS sw,"
-            f" CASE WHEN {yi} = 0 AND {xi} = 1 THEN 1 - cm ELSE cm END AS cm"
+            f"SELECT {id_cols}, {hx}, {hy},"
+            f" {hd} + CAST(2 * {xi} + (({xi} + {yi}) % 2) AS BIGINT) * {1 << (2 * i)} AS {hd},"
+            f" CASE WHEN {yi} = 0 THEN 1 - {sw} ELSE {sw} END AS {sw},"
+            f" CASE WHEN {yi} = 0 AND {xi} = 1 THEN 1 - {cm} ELSE {cm} END AS {cm}"
             f" FROM ({q})"
         )
-    return f"SELECT {id_cols}, hd AS hilbert FROM ({q})"
+    return f"SELECT {id_cols}, {hd} AS hilbert FROM ({q})"

@@ -840,7 +840,7 @@ _TMIX_ALPHA_SQL = "CAST(round(sqrt(c) * 1e6) AS BIGINT)"
     tot AS (SELECT sum(w6) AS sw, CAST(sum(c) // 2 AS BIGINT) AS target FROM w),
     quota AS (
       SELECT w.source, w.c,
-             least(w.c, CAST(round(tot.target * w.w6 / CAST(tot.sw AS DOUBLE))
+             least(w.c, CAST(round(tot.target * (w.w6 / CAST(tot.sw AS DOUBLE)))
                              AS BIGINT)) AS q
       FROM w CROSS JOIN tot),
     ranked AS (
@@ -875,13 +875,18 @@ def q_temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w6").alias("sw"),
         (F.sum("c").cast("long") / 2).cast("long").alias("target"),
     )
+    # divide FIRST in double: target * w6 in BIGINT wraps silently
+    # past 2^63 (target ~ N/2, w6 ~ sqrt(c)*1e6 at 100 TB counts);
+    # target * (w6/sw) keeps every intermediate in double and the
+    # oracle computes the identical IEEE expression order
     quota = w.crossJoin(F.broadcast(tot)).select(
         "source",
         "c",
         F.least(
             F.col("c"),
             F.round(
-                F.col("target") * F.col("w6") / F.col("sw").cast("double")
+                F.col("target").cast("double")
+                * (F.col("w6").cast("double") / F.col("sw").cast("double"))
             ).cast("long"),
         ).alias("q"),
     )
@@ -970,7 +975,7 @@ wq AS (SELECT source, c, CAST(round(sqrt(c) * 1e6) AS BIGINT) AS w6 FROM counts)
 tot AS (SELECT sum(w6) AS sw, CAST(sum(c) // 2 AS BIGINT) AS target FROM wq),
 quota AS (
   SELECT wq.source, wq.c,
-         least(wq.c, CAST(round(tot.target * wq.w6 / CAST(tot.sw AS DOUBLE))
+         least(wq.c, CAST(round(tot.target * (wq.w6 / CAST(tot.sw AS DOUBLE)))
                           AS BIGINT)) AS q
   FROM wq CROSS JOIN tot),
 ranked AS (
@@ -1013,23 +1018,29 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # spread the tiny-scan case past projection pushdown (the kmv
-    # finding) — both corpus-wide bigram passes hang off this frame
+    # spread the tiny-scan case: bare repartition suffices once the
+    # first corpus pass below avoids pushable heavy filters (the kmv
+    # r9 finding — explode() infers a size>0 filter that sinks below
+    # the exchange into the lone scan task; the CASE WHEN guard +
+    # explode_outer shape infers nothing, so no localCheckpoint fence
+    # and no build-time materialization job per bench pass)
     sc = spark.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism).localCheckpoint()
+        docs = docs.repartition(sc.defaultParallelism)
     w = ts_ops.whitespace_tokens(F.col("text"))
     t = docs.select("doc_id", "lang", "source", "text", w.alias("w"))
 
-    bg_all = t.where(F.size("w") >= 2).select(
+    bg_all = t.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
                 "transform(sequence(1, size(w) - 1),"
-                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+                "ELSE array() END"
             )
         ).alias("b"),
-    )
+    ).where(F.col("b").isNotNull())
     bgm = (
         bg_all.groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1100,14 +1111,17 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w6").alias("sw"),
         (F.sum("c").cast("long") / 2).cast("long").alias("target"),
     )
+    # divide FIRST in double (same 2^63 wrap hazard as
+    # temperature_mixture_quota; oracle reordered identically)
     quota = wq.crossJoin(F.broadcast(tot)).select(
         "source",
         "c",
         F.least(
             F.col("c"),
-            F.round(F.col("target") * F.col("w6") / F.col("sw").cast("double")).cast(
-                "long"
-            ),
+            F.round(
+                F.col("target").cast("double")
+                * (F.col("w6").cast("double") / F.col("sw").cast("double"))
+            ).cast("long"),
         ).alias("q"),
     )
     rkw = Window.partitionBy("source").orderBy(

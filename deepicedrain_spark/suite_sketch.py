@@ -911,7 +911,7 @@ _KMV_SCALE_SQL = "1152921504606846976.0"  # 2^60 as DOUBLE
     """,
 )
 def q_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source distinct-shingle estimate from a k=64 KMV sketch,
+    """Per-source distinct-shingle estimate from a k=_KMV_K KMV sketch,
     with the exact count alongside (the sketch-accuracy audit, like
     ann_recall_at_k for ANN).  The sketch build collapses duplicate
     shingles map-side and ships only 60-bit hashes; the estimate is a
@@ -925,18 +925,23 @@ def q_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # a small parquet scans as ONE partition and Catalyst pushes
-    # row-wise projections BELOW a bare repartition, so the shingle
-    # map would still run in the single scan task; the checkpoint is
-    # the optimizer barrier that pins the heavy map after the spread
-    # (same finding as multimodal._spread — only fires when the scan
-    # has fewer partitions than task slots, i.e. tiny inputs)
+    # a small parquet scans as ONE partition; the r9 A/B attributed
+    # the single-task tail NOT to projection pushdown but to
+    # InferFiltersFromGenerate: explode() infers a size(shingles)>0
+    # filter that is pushed below the repartition exchange and
+    # re-evaluates the whole shingle expression in the lone scan task
+    # (bare repartition 15-20 s at sf0.1). explode_outer() infers no
+    # such filter, so the heavy map stays above the spread — and it
+    # beats the r8 eager-localCheckpoint fence (min 1.95 s vs 2.28 s)
+    # while adding no build-time job and no executor-storage residue
+    # across a long benched session (the r8 driver's 9.49 s line)
     sc = spark.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism).localCheckpoint()
+        docs = docs.repartition(sc.defaultParallelism)
     sh = (
         word_shingles(docs, "text", n=3)
-        .select("source", F.explode("shingles").alias("s"))
+        .select("source", F.explode_outer("shingles").alias("s"))
+        .where(F.col("s").isNotNull())
         .select("source", md5_long60(F.col("s")).alias("h"))
     )
     # ONE distinct (source, h) pass feeds BOTH the sketch ranks and
@@ -1018,7 +1023,7 @@ def _kmv_side_sql(year: int) -> str:
 )
 def q_kmv_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set expressions: the 1995 and 1996 customer sets
-    are sketched INDEPENDENTLY (k=64 KMV each) and combined without
+    are sketched INDEPENDENTLY (k=_KMV_K KMV each) and combined without
     touching the base table again — union, intersection, and both
     differences estimated from ≤ 2k retained hashes, with the exact
     union/intersection alongside as the accuracy audit.  This is the
@@ -2485,7 +2490,12 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx-quantile cutoffs, traded away here for the exact oracle."""
     docs = load_table(spark, sf_dir, "documents")
     w = whitespace_tokens(F.col("text"))
-    bg = docs.select("doc_id", w.alias("_w")).select(
+    # size guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so a 0/1-
+    # token doc would hit element_at(_w, 0) and throw; the oracle's
+    # generate_series(1, 0) is empty, dropping such docs from the LM
+    # join — filtering them here matches it (same hazard word_shingles
+    # documents, same guard the sibling queries use)
+    bg = docs.select("doc_id", w.alias("_w")).where(F.size("_w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2581,11 +2591,20 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-domain (lang='en') hashed-bigram model over the raw-corpus
     model — the published recipe for selecting pretraining data that
     looks like a target domain, with the n-gram models collapsed to
-    B=256 hashed buckets so both fit in a broadcast."""
+    B=256 hashed buckets so both fit in a broadcast.  One corpus text
+    pass: the hashed-bigram table is persisted and the two model
+    counts are fused into a single groupBy (count + count_if), so the
+    explode runs once instead of three times (r8 shape)."""
     from deepicedrain_spark.operators.sketches import md5_long60
 
     docs = load_table(spark, sf_dir, "documents")
     w = whitespace_tokens(F.col("text"))
+    # persist the hashed-bigram table: ONE explode feeds both the
+    # model build and the scoring pass (r8 ran the explode three
+    # times — tgt, raw, and the scoring join each recomputed it).
+    # MEMORY_AND_DISK spills; state per row is (doc_id, lang, bkt) —
+    # the bigram TEXT is hashed away before the persist, so the
+    # cached table is ints, far smaller than the corpus text.
     bg = (
         docs.select("doc_id", "lang", w.alias("_w"))
         .select(
@@ -2600,23 +2619,25 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("b"),
         )
-        .withColumn("bkt", md5_long60(F.col("b")) % _DSIR_B)
+        .select("doc_id", "lang", (md5_long60(F.col("b")) % _DSIR_B).alias("bkt"))
+        .persist()
     )
-    tgt = bg.filter(F.col("lang") == "en").groupBy("bkt").agg(
-        F.count(F.lit(1)).alias("nt")
+    # the raw-count and target-count aggregations fused into ONE
+    # groupBy pass: nt = count of lang='en' rows per bucket (0 when
+    # absent, matching the oracle's LEFT JOIN + coalesce), nr = all
+    fused = bg.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count_if(F.col("lang") == "en").alias("nt"),
     )
-    raw = bg.groupBy("bkt").agg(F.count(F.lit(1)).alias("nr"))
-    tot = tgt.agg(F.sum("nt").alias("t_total")).crossJoin(
-        raw.agg(F.sum("nr").alias("r_total"))
+    tot = fused.agg(
+        F.sum("nt").alias("t_total"), F.sum("nr").alias("r_total")
     )
     ratio = (
-        raw.join(tgt, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
+        fused.crossJoin(F.broadcast(tot))
         .withColumn(
             "lr",
             F.log(
-                (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(1.0))
-                / (F.col("t_total") + F.lit(_DSIR_B))
+                (F.col("nt") + F.lit(1.0)) / (F.col("t_total") + F.lit(_DSIR_B))
             )
             - F.log(
                 (F.col("nr") + F.lit(1.0)) / (F.col("r_total") + F.lit(_DSIR_B))

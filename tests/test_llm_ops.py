@@ -573,3 +573,27 @@ def test_logreg_train_matches_python_replay(spark):
 
     assert got == w6
     assert any(v != 0 for v in got)  # it actually learned something
+
+
+def test_perplexity_buckets_short_doc_guard(spark, tmp_path):
+    """0/1-token docs must be dropped, not crash: Spark's
+    sequence(1, 0) DESCENDS so an unguarded bigram transform hits
+    element_at(w, 0); the oracle's generate_series(1, 0) is empty and
+    silently excludes such docs from the LM join (ADVICE r8)."""
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.suite_sketch import q_perplexity_buckets
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, lang="en", source="s", text=""),
+            Row(doc_id=1, lang="en", source="s", text="solo"),
+            Row(doc_id=2, lang="en", source="s", text="two tokens here two tokens"),
+            Row(doc_id=3, lang="en", source="s", text="more than one token again"),
+            Row(doc_id=4, lang="de", source="s", text="ein zwei drei vier"),
+        ]
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = q_perplexity_buckets(spark, sf).collect()
+    got = {r["doc_id"] for r in rows}
+    assert got == {2, 3, 4}  # short docs excluded, no runtime error

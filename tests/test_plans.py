@@ -307,3 +307,51 @@ def test_dissolve_cells_strategy_no_cartesian(spark):
     plan = plan_of(dissolve_stats(df, ["key"], strategy="cells"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_single_explode_via_cache(spark):
+    """The r8 shape recomputed the bigram explode three times (model
+    target counts, model raw counts, scoring join). Now the hashed
+    bigram table is persisted and the two model counts are fused into
+    one groupBy: every Generate in the executed plan sits inside an
+    InMemoryTableScan printout (the cached subplan re-printed per
+    consumer), so the explode COMPUTES once at cache fill."""
+    from deepicedrain_spark.suite_sketch import q_dsir_importance_weights
+
+    df = q_dsir_importance_weights(spark, SF_SMALL)
+    plan = plan_of(df)
+    n_gen = plan.count("Generate")
+    n_mem = plan.count("InMemoryTableScan")
+    assert n_gen >= 1 and n_gen == n_mem, (n_gen, n_mem)
+    assert df.count() > 0
+
+
+def test_hilbert_sentinel_columns_no_collision(spark, tmp_path):
+    """A source frame whose passthrough columns are named like the
+    Hilbert state-machine working columns (hx/sw/cm) must survive
+    write_zordered(curve='hilbert') unchanged (ADVICE r8: the working
+    columns are now __hilb_-prefixed); the reserved output names
+    (hilbert/_z) raise a clear error; the staging temp view is
+    dropped after the plan is built."""
+    import pytest
+
+    from deepicedrain_spark.io import write_zordered
+
+    df = spark.createDataFrame(
+        [(1, 3, 5, 7, 9), (2, 4, 6, 8, 10)],
+        "vec_id long, hx long, sw long, cm long, hd long",
+    )
+    before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    path = str(tmp_path / "hilb_collide")
+    write_zordered(df, path, "hx", "sw", n_files=1, curve="hilbert")
+    after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert after == before  # staging view dropped
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"vec_id", "hx", "sw", "cm", "hd"}
+    assert {tuple(r) for r in back.select("vec_id", "hx", "sw", "cm", "hd").collect()} == {
+        (1, 3, 5, 7, 9),
+        (2, 4, 6, 8, 10),
+    }
+    bad = df.withColumnRenamed("hd", "hilbert")
+    with pytest.raises(ValueError, match="reserves column names"):
+        write_zordered(bad, str(tmp_path / "x"), "hx", "sw", curve="hilbert")
