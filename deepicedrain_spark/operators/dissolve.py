@@ -1018,7 +1018,15 @@ def dissolve_stats(
     union_area ≤ sum_part_area, equality iff nothing overlaps.
     ``snap``: None|float|"auto" — optional snap-rounding pre-pass
     applied ONCE here (both overlay passes and sum_part_area then see
-    the snapped vertices); see :func:`_apply_snap`."""
+    the snapped vertices); see :func:`_apply_snap`.
+
+    NOTE: the default ``snap=None`` keeps EXACT input vertices — the
+    bit-parity contract this operator's oracles rely on — whereas
+    GEOS ``unary_union`` (what the reference user calls) snap-rounds
+    implicitly, merging ulp-noisy contacts. If your polygons came
+    through any lossy transform (reprojection, rotation), pass
+    ``snap='auto'`` or use the pipeline entry
+    ``plans.lakes.dissolve_lake_catalog``, which defaults to it."""
     polys = _apply_snap(polys, key_cols, snap)
     # resolve auto ONCE so the probe job doesn't run again in each of
     # the two overlay passes, and SHARE the edge + candidate-pair

@@ -203,3 +203,41 @@ def find_lakes(
     finally:
         labeled.unpersist()
     return out
+
+
+def dissolve_lake_catalog(
+    lakes: DataFrame,
+    key_cols: list[str] | None = None,
+    ring_col: str = "hull",
+    snap: float | str | None = "auto",
+) -> DataFrame:
+    """Per-basin dissolve of a lake catalog (``find_lakes`` output or
+    the published GeoJSON brought to the same shape): the pipeline
+    analogue of the reference's ``gpd.GeoDataFrame.dissolve`` /
+    shapely ``unary_union`` (/root/reference/atlxi_lake.py:364-375).
+
+    **snap defaults to ``'auto'`` HERE, unlike the low-level
+    ``dissolve_stats``.** GEOS snap-rounds implicitly inside
+    ``unary_union``, so reference users get fp-noisy contacts (the
+    normal state of anything that went through a reprojection) merged
+    for free. The relational overlay's low-level default (snap=None)
+    preserves exact input vertices — the right contract for
+    oracle bit-parity, but a silent trap at the pipeline level: two
+    lakes whose shared shore differs by an ulp stay SEPARATE parts.
+    Pass ``snap=None`` to opt back into exact-vertex behavior, or a
+    float to pin the grid (see ``snap_vertices``).
+    """
+    from pyspark.sql import Window
+
+    from deepicedrain_spark.operators.dissolve import dissolve_stats
+
+    key_cols = key_cols or ["basin_name"]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.element_at("xs", 1), F.element_at("ys", 1)
+    )
+    polys = (
+        ring_to_poly_cols(lakes.select(*key_cols, ring_col), ring_col)
+        .select(*key_cols, "xs", "ys")
+        .withColumn("pid", F.row_number().over(w).cast("long"))
+    )
+    return dissolve_stats(polys, key_cols, pid="pid", snap=snap)

@@ -151,3 +151,54 @@ def test_tension_spline_paths_identical(spark):
     joins = {(r["gx"], r["gy"]): r["zs"]
              for r in tension_spline_grid(df, region, dense_cells=0, **kw).collect()}
     assert dense == joins and len(dense) > 0
+
+
+def test_dissolve_lake_catalog_snaps_noisy_contacts(spark):
+    """Pipeline-level snap default (r9): two adjacent lakes out of
+    find_lakes share a shore edge; after simulated reprojection noise
+    (one lake's xs shifted by 5e-8, well under snap_vertices' auto
+    grid of ~1e-9 x bbox span but enough to break exact-vertex
+    contact), dissolve_lake_catalog's default snap='auto' still merges
+    them into ONE part — the GEOS-unary_union behavior a reference
+    user gets implicitly — while snap=None (the low-level bit-parity
+    default) leaves them as two."""
+    from deepicedrain_spark.plans.lakes import dissolve_lake_catalog, find_lakes
+
+    rows = []
+    # draining grid x in [100, 200], filling grid x in [200, 300]:
+    # both blobs own points ON the x=200 contact line, so the two
+    # signed clusters' hulls share the (200,100)-(200,200) edge
+    for i in range(11):
+        for j in range(11):
+            rows.append((100.0 + 10 * i, 100.0 + 10 * j, -2.0, 11))
+            rows.append((200.0 + 10 * i, 100.0 + 10 * j, 3.0, 22))
+    # diffuse active background: median setter + donut population
+    random.seed(9)
+    for _ in range(300):
+        rows.append(
+            (random.uniform(50, 350), random.uniform(50, 250),
+             random.choice([-1, 1]) * random.uniform(0.15, 0.25), 33)
+        )
+    pts = spark.createDataFrame(
+        [Row(x=r[0], y=r[1], dhdt_slope=r[2], referencegroundtrack=r[3]) for r in rows]
+    )
+    basins = polygons_df(
+        spark,
+        [{"poly_id": "whillans", "xs": [0.0, 400.0, 400.0, 0.0],
+          "ys": [0.0, 0.0, 300.0, 300.0]}],
+    ).withColumnRenamed("poly_id", "basin_name")
+    lakes = find_lakes(pts, basins, eps=50.0, min_samples=25, basin_col="basin_name")
+    assert lakes.count() == 2
+    # simulate reprojection noise on ONE lake's ring
+    noisy = lakes.withColumn(
+        "hull",
+        F.when(
+            F.col("cluster_id") > 0,
+            F.expr("transform(hull, p -> named_struct('x', p.x + 5e-8, 'y', p.y))"),
+        ).otherwise(F.col("hull")),
+    )
+    snapped = dissolve_lake_catalog(noisy).collect()[0]
+    exact = dissolve_lake_catalog(noisy, snap=None).collect()[0]
+    assert snapped["n_polys"] == 2 and exact["n_polys"] == 2
+    assert snapped["n_parts"] == 1  # auto-snap merges the shared shore
+    assert exact["n_parts"] == 2  # bit-parity default keeps them apart

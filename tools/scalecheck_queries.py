@@ -17,6 +17,7 @@ Prints one JSON line; human summary goes to SCALE.md by hand.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -189,6 +190,47 @@ def stage(spark, out_dir: str, mult: int) -> None:
     ).coalesce(16).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
 
 
+def stage_zipf(spark, out_dir: str, mult: int) -> None:
+    """Documents-only variant with Zipf(1) token ranks instead of the
+    uniform hash stream. The uniform fixture's bigrams are near-unique
+    (VOCAB^2 space), so the perplexity LM model table GROWS with the
+    corpus — the documented reason perplexity_buckets' uniform-fixture
+    ratio sits superlinear. Real corpora are Zipf-distributed: the
+    model table plateaus (hot bigrams repeat), and the unhinted
+    sort-merge LM join should scale ~linearly. Both fixtures in the
+    gate keep that attribution measured, not asserted (VERDICT r8
+    task 6). Token rank r ∈ [1, VOCAB] with p(r) ∝ 1/r via the
+    log-uniform inverse transform exp(u·ln VOCAB)."""
+    N_DOCS = 5_000 * mult
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    rows = spark.range(N_DOCS)
+    # per-token uniform draw, mapped through the Zipf inverse CDF
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(TOKENS - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.floor(
+                F.exp(
+                    ((F.pmod(F.xxhash64(F.col("id"), i, F.lit(22)), F.lit(1_000_000)) + 0.5) / 1e6)
+                    * F.lit(float(math.log(VOCAB)))
+                )
+            ).cast("long"),
+        ),
+    )
+    rows.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(toks, " ").alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("fr"), F.lit("zh")),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(20)).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text")).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "documents.parquet"))
+
+
 def run(spark, mult: int) -> dict:
     """Stage a synthetic sf directory at ``mult`` x sf0.1 and time the
     registered queries against it. Returns the result dict (also the
@@ -196,6 +238,7 @@ def run(spark, mult: int) -> dict:
     out_dir = f"/tmp/spark_graft_sfx{mult}"
     t0 = time.time()
     stage(spark, out_dir, mult)
+    stage_zipf(spark, out_dir + "_zipf", mult)
     t_stage = time.time() - t0
 
     import __spark_entry__ as entry
@@ -206,6 +249,13 @@ def run(spark, mult: int) -> dict:
         t0 = time.time()
         n = qs[name](spark, out_dir).count()
         timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
+    # perplexity over the Zipf fixture: same plan, realistic token
+    # distribution — the LM model table plateaus instead of growing
+    # with the corpus, isolating the uniform fixture's superlinear
+    # ratio as a data artifact (near-unique synthetic bigrams)
+    t0 = time.time()
+    n = qs["perplexity_buckets"](spark, out_dir + "_zipf").count()
+    timings["perplexity_buckets_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
     return {
         "metric": "query_scale_sfx",
         "sf_multiple_of_0.1": mult,
