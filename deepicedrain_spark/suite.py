@@ -926,21 +926,100 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-8 rotation (VERDICT r7 task 1 —
-    # STANDING POLICY: every query's driver row at most 3 rounds old;
-    # window = anchors + ALL queries breaching that age + queries whose
-    # CODE changed this round). Round 8: the 40 queries whose latest
-    # driver row dates from round 4 — the policy's first full-width
-    # test — plus the 8 highest-risk code-touched queries (ADVICE r7
-    # fixes, snap= dissolve API, catalog-scale HDF5 layouts, CDF-5
-    # gate). Code-touched queries that did not fit the 50 (the r7-green
-    # dissolve family riding the default snap=None bit-parity path,
-    # atl06_dhdt_end_to_end, hdf5_roundtrip) are verified locally at
-    # sf0.01 + sf0.001 + non-UTC TZ and rotate in next round.
+    # --- driver top-50 window, round-9 rotation -----------------------
+    # AMENDED STANDING POLICY (r9 — the r7 "age <= 3 rounds" rule is
+    # arithmetically infeasible at 189 registered queries x 50-row
+    # windows, a >= 4-round full rotation): the window is filled in
+    # strict priority order (1) anchors, (2) queries with NO driver row
+    # ever, (3) queries whose CODE changed since their last driver row,
+    # (4) oldest driver rows first. Whatever overflows the 50 is
+    # re-verified locally with tools/check.py at round close (recorded
+    # in ROADMAP) and leads the next round's window.
     # anchors
     "dhdt_per_point_regression",
     "parquet_roundtrip",
-    # the 40 round-4-aged driver rows (rotation policy, full set)
+    # (2) the 24 round-8 additions that have never had a driver row;
+    # six of them (perplexity_buckets, temperature_mixture_quota,
+    # llm_corpus_pipeline, dsir_importance_weights,
+    # kmv_distinct_shingles, hilbert_spatial_order) are ALSO
+    # code-touched this round (ADVICE r9 fixes + the explode_outer
+    # fence + single-pass DSIR)
+    "time_travel_read",
+    "version_diff_cdf",
+    "multimodal_jpeg_decode",
+    "multimodal_mjpeg_frames",
+    "exact_substring_spans",
+    "ann_recall_at_k",
+    "bpe_merge_table",
+    "bpe_encode_tokens",
+    "multimodal_jpeg_progressive",
+    "dsir_importance_weights",
+    "hilbert_spatial_order",
+    "kmv_distinct_shingles",
+    "kmv_set_ops_custkeys",
+    "perplexity_buckets",
+    "gopher_quality_rules",
+    "ivfpq_topk",
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "streaming_classifier_score",
+    "temperature_mixture_quota",
+    "ivfpq_recall_at_k",
+    "streaming_dim_enrich",
+    "jsonl_roundtrip",
+    "llm_corpus_pipeline",
+    # (3) code changed late r8 (literal-array builds), no row since
+    "bloom_semijoin_reduction",
+    "pq_encode",
+    "pq_adc_topk",
+    # (4) oldest rows: 21 of the 38 remaining r5 rows — the complex
+    # plans first (streaming sinks, real codecs, graph/sketch family,
+    # range join, layout, distributed DBSCAN); the 17 simpler r5 rows
+    # below lead the r10 window
+    "streaming_stateful_dedup",
+    "streaming_tumbling_counts",
+    "streaming_parquet_sink",
+    "multimodal_real_audio",
+    "multimodal_real_video",
+    "multimodal_audio_resample",
+    "pagerank_near_dup",
+    "triangle_count",
+    "dedup_keep_best",
+    "leakage_safe_split",
+    "intradoc_dedup",
+    "hll_distinct_custkeys",
+    "hll_distinct_by_type",
+    "cms_heavy_hitters",
+    "bloom_cross_corpus",
+    "range_join_attribution",
+    "morton_spatial_order",
+    "event_gaps_rank",
+    "dbscan_distributed_summary",
+    "mergeable_agg_state",
+    "equi_depth_deciles",
+    # --- tier 2: past the driver's 50-query window -------------------
+    # the 17 remaining r5-aged rows (simple row-wise/agg plans):
+    # re-verified locally at round close per the amended policy; they
+    # MUST lead the r10 window
+    "bigram_lm_score",
+    "constraint_audit",
+    "conversion_funnel",
+    "customers_without_orders",
+    "embedding_int8_quantize",
+    "feature_hash_embed",
+    "grouped_correlation",
+    "keyword_snippets",
+    "lang_id_heuristic",
+    "oov_rate",
+    "quality_scores",
+    "revenue_cube",
+    "revenue_rollup",
+    "source_mixture_balance",
+    "stratified_sample_events",
+    "text_cleaning",
+    "weighted_sample_docs",
+    # every query below holds a driver-green row from r6-r8 (kept
+    # registered + locally checked; r8 rows are the youngest)
     "adaptive_median_filter",
     "asof_last_purchase",
     "benchmark_contamination",
@@ -981,54 +1060,14 @@ PRIORITY: list[str] = [
     "tsv_roundtrip",
     "volume_time_series",
     "zarr_roundtrip",
-    # code CHANGED round 8 — re-earn their rows
-    "dissolve_snapped_catalog",  # r8: re-expressed through dissolve_stats(snap=)
-    "positional_concat",  # r8: positional_index pins partitioning (ADVICE r7 high)
-    "netcdf_record_append",  # r8: guarded fence self-repair (ADVICE r7 medium)
-    "streaming_netcdf_append",  # r8: guarded fence self-repair
-    "streaming_sliding_means",  # r8: target-named part links (ADVICE r7 low)
-    "atl06_ingest_pipeline",  # r8: isinstance tag typing (ADVICE r7 low)
-    "atl06_ingest_dense_layout",  # r8: multi-level B-tree / indirect-heap reader
-    "lake_geometry_gmt",  # r8: quote-safe @D field handling (ADVICE r7 low)
-    # --- tier 2: past the driver's 50-query window -------------------
-    # NEW r8 queries (time travel + CDF over the versioned upsert
-    # table; JPEG decode through the multimodal real path): the r8
-    # window is fully claimed by the 40-row age rotation, so these
-    # wait at tier-2 top and MUST lead the r9 window
-    "time_travel_read",
-    "version_diff_cdf",
-    "multimodal_jpeg_decode",
-    "multimodal_mjpeg_frames",
-    "exact_substring_spans",
-    "ann_recall_at_k",
-    "bpe_merge_table",
-    "bpe_encode_tokens",
-    "multimodal_jpeg_progressive",
-    "dsir_importance_weights",
-    # NEW r8 session 3
-    "hilbert_spatial_order",
-    "kmv_distinct_shingles",
-    "kmv_set_ops_custkeys",
-    "perplexity_buckets",
-    "gopher_quality_rules",
-    "ivfpq_topk",
-    "quality_classifier_train",
-    "quality_classifier_score",
-    "streaming_classifier_score",
-    "temperature_mixture_quota",
-    "ivfpq_recall_at_k",
-    "streaming_dim_enrich",
-    "jsonl_roundtrip",
-    "llm_corpus_pipeline",
-    # code CHANGED late r8 (literal-array builds: lit(list) bloom words,
-    # zipped minhash coefficients, indexed PQ codebooks) — all verified
-    # locally at sf0.01 value-exact this round; rotate into the r9
-    # window with the rows above
-    "bloom_semijoin_reduction",
-    "pq_encode",
-    "pq_adc_topk",
-    # every query below holds a driver-green row from r5-r7 (kept
-    # registered + locally checked)
+    "dissolve_snapped_catalog",
+    "positional_concat",
+    "netcdf_record_append",
+    "streaming_netcdf_append",
+    "streaming_sliding_means",
+    "atl06_ingest_pipeline",
+    "atl06_ingest_dense_layout",
+    "lake_geometry_gmt",
     "anomaly_vs_first",
     "argmax_top1",
     "bin_labels",
@@ -1103,44 +1142,6 @@ PRIORITY: list[str] = [
     "json_extract_filter",
     "doc_chunk_overlap",
     "outlier_clip_sigma",
-    "dbscan_distributed_summary",
-    "range_join_attribution",
-    "morton_spatial_order",
-    "event_gaps_rank",
-    "conversion_funnel",
-    "customers_without_orders",
-    "grouped_correlation",
-    "mergeable_agg_state",
-    "revenue_rollup",
-    "revenue_cube",
-    "equi_depth_deciles",
-    "constraint_audit",
-    "intradoc_dedup",
-    "dedup_keep_best",
-    "pagerank_near_dup",
-    "triangle_count",
-    "embedding_int8_quantize",
-    "feature_hash_embed",
-    "leakage_safe_split",
-    "weighted_sample_docs",
-    "stratified_sample_events",
-    "source_mixture_balance",
-    "bigram_lm_score",
-    "keyword_snippets",
-    "oov_rate",
-    "lang_id_heuristic",
-    "quality_scores",
-    "text_cleaning",
-    "hll_distinct_custkeys",
-    "hll_distinct_by_type",
-    "cms_heavy_hitters",
-    "bloom_cross_corpus",
-    "multimodal_real_audio",
-    "multimodal_real_video",
-    "multimodal_audio_resample",
-    "streaming_stateful_dedup",
-    "streaming_tumbling_counts",
-    "streaming_parquet_sink",
 ]
 
 
