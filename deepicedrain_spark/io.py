@@ -178,15 +178,15 @@ def write_zordered(
 
     from pyspark.sql import functions as F
 
+    reserved = ({"hilbert", "_z"} if curve == "hilbert" else {"_z"}) & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"write_zordered(curve={curve!r}) reserves column names"
+            f" {sorted(reserved)}; rename them in the input frame"
+        )
     if curve == "hilbert":
         bits = 16
         spark = df.sparkSession
-        reserved = {"hilbert", "_z"} & set(df.columns)
-        if reserved:
-            raise ValueError(
-                f"write_zordered(curve='hilbert') reserves column names"
-                f" {sorted(reserved)}; rename them in the input frame"
-            )
         view = f"_zorder_src_{abs(hash(path)) % (1 << 30)}"
         df.createOrReplaceTempView(view)
         cols = ", ".join(df.columns)

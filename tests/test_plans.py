@@ -355,3 +355,8 @@ def test_hilbert_sentinel_columns_no_collision(spark, tmp_path):
     bad = df.withColumnRenamed("hd", "hilbert")
     with pytest.raises(ValueError, match="reserves column names"):
         write_zordered(bad, str(tmp_path / "x"), "hx", "sw", curve="hilbert")
+    # morton reserves _z too (it would silently be overwritten, then
+    # dropped from the written output)
+    badz = df.withColumnRenamed("hd", "_z")
+    with pytest.raises(ValueError, match="reserves column names"):
+        write_zordered(badz, str(tmp_path / "y"), "hx", "sw", curve="morton")
