@@ -62,13 +62,20 @@ def plan_chunks(n_rows: int, chunk_rows: int) -> list[tuple[int, int]]:
     ]
 
 
-def spark_schema_for(np_dtypes: dict[str, str]) -> str:
-    """DDL schema string (row_index first) for dataset dtype names."""
+def spark_schema_for(np_dtypes: dict[str, str | tuple[str, int]]) -> str:
+    """DDL schema string (row_index first) for dataset dtype names.
+    A value may be ``(dtype, ndim)``: rank-2 datasets land as
+    ``array<T>`` columns (one vector per row along axis 1 — the ATL11
+    ``h_corr[ref_pt, cycle]`` shape)."""
     cols = []
     for name, dt in np_dtypes.items():
+        ndim = 1
+        if isinstance(dt, tuple):
+            dt, ndim = dt
         if dt not in _NP_TO_SPARK:
             raise TypeError(f"read_hdf5: unsupported dataset dtype {name}:{dt}")
-        cols.append(f"`{name}` {_NP_TO_SPARK[dt]}")
+        base = _NP_TO_SPARK[dt]
+        cols.append(f"`{name}` {base}" if ndim == 1 else f"`{name}` array<{base}>")
     return "row_index long, " + ", ".join(cols)
 
 
@@ -144,10 +151,12 @@ def read_hdf5_many(
             native_chunks = set()
             for name in datasets:
                 d = grp[name]
-                if len(d.shape) != 1:
-                    raise ValueError(f"read_hdf5: {group}/{name} is not 1-D")
+                if len(d.shape) not in (1, 2):
+                    raise ValueError(f"read_hdf5: {group}/{name} is not 1-D or 2-D")
                 shapes[name] = d.shape[0]
-                dtypes[name] = str(d.dtype)
+                # rank-2 datasets become array<T> columns: one vector
+                # per row along axis 1 (ATL11 h_corr[ref_pt, cycle])
+                dtypes[name] = (str(d.dtype), len(d.shape))
                 if d.chunks:
                     native_chunks.add(d.chunks[0])
         lengths = set(shapes.values())
@@ -207,7 +216,9 @@ def read_hdf5_many(
                         "row_index": np.arange(start, start + length, dtype=np.int64)
                     }
                     for name in datasets:
-                        out[name] = grp[name][start : start + length]
+                        arr = grp[name][start : start + length]
+                        # rank-2 stripes become one vector per row
+                        out[name] = list(arr) if arr.ndim == 2 else arr
                     for k in tag_keys:
                         out[k] = [getattr(row, k)] * length
                     yield pd.DataFrame(out)
@@ -348,10 +359,12 @@ def read_hdf5_dir(
             native_chunks = set()
             for name in datasets:
                 d = grp[name]
-                if len(d.shape) != 1:
-                    raise ValueError(f"read_hdf5_dir: {path}:{group}/{name} is not 1-D")
+                if len(d.shape) not in (1, 2):
+                    raise ValueError(
+                        f"read_hdf5_dir: {path}:{group}/{name} is not 1-D or 2-D"
+                    )
                 shapes.add(d.shape[0])
-                dtypes[name] = str(d.dtype)
+                dtypes[name] = (str(d.dtype), len(d.shape))
                 if d.chunks:
                     native_chunks.add(d.chunks[0])
         if len(shapes) != 1:
@@ -393,7 +406,8 @@ def read_hdf5_dir(
                         "row_index": np.arange(start, start + length, dtype=np.int64)
                     }
                     for name in datasets:
-                        out[name] = grp[name][start : start + length]
+                        arr = grp[name][start : start + length]
+                        out[name] = list(arr) if arr.ndim == 2 else arr
                 if granule_col:
                     out[granule_col] = np.full(length, os.path.basename(path))
                 yield pd.DataFrame(out)

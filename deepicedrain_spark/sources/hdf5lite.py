@@ -22,15 +22,19 @@ Reader (``File``):
 - dataspace v1/v2, data layout v3 (compact / contiguous / chunked with
   v1 B-tree chunk index), filter pipeline v1/v2 with gzip (deflate)
   and shuffle filters,
-- partial reads: 1-D slices touch only the bytes/chunks they need —
-  this is what makes the executor-side stripe scan in
-  ``sources/hdf5.py`` O(stripe), not O(file).
+- partial reads: axis-0 slices (any rank since round 9 — the ATL11
+  ``h_corr[ref_pt, cycle]`` shape, assembled across multi-axis chunk
+  grids) touch only the bytes/chunks they need — this is what makes
+  the executor-side stripe scan in ``sources/hdf5.py`` O(stripe),
+  not O(file).
 
 Writer (``write_hdf5``):
 - superblock v0, v1 object headers, symbol-table groups (B-tree v1 +
-  local heap + SNOD), contiguous or chunked(+gzip, +shuffle) 1-D
-  numeric datasets. Files verify against h5py when it is available
-  (tests/test_hdf5.py cross-checks both directions under importorskip).
+  local heap + SNOD), contiguous or chunked(+gzip, +shuffle) numeric
+  datasets of any rank (``chunk_rows`` chunks axis 0; ``chunk_shape``
+  pins a full N-D chunk grid). Files verify against h5py when it is
+  available (tests/test_hdf5.py cross-checks both directions under
+  importorskip).
 
 This is an ingest-format shim, not a general HDF5 library: enough to
 round-trip the reference's granule layout and to read h5py-default
@@ -155,8 +159,8 @@ class _Dataset:
         if key is Ellipsis or (isinstance(key, slice) and key == slice(None)):
             return self._read_range(0, self.shape[0] if self.shape else 1)
         if isinstance(key, slice):
-            if len(self.shape) != 1:
-                raise NotImplementedError("hdf5lite: slicing only on 1-D datasets")
+            # slicing selects along axis 0 (h5py semantics for d[a:b]);
+            # trailing axes come back whole — N-D since round 9
             start, stop, step = key.indices(self.shape[0])
             if step != 1:
                 return self._read_range(start, stop)[::step]
@@ -208,7 +212,19 @@ class _Dataset:
             chunk = self._decode_chunk(addr, nbytes, fmask)
             lo = max(start, c0)
             hi = min(stop, c0 + chunk.shape[0], self.shape[0])
-            out[lo - start : hi - start] = chunk[lo - c0 : hi - c0]
+            # general N-D assembly: axis 0 clipped to the requested
+            # range, every trailing axis placed at its chunk-grid
+            # coordinate (edge chunks are stored full-size → clip to
+            # the dataspace extent per axis). Rank 1 degenerates to
+            # the old single-slice assignment.
+            dst: list[slice] = [slice(lo - start, hi - start)]
+            src: list[slice] = [slice(lo - c0, hi - c0)]
+            for ax in range(1, len(self.shape)):
+                a0 = coords[ax]
+                a1 = min(a0 + self.chunk_shape[ax], self.shape[ax])
+                dst.append(slice(a0, a1))
+                src.append(slice(0, a1 - a0))
+            out[tuple(dst)] = chunk[tuple(src)]
         return out
 
     def _decode_chunk(self, addr: int, nbytes: int, filter_mask: int) -> np.ndarray:
@@ -870,6 +886,7 @@ def write_hdf5(
     groups: dict[str, dict[str, np.ndarray]],
     *,
     chunk_rows: int | None = None,
+    chunk_shape: tuple[int, ...] | None = None,
     gzip: int | None = None,
     shuffle: bool = False,
     dense_groups: bool = False,
@@ -877,12 +894,17 @@ def write_hdf5(
     dense_heap: tuple[int, int, int] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: ``groups`` maps a (possibly nested)
-    group path like ``"gt1l/land_ice_segments"`` to a dict of 1-D numpy
-    arrays (numeric or fixed-length ``S`` strings). ``chunk_rows``
-    switches datasets from contiguous to chunked storage; ``gzip``
-    (level) and ``shuffle`` add the matching filters (chunked only,
-    like HDF5 itself). Default layout: superblock v0 + v1 object
-    headers + symbol-table groups — what libhdf5 writes by default.
+    group path like ``"gt1l/land_ice_segments"`` to a dict of numpy
+    arrays (numeric or fixed-length ``S`` strings; N-D since round 9 —
+    the ATL11 ``h_corr[ref_pt, cycle]`` shape). ``chunk_rows``
+    switches datasets from contiguous to chunked storage, chunking
+    axis 0 with full trailing dims; ``chunk_shape`` instead pins a
+    FULL N-D chunk grid for datasets of matching rank (others keep the
+    chunk_rows rule) — the multi-axis layout libhdf5 defaults to for
+    2-D data. ``gzip`` (level) and ``shuffle`` add the matching
+    filters (chunked only, like HDF5 itself). Default layout:
+    superblock v0 + v1 object headers + symbol-table groups — what
+    libhdf5 writes by default.
 
     ``dense_groups=True`` writes every group in the NEW-style dense
     layout instead (Link Info message -> fractal heap of link messages
@@ -910,14 +932,14 @@ def write_hdf5(
         own = node.setdefault(None, {})
         for name, arr in dsets.items():
             a = np.ascontiguousarray(arr)
-            if a.ndim != 1:
-                raise ValueError(f"hdf5lite: write_hdf5 supports 1-D data ({name})")
+            if a.ndim == 0:
+                raise ValueError(f"hdf5lite: write_hdf5 needs array data ({name})")
             if a.dtype.byteorder == ">":
                 a = a.astype(a.dtype.newbyteorder("<"))
             own[name] = a
 
-    if gzip is not None and chunk_rows is None:
-        raise ValueError("hdf5lite: gzip requires chunk_rows (HDF5 filters need chunking)")
+    if gzip is not None and chunk_rows is None and chunk_shape is None:
+        raise ValueError("hdf5lite: gzip requires chunking (chunk_rows or chunk_shape)")
 
     alloc = _Alloc()
     writes: list[tuple[int, bytes]] = []
@@ -930,7 +952,8 @@ def write_hdf5(
 
     def write_dataset(name: str, arr: np.ndarray) -> int:
         msgs = [(0x0001, _dataspace_msg(arr.shape)), (0x0003, _datatype_msg(arr.dtype))]
-        if chunk_rows is None:
+        use_chunk_shape = chunk_shape is not None and len(chunk_shape) == arr.ndim
+        if chunk_rows is None and not use_chunk_shape:
             data_addr_slot = alloc.reserve(arr.nbytes) if arr.nbytes else UNDEF
             if arr.nbytes:
                 writes.append((data_addr_slot, arr.tobytes()))
@@ -952,15 +975,26 @@ def write_hdf5(
                     if len(vals) % 2:
                         fp += b"\x00" * 4
                 msgs.append((0x000B, fp))
-            # chunk payloads
-            n = arr.shape[0]
-            cs = int(chunk_rows)
-            chunk_entries = []  # (offset, addr, nbytes)
-            for c0 in range(0, max(n, 1), cs):
-                piece = arr[c0 : c0 + cs]
-                if piece.shape[0] < cs:  # edge chunk stored full-size
-                    full = np.zeros(cs, dtype=arr.dtype)
-                    full[: piece.shape[0]] = piece
+            # chunk payloads over an N-D grid (rank-1 degenerates to the
+            # old axis-0 walk): chunk_shape when its rank matches, else
+            # chunk_rows along axis 0 with full trailing dims
+            import itertools
+
+            if use_chunk_shape:
+                cshape = tuple(int(c) for c in chunk_shape)
+            else:
+                cshape = (int(chunk_rows),) + arr.shape[1:]
+            grid = [range(0, max(arr.shape[ax], 1), cshape[ax]) for ax in range(arr.ndim)]
+            chunk_entries = []  # (coords, addr, nbytes)
+            for coords in itertools.product(*grid):
+                sel = tuple(
+                    slice(c0, min(c0 + cs, arr.shape[ax]))
+                    for ax, (c0, cs) in enumerate(zip(coords, cshape))
+                )
+                piece = arr[sel]
+                if piece.shape != cshape:  # edge chunk stored full-size
+                    full = np.zeros(cshape, dtype=arr.dtype)
+                    full[tuple(slice(0, s) for s in piece.shape)] = piece
                     piece = full
                 raw = piece.tobytes()
                 for fid, vals in filters:
@@ -974,17 +1008,27 @@ def write_hdf5(
                     elif fid == 1:
                         raw = zlib.compress(raw, vals[0])
                 caddr = emit(raw)
-                chunk_entries.append((c0, caddr, len(raw)))
-            # single-level v1 chunk B-tree (node sized to hold them all)
-            key = lambda off, nb: struct.pack("<IIQQ", nb, 0, off, 0)
+                chunk_entries.append((coords, caddr, len(raw)))
+            # single-level v1 chunk B-tree (node sized to hold them
+            # all); keys are (nbytes, mask, offset per axis, 0) —
+            # itertools.product emits row-major ascending order, the
+            # sort the spec requires
+            rank = arr.ndim
+
+            def key(coords: tuple[int, ...], nb: int) -> bytes:
+                return struct.pack(f"<II{rank + 1}Q", nb, 0, *coords, 0)
+
             node = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(chunk_entries), UNDEF, UNDEF)
-            for off, caddr, nb in chunk_entries:
-                node += key(off, nb) + struct.pack("<Q", caddr)
-            end_off = ((n + cs - 1) // cs) * cs
-            node += key(end_off, 0)
+            for coords, caddr, nb in chunk_entries:
+                node += key(coords, nb) + struct.pack("<Q", caddr)
+            end = tuple(
+                ((arr.shape[ax] + cshape[ax] - 1) // cshape[ax]) * cshape[ax]
+                for ax in range(rank)
+            )
+            node += key(end, 0)
             btree_addr = emit(node)
-            layout = struct.pack("<BBBQ", 3, 2, 2, btree_addr) + struct.pack(
-                "<II", cs, arr.dtype.itemsize
+            layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr) + struct.pack(
+                f"<{rank + 1}I", *cshape, arr.dtype.itemsize
             )
             msgs.append((0x0008, layout))
         return emit(_object_header_v1(msgs))

@@ -998,6 +998,10 @@ PRIORITY: list[str] = [
     "mergeable_agg_state",
     "equi_depth_deciles",
     # --- tier 2: past the driver's 50-query window -------------------
+    # NEW round 9 (never driver-checked — the amended policy puts it
+    # FIRST in the r10 window): ATL11-shaped 2-D h_corr ingest through
+    # the hdf5lite N-D layer (multi-axis chunk assembly)
+    "atl11_ingest_cube",
     # the 17 remaining r5-aged rows (simple row-wise/agg plans):
     # re-verified locally at round close per the amended policy; they
     # MUST lead the r10 window

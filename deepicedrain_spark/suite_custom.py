@@ -3578,3 +3578,110 @@ def q_dissolve_input_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select("k", "n_polys", "n_parts", "union_area", "sum_part_area").orderBy(
         "k"
     )
+
+
+# §3.1 from the TRUE ATL11 shape (round 9): the reference's dhdt
+# program starts from ATL11 whose h_corr is TWO-dimensional —
+# (ref_pt, cycle_number) — not long-format points
+# (/root/reference/atlxi_dhdt.py:72-126 loads h_corr[ref_pt, cycle],
+# drops ref_pts with <2 valid cycles at :111, runs the per-point trend
+# at :160-178). Here the granule is REAL HDF5 bytes whose 2-D h_corr /
+# delta_time are stored in MULTI-AXIS chunks (256 x 4, gzip+shuffle —
+# the round-9 hdf5lite N-D layer), scanned chunk-parallel into
+# array<float> rows, exploded to long with the cycle axis joined from
+# the granule's own 1-D cycle_number dataset, NaN fills dropped
+# (xarray-dropna parity), and regressed per ref_pt. h values are exact
+# f32 quarters (planted slope ((i%7)-3)/4 m/cycle), so the oracle
+# recomputes every surviving row closed-form without an HDF5 parser —
+# a mismatch anywhere in N-D write -> chunk assembly -> explode ->
+# join -> regr breaks the hash.
+@register(
+    "atl11_ingest_cube",
+    """
+    WITH rows AS (
+      SELECT i.i, c.c
+      FROM (SELECT unnest(range(0, 1200)) AS i) i,
+           (SELECT unnest(range(3, 12)) AS c) c),
+    kept AS (SELECT * FROM rows WHERE (i + c) % 5 != 0),
+    pts AS (
+      SELECT CAST(i AS BIGINT) AS ref_pt,
+             CAST(c AS DOUBLE) AS t,
+             (i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 AS h
+      FROM kept)
+    SELECT ref_pt,
+           CAST(regr_count(h, t) AS BIGINT) AS n,
+           round(regr_slope(h, t), 6) AS dhdt_slope,
+           round(regr_intercept(h, t), 6) AS intercept
+    FROM pts GROUP BY ref_pt
+    HAVING regr_count(h, t) >= 2
+    ORDER BY ref_pt
+    """,
+)
+def q_atl11_ingest_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    n = 1200
+    cycles = np.arange(3, 12, dtype="i4")
+    gdir = scratch_path(sf_dir, "granules_atl11")
+    os.makedirs(gdir, exist_ok=True)
+    path = f"{gdir}/ATL11_004512_spark_graft_synth.h5"
+
+    def make(p: str) -> None:
+        i = np.arange(n, dtype="i8")[:, None]
+        c = cycles[None, :].astype("i8")
+        h = ((i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25).astype("f4")
+        h[(i + c) % 5 == 0] = np.nan  # ATL11 fill: missing cycles
+        dt = np.broadcast_to(c.astype("f8"), h.shape).copy()
+        write_hdf5(
+            p,
+            {
+                "pt1": {
+                    "ref_pt": np.arange(n, dtype="i8"),
+                    "cycle_number": cycles,
+                    "h_corr": h,
+                    "delta_time": dt,
+                }
+            },
+            chunk_shape=(256, 4),
+            gzip=2,
+            shuffle=True,
+        )
+
+    synth_once(path, make)
+    cube = read_hdf5(spark, path, "pt1", ["ref_pt", "h_corr", "delta_time"], chunk_rows=256)
+    cyc = read_hdf5(spark, path, "pt1", ["cycle_number"])
+    long = (
+        cube.select(
+            "ref_pt",
+            F.posexplode(F.arrays_zip("h_corr", "delta_time")).alias("pos", "z"),
+        )
+        .select(
+            "ref_pt",
+            "pos",
+            F.col("z.h_corr").cast("double").alias("h"),
+            F.col("z.delta_time").alias("dt"),
+        )
+        .where(~F.isnan("h"))
+        .join(
+            F.broadcast(
+                cyc.select(
+                    F.col("row_index").cast("int").alias("pos"),
+                    F.col("cycle_number").cast("double").alias("t"),
+                )
+            ),
+            "pos",
+        )
+    )
+    return (
+        long.groupBy("ref_pt")
+        .agg(
+            F.expr("regr_count(h, t)").cast("long").alias("n"),
+            F.round(F.expr("regr_slope(h, t)"), 6).alias("dhdt_slope"),
+            F.round(F.expr("regr_intercept(h, t)"), 6).alias("intercept"),
+        )
+        .where(F.col("n") >= 2)
+        .orderBy("ref_pt")
+    )

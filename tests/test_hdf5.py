@@ -612,3 +612,77 @@ def test_dense_heap_doubly_nested_indirect_blocks(tmp_path):
         assert sorted(f["grp"].keys()) == sorted(names)
         for k in (0, 137, 599, 431):
             assert f[f"grp/{names[k]}"][:][0] == float(k)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},  # contiguous N-D
+        {"chunk_rows": 100},  # axis-0 chunks, full trailing dims
+        {"chunk_rows": 100, "gzip": 4, "shuffle": True},
+        {"chunk_shape": (256, 2)},  # multi-axis chunk grid
+        {"chunk_shape": (256, 2), "gzip": 4, "shuffle": True},
+        {"chunk_shape": (100, 4), "gzip": 2},  # edge chunks both axes
+    ],
+)
+def test_hdf5lite_nd_roundtrip(tmp_path, kw):
+    """Round 9: N-D datasets (the ATL11 h_corr[ref_pt, cycle] shape)
+    write and read back exactly, through every layout — contiguous,
+    axis-0 chunks, and MULTI-AXIS chunk grids with gzip/shuffle and
+    edge chunks on both axes — including partial axis-0 slices that
+    assemble from several chunk columns."""
+    rng = np.random.default_rng(7)
+    h = (rng.integers(0, 1000, size=(1003, 9)) * 0.25).astype("f4")
+    t = rng.integers(0, 10**6, size=(1003, 9)).astype("f8")
+    cube3 = rng.integers(0, 255, size=(40, 7, 5)).astype("u1")
+    p = str(tmp_path / "nd.h5")
+    hdf5lite.write_hdf5(
+        p, {"pt": {"h_corr": h, "delta_time": t, "cube3": cube3}}, **kw
+    )
+    with hdf5lite.File(p) as f:
+        g = f["pt"]
+        assert g["h_corr"].shape == (1003, 9)
+        assert np.array_equal(g["h_corr"][:], h)
+        assert np.array_equal(g["delta_time"][:], t)
+        assert np.array_equal(g["cube3"][:], cube3)
+        for a, b in [(0, 1), (37, 312), (990, 1003), (511, 513), (1003, 1003)]:
+            assert np.array_equal(g["h_corr"][a:b], h[a:b]), (a, b)
+        assert np.array_equal(g["cube3"][13:29], cube3[13:29])
+        assert np.array_equal(g["h_corr"][5], h[5])
+
+
+def test_hdf5lite_nd_h5py_crosscheck(tmp_path):
+    """Files with multi-axis chunk grids must be readable by real
+    libhdf5 and vice versa (skips when h5py is absent)."""
+    h5py = pytest.importorskip("h5py")
+    h = np.arange(300 * 6, dtype="f4").reshape(300, 6) * 0.25
+    p = str(tmp_path / "ours.h5")
+    hdf5lite.write_hdf5(p, {"g": {"h_corr": h}}, chunk_shape=(64, 3), gzip=1)
+    with h5py.File(p, "r") as f:
+        assert np.array_equal(f["g"]["h_corr"][:], h)
+    p2 = str(tmp_path / "theirs.h5")
+    with h5py.File(p2, "w", libver="earliest") as f:
+        f.create_group("g").create_dataset(
+            "h_corr", data=h, chunks=(64, 3), compression="gzip"
+        )
+    with hdf5lite.File(p2) as f:
+        assert np.array_equal(f["g"]["h_corr"][:], h)
+
+
+def test_read_hdf5_2d_array_column(spark, tmp_path):
+    """The distributed scan maps a rank-2 dataset to an array<T>
+    column, one vector per row, stripes assembling across multi-axis
+    chunks; 1-D datasets in the same read stay scalar columns."""
+    n = 700
+    h = (np.arange(n * 5, dtype="f4") * 0.5).reshape(n, 5)
+    seg = np.arange(n, dtype="i8")
+    p = str(tmp_path / "cube.h5")
+    hdf5lite.write_hdf5(
+        p, {"pt": {"h_corr": h, "segment_id": seg}}, chunk_shape=(128, 2), gzip=2
+    )
+    df = read_hdf5(spark, p, "pt", ["segment_id", "h_corr"], chunk_rows=128)
+    assert dict(df.dtypes)["h_corr"] == "array<float>"
+    rows = {r["segment_id"]: r["h_corr"] for r in df.collect()}
+    assert len(rows) == n
+    for i in (0, 1, 127, 128, 399, n - 1):
+        assert rows[i] == pytest.approx(list(h[i]))
