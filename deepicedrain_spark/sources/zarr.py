@@ -53,16 +53,21 @@ _SPARK_TO_NP = {
 }
 
 
-def _zarray_meta(n_rows: int, chunk_rows: int, np_dtype: str) -> dict:
+def _zarray_meta(n_rows, chunk_rows, np_dtype: str) -> dict:
+    """v2 array metadata; ``n_rows``/``chunk_rows`` may be ints (1-D)
+    or full shape/chunk lists (N-D, round 9)."""
+    shape = [n_rows] if isinstance(n_rows, int) else list(n_rows)
+    chunks = [chunk_rows] if isinstance(chunk_rows, int) else list(chunk_rows)
     return {
         "zarr_format": 2,
-        "shape": [n_rows],
-        "chunks": [chunk_rows],
+        "shape": shape,
+        "chunks": chunks,
         "dtype": np_dtype,
         "compressor": {"id": "zlib", "level": 1},
         "fill_value": None,
         "order": "C",
         "filters": None,
+        "dimension_separator": ".",
     }
 
 
@@ -73,17 +78,20 @@ _NP_TO_V3 = {
 _V3_TO_NP = {v: k for k, v in _NP_TO_V3.items()}
 
 
-def _zarray_meta_v3(n_rows: int, chunk_rows: int, np_dtype: str) -> dict:
+def _zarray_meta_v3(n_rows, chunk_rows, np_dtype: str) -> dict:
     """Zarr v3 (ZEP1) array metadata: bytes codec (little endian) +
-    gzip compression, regular chunk grid, default 'c/<i>' chunk keys."""
+    gzip compression, regular chunk grid, default 'c/<i>' chunk keys.
+    ``n_rows``/``chunk_rows`` may be ints (1-D) or full lists (N-D)."""
+    shape = [n_rows] if isinstance(n_rows, int) else list(n_rows)
+    chunks = [chunk_rows] if isinstance(chunk_rows, int) else list(chunk_rows)
     return {
         "zarr_format": 3,
         "node_type": "array",
-        "shape": [n_rows],
+        "shape": shape,
         "data_type": _NP_TO_V3[np_dtype],
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": [chunk_rows]},
+            "configuration": {"chunk_shape": chunks},
         },
         "chunk_key_encoding": {
             "name": "default",
@@ -101,6 +109,49 @@ def _zarray_meta_v3(n_rows: int, chunk_rows: int, np_dtype: str) -> dict:
 def _gzip_compress(raw: bytes, level: int = 1) -> bytes:
     co = zlib.compressobj(level, zlib.DEFLATED, 31)  # wbits 31 = gzip container
     return co.compress(raw) + co.flush()
+
+
+def _decompress(raw: bytes, comp: dict | None) -> bytes:
+    if comp is None:
+        return raw
+    if comp.get("id") == "zlib":
+        return zlib.decompress(raw)
+    if comp.get("id") == "gzip":
+        return zlib.decompress(raw, 47)  # gzip/zlib auto
+    raise ValueError(f"unsupported compressor {comp}")
+
+
+def _chunk_file(store_path: str, col: str, a: dict, coords: tuple[int, ...]) -> str:
+    """Path of one chunk: v3 'c<sep>i<sep>j...', v2 'i.j...' (the
+    dimension_separator, '.' unless the store says otherwise)."""
+    if a.get("_v3"):
+        sep = a["_sep"]
+        key = ("c" + sep + sep.join(str(c) for c in coords)).replace("/", os.sep)
+    else:
+        sep = a.get("_sep2", ".")
+        key = sep.join(str(c) for c in coords).replace("/", os.sep)
+    return os.path.join(store_path, col, key)
+
+
+def _read_stripe(store_path: str, col: str, a: dict, cid: int, length: int) -> np.ndarray:
+    """Decode one axis-0 chunk stripe of a 1-D or 2-D array (round 9:
+    rank-2 ATL11 h_corr[ref_pt, cycle] gathers every axis-1 chunk of
+    the stripe; edge chunks are stored full-size and clipped)."""
+    shape, chunks, dt = a["shape"], a["chunks"], a["dtype"]
+    comp = a["compressor"]
+    if len(shape) == 1:
+        with open(_chunk_file(store_path, col, a, (cid,)), "rb") as f:
+            raw = _decompress(f.read(), comp)
+        return np.frombuffer(raw, dtype=dt)[:length]
+    w, cw = shape[1], chunks[1]
+    out = np.zeros((length, w), dtype=dt)
+    for j in range((w + cw - 1) // cw):
+        with open(_chunk_file(store_path, col, a, (cid, j)), "rb") as f:
+            raw = _decompress(f.read(), comp)
+        block = np.frombuffer(raw, dtype=dt)[: chunks[0] * cw].reshape(chunks[0], cw)
+        c1 = min(cw, w - j * cw)
+        out[:, j * cw : j * cw + c1] = block[:length, :c1]
+    return out
 
 
 def write_zarr(
@@ -338,6 +389,8 @@ def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
             for k, v in consolidated.items()
             if k.endswith("/.zarray")
         }
+        for v in arrays.values():
+            v["_sep2"] = v.get("dimension_separator", ".")
     elif os.path.isfile(os.path.join(path, "zarr.json")):
         arrays = _v3_arrays(path)
     else:
@@ -350,6 +403,11 @@ def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
     first = arrays[cols[0]]
     n_rows, chunk_rows = first["shape"][0], first["chunks"][0]
     for c in cols:
+        if len(arrays[c]["shape"]) > 2:
+            raise ValueError(
+                f"read_zarr: array {c} has rank {len(arrays[c]['shape'])}; "
+                "1-D (scalar column) and 2-D (array<T> column) only"
+            )
         if arrays[c]["shape"][0] != n_rows or arrays[c]["chunks"][0] != chunk_rows:
             raise ValueError(f"read_zarr: ragged array {c} in {path}")
     return arrays
@@ -367,12 +425,13 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
     n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
     _REV = {"<i8": "long", "<i4": "int", "<i2": "short", "<i1": "byte",
             "<f8": "double", "<f4": "float", "|b1": "boolean"}
-    schema = "row_index long, " + ", ".join(
-        f"`{c}` {_REV[arrays[c]['dtype']]}" for c in cols
-    )
+
+    def ddl(c: str) -> str:
+        base = _REV[arrays[c]["dtype"]]
+        return base if len(arrays[c]["shape"]) == 1 else f"array<{base}>"
+
+    schema = "row_index long, " + ", ".join(f"`{c}` {ddl(c)}" for c in cols)
     chunks_df = spark.range(n_chunks).withColumnRenamed("id", "cid")
-    dtypes = {c: arrays[c]["dtype"] for c in cols}
-    compressors = {c: arrays[c]["compressor"] for c in cols}
     for c in cols:
         if arrays[c].get("filters"):
             # decoding would zlib-inflate then frombuffer the STILL-
@@ -383,16 +442,6 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
                 "stores are supported"
             )
 
-    chunk_paths = {}
-    for c in cols:
-        if arrays[c].get("_v3"):
-            sep = arrays[c]["_sep"]
-            chunk_paths[c] = lambda cid, c=c, sep=sep: os.path.join(
-                path, c, f"c{sep}{cid}".replace("/", os.sep)
-            )
-        else:
-            chunk_paths[c] = lambda cid, c=c: os.path.join(path, c, str(cid))
-
     def decode(batches):
         for pdf in batches:
             for cid in pdf["cid"]:
@@ -401,16 +450,8 @@ def read_zarr(spark: SparkSession, path: str, columns: list[str] | None = None) 
                 length = min(chunk_rows, n_rows - start)
                 out = {"row_index": np.arange(start, start + length, dtype=np.int64)}
                 for c in cols:
-                    with open(chunk_paths[c](cid), "rb") as f:
-                        raw = f.read()
-                    comp = compressors[c]
-                    if comp is not None and comp.get("id") == "zlib":
-                        raw = zlib.decompress(raw)
-                    elif comp is not None and comp.get("id") == "gzip":
-                        raw = zlib.decompress(raw, 47)  # gzip/zlib auto
-                    elif comp is not None:
-                        raise ValueError(f"unsupported compressor {comp}")
-                    out[c] = np.frombuffer(raw, dtype=dtypes[c])[:length]
+                    arr = _read_stripe(path, c, arrays[c], cid, length)
+                    out[c] = list(arr) if arr.ndim == 2 else arr
                 yield pd.DataFrame(out)
 
     return chunks_df.mapInPandas(decode, schema=schema)
@@ -456,7 +497,15 @@ def read_zarr_dir(
         path = os.path.join(parent, s)
         arrays = _store_arrays(path, columns)
         cols = sorted(arrays)
-        sig = [(c, arrays[c]["dtype"]) for c in cols]
+        # rank is part of the schema signature: a 2-D column is
+        # array<T>, so stores must agree on it (axis-1 extent may vary
+        # per store only when every store's is equal — the vector
+        # length is data, not schema, but ragged vectors across stores
+        # would silently misalign downstream zips, so pin it too)
+        sig = [
+            (c, arrays[c]["dtype"], len(arrays[c]["shape"]), tuple(arrays[c]["shape"][1:]))
+            for c in cols
+        ]
         if sig_ref is None:
             sig_ref = sig
         elif sig != sig_ref:
@@ -474,17 +523,20 @@ def read_zarr_dir(
         meta[s] = {
             "n_rows": n_rows,
             "chunk_rows": chunk_rows,
-            "dtypes": {c: arrays[c]["dtype"] for c in cols},
-            "compressors": {c: arrays[c]["compressor"] for c in cols},
-            "v3": {c: bool(arrays[c].get("_v3")) for c in cols},
-            "sep": {c: arrays[c].get("_sep", "/") for c in cols},
+            "arrays": arrays,
         }
         n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
         tasks.extend((s, cid) for cid in range(n_chunks))
 
-    cols = [c for c, _ in sig_ref]
+    cols = [c for c, _, _, _ in sig_ref]
+
+    def ddl(c: str) -> str:
+        a = meta[stores[0]]["arrays"][c]
+        base = _REV[a["dtype"]]
+        return base if len(a["shape"]) == 1 else f"array<{base}>"
+
     schema = f"`{store_col}` string, row_index long, " + ", ".join(
-        f"`{c}` {_REV[meta[stores[0]]['dtypes'][c]]}" for c in cols
+        f"`{c}` {ddl(c)}" for c in cols
     )
     if not tasks:
         return spark.createDataFrame([], schema)
@@ -504,23 +556,10 @@ def read_zarr_dir(
                     "row_index": np.arange(start, start + length, dtype=np.int64),
                 }
                 for c in cols:
-                    if m["v3"][c]:
-                        sep = m["sep"][c]
-                        cp = os.path.join(
-                            parent, s, c, f"c{sep}{cid}".replace("/", os.sep)
-                        )
-                    else:
-                        cp = os.path.join(parent, s, c, str(cid))
-                    with open(cp, "rb") as f:
-                        raw = f.read()
-                    comp = m["compressors"][c]
-                    if comp is not None and comp.get("id") == "zlib":
-                        raw = zlib.decompress(raw)
-                    elif comp is not None and comp.get("id") == "gzip":
-                        raw = zlib.decompress(raw, 47)
-                    elif comp is not None:
-                        raise ValueError(f"unsupported compressor {comp}")
-                    out[c] = np.frombuffer(raw, dtype=m["dtypes"][c])[:length]
+                    arr = _read_stripe(
+                        os.path.join(parent, s), c, m["arrays"][c], cid, length
+                    )
+                    out[c] = list(arr) if arr.ndim == 2 else arr
                 yield pd.DataFrame(out)
 
     return tasks_df.mapInPandas(decode, schema=schema)
@@ -531,13 +570,20 @@ def write_zarr_local(
     arrays: dict[str, "np.ndarray"],
     chunk_rows: int = 65536,
     zarr_format: int = 2,
+    chunk_shape: tuple[int, ...] | None = None,
 ) -> None:
     """Single-process Zarr store write from numpy arrays — the
     executor-side kernel for write_zarr_partitioned (and a driver
     convenience for small dims). Byte-identical layout to the
     distributed write_zarr: v2 .zarray/.zmetadata + zlib chunks or v3
     zarr.json + bytes/gzip 'c/<i>' keys, edge chunks zero-padded to
-    full shape, staged + renamed so a crash never leaves a torn store."""
+    full shape, staged + renamed so a crash never leaves a torn store.
+
+    Round 9: arrays may be 2-D (the ATL11 ``h_corr[ref_pt, cycle]``
+    shape — what the reference's per-track stores actually hold,
+    /root/reference/atlxi_dhdt.py:72-87). ``chunk_rows`` chunks axis 0
+    with the full axis-1 extent; ``chunk_shape`` pins a 2-axis grid
+    for rank-matched arrays (v2 keys 'i.j', v3 'c/i/j')."""
     import shutil
 
     if zarr_format not in (2, 3):
@@ -549,8 +595,8 @@ def write_zarr_local(
     n_rows = None
     for c, a in arrays.items():
         a = np.ascontiguousarray(a)
-        if a.ndim != 1:
-            raise ValueError(f"write_zarr_local: {c} is not 1-D")
+        if a.ndim not in (1, 2):
+            raise ValueError(f"write_zarr_local: {c} is not 1-D or 2-D")
         ds = np.dtype(a.dtype).newbyteorder("<").str if a.dtype.kind in "if" else np.dtype(a.dtype).str
         if a.dtype == np.bool_:
             ds = "|b1"
@@ -570,11 +616,25 @@ def write_zarr_local(
     _sh.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     cols = sorted(arrays)
+
+    def cshape_of(c: str) -> tuple[int, ...]:
+        a = arrays[c]
+        if chunk_shape is not None:
+            if len(chunk_shape) == a.ndim:
+                return tuple(int(x) for x in chunk_shape)
+            # rank-mismatched arrays still share chunk_shape's axis-0
+            # extent — every array in a store must stripe identically
+            # (the read task grid is one stripe per axis-0 chunk)
+            return (int(chunk_shape[0]),) + a.shape[1:]
+        return (int(chunk_rows),) + a.shape[1:]
+
     if zarr_format == 2:
         meta = {"metadata": {".zgroup": {"zarr_format": 2}}, "zarr_format": 1}
         for c in cols:
             os.makedirs(os.path.join(path, c), exist_ok=True)
-            meta["metadata"][f"{c}/.zarray"] = _zarray_meta(n_rows, chunk_rows, np_dtypes[c])
+            meta["metadata"][f"{c}/.zarray"] = _zarray_meta(
+                list(arrays[c].shape), list(cshape_of(c)), np_dtypes[c]
+            )
             with open(os.path.join(path, c, ".zarray"), "w") as f:
                 json.dump(meta["metadata"][f"{c}/.zarray"], f)
         with open(os.path.join(path, ".zgroup"), "w") as f:
@@ -587,24 +647,40 @@ def write_zarr_local(
         for c in cols:
             os.makedirs(os.path.join(path, c, "c"), exist_ok=True)
             with open(os.path.join(path, c, "zarr.json"), "w") as f:
-                json.dump(_zarray_meta_v3(n_rows, chunk_rows, np_dtypes[c]), f)
+                json.dump(
+                    _zarray_meta_v3(
+                        list(arrays[c].shape), list(cshape_of(c)), np_dtypes[c]
+                    ),
+                    f,
+                )
 
-    n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
-    for cid in range(n_chunks):
-        lo = cid * chunk_rows
-        for c in cols:
-            arr = arrays[c][lo : lo + chunk_rows]
-            if len(arr) < chunk_rows:
-                full = np.zeros(chunk_rows, dtype=arr.dtype)
-                full[: len(arr)] = arr
-                arr = full
-            raw = arr.tobytes(order="C")
+    import itertools
+
+    for c in cols:
+        a = arrays[c]
+        cs = cshape_of(c)
+        grid = [range(0, max(a.shape[ax], 1), cs[ax]) for ax in range(a.ndim)]
+        for coords in itertools.product(*grid):
+            sel = tuple(
+                slice(o, min(o + w, a.shape[ax]))
+                for ax, (o, w) in enumerate(zip(coords, cs))
+            )
+            piece = a[sel]
+            if piece.shape != cs:  # edge chunk stored full-size
+                full = np.zeros(cs, dtype=a.dtype)
+                full[tuple(slice(0, s) for s in piece.shape)] = piece
+                piece = full
+            raw = piece.tobytes(order="C")
+            key = tuple(o // w for o, w in zip(coords, cs))
             if zarr_format == 2:
                 payload = zlib.compress(raw, 1)
-                target = os.path.join(path, c, str(cid))
+                target = os.path.join(path, c, ".".join(str(k) for k in key))
             else:
                 payload = _gzip_compress(raw, 1)
-                target = os.path.join(path, c, "c", str(cid))
+                target = os.path.join(
+                    path, c, "c", os.sep.join(str(k) for k in key)
+                )
+                os.makedirs(os.path.dirname(target), exist_ok=True)
             with open(target, "wb") as f:
                 f.write(payload)
     if os.path.exists(final_path):

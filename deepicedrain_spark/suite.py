@@ -998,10 +998,13 @@ PRIORITY: list[str] = [
     "mergeable_agg_state",
     "equi_depth_deciles",
     # --- tier 2: past the driver's 50-query window -------------------
-    # NEW round 9 (never driver-checked — the amended policy puts it
+    # NEW round 9 (never driver-checked — the amended policy puts them
     # FIRST in the r10 window): ATL11-shaped 2-D h_corr ingest through
-    # the hdf5lite N-D layer (multi-axis chunk assembly)
+    # the hdf5lite N-D layer (multi-axis chunk assembly) and through
+    # per-track Zarr stores (v2+v3 mixed, the reference's literal
+    # open_mfdataset shape)
     "atl11_ingest_cube",
+    "atl11_zarr_cube",
     # the 17 remaining r5-aged rows (simple row-wise/agg plans):
     # re-verified locally at round close per the amended policy; they
     # MUST lead the r10 window

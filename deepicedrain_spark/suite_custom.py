@@ -3685,3 +3685,81 @@ def q_atl11_ingest_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 2)
         .orderBy("ref_pt")
     )
+
+
+# The reference's LITERAL ATL11 entry shape (round 9): per-track Zarr
+# stores whose h_corr is 2-D (ref_pt x cycle_number) read through
+# xr.open_mfdataset (/root/reference/atlxi_dhdt.py:72-87), NaN-filled
+# missing cycles dropped when fewer than 2 remain (:111 dropna
+# thresh=2), then the A1 h_range (nanptp) step (:160-178). Here two
+# per-track stores — deliberately ONE v2 and ONE v3, since the
+# multi-store scan allows per-store versions — hold 2-D h_corr in
+# 256 x 4 zlib/gzip chunks (the round-9 Zarr N-D layer); read_zarr_dir
+# scans them through ONE task table, h_corr explodes to long with
+# cycle = pos + first_cycle, NaNs drop, and the per-(track, ref_pt)
+# range aggregates. Values are exact f32 quarters, so the oracle
+# recomputes every row closed-form; a mismatch anywhere in the 2-D
+# chunk-grid write -> multi-axis gather -> explode -> range breaks it.
+@register(
+    "atl11_zarr_cube",
+    """
+    WITH rows AS (
+      SELECT g.g, i.i, c.c
+      FROM (VALUES (0),(1)) g(g),
+           (SELECT unnest(range(0, 900)) AS i) i,
+           (SELECT unnest(range(3, 12)) AS c) c),
+    kept AS (SELECT * FROM rows WHERE (i + c + g) % 4 != 0),
+    pts AS (
+      SELECT concat('track_', CAST(1000 + g AS VARCHAR)) AS store,
+             CAST(i AS BIGINT) AS ref_pt,
+             CAST((i % 50) * 0.5 + (c - 3) * ((i % 5) - 2) * 0.25 + g AS DOUBLE) AS h
+      FROM kept)
+    SELECT store, ref_pt,
+           CAST(count(*) AS BIGINT) AS n_valid,
+           round(max(h) - min(h), 6) AS h_range
+    FROM pts GROUP BY store, ref_pt
+    HAVING count(*) >= 2
+    ORDER BY store, ref_pt
+    """,
+)
+def q_atl11_zarr_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    n, cycles = 900, np.arange(3, 12, dtype="i8")
+    parent = scratch_path(sf_dir, "zarr_atl11")
+    os.makedirs(parent, exist_ok=True)
+    for g, fmt in ((0, 2), (1, 3)):
+        store = os.path.join(parent, f"track_{1000 + g}")
+
+        def make(tmp: str, g: int = g, fmt: int = fmt) -> None:
+            i = np.arange(n, dtype="i8")[:, None]
+            c = cycles[None, :]
+            h = ((i % 50) * 0.5 + (c - 3) * ((i % 5) - 2) * 0.25 + g).astype("f4")
+            h[(i + c + g) % 4 == 0] = np.nan
+            write_zarr_local(
+                tmp,
+                {"ref_pt": np.arange(n, dtype="i8"), "h_corr": h},
+                zarr_format=fmt,
+                chunk_shape=(256, 4),
+            )
+
+        synth_once(store, make, token="v1")
+    df = read_zarr_dir(spark, parent, columns=["ref_pt", "h_corr"])
+    long = df.select(
+        "store",
+        "ref_pt",
+        F.explode("h_corr").alias("h"),
+    ).where(~F.isnan("h"))
+    return (
+        long.groupBy("store", "ref_pt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_valid"),
+            F.round(
+                F.max(F.col("h").cast("double")) - F.min(F.col("h").cast("double")), 6
+            ).alias("h_range"),
+        )
+        .where(F.col("n_valid") >= 2)
+        .orderBy("store", "ref_pt")
+    )

@@ -308,3 +308,82 @@ def test_write_zarr_partitioned_per_key_stores(spark, tmp_path):
 
     g = zarr.open_group(os.path.join(parent, "store_1"), mode="r")
     assert np.array_equal(np.asarray(g["seq"])[:4], np.array([1, 5, 9, 13]))
+
+
+def test_zarr_2d_roundtrip_both_formats(spark, tmp_path):
+    """Round 9: rank-2 arrays (the ATL11 h_corr[ref_pt, cycle] shape)
+    write with a multi-axis chunk grid and read back exactly as
+    array<float> columns, in BOTH v2 ('i.j' keys) and v3 ('c/i/j'
+    keys), edge chunks on both axes."""
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr_local
+
+    h = (np.arange(1003 * 9, dtype="f4").reshape(1003, 9) * 0.25)
+    seg = np.arange(1003, dtype="i8")
+    for fmt in (2, 3):
+        p = str(tmp_path / f"store_v{fmt}")
+        write_zarr_local(
+            p, {"h_corr": h.copy(), "ref_pt": seg.copy()},
+            zarr_format=fmt, chunk_shape=(256, 4),
+        )
+        df = read_zarr(spark, p)
+        assert dict(df.dtypes)["h_corr"] == "array<float>"
+        rows = {r["ref_pt"]: r["h_corr"] for r in df.collect()}
+        assert len(rows) == 1003
+        for i in (0, 255, 256, 511, 1002):
+            assert rows[i] == pytest.approx(list(h[i])), (fmt, i)
+
+
+def test_zarr_2d_crosscheck_against_zarr_python(tmp_path):
+    """Multi-axis chunked 2-D stores interoperate with real
+    zarr-python in both directions (skips when absent)."""
+    zarr = pytest.importorskip("zarr")
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import (
+        _read_stripe,
+        _store_arrays,
+        write_zarr_local,
+    )
+
+    h = np.arange(300 * 6, dtype="f4").reshape(300, 6) * 0.5
+    ours = str(tmp_path / "ours")
+    write_zarr_local(ours, {"h_corr": h.copy()}, zarr_format=2, chunk_shape=(64, 3))
+    za = zarr.open(ours, mode="r")
+    assert np.array_equal(za["h_corr"][:], h)
+    theirs = str(tmp_path / "theirs")
+    g = zarr.open_group(theirs, mode="w", zarr_format=2)
+    g.create_array("h_corr", data=h, chunks=(64, 3))
+    try:
+        zarr.consolidate_metadata(theirs)
+    except Exception:
+        pytest.skip("zarr-python cannot consolidate v2 metadata here")
+    arrays = _store_arrays(theirs, None)
+    a = arrays["h_corr"]
+    got = np.vstack(
+        [
+            _read_stripe(theirs, "h_corr", a, cid, min(a["chunks"][0], 300 - cid * a["chunks"][0]))
+            for cid in range((300 + a["chunks"][0] - 1) // a["chunks"][0])
+        ]
+    )
+    assert np.array_equal(got, h)
+
+
+def test_read_zarr_dir_2d_mixed_versions(spark, tmp_path):
+    """read_zarr_dir concatenates 2-D stores of DIFFERENT zarr
+    versions into one array-column frame, store tag attached."""
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    for g, fmt in ((0, 2), (1, 3)):
+        h = np.full((50, 3), float(g), dtype="f4")
+        write_zarr_local(
+            str(tmp_path / f"t{g}"), {"h_corr": h}, zarr_format=fmt, chunk_shape=(16, 2)
+        )
+    df = read_zarr_dir(spark, str(tmp_path))
+    got = df.groupBy("store").count().collect()
+    assert {(r["store"], r["count"]) for r in got} == {("t0", 50), ("t1", 50)}
+    one = df.where("store = 't1'").limit(1).collect()[0]
+    assert one["h_corr"] == [1.0, 1.0, 1.0]
