@@ -899,9 +899,10 @@ def write_hdf5(
     the ATL11 ``h_corr[ref_pt, cycle]`` shape). ``chunk_rows``
     switches datasets from contiguous to chunked storage, chunking
     axis 0 with full trailing dims; ``chunk_shape`` instead pins a
-    FULL N-D chunk grid for datasets of matching rank (others keep the
-    chunk_rows rule) — the multi-axis layout libhdf5 defaults to for
-    2-D data. ``gzip`` (level) and ``shuffle`` add the matching
+    FULL N-D chunk grid for datasets of matching rank (rank-mismatched
+    datasets chunk at its axis-0 extent with full trailing dims, so a
+    requested filter always applies) — the multi-axis layout libhdf5
+    defaults to for 2-D data. ``gzip`` (level) and ``shuffle`` add the matching
     filters (chunked only, like HDF5 itself). Default layout:
     superblock v0 + v1 object headers + symbol-table groups — what
     libhdf5 writes by default.
@@ -952,8 +953,12 @@ def write_hdf5(
 
     def write_dataset(name: str, arr: np.ndarray) -> int:
         msgs = [(0x0001, _dataspace_msg(arr.shape)), (0x0003, _datatype_msg(arr.dtype))]
-        use_chunk_shape = chunk_shape is not None and len(chunk_shape) == arr.ndim
-        if chunk_rows is None and not use_chunk_shape:
+        # rank-mismatched datasets still chunk (at chunk_shape's axis-0
+        # extent with full trailing dims) so a requested gzip/shuffle
+        # filter is never silently dropped — same axis-0 fallback as
+        # write_zarr_local.cshape_of
+        chunked = chunk_rows is not None or chunk_shape is not None
+        if not chunked:
             data_addr_slot = alloc.reserve(arr.nbytes) if arr.nbytes else UNDEF
             if arr.nbytes:
                 writes.append((data_addr_slot, arr.tobytes()))
@@ -980,8 +985,10 @@ def write_hdf5(
             # chunk_rows along axis 0 with full trailing dims
             import itertools
 
-            if use_chunk_shape:
+            if chunk_shape is not None and len(chunk_shape) == arr.ndim:
                 cshape = tuple(int(c) for c in chunk_shape)
+            elif chunk_shape is not None:
+                cshape = (int(chunk_shape[0]),) + arr.shape[1:]
             else:
                 cshape = (int(chunk_rows),) + arr.shape[1:]
             grid = [range(0, max(arr.shape[ax], 1), cshape[ax]) for ax in range(arr.ndim)]

@@ -133,23 +133,60 @@ def _chunk_file(store_path: str, col: str, a: dict, coords: tuple[int, ...]) -> 
     return os.path.join(store_path, col, key)
 
 
+def _fill_of(a: dict) -> float | int:
+    """Numeric fill_value of an array's metadata: the spec says a chunk
+    whose key is ABSENT holds fill_value everywhere (zarr-python v3
+    omits all-fill chunks by default — write_empty_chunks=False), so
+    the reader must synthesize it, not crash. JSON can't carry NaN, so
+    both versions spell it 'NaN'."""
+    fv = a.get("fill_value")
+    if fv is None:
+        return 0
+    if isinstance(fv, str):
+        if fv.lower() == "nan":
+            return float("nan")
+        if fv.lower() in ("infinity", "inf"):
+            return float("inf")
+        if fv.lower() in ("-infinity", "-inf"):
+            return float("-inf")
+        raise ValueError(f"read_zarr: unsupported fill_value {fv!r}")
+    return fv
+
+
+def _read_chunk_raw(store_path: str, col: str, a: dict, coords: tuple[int, ...]):
+    """Decompressed bytes of one chunk, or None when the chunk file is
+    absent (legal: an all-fill chunk was never written)."""
+    p = _chunk_file(store_path, col, a, coords)
+    try:
+        with open(p, "rb") as f:
+            raw = f.read()
+    except FileNotFoundError:
+        return None
+    return _decompress(raw, a["compressor"])
+
+
 def _read_stripe(store_path: str, col: str, a: dict, cid: int, length: int) -> np.ndarray:
     """Decode one axis-0 chunk stripe of a 1-D or 2-D array (round 9:
     rank-2 ATL11 h_corr[ref_pt, cycle] gathers every axis-1 chunk of
-    the stripe; edge chunks are stored full-size and clipped)."""
+    the stripe; edge chunks are stored full-size and clipped; absent
+    chunk files read as fill_value per the spec)."""
     shape, chunks, dt = a["shape"], a["chunks"], a["dtype"]
-    comp = a["compressor"]
     if len(shape) == 1:
-        with open(_chunk_file(store_path, col, a, (cid,)), "rb") as f:
-            raw = _decompress(f.read(), comp)
+        raw = _read_chunk_raw(store_path, col, a, (cid,))
+        if raw is None:
+            return np.full(length, _fill_of(a), dtype=dt)
         return np.frombuffer(raw, dtype=dt)[:length]
     w, cw = shape[1], chunks[1]
-    out = np.zeros((length, w), dtype=dt)
+    out = np.empty((length, w), dtype=dt)
     for j in range((w + cw - 1) // cw):
-        with open(_chunk_file(store_path, col, a, (cid, j)), "rb") as f:
-            raw = _decompress(f.read(), comp)
-        block = np.frombuffer(raw, dtype=dt)[: chunks[0] * cw].reshape(chunks[0], cw)
         c1 = min(cw, w - j * cw)
+        raw = _read_chunk_raw(store_path, col, a, (cid, j))
+        if raw is None:
+            out[:, j * cw : j * cw + c1] = np.full(
+                (length, c1), _fill_of(a), dtype=dt
+            )
+            continue
+        block = np.frombuffer(raw, dtype=dt)[: chunks[0] * cw].reshape(chunks[0], cw)
         out[:, j * cw : j * cw + c1] = block[:length, :c1]
     return out
 
@@ -369,6 +406,7 @@ def _v3_arrays(path: str) -> dict[str, dict]:
                 {"id": "gzip"} if "gzip" in names else None
             ),
             "filters": None,
+            "fill_value": m.get("fill_value", 0),
             "_v3": True,
             "_sep": sep,
             "_cke": cke.get("name", "default"),
@@ -407,6 +445,13 @@ def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
             raise ValueError(
                 f"read_zarr: array {c} has rank {len(arrays[c]['shape'])}; "
                 "1-D (scalar column) and 2-D (array<T> column) only"
+            )
+        # v2 allows Fortran-order chunks; decoding them C-order would
+        # silently transpose every rank-2 vector — reject like filters
+        if arrays[c].get("order", "C") != "C":
+            raise ValueError(
+                f"read_zarr: array {c} uses order="
+                f"{arrays[c]['order']!r}; only C-order stores are supported"
             )
         if arrays[c]["shape"][0] != n_rows or arrays[c]["chunks"][0] != chunk_rows:
             raise ValueError(f"read_zarr: ragged array {c} in {path}")
@@ -480,6 +525,12 @@ def read_zarr_dir(
         d
         for d in os.listdir(parent)
         if os.path.isdir(os.path.join(parent, d))
+        # a killed writer can leave a COMPLETE store under its staging
+        # name (write_zarr_local publishes into '.staging.<pid>',
+        # fixture synthesis into '.tmp.<pid>', both renamed last) —
+        # scanning one would silently add phantom rows
+        and ".staging." not in d
+        and ".tmp." not in d
         and (
             os.path.isfile(os.path.join(parent, d, ".zmetadata"))
             or os.path.isfile(os.path.join(parent, d, "zarr.json"))

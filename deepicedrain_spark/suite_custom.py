@@ -3588,13 +3588,14 @@ def q_dissolve_input_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at :160-178). Here the granule is REAL HDF5 bytes whose 2-D h_corr /
 # delta_time are stored in MULTI-AXIS chunks (256 x 4, gzip+shuffle —
 # the round-9 hdf5lite N-D layer), scanned chunk-parallel into
-# array<float> rows, exploded to long with the cycle axis joined from
-# the granule's own 1-D cycle_number dataset, NaN fills dropped
-# (xarray-dropna parity), and regressed per ref_pt. h values are exact
-# f32 quarters (planted slope ((i%7)-3)/4 m/cycle), so the oracle
+# array<float> rows, position-zipped with the 2-D delta_time (the
+# reference's regression abscissa), NaN fills dropped (xarray-dropna
+# parity), and regressed per ref_pt against delta_time. h values are
+# exact f32 quarters (planted slope ((i%7)-3)/4 m/cycle) and
+# delta_time equals the cycle number exactly, so the oracle
 # recomputes every surviving row closed-form without an HDF5 parser —
-# a mismatch anywhere in N-D write -> chunk assembly -> explode ->
-# join -> regr breaks the hash.
+# a mismatch anywhere in N-D write -> chunk assembly -> zip-explode ->
+# regr breaks the hash.
 @register(
     "atl11_ingest_cube",
     """
@@ -3650,9 +3651,14 @@ def q_atl11_ingest_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             shuffle=True,
         )
 
-    synth_once(path, make)
+    # token v2: round-9 writer fix chunks+gzips the rank-1 datasets
+    # too (chunk_shape axis-0 fallback), changing the granule bytes
+    synth_once(path, make, token="v2")
+    # regress h_corr against the granule's own 2-D delta_time — the
+    # reference's abscissa (atlxi_dhdt.py:160-178); in this fixture
+    # delta_time equals the cycle number exactly, so the closed-form
+    # oracle can use t = c
     cube = read_hdf5(spark, path, "pt1", ["ref_pt", "h_corr", "delta_time"], chunk_rows=256)
-    cyc = read_hdf5(spark, path, "pt1", ["cycle_number"])
     long = (
         cube.select(
             "ref_pt",
@@ -3660,20 +3666,10 @@ def q_atl11_ingest_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "ref_pt",
-            "pos",
             F.col("z.h_corr").cast("double").alias("h"),
-            F.col("z.delta_time").alias("dt"),
+            F.col("z.delta_time").alias("t"),
         )
         .where(~F.isnan("h"))
-        .join(
-            F.broadcast(
-                cyc.select(
-                    F.col("row_index").cast("int").alias("pos"),
-                    F.col("cycle_number").cast("double").alias("t"),
-                )
-            ),
-            "pos",
-        )
     )
     return (
         long.groupBy("ref_pt")

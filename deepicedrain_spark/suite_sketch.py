@@ -2605,6 +2605,11 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMORY_AND_DISK spills; state per row is (doc_id, lang, bkt) —
     # the bigram TEXT is hashed away before the persist, so the
     # cached table is ints, far smaller than the corpus text.
+    # Lifetime: the returned frame is lazy, so there is no safe
+    # unpersist point inside this function — the cache lives until
+    # catalog.clearCache(), which bench.py and tools/check.py both
+    # call after every query (same contract as the kmv pair cache);
+    # long-lived interactive sessions should clearCache() themselves.
     bg = (
         docs.select("doc_id", "lang", w.alias("_w"))
         .select(

@@ -686,3 +686,22 @@ def test_read_hdf5_2d_array_column(spark, tmp_path):
     assert len(rows) == n
     for i in (0, 1, 127, 128, 399, n - 1):
         assert rows[i] == pytest.approx(list(h[i]))
+
+
+def test_write_hdf5_chunk_shape_still_filters_rank1(tmp_path):
+    """chunk_shape + gzip must compress EVERY dataset: rank-mismatched
+    (1-D) arrays chunk at chunk_shape's axis-0 extent instead of
+    silently falling back to contiguous-uncompressed."""
+    h = np.zeros((500, 4), dtype="f4")
+    seg = np.arange(500, dtype="i8")
+    p = str(tmp_path / "c.h5")
+    hdf5lite.write_hdf5(
+        p, {"g": {"h_corr": h, "segment_id": seg}}, chunk_shape=(128, 2), gzip=4
+    )
+    with hdf5lite.File(p) as f:
+        d = f["g"]["segment_id"]
+        assert d.layout_class == 2  # chunked, not contiguous
+        assert d.chunks == (128,)
+        assert any(fid == 1 for fid, _ in d.filters)  # gzip applied
+        assert np.array_equal(d[:], seg)
+        assert f["g"]["h_corr"].chunks == (128, 2)

@@ -387,3 +387,86 @@ def test_read_zarr_dir_2d_mixed_versions(spark, tmp_path):
     assert {(r["store"], r["count"]) for r in got} == {("t0", 50), ("t1", 50)}
     one = df.where("store = 't1'").limit(1).collect()[0]
     assert one["h_corr"] == [1.0, 1.0, 1.0]
+
+
+def test_zarr_missing_chunk_reads_as_fill(spark, tmp_path):
+    """The spec defines an ABSENT chunk key as fill_value everywhere
+    (zarr-python omits all-fill chunks by default) — the reader must
+    synthesize the fill block, not crash, for NaN and numeric fills,
+    1-D and 2-D, v2 and v3."""
+    import json
+    import math
+    import os
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr_local
+
+    for fmt in (2, 3):
+        p = str(tmp_path / f"s{fmt}")
+        h = np.arange(40 * 4, dtype="f4").reshape(40, 4)
+        seg = np.arange(40, dtype="i8")
+        write_zarr_local(p, {"h_corr": h, "ref_pt": seg}, zarr_format=fmt, chunk_shape=(16, 2))
+        # delete one interior 2-D chunk and one 1-D chunk; mark NaN fill
+        if fmt == 2:
+            os.unlink(os.path.join(p, "h_corr", "1.1"))
+            os.unlink(os.path.join(p, "ref_pt", "2"))
+            zp = os.path.join(p, "h_corr", ".zarray")
+            m = json.load(open(zp)); m["fill_value"] = "NaN"
+            json.dump(m, open(zp, "w"))
+            mp = os.path.join(p, ".zmetadata")
+            cm = json.load(open(mp)); cm["metadata"]["h_corr/.zarray"]["fill_value"] = "NaN"
+            json.dump(cm, open(mp, "w"))
+        else:
+            os.unlink(os.path.join(p, "h_corr", "c", "1", "1"))
+            os.unlink(os.path.join(p, "ref_pt", "c", "2"))
+            zp = os.path.join(p, "h_corr", "zarr.json")
+            m = json.load(open(zp)); m["fill_value"] = "NaN"
+            json.dump(m, open(zp, "w"))
+        rows = {r["row_index"]: r for r in read_zarr(spark, p).collect()}
+        # rows 16..31, cols 2..3 came from the deleted h_corr chunk
+        assert all(math.isnan(v) for v in rows[20]["h_corr"][2:4])
+        assert rows[20]["h_corr"][0] == h[20][0]  # present chunk intact
+        assert rows[5]["h_corr"] == pytest.approx(list(h[5]))
+        # ref_pt rows 32..39 came from the deleted 1-D chunk: int fill 0
+        assert rows[35]["ref_pt"] == 0 and rows[10]["ref_pt"] == 10
+
+
+def test_zarr_rejects_fortran_order(spark, tmp_path):
+    """v2 order='F' chunks would decode silently transposed — reject."""
+    import json
+    import os
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr_local
+
+    p = str(tmp_path / "s")
+    write_zarr_local(
+        p, {"h_corr": np.zeros((8, 3), dtype="f4")}, zarr_format=2, chunk_shape=(4, 3)
+    )
+    for mp, key in ((os.path.join(p, "h_corr", ".zarray"), None),
+                    (os.path.join(p, ".zmetadata"), "h_corr/.zarray")):
+        m = json.load(open(mp))
+        (m["metadata"][key] if key else m)["order"] = "F"
+        json.dump(m, open(mp, "w"))
+    with pytest.raises(Exception, match="order"):
+        read_zarr(spark, p).collect()
+
+
+def test_read_zarr_dir_skips_staging_leftovers(spark, tmp_path):
+    """A killed writer's complete '*.staging.*' / '*.tmp.*' store must
+    not be scanned as an extra store."""
+    import shutil
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    good = str(tmp_path / "track_1")
+    write_zarr_local(good, {"v": np.arange(10, dtype="i8")})
+    shutil.copytree(good, str(tmp_path / "track_1.tmp.12345"))
+    shutil.copytree(good, str(tmp_path / "track_1.staging.99"))
+    df = read_zarr_dir(spark, str(tmp_path))
+    assert {r["store"] for r in df.select("store").distinct().collect()} == {"track_1"}
+    assert df.count() == 10
