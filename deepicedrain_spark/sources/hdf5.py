@@ -155,8 +155,10 @@ def read_hdf5_many(
                     raise ValueError(f"read_hdf5: {group}/{name} is not 1-D or 2-D")
                 shapes[name] = d.shape[0]
                 # rank-2 datasets become array<T> columns: one vector
-                # per row along axis 1 (ATL11 h_corr[ref_pt, cycle])
-                dtypes[name] = (str(d.dtype), len(d.shape))
+                # per row along axis 1 (ATL11 h_corr[ref_pt, cycle]);
+                # newbyteorder('=') maps big-endian file dtypes to the
+                # native name (reads are normalized in decode)
+                dtypes[name] = (str(np.dtype(d.dtype).newbyteorder("=")), len(d.shape))
                 if d.chunks:
                     native_chunks.add(d.chunks[0])
         lengths = set(shapes.values())
@@ -217,6 +219,8 @@ def read_hdf5_many(
                     }
                     for name in datasets:
                         arr = grp[name][start : start + length]
+                        if arr.dtype.byteorder == ">":  # h5py keeps file order
+                            arr = arr.astype(arr.dtype.newbyteorder("="))
                         # rank-2 stripes become one vector per row
                         out[name] = list(arr) if arr.ndim == 2 else arr
                     for k in tag_keys:
@@ -364,7 +368,7 @@ def read_hdf5_dir(
                         f"read_hdf5_dir: {path}:{group}/{name} is not 1-D or 2-D"
                     )
                 shapes.add(d.shape[0])
-                dtypes[name] = (str(d.dtype), len(d.shape))
+                dtypes[name] = (str(np.dtype(d.dtype).newbyteorder("=")), len(d.shape))
                 if d.chunks:
                     native_chunks.add(d.chunks[0])
         if len(shapes) != 1:
@@ -407,6 +411,8 @@ def read_hdf5_dir(
                     }
                     for name in datasets:
                         arr = grp[name][start : start + length]
+                        if arr.dtype.byteorder == ">":  # h5py keeps file order
+                            arr = arr.astype(arr.dtype.newbyteorder("="))
                         out[name] = list(arr) if arr.ndim == 2 else arr
                 if granule_col:
                     out[granule_col] = np.full(length, os.path.basename(path))

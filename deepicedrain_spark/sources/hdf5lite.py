@@ -18,7 +18,8 @@ Reader (``File``):
   direct block, or root indirect block over direct-block rows) + v2
   B-tree name index (depth 0) -> link messages,
 - datatype classes 0 (fixed-point), 1 (IEEE float) and 3 (fixed-length
-  string, round 4), little-endian,
+  string, round 4); little- AND big-endian numerics (round 9 — BE
+  files read normalized-to-native; byte_order='big' writes them),
 - dataspace v1/v2, data layout v3 (compact / contiguous / chunked with
   v1 B-tree chunk index), filter pipeline v1/v2 with gzip (deflate)
   and shuffle filters,
@@ -128,6 +129,14 @@ def _lookup3(data: bytes, initval: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _native(a):
+    """Big-endian arrays/scalars → native order at the read boundary
+    (the file dtype steers frombuffer; callers always see native)."""
+    if isinstance(a, (np.ndarray, np.generic)) and a.dtype.byteorder == ">":
+        return a.astype(a.dtype.newbyteorder("="))
+    return a
+
+
 @dataclass
 class _Dataset:
     """Lazy handle: metadata parsed, bytes read on demand."""
@@ -157,19 +166,19 @@ class _Dataset:
 
     def __getitem__(self, key):
         if key is Ellipsis or (isinstance(key, slice) and key == slice(None)):
-            return self._read_range(0, self.shape[0] if self.shape else 1)
+            return _native(self._read_range(0, self.shape[0] if self.shape else 1))
         if isinstance(key, slice):
             # slicing selects along axis 0 (h5py semantics for d[a:b]);
             # trailing axes come back whole — N-D since round 9
             start, stop, step = key.indices(self.shape[0])
             if step != 1:
-                return self._read_range(start, stop)[::step]
-            return self._read_range(start, stop)
+                return _native(self._read_range(start, stop)[::step])
+            return _native(self._read_range(start, stop))
         if isinstance(key, (int, np.integer)):
             i = int(key)
             if i < 0:
                 i += self.shape[0]
-            return self._read_range(i, i + 1)[0]
+            return _native(self._read_range(i, i + 1)[0])
         raise TypeError(f"hdf5lite: unsupported index {key!r}")
 
     # -- IO ---------------------------------------------------------------
@@ -700,13 +709,15 @@ class File:
         cls, ver = cls_ver & 0x0F, cls_ver >> 4
         bf0 = body[1]
         size = struct.unpack_from("<I", body, 4)[0]
-        if cls in (0, 1) and bf0 & 0x01:
-            raise NotImplementedError("hdf5lite: big-endian datatypes")
+        # bit 0 of the class bit field = byte order (round 9: BE files
+        # from older tools read fine — every read exit normalizes to
+        # native order, the file dtype only steers frombuffer)
+        bo = ">" if (cls in (0, 1) and bf0 & 0x01) else "<"
         if cls == 0:  # fixed-point
             signed = bool(bf0 & 0x08)
-            return np.dtype(f"<{'i' if signed else 'u'}{size}")
+            return np.dtype(f"{bo}{'i' if signed else 'u'}{size}")
         if cls == 1:  # IEEE float
-            return np.dtype(f"<f{size}")
+            return np.dtype(f"{bo}f{size}")
         if cls == 3:  # fixed-length string (padding/charset irrelevant
             # to the byte layout; numpy S-type strips trailing NULs)
             return np.dtype(f"S{size}")
@@ -834,8 +845,9 @@ def _msg_v1(mtype: int, body: bytes) -> bytes:
 
 def _datatype_msg(dt: np.dtype) -> bytes:
     dt = np.dtype(dt)
+    be = 0x01 if dt.byteorder == ">" else 0x00  # class bit 0 = byte order
     if dt.kind in "iu":
-        bf0 = 0x08 if dt.kind == "i" else 0x00
+        bf0 = (0x08 if dt.kind == "i" else 0x00) | be
         head = struct.pack("<BBBBI", (1 << 4) | 0, bf0, 0, 0, dt.itemsize)
         props = struct.pack("<HH", 0, 8 * dt.itemsize)
         return head + props
@@ -848,7 +860,7 @@ def _datatype_msg(dt: np.dtype) -> bytes:
             sign_loc = 63
         else:
             raise TypeError(f"hdf5lite: unsupported float size {dt.itemsize}")
-        head = struct.pack("<BBBBI", (1 << 4) | 1, 0x20, sign_loc, 0, dt.itemsize)
+        head = struct.pack("<BBBBI", (1 << 4) | 1, 0x20 | be, sign_loc, 0, dt.itemsize)
         return head + props
     if dt.kind == "S":  # fixed-length string: null-terminated, ASCII
         return struct.pack("<BBBBI", (1 << 4) | 3, 0, 0, 0, dt.itemsize)
@@ -892,6 +904,7 @@ def write_hdf5(
     dense_groups: bool = False,
     dense_node_size: int | None = None,
     dense_heap: tuple[int, int, int] | None = None,
+    byte_order: str = "little",
 ) -> None:
     """Write a minimal HDF5 file: ``groups`` maps a (possibly nested)
     group path like ``"gt1l/land_ice_segments"`` to a dict of numpy
@@ -931,12 +944,18 @@ def write_hdf5(
         for part in parts:
             node = node.setdefault(part, {})
         own = node.setdefault(None, {})
+        if byte_order not in ("little", "big"):
+            raise ValueError(f"hdf5lite: byte_order must be little|big, got {byte_order!r}")
+        want = ">" if byte_order == "big" else "<"
         for name, arr in dsets.items():
             a = np.ascontiguousarray(arr)
             if a.ndim == 0:
                 raise ValueError(f"hdf5lite: write_hdf5 needs array data ({name})")
-            if a.dtype.byteorder == ">":
-                a = a.astype(a.dtype.newbyteorder("<"))
+            # numeric data is stored in the requested byte order (round
+            # 9: byte_order='big' emits BE files — interop fixtures for
+            # older big-endian-producing tools); strings have no order
+            if a.dtype.kind in "iuf" and a.dtype.str != a.dtype.newbyteorder(want).str:
+                a = a.astype(a.dtype.newbyteorder(want))
             own[name] = a
 
     if gzip is not None and chunk_rows is None and chunk_shape is None:

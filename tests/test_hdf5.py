@@ -705,3 +705,54 @@ def test_write_hdf5_chunk_shape_still_filters_rank1(tmp_path):
         assert any(fid == 1 for fid, _ in d.filters)  # gzip applied
         assert np.array_equal(d[:], seg)
         assert f["g"]["h_corr"].chunks == (128, 2)
+
+
+def test_hdf5lite_big_endian_roundtrip(tmp_path):
+    """Round 9: big-endian files (older tools) read correctly — the
+    file dtype steers frombuffer, every read exit normalizes to
+    native order; writer emits BE via byte_order='big' (the interop
+    fixture knob). All layouts, incl. shuffle whose byte-transpose is
+    order-agnostic."""
+    h = np.arange(500 * 3, dtype="f4").reshape(500, 3) * 0.25
+    seg = np.arange(500, dtype="i8")
+    for kw in ({}, {"chunk_rows": 100, "gzip": 2, "shuffle": True},
+               {"chunk_shape": (128, 2), "gzip": 2}):
+        p = str(tmp_path / f"be_{len(kw)}.h5")
+        hdf5lite.write_hdf5(p, {"g": {"h": h, "seg": seg}}, byte_order="big", **kw)
+        with hdf5lite.File(p) as f:
+            assert str(f["g"]["h"].dtype) == ">f4"  # file order visible
+            out = f["g"]["h"][:]
+            assert out.dtype.byteorder != ">"  # reads are native
+            assert np.array_equal(out, h)
+            assert np.array_equal(f["g"]["seg"][100:300], seg[100:300])
+
+
+def test_hdf5lite_big_endian_h5py_crosscheck(tmp_path):
+    """BE files interop with real libhdf5 both ways (skips sans h5py)."""
+    h5py = pytest.importorskip("h5py")
+    h = np.arange(64, dtype=">f8") * 0.5
+    p = str(tmp_path / "ours_be.h5")
+    hdf5lite.write_hdf5(p, {"g": {"h": h.astype("f8")}}, byte_order="big")
+    with h5py.File(p, "r") as f:
+        assert np.array_equal(f["g"]["h"][:], h)
+    p2 = str(tmp_path / "theirs_be.h5")
+    with h5py.File(p2, "w", libver="earliest") as f:
+        f.create_group("g").create_dataset("h", data=h, dtype=">f8")
+    with hdf5lite.File(p2) as f:
+        out = f["g"]["h"][:]
+        assert out.dtype.byteorder != ">"
+        assert np.array_equal(out, h)
+
+
+def test_read_hdf5_big_endian_native_schema(spark, tmp_path):
+    """The distributed scan of a BE file maps to the native Spark
+    schema and native values (no '>f8' TypeError, no swapped bytes)."""
+    p = str(tmp_path / "be.h5")
+    hdf5lite.write_hdf5(
+        p, {"g": {"v": np.arange(300, dtype="f8") * 0.5}},
+        byte_order="big", chunk_rows=64,
+    )
+    df = read_hdf5(spark, p, "g", ["v"], chunk_rows=64)
+    assert dict(df.dtypes)["v"] == "double"
+    got = {r["row_index"]: r["v"] for r in df.collect()}
+    assert len(got) == 300 and got[7] == 3.5 and got[299] == 149.5
