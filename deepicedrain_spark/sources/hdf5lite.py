@@ -936,6 +936,11 @@ def write_hdf5(
     into many direct blocks under a root indirect block, and rows
     whose block size exceeds ``max_direct`` nest a child indirect
     block (the 'indirect-over-indirect' shape of huge catalogs)."""
+    # validate once, before the per-group loop — an invalid value must
+    # fail even with an empty groups dict (ADVICE r9)
+    if byte_order not in ("little", "big"):
+        raise ValueError(f"hdf5lite: byte_order must be little|big, got {byte_order!r}")
+    want = ">" if byte_order == "big" else "<"
     # ---- build the group tree ------------------------------------------
     tree: dict = {}  # name -> subtree dict; datasets under key None
     for gpath, dsets in groups.items():
@@ -944,9 +949,6 @@ def write_hdf5(
         for part in parts:
             node = node.setdefault(part, {})
         own = node.setdefault(None, {})
-        if byte_order not in ("little", "big"):
-            raise ValueError(f"hdf5lite: byte_order must be little|big, got {byte_order!r}")
-        want = ">" if byte_order == "big" else "<"
         for name, arr in dsets.items():
             a = np.ascontiguousarray(arr)
             if a.ndim == 0:

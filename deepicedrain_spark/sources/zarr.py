@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import zlib
 
 import numpy as np
@@ -447,8 +448,10 @@ def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
                 "1-D (scalar column) and 2-D (array<T> column) only"
             )
         # v2 allows Fortran-order chunks; decoding them C-order would
-        # silently transpose every rank-2 vector — reject like filters
-        if arrays[c].get("order", "C") != "C":
+        # silently transpose every rank-2 vector — reject like filters.
+        # Rank-1 F-order is byte-identical to C-order, so only rank>=2
+        # declarations are actually ambiguous (ADVICE r9)
+        if arrays[c].get("order", "C") != "C" and len(arrays[c]["shape"]) >= 2:
             raise ValueError(
                 f"read_zarr: array {c} uses order="
                 f"{arrays[c]['order']!r}; only C-order stores are supported"
@@ -528,9 +531,11 @@ def read_zarr_dir(
         # a killed writer can leave a COMPLETE store under its staging
         # name (write_zarr_local publishes into '.staging.<pid>',
         # fixture synthesis into '.tmp.<pid>', both renamed last) —
-        # scanning one would silently add phantom rows
-        and ".staging." not in d
-        and ".tmp." not in d
+        # scanning one would silently add phantom rows. Match the
+        # actual '<name>.staging.<pid>' / '<name>.tmp.<pid>' SUFFIX, so
+        # a legitimately named store like 'track.tmp.archive' still
+        # scans (ADVICE r9)
+        and not re.search(r"\.(staging|tmp)\.\d+$", d)
         and (
             os.path.isfile(os.path.join(parent, d, ".zmetadata"))
             or os.path.isfile(os.path.join(parent, d, "zarr.json"))

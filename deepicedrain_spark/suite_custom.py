@@ -62,6 +62,14 @@ def synth_once(path: str, make, token: str = "v1") -> str:
         pass
     tmp = f"{path}.tmp.{os.getpid()}"
     make(tmp)
+    # os.replace cannot overwrite a non-empty DIRECTORY (ENOTEMPTY) —
+    # and q_atl11_zarr_cube routes a whole Zarr store through here, so
+    # a token bump on a machine holding the old store must clear it
+    # first (ADVICE r9)
+    if os.path.isdir(path) and not os.path.islink(path):
+        import shutil
+
+        shutil.rmtree(path)
     os.replace(tmp, path)
     with open(ok, "w") as fh:
         fh.write(token)

@@ -756,3 +756,15 @@ def test_read_hdf5_big_endian_native_schema(spark, tmp_path):
     assert dict(df.dtypes)["v"] == "double"
     got = {r["row_index"]: r["v"] for r in df.collect()}
     assert len(got) == 300 and got[7] == 3.5 and got[299] == 149.5
+
+
+def test_write_hdf5_invalid_byte_order_rejected_even_empty(tmp_path):
+    """byte_order validation happens before the groups loop — an
+    invalid value fails even with an empty groups dict (ADVICE r9)."""
+    import pytest
+
+    from deepicedrain_spark.sources import hdf5lite
+
+    for groups in ({}, {"g": {"h": __import__("numpy").arange(3.0)}}):
+        with pytest.raises(ValueError, match="byte_order"):
+            hdf5lite.write_hdf5(str(tmp_path / "x.h5"), groups, byte_order="BE")

@@ -73,3 +73,27 @@ def test_registration_is_stable_and_complete():
     assert len(q) >= 114
     # ordering function is deterministic
     assert list(q) == list(entry.queries())
+
+
+def test_synth_once_replaces_directory_target(tmp_path):
+    """A token bump on a DIRECTORY fixture (e.g. a Zarr store) must not
+    hit ENOTEMPTY from os.replace (ADVICE r9)."""
+    import os
+
+    from deepicedrain_spark.suite_custom import synth_once
+
+    path = str(tmp_path / "store")
+
+    def make_v1(p):
+        os.makedirs(p)
+        open(os.path.join(p, "old"), "w").write("1")
+
+    def make_v2(p):
+        os.makedirs(p)
+        open(os.path.join(p, "new"), "w").write("2")
+
+    assert synth_once(path, make_v1, token="v1") == path
+    assert os.path.exists(os.path.join(path, "old"))
+    synth_once(path, make_v2, token="v2")
+    assert os.path.exists(os.path.join(path, "new"))
+    assert not os.path.exists(os.path.join(path, "old"))

@@ -470,3 +470,41 @@ def test_read_zarr_dir_skips_staging_leftovers(spark, tmp_path):
     df = read_zarr_dir(spark, str(tmp_path))
     assert {r["store"] for r in df.select("store").distinct().collect()} == {"track_1"}
     assert df.count() == 10
+
+
+def test_zarr_rank1_fortran_order_reads(spark, tmp_path):
+    """Rank-1 order='F' is byte-identical to C-order — must still read
+    (ADVICE r9: the rank-2 rejection must not catch valid 1-D stores)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr_local
+
+    p = str(tmp_path / "s1d")
+    write_zarr_local(p, {"v": np.arange(12, dtype="i8")}, zarr_format=2, chunk_shape=(5,))
+    for mp, key in ((os.path.join(p, "v", ".zarray"), None),
+                    (os.path.join(p, ".zmetadata"), "v/.zarray")):
+        m = json.load(open(mp))
+        (m["metadata"][key] if key else m)["order"] = "F"
+        json.dump(m, open(mp, "w"))
+    rows = sorted(r["v"] for r in read_zarr(spark, p).collect())
+    assert rows == list(range(12))
+
+
+def test_read_zarr_dir_keeps_tmp_named_store(spark, tmp_path):
+    """Only the '<name>.(staging|tmp).<digits>' SUFFIX marks a leftover;
+    a store legitimately NAMED 'track.tmp.archive' must scan (ADVICE r9)."""
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    write_zarr_local(str(tmp_path / "track.tmp.archive"), {"v": np.arange(3, dtype="i8")})
+    write_zarr_local(str(tmp_path / "plain"), {"v": np.arange(2, dtype="i8")})
+    write_zarr_local(str(tmp_path / "plain.staging.777"), {"v": np.arange(9, dtype="i8")})
+    df = read_zarr_dir(spark, str(tmp_path))
+    assert {r["store"] for r in df.select("store").distinct().collect()} == {
+        "track.tmp.archive", "plain",
+    }
+    assert df.count() == 5
