@@ -25,9 +25,12 @@ Both directions are distributed and chunk-parallel:
   chunks for that stripe into Arrow batches. At 100 TB each chunk is
   an independent task — same parallelism story as parquet row groups.
 
-Supported dtypes: little-endian ints/floats/bool (the reference's
-data model §1.3); strings are out of scope (Zarr object dtypes need
-msgpack codecs — use parquet for string-bearing tables).
+Supported dtypes: ints/floats/bool (the reference's data model §1.3).
+Writes are always little-endian; reads also accept big-endian stores
+('>i*/>f*' v2 dtypes, v3 bytes-codec 'endian: big' — produced by other
+toolchains, round 10, mirroring hdf5lite's BE reads) and normalize to
+native. Strings are out of scope (Zarr object dtypes need msgpack
+codecs — use parquet for string-bearing tables).
 """
 
 from __future__ import annotations
@@ -172,11 +175,14 @@ def _read_stripe(store_path: str, col: str, a: dict, cid: int, length: int) -> n
     the stripe; edge chunks are stored full-size and clipped; absent
     chunk files read as fill_value per the spec)."""
     shape, chunks, dt = a["shape"], a["chunks"], a["dtype"]
+    # big-endian store: bytes decode with the on-disk order, the result
+    # converts to the (LE-normalized) declared dtype
+    disk = a.get("_disk_dtype", dt)
     if len(shape) == 1:
         raw = _read_chunk_raw(store_path, col, a, (cid,))
         if raw is None:
             return np.full(length, _fill_of(a), dtype=dt)
-        return np.frombuffer(raw, dtype=dt)[:length]
+        return np.frombuffer(raw, dtype=disk)[:length].astype(dt, copy=False)
     w, cw = shape[1], chunks[1]
     out = np.empty((length, w), dtype=dt)
     for j in range((w + cw - 1) // cw):
@@ -187,7 +193,7 @@ def _read_stripe(store_path: str, col: str, a: dict, cid: int, length: int) -> n
                 (length, c1), _fill_of(a), dtype=dt
             )
             continue
-        block = np.frombuffer(raw, dtype=dt)[: chunks[0] * cw].reshape(chunks[0], cw)
+        block = np.frombuffer(raw, dtype=disk)[: chunks[0] * cw].reshape(chunks[0], cw)
         out[:, j * cw : j * cw + c1] = block[:length, :c1]
     return out
 
@@ -386,8 +392,9 @@ def _v3_arrays(path: str) -> dict[str, dict]:
                 "(bytes [+ gzip] only)"
             )
         be = next(c for c in codecs if c["name"] == "bytes")
-        if be.get("configuration", {}).get("endian", "little") != "little":
-            raise ValueError("read_zarr: big-endian v3 stores not supported")
+        endian = be.get("configuration", {}).get("endian", "little")
+        if endian not in ("little", "big"):
+            raise ValueError(f"read_zarr: unsupported v3 bytes endian {endian!r}")
         cke = m.get("chunk_key_encoding", {"name": "default"})
         if cke.get("name", "default") != "default":
             # e.g. the spec's "v2" encoding (keys "0.1", no "c/" prefix):
@@ -399,10 +406,15 @@ def _v3_arrays(path: str) -> dict[str, dict]:
                 f"{cke.get('name')!r} for {name!r} ('default' only)"
             )
         sep = cke.get("configuration", {}).get("separator", "/")
+        np_dt = _V3_TO_NP[m["data_type"]]
+        if endian == "big" and np_dt.startswith("<"):
+            # surfaced in v2 dtype-string form; _store_arrays normalizes
+            # the declared dtype back to LE and keeps this as _disk_dtype
+            np_dt = ">" + np_dt[1:]
         out[name] = {
             "shape": m["shape"],
             "chunks": m["chunk_grid"]["configuration"]["chunk_shape"],
-            "dtype": _V3_TO_NP[m["data_type"]],
+            "dtype": np_dt,
             "compressor": (
                 {"id": "gzip"} if "gzip" in names else None
             ),
@@ -458,6 +470,15 @@ def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
             )
         if arrays[c]["shape"][0] != n_rows or arrays[c]["chunks"][0] != chunk_rows:
             raise ValueError(f"read_zarr: ragged array {c} in {path}")
+        # big-endian stores (other toolchains on BE-producing pipelines,
+        # same interop class as hdf5lite's r9 BE reads): normalize the
+        # DECLARED dtype to little-endian — everything downstream (Spark
+        # DDL mapping, cross-store schema signatures) sees the logical
+        # type; _read_stripe decodes with the on-disk order and swaps
+        dt = arrays[c]["dtype"]
+        if isinstance(dt, str) and dt.startswith(">"):
+            arrays[c]["_disk_dtype"] = dt
+            arrays[c]["dtype"] = "<" + dt[1:]
     return arrays
 
 
