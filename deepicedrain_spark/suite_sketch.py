@@ -2591,25 +2591,26 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-domain (lang='en') hashed-bigram model over the raw-corpus
     model — the published recipe for selecting pretraining data that
     looks like a target domain, with the n-gram models collapsed to
-    B=256 hashed buckets so both fit in a broadcast.  One corpus text
-    pass: the hashed-bigram table is persisted and the two model
-    counts are fused into a single groupBy (count + count_if), so the
-    explode runs once instead of three times (r8 shape)."""
+    B=256 hashed buckets so both fit in a broadcast.
+
+    Shape (round 10): TWO streaming corpus passes, ZERO persisted
+    state.  r9 persisted the per-bigram (doc_id, lang, bkt) table so
+    one explode fed both the model build and the scoring join — but
+    that cache is one row PER BIGRAM (larger than the corpus text at
+    100 TB) and had no safe in-function unpersist point, leaking
+    storage into clearCache-free sessions (VERDICT r9).  Instead,
+    pass 1 aggregates the model to its ≤B=256 buckets and collects
+    them (bounded driver state, the kmeans-centroid class); the
+    log-ratios are computed driver-side and broadcast back as a
+    256-row literal table, so pass 2 scores with a map-side join.
+    Each pass is explode → partial-agg, nothing wider than B or
+    n_docs ever shuffles or caches."""
+    import math
+
     from deepicedrain_spark.operators.sketches import md5_long60
 
     docs = load_table(spark, sf_dir, "documents")
     w = whitespace_tokens(F.col("text"))
-    # persist the hashed-bigram table: ONE explode feeds both the
-    # model build and the scoring pass (r8 ran the explode three
-    # times — tgt, raw, and the scoring join each recomputed it).
-    # MEMORY_AND_DISK spills; state per row is (doc_id, lang, bkt) —
-    # the bigram TEXT is hashed away before the persist, so the
-    # cached table is ints, far smaller than the corpus text.
-    # Lifetime: the returned frame is lazy, so there is no safe
-    # unpersist point inside this function — the cache lives until
-    # catalog.clearCache(), which bench.py and tools/check.py both
-    # call after every query (same contract as the kmv pair cache);
-    # long-lived interactive sessions should clearCache() themselves.
     bg = (
         docs.select("doc_id", "lang", w.alias("_w"))
         .select(
@@ -2625,31 +2626,29 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         .select("doc_id", "lang", (md5_long60(F.col("b")) % _DSIR_B).alias("bkt"))
-        .persist()
     )
-    # the raw-count and target-count aggregations fused into ONE
-    # groupBy pass: nt = count of lang='en' rows per bucket (0 when
-    # absent, matching the oracle's LEFT JOIN + coalesce), nr = all
+    # pass 1 — model build: nt = count of lang='en' rows per bucket
+    # (0 when absent, matching the oracle's LEFT JOIN + coalesce),
+    # nr = all rows; ≤256 result rows collect to the driver
     fused = bg.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("nr"),
         F.count_if(F.col("lang") == "en").alias("nt"),
-    )
-    tot = fused.agg(
-        F.sum("nt").alias("t_total"), F.sum("nr").alias("r_total")
-    )
-    ratio = (
-        fused.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "lr",
-            F.log(
-                (F.col("nt") + F.lit(1.0)) / (F.col("t_total") + F.lit(_DSIR_B))
+    ).collect()
+    t_total = sum(r["nt"] for r in fused)
+    r_total = sum(r["nr"] for r in fused)
+    ratio = spark.createDataFrame(
+        [
+            (
+                r["bkt"],
+                math.log((r["nt"] + 1.0) / (t_total + _DSIR_B))
+                - math.log((r["nr"] + 1.0) / (r_total + _DSIR_B)),
             )
-            - F.log(
-                (F.col("nr") + F.lit(1.0)) / (F.col("r_total") + F.lit(_DSIR_B))
-            ),
-        )
-        .select("bkt", "lr")
+            for r in fused
+        ],
+        "bkt long, lr double",
     )
+    # pass 2 — scoring: re-run the explode (cheaper than caching a
+    # per-bigram table), broadcast-join the 256-row model
     return (
         bg.join(F.broadcast(ratio), "bkt")
         .groupBy("doc_id")

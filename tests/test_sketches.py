@@ -432,3 +432,14 @@ def test_kmv_theta_counts_one_empty_side(spark):
     est = kmv_theta_counts(sk_a, sk_b, k=32).collect()[0]
     assert est["est_a_only"] == 0 and est["est_intersection"] == 0
     assert est["est_union"] == 20 and est["est_b_only"] == 20  # exact mode
+
+
+def test_dsir_leaves_no_storage_residue(spark):
+    """q_dsir_importance_weights must not rely on clearCache() for
+    cleanup: a clearCache-free session holds ZERO cached RDDs after the
+    action (VERDICT r9 — the r9 shape persisted a per-bigram table)."""
+    from deepicedrain_spark.suite_sketch import q_dsir_importance_weights
+
+    df = q_dsir_importance_weights(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
