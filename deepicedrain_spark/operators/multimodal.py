@@ -59,16 +59,40 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, min_rows_per_task: int | None = None) -> DataFrame:
     """Per-row Python codec maps must not inherit a single-file scan's
     one partition (a small parquet yields one task, serializing every
     encode/decode into one Python worker — measured 30.9 s → 2.5 s for
     the MJPG fixture at sf0.1 on local[32]).  Repartition the id frame
-    across the cluster's task slots; the shuffle moves only ids."""
+    across the cluster's task slots; the shuffle moves only ids.
+
+    Round 10 — ADAPTIVE: tiny inputs were paying the full fence (an
+    exchange + defaultParallelism Python-worker spinups) for a scale
+    optimization they don't need, so the task count is now sized to
+    ceil(n / min_rows_per_task), capped at defaultParallelism.  Every
+    call site is a first-stage attach_* builder whose input is an
+    id-only projection of a source table, so the count() here is one
+    cheap column scan; downstream decode/resample stages inherit the
+    chosen partitioning and never re-count.  ``min_rows_per_task`` is
+    the per-codec cost knob: None (heavy encoders — JPEG/MJPEG/AVI,
+    pure-Python DCT + Huffman per block) keeps the unconditional full
+    spread and skips the count job entirely (a handful of rows already
+    saturates a task there, so sizing can't help but the count would
+    still cost a job); cheap encoders (WAV byte packing, small PNGs)
+    pass a floor in the tens-to-hundreds."""
+    import math
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    cur = df.rdd.getNumPartitions()
+    if cur >= target:
+        return df
+    if min_rows_per_task is None:
         return df.repartition(target)
+    n = df.count()
+    want = min(target, max(1, math.ceil(n / min_rows_per_task)))
+    if want > cur:
+        return df.repartition(want)
     return df
 
 
@@ -117,7 +141,7 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "width": ws, "height": hs}
             )
 
-    return _spread(df.select(F.col(id_col).alias("_id"))).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias("_id")), min_rows_per_task=32).mapInPandas(
         batches, schema=schema
     )
 
@@ -201,7 +225,7 @@ def attach_wav_media(df: DataFrame, id_col: str, rate: int = 16_000) -> DataFram
                 }
             )
 
-    return _spread(df.select(F.col(id_col).alias("_id"))).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias("_id")), min_rows_per_task=512).mapInPandas(
         batches, schema=schema
     )
 

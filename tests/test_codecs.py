@@ -683,3 +683,20 @@ def test_jpeg_decodes_foreign_libjpeg_files(path):
     out = jpeg_decode(open(path, "rb").read())
     assert out.dtype == np.uint8
     assert out.shape[0] >= 2 and out.shape[1] >= 2
+
+
+def test_spread_adapts_to_tiny_cheap_inputs(spark):
+    """Adaptive _spread (round 10): a cheap-codec attach over a tiny id
+    frame must NOT fan out to defaultParallelism tasks; a heavy-codec
+    attach (min_rows_per_task=None) must keep the full spread."""
+    from deepicedrain_spark.operators import multimodal as mm
+
+    ids = spark.range(40).withColumnRenamed("id", "doc_id").coalesce(1)
+    wav = mm.attach_wav_media(ids, "doc_id")          # knob 512 -> 1 task
+    assert wav.rdd.getNumPartitions() == 1
+    mj = mm.attach_mjpeg_media(ids, "doc_id")         # heavy -> full spread
+    assert mj.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # mid-size cheap input sizes proportionally
+    ids2 = spark.range(1200).withColumnRenamed("id", "doc_id").coalesce(1)
+    wav2 = mm.attach_wav_media(ids2, "doc_id")        # ceil(1200/512) = 3
+    assert wav2.rdd.getNumPartitions() == 3
