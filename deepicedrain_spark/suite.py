@@ -926,88 +926,44 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-9 rotation -----------------------
-    # AMENDED STANDING POLICY (r9 — the r7 "age <= 3 rounds" rule is
-    # arithmetically infeasible at 189 registered queries x 50-row
-    # windows, a >= 4-round full rotation): the window is filled in
-    # strict priority order (1) anchors, (2) queries with NO driver row
-    # ever, (3) queries whose CODE changed since their last driver row,
+    # --- driver top-50 window, round-10 rotation ----------------------
+    # STANDING POLICY (amended r9): the window is filled in strict
+    # priority order (1) anchors, (2) queries with NO driver row ever,
+    # (3) queries whose CODE changed since their last driver row,
     # (4) oldest driver rows first. Whatever overflows the 50 is
     # re-verified locally with tools/check.py at round close (recorded
     # in ROADMAP) and leads the next round's window.
-    # anchors
+    # (1) anchors
     "dhdt_per_point_regression",
     "parquet_roundtrip",
-    # (2) the 24 round-8 additions that have never had a driver row;
-    # six of them (perplexity_buckets, temperature_mixture_quota,
-    # llm_corpus_pipeline, dsir_importance_weights,
-    # kmv_distinct_shingles, hilbert_spatial_order) are ALSO
-    # code-touched this round (ADVICE r9 fixes + the explode_outer
-    # fence + single-pass DSIR)
-    "time_travel_read",
-    "version_diff_cdf",
+    # (2) never driver-checked: the round-9 ATL11 2-D cube pair and the
+    # round-10 whole-program pipeline (multi-store 2-D Zarr union ->
+    # dropna -> per-point trend -> partitioned parquet sink)
+    "atl11_ingest_cube",
+    "atl11_zarr_cube",
+    "atl11_dhdt_end_to_end",
+    # (3) code changed since last driver row — the hdf5lite/zarr family
+    # (N-D layers r9; BE reads + staging/F-order fixes r10; rows r6-r8
+    # all predate), the multimodal codecs (_spread went adaptive r10,
+    # after every r8/r9 row), and DSIR (rebuilt r10: collected
+    # 256-bucket model, zero cache residue)
+    "hdf5_roundtrip",
+    "zarr_multistore_scan",
+    "zarr_v3_roundtrip",
+    "zarr_roundtrip",
+    "atl06_ingest_pipeline",
+    "atl06_ingest_dense_layout",
+    "atl06_dhdt_end_to_end",
     "multimodal_jpeg_decode",
-    "multimodal_mjpeg_frames",
-    "exact_substring_spans",
-    "ann_recall_at_k",
-    "bpe_merge_table",
-    "bpe_encode_tokens",
     "multimodal_jpeg_progressive",
-    "dsir_importance_weights",
-    "hilbert_spatial_order",
-    "kmv_distinct_shingles",
-    "kmv_set_ops_custkeys",
-    "perplexity_buckets",
-    "gopher_quality_rules",
-    "ivfpq_topk",
-    "quality_classifier_train",
-    "quality_classifier_score",
-    "streaming_classifier_score",
-    "temperature_mixture_quota",
-    "ivfpq_recall_at_k",
-    "streaming_dim_enrich",
-    "jsonl_roundtrip",
-    "llm_corpus_pipeline",
-    # (3) code changed late r8 (literal-array builds), no row since
-    "bloom_semijoin_reduction",
-    "pq_encode",
-    "pq_adc_topk",
-    # (4) oldest rows: 21 of the 38 remaining r5 rows — the complex
-    # plans first (streaming sinks, real codecs, graph/sketch family,
-    # range join, layout, distributed DBSCAN); the 17 simpler r5 rows
-    # below lead the r10 window
-    "streaming_stateful_dedup",
-    "streaming_tumbling_counts",
-    "streaming_parquet_sink",
+    "multimodal_mjpeg_frames",
     "multimodal_real_audio",
     "multimodal_real_video",
     "multimodal_audio_resample",
-    "pagerank_near_dup",
-    "triangle_count",
-    "dedup_keep_best",
-    "leakage_safe_split",
-    "intradoc_dedup",
-    "hll_distinct_custkeys",
-    "hll_distinct_by_type",
-    "cms_heavy_hitters",
-    "bloom_cross_corpus",
-    "range_join_attribution",
-    "morton_spatial_order",
-    "event_gaps_rank",
-    "dbscan_distributed_summary",
-    "mergeable_agg_state",
-    "equi_depth_deciles",
-    # --- tier 2: past the driver's 50-query window -------------------
-    # NEW round 9 (never driver-checked — the amended policy puts them
-    # FIRST in the r10 window): ATL11-shaped 2-D h_corr ingest through
-    # the hdf5lite N-D layer (multi-axis chunk assembly) and through
-    # per-track Zarr stores (v2+v3 mixed, the reference's literal
-    # open_mfdataset shape)
-    "atl11_ingest_cube",
-    "atl11_zarr_cube",
-    # the 17 remaining r5-aged rows (simple row-wise/agg plans):
-    # re-verified locally at round close per the amended policy; they
-    # MUST lead the r10 window
+    "multimodal_real_decode",
+    "dsir_importance_weights",
+    # (4) oldest rows first: all 17 remaining r5 rows (re-verified
+    # locally at r9 close; they were promised the head of this window)
     "bigram_lm_score",
     "constraint_audit",
     "conversion_funnel",
@@ -1025,8 +981,83 @@ PRIORITY: list[str] = [
     "stratified_sample_events",
     "text_cleaning",
     "weighted_sample_docs",
-    # every query below holds a driver-green row from r6-r8 (kept
-    # registered + locally checked; r8 rows are the youngest)
+    # then 13 of the 33 r6 rows — complex plans first (stateful
+    # streaming, LSH/ANN, fingerprints) plus the two r6 multimodal
+    # queries (also behind the adaptive-_spread change)
+    "streaming_running_anomaly",
+    "streaming_kmeans_assign",
+    "streaming_raster_counts",
+    "streaming_hll_users",
+    "streaming_bloom_bits",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup",
+    "ivf_topk",
+    "cosine_topk",
+    "tfidf_top_terms",
+    "doc_fingerprints",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # --- tier 2: past the driver's 50-query window -------------------
+    # the 20 remaining r6 rows — they lead the r11 window
+    "array_to_columns",
+    "bbox_subset",
+    "corpus_vocabulary",
+    "dedup_distinct",
+    "dhdt_wide_maponly",
+    "doc_chunk_overlap",
+    "expression_filter",
+    "gps_time_convert",
+    "grouped_median_mad",
+    "json_extract_filter",
+    "lake_region_subset",
+    "large_order_customers",
+    "null_threshold",
+    "outlier_clip_sigma",
+    "repetition_scores",
+    "rolling_time_mean",
+    "shipping_priority",
+    "topk_per_segment",
+    "track_densify_greatcircle",
+    "wide_long_roundtrip",
+    # r7 rows (next after the r6 cohort)
+    "anomaly_vs_first",
+    "argmax_top1",
+    "bin_labels",
+    "block_median",
+    "cycle_delta",
+    "describe_stats",
+    "deterministic_sample",
+    "dissolve_hot_key_bucketed",
+    "dissolve_input_holes",
+    "distinct_locations",
+    "filename_parse",
+    "height_range_per_point",
+    "ivf_topk_trained",
+    "kmeans_clusters",
+    "lake_catalog_dissolve",
+    "magnitude_filter",
+    "multimodal_decode_features",
+    "piped_distinct_tracks",
+    "point_in_polygon",
+    "pricing_summary",
+    "quality_mask",
+    "reference_lake_catalog",
+    "regional_revenue",
+    "replace_mask",
+    "rolling_hash_fingerprints",
+    "salted_skew_counts",
+    "semantic_dedup_kmeans",
+    "session_batch",
+    "set_ops_customers",
+    "simhash_fingerprints",
+    "sorted_distinct_types",
+    "streaming_upsert_bucketed",
+    "streaming_upsert_sink",
+    "surface_interpolation_idw",
+    "time_rollup",
+    "track_id_format",
+    "union_split_labels",
+    # r8 rows
     "adaptive_median_filter",
     "asof_last_purchase",
     "benchmark_contamination",
@@ -1039,19 +1070,22 @@ PRIORITY: list[str] = [
     "dbscan_clusters",
     "dhdt_pipeline",
     "dhdt_regression_pvalue",
+    "dissolve_snapped_catalog",
     "exact_dedup_pairs",
     "geojson_roundtrip",
     "grouped_trend",
     "lake_finder_pipeline",
     "lake_finder_reference_params",
+    "lake_geometry_gmt",
     "minhash_near_dup",
-    "multimodal_real_decode",
     "near_dup_components",
+    "netcdf_record_append",
     "netcdf_roundtrip",
     "ngram_jaccard_pairs",
     "paragraph_dedup",
     "pii_redaction",
     "point_in_polygon_gridded",
+    "positional_concat",
     "raster_cube",
     "raster_datashade",
     "reproject_lonlat_xy",
@@ -1061,94 +1095,55 @@ PRIORITY: list[str] = [
     "sql_interface_demo",
     "streaming_asof_join",
     "streaming_interval_join",
+    "streaming_netcdf_append",
     "streaming_session_counts",
+    "streaming_sliding_means",
     "surface_tension_spline",
     "token_count_stats",
     "tsv_roundtrip",
     "volume_time_series",
-    "zarr_roundtrip",
-    "dissolve_snapped_catalog",
-    "positional_concat",
-    "netcdf_record_append",
-    "streaming_netcdf_append",
-    "streaming_sliding_means",
-    "atl06_ingest_pipeline",
-    "atl06_ingest_dense_layout",
-    "lake_geometry_gmt",
-    "anomaly_vs_first",
-    "argmax_top1",
-    "bin_labels",
-    "block_median",
-    "cycle_delta",
-    "describe_stats",
-    "deterministic_sample",
-    "distinct_locations",
-    "height_range_per_point",
-    "magnitude_filter",
-    "piped_distinct_tracks",
-    "point_in_polygon",
-    "pricing_summary",
-    "quality_mask",
-    "regional_revenue",
-    "replace_mask",
-    "set_ops_customers",
-    "sorted_distinct_types",
-    "surface_interpolation_idw",
-    "track_id_format",
-    "union_split_labels",
-    "multimodal_decode_features",
-    "filename_parse",
-    "rolling_hash_fingerprints",
-    "salted_skew_counts",
-    "session_batch",
-    "simhash_fingerprints",
-    "time_rollup",
-    "lake_catalog_dissolve",
-    "dissolve_input_holes",
-    "reference_lake_catalog",
-    "atl06_dhdt_end_to_end",
-    "streaming_upsert_bucketed",
-    "streaming_upsert_sink",
-    "kmeans_clusters",
-    "ivf_topk_trained",
-    "semantic_dedup_kmeans",
-    "dissolve_hot_key_bucketed",
-    "zarr_multistore_scan",
-    "lake_region_subset",
-    "track_densify_greatcircle",
-    "shipping_priority",
-    "large_order_customers",
-    "dhdt_wide_maponly",
-    "cosine_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "ivf_topk",
-    "doc_fingerprints",
-    "repetition_scores",
-    "tfidf_top_terms",
-    "corpus_vocabulary",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "streaming_running_anomaly",
-    "streaming_raster_counts",
-    "streaming_hll_users",
-    "streaming_bloom_bits",
-    "streaming_kmeans_assign",
-    "hdf5_roundtrip",
-    "zarr_v3_roundtrip",
-    "bbox_subset",
-    "null_threshold",
-    "dedup_distinct",
-    "grouped_median_mad",
-    "rolling_time_mean",
-    "topk_per_segment",
-    "gps_time_convert",
-    "wide_long_roundtrip",
-    "array_to_columns",
-    "expression_filter",
-    "json_extract_filter",
-    "doc_chunk_overlap",
-    "outlier_clip_sigma",
+    # r9 rows (youngest; every one driver-green last round)
+    "ann_recall_at_k",
+    "bloom_cross_corpus",
+    "bloom_semijoin_reduction",
+    "bpe_encode_tokens",
+    "bpe_merge_table",
+    "cms_heavy_hitters",
+    "dbscan_distributed_summary",
+    "dedup_keep_best",
+    "equi_depth_deciles",
+    "event_gaps_rank",
+    "exact_substring_spans",
+    "gopher_quality_rules",
+    "hilbert_spatial_order",
+    "hll_distinct_by_type",
+    "hll_distinct_custkeys",
+    "intradoc_dedup",
+    "ivfpq_recall_at_k",
+    "ivfpq_topk",
+    "jsonl_roundtrip",
+    "kmv_distinct_shingles",
+    "kmv_set_ops_custkeys",
+    "leakage_safe_split",
+    "llm_corpus_pipeline",
+    "mergeable_agg_state",
+    "morton_spatial_order",
+    "pagerank_near_dup",
+    "perplexity_buckets",
+    "pq_adc_topk",
+    "pq_encode",
+    "quality_classifier_score",
+    "quality_classifier_train",
+    "range_join_attribution",
+    "streaming_classifier_score",
+    "streaming_dim_enrich",
+    "streaming_parquet_sink",
+    "streaming_stateful_dedup",
+    "streaming_tumbling_counts",
+    "temperature_mixture_quota",
+    "time_travel_read",
+    "triangle_count",
+    "version_diff_cdf",
 ]
 
 

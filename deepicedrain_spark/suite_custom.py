@@ -3767,3 +3767,104 @@ def q_atl11_zarr_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_valid") >= 2)
         .orderBy("store", "ref_pt")
     )
+
+
+# §3.1 WHOLE ATL11 program end-to-end (round 10) — the reference's
+# dhdt notebook at its TRUE topology, granule bytes to parquet in ONE
+# plan: N per-track Zarr stores with 2-D h_corr[ref_pt, cycle] and 2-D
+# delta_time unioned through xr.open_mfdataset
+# (/root/reference/atlxi_dhdt.py:73-82 — 1387 stores in production),
+# ref_pts with <2 valid cycles dropped (:111 dropna thresh=2), h_corr
+# regressed against the granule's own delta_time per point (:160-178),
+# and the per-point trend table SUNK to partitioned parquet
+# (:383-393 ndarray_to_parquet) and scanned back. Six stores (mixed
+# v2/v3, per-track time offsets) stand in for the 1387; the scan is
+# one mapInPandas task table of (store x axis-0 stripe) — 24 tasks
+# here, 1387 x stripes on the real archive — with the per-point
+# aggregation as the plan's ONLY exchange before the sink. h is exact
+# f32 quarters and delta_time exact eighths, so the oracle recomputes
+# every surviving row closed-form; a mismatch anywhere in 2-D chunk
+# write -> multi-store gather -> zip-explode -> regr -> partitioned
+# sink -> re-scan breaks the hash.
+@register(
+    "atl11_dhdt_end_to_end",
+    """
+    WITH rows AS (
+      SELECT g.g, i.i, c.c
+      FROM (SELECT unnest(range(0, 6)) AS g) g,
+           (SELECT unnest(range(0, 800)) AS i) i,
+           (SELECT unnest(range(3, 12)) AS c) c),
+    kept AS (SELECT * FROM rows WHERE (i + c + g) % 5 != 0),
+    pts AS (
+      SELECT concat('track_', CAST(1000 + g AS VARCHAR)) AS track,
+             CAST(i AS BIGINT) AS ref_pt,
+             CAST(c AS DOUBLE) + g * 0.125 AS t,
+             (i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 + g AS h
+      FROM kept)
+    SELECT track, ref_pt,
+           CAST(regr_count(h, t) AS BIGINT) AS n,
+           round(regr_slope(h, t), 6) AS dhdt_slope,
+           round(regr_intercept(h, t), 6) AS intercept
+    FROM pts GROUP BY track, ref_pt
+    HAVING regr_count(h, t) >= 2
+    ORDER BY track, ref_pt
+    """,
+)
+def q_atl11_dhdt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.io import write_parquet
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    n, cycles = 800, np.arange(3, 12, dtype="i8")
+    parent = scratch_path(sf_dir, "zarr_atl11_e2e")
+    os.makedirs(parent, exist_ok=True)
+    for g in range(6):
+        store = os.path.join(parent, f"track_{1000 + g}")
+
+        def make(tmp: str, g: int = g) -> None:
+            i = np.arange(n, dtype="i8")[:, None]
+            c = cycles[None, :]
+            h = ((i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 + g).astype("f4")
+            h[(i + c + g) % 5 == 0] = np.nan  # missing cycles
+            # per-track acquisition-time offset: the regression must
+            # use the granule's delta_time, not the cycle index
+            dt = np.broadcast_to(c.astype("f8") + g * 0.125, h.shape).copy()
+            write_zarr_local(
+                tmp,
+                {"ref_pt": np.arange(n, dtype="i8"), "h_corr": h, "delta_time": dt},
+                zarr_format=2 + g % 2,
+                chunk_shape=(256, 4),
+            )
+
+        synth_once(store, make, token="v1")
+    cube = read_zarr_dir(spark, parent, columns=["ref_pt", "h_corr", "delta_time"])
+    long = (
+        cube.select(
+            F.col("store").alias("track"),
+            "ref_pt",
+            F.explode(F.arrays_zip("h_corr", "delta_time")).alias("z"),
+        )
+        .select(
+            "track",
+            "ref_pt",
+            F.col("z.h_corr").cast("double").alias("h"),
+            F.col("z.delta_time").alias("t"),
+        )
+        .where(~F.isnan("h"))
+    )
+    fit = (
+        long.groupBy("track", "ref_pt")
+        .agg(
+            F.expr("regr_count(h, t)").cast("long").alias("n"),
+            F.round(F.expr("regr_slope(h, t)"), 6).alias("dhdt_slope"),
+            F.round(F.expr("regr_intercept(h, t)"), 6).alias("intercept"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    out = scratch_path(sf_dir, "atl11_dhdt_parquet")
+    write_parquet(fit, out, partition_by=["track"])
+    back = spark.read.parquet(out)
+    return back.select("track", "ref_pt", "n", "dhdt_slope", "intercept").orderBy(
+        "track", "ref_pt"
+    )
