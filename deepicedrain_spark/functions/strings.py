@@ -59,3 +59,51 @@ def bin_label(col: Column, edges: list[float], labels: list[str]) -> Column:
     for i in range(1, len(edges)):
         expr = expr.when(col <= F.lit(edges[i]), F.lit(labels[i]))
     return expr.otherwise(F.lit(labels[-1]))
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for URL-level dedup — the CommonCrawl-style
+    pretraining step (one crawl revisits the same page under case,
+    port, www, trailing-slash, tracking-param and fragment variants;
+    dedup must key on the canonical form or near-identical pages
+    survive). Pure JVM-side built-ins (whole-stage codegen, no UDF):
+
+      1. drop the fragment            (#...)
+      2. lowercase scheme and host
+      3. strip the scheme's default port  (https:443 / http:80)
+      4. strip a leading 'www.'
+      5. drop utm_* tracking params, tidy '&'
+      6. strip trailing slashes from the path ('' -> '/')
+
+    Everything is plain regex, so an ANSI-SQL oracle replays it
+    exactly (see q_url_dedup_hosts)."""
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(no_frag, r"://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.regexp_extract(no_frag, r"^[^:]+://[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    qclean = F.regexp_replace(
+        F.regexp_replace(query, r"(^|&)utm_[^&]*", ""), r"^&+", ""
+    )
+    pathnorm = F.regexp_replace(path, r"/+$", "")
+    pathnorm = F.when(pathnorm == "", F.lit("/")).otherwise(pathnorm)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        pathnorm,
+        F.when(qclean != "", F.concat(F.lit("?"), qclean)).otherwise(F.lit("")),
+    )
+
+
+def url_host(canonical: Column) -> Column:
+    """Host component of a canonicalize_url output (domain-level
+    grouping for blocklists and per-site quotas)."""
+    return F.regexp_extract(canonical, r"^[^:]+://([^/?#]*)", 1)

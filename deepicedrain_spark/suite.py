@@ -942,6 +942,7 @@ PRIORITY: list[str] = [
     "atl11_ingest_cube",
     "atl11_zarr_cube",
     "atl11_dhdt_end_to_end",
+    "url_dedup_hosts",
     # (3) code changed since last driver row — the hdf5lite/zarr family
     # (N-D layers r9; BE reads + staging/F-order fixes r10; rows r6-r8
     # all predate), the multimodal codecs (_spread went adaptive r10,
@@ -996,9 +997,11 @@ PRIORITY: list[str] = [
     "tfidf_top_terms",
     "doc_fingerprints",
     "multimodal_frame_sample",
-    "multimodal_resize",
     # --- tier 2: past the driver's 50-query window -------------------
-    # the 20 remaining r6 rows — they lead the r11 window
+    # multimodal_resize (r6, also behind the adaptive-_spread change)
+    # was displaced by the round-10 url_dedup_hosts addition; it and
+    # the 20 remaining r6 rows lead the r11 window
+    "multimodal_resize",
     "array_to_columns",
     "bbox_subset",
     "corpus_vocabulary",

@@ -2193,3 +2193,112 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_id", "chunk_id")
+
+
+# --- URL-level dedup + domain blocklist (round 10) --------------------
+# The crawl-side pretraining step the corpus suite lacked: one crawl
+# revisits the same page under case / default-port / www /
+# trailing-slash / utm-param / fragment variants, so dedup keys on the
+# CANONICAL url, and domain blocklists gate before anything heavier
+# runs. The documents table carries no URL, so one is synthesized
+# deterministically from doc_id with every variant axis planted — the
+# oracle replays the identical canonicalization in ANSI SQL, so a
+# regression in ANY normalization step (or in the keep-min rule,
+# pinned by keeper_id_sum) breaks the hash. Scale shape: every
+# normalization is a JVM regex inside whole-stage codegen (no UDF);
+# the blocklist is a broadcast anti-join (a real blocklist is
+# thousands of hosts — never a shuffle side); the dedup is one hash
+# exchange on (host, curl), and the per-host rollup's second exchange
+# moves one row per DISTINCT canonical url — already crawl-deduped,
+# orders of magnitude below the input at 100 TB.
+@register(
+    "url_dedup_hosts",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0
+              THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443'
+              ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com' END)
+        || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        || '?utm_source=feed&page=' || CAST(doc_id % 10 AS VARCHAR)
+        || (CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+      FROM documents),
+    steps AS (
+      SELECT doc_id,
+        regexp_replace(url, '#.*$', '') AS no_frag,
+        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                             '://([^/?#]*)', 1)) AS hostport
+      FROM raw),
+    parts AS (
+      SELECT doc_id, scheme,
+        regexp_replace(
+          CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+               WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+               ELSE hostport END, '^www\.', '') AS host,
+        regexp_extract(no_frag, '^[^:]+://[^/?#]*(.*)$', 1) AS pathq
+      FROM steps),
+    pq AS (
+      SELECT doc_id, scheme, host,
+        regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        regexp_replace(regexp_replace(regexp_extract(pathq, '\?(.*)$', 1),
+                                      '(^|&)utm_[^&]*', '', 'g'),
+                       '^&+', '') AS qclean
+      FROM parts),
+    canon AS (
+      SELECT doc_id, host,
+        scheme || '://' || host
+          || (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                   ELSE regexp_replace(path, '/+$', '') END)
+          || (CASE WHEN qclean <> '' THEN '?' || qclean ELSE '' END) AS curl
+      FROM pq
+      WHERE host NOT IN ('site3.com', 'site5.com')),
+    per_url AS (
+      SELECT host, curl, count(*) AS nd, min(doc_id) AS keeper
+      FROM canon GROUP BY host, curl)
+    SELECT host,
+           CAST(sum(nd) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(nd) - count(*) AS BIGINT) AS n_dup_dropped,
+           CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+    FROM per_url GROUP BY host ORDER BY host
+    """,
+)
+def q_url_dedup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.functions.strings import canonicalize_url, url_host
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.expr(
+        """
+        concat(
+          CASE WHEN doc_id % 2 = 0
+               THEN concat('HTTPS://WWW.Site', CAST(doc_id % 7 AS STRING), '.COM:443')
+               ELSE concat('https://site', CAST(doc_id % 7 AS STRING), '.com') END,
+          '/articles/', CAST(doc_id % 50 AS STRING),
+          CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+          '?utm_source=feed&page=', CAST(doc_id % 10 AS STRING),
+          CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END,
+          CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+        """
+    )
+    canon = docs.select(
+        "doc_id", canonicalize_url(url).alias("curl")
+    ).withColumn("host", url_host(F.col("curl")))
+    blocklist = spark.createDataFrame([("site3.com",), ("site5.com",)], "host string")
+    kept = canon.join(F.broadcast(blocklist), "host", "left_anti")
+    per_url = kept.groupBy("host", "curl").agg(
+        F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper")
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.sum("nd").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            (F.sum("nd") - F.count(F.lit(1))).cast("long").alias("n_dup_dropped"),
+            F.sum("keeper").cast("long").alias("keeper_id_sum"),
+        )
+        .orderBy("host")
+    )

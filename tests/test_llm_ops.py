@@ -597,3 +597,26 @@ def test_perplexity_buckets_short_doc_guard(spark, tmp_path):
     rows = q_perplexity_buckets(spark, sf).collect()
     got = {r["doc_id"] for r in rows}
     assert got == {2, 3, 4}  # short docs excluded, no runtime error
+
+
+def test_canonicalize_url_variant_axes(spark):
+    """Every variant axis (fragment, case, default port, www,
+    trailing slash, utm params, '&' tidy-up, empty path) must fold to
+    one canonical form; non-default ports and non-utm params survive."""
+    from deepicedrain_spark.functions.strings import canonicalize_url, url_host
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/?utm_source=x&id=3#frag", "https://ex.com/a?id=3"),
+        ("https://ex.com/a?id=3", "https://ex.com/a?id=3"),
+        ("http://ex.com:80/a//", "http://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # non-default port kept
+        ("https://ex.com:80/a", "https://ex.com:80/a"),  # :80 is NOT https default
+        ("https://ex.com", "https://ex.com/"),  # empty path -> '/'
+        ("https://ex.com/?utm_a=1&utm_b=2", "https://ex.com/"),  # all-utm query
+        ("https://ex.com/p?utm_a=1&q=2&utm_b=3", "https://ex.com/p?q=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    hosts = df.select(url_host(canonicalize_url("url")).alias("h")).collect()
+    assert {r["h"] for r in hosts} == {"ex.com", "ex.com:8080", "ex.com:80"}

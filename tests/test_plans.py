@@ -309,20 +309,22 @@ def test_dissolve_cells_strategy_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_dsir_single_explode_via_cache(spark):
-    """The r8 shape recomputed the bigram explode three times (model
-    target counts, model raw counts, scoring join). Now the hashed
-    bigram table is persisted and the two model counts are fused into
-    one groupBy: every Generate in the executed plan sits inside an
-    InMemoryTableScan printout (the cached subplan re-printed per
-    consumer), so the explode COMPUTES once at cache fill."""
+def test_dsir_two_pass_broadcast_model(spark):
+    """Round-10 DSIR shape: the r9 per-bigram cache is GONE (it was one
+    cached row PER BIGRAM — larger than the corpus text at scale, with
+    no safe in-function unpersist point). The returned plan is the
+    SCORING pass only: one streaming explode (model pass 1 already ran
+    and collected to <=256 buckets by the time the DataFrame exists)
+    joined to the 256-row literal ratio table map-side — so exactly one
+    Generate, zero InMemoryTableScan, and a broadcast join, never a
+    shuffle of the bigram stream against the model."""
     from deepicedrain_spark.suite_sketch import q_dsir_importance_weights
 
     df = q_dsir_importance_weights(spark, SF_SMALL)
     plan = plan_of(df)
-    n_gen = plan.count("Generate")
-    n_mem = plan.count("InMemoryTableScan")
-    assert n_gen >= 1 and n_gen == n_mem, (n_gen, n_mem)
+    assert plan.count("Generate") == 1, plan.count("Generate")
+    assert "InMemoryTableScan" not in plan
+    assert "BroadcastHashJoin" in plan
     assert df.count() > 0
 
 
