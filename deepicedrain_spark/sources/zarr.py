@@ -157,15 +157,86 @@ def _fill_of(a: dict) -> float | int:
     return fv
 
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """Software CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the
+    checksum the v3 sharding spec's crc32c index codec appends. Only
+    runs over 16-byte-per-chunk shard indexes, never over data."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _read_shard(raw: bytes, a: dict) -> bytes:
+    """Assemble one full shard (C-order bytes, missing inner chunks =
+    fill_value) from a sharding_indexed object: decode the
+    (offset, nbytes) uint64-LE index at index_location, then place each
+    present inner chunk into the shard grid (v3 sharding spec;
+    2^64-1/2^64-1 marks an inner chunk that was never written)."""
+    sh = a["_shard"]
+    outer, inner = a["chunks"], sh["inner"]
+    grid = [o // i for o, i in zip(outer, inner)]
+    n_inner = 1
+    for g in grid:
+        n_inner *= g
+    idx_len = 16 * n_inner + (4 if sh["index_crc"] else 0)
+    if len(raw) < idx_len:
+        raise ValueError("read_zarr: shard shorter than its index")
+    idx = raw[-idx_len:] if sh["index_location"] == "end" else raw[:idx_len]
+    if sh["index_crc"]:
+        body, crc = idx[:-4], int.from_bytes(idx[-4:], "little")
+        if _crc32c(body) != crc:
+            raise ValueError("read_zarr: shard index crc32c mismatch")
+        idx = body
+    table = np.frombuffer(idx, dtype="<u8").reshape(n_inner, 2)
+    disk = a.get("_disk_dtype", a["dtype"])
+    full = np.full(outer, _fill_of(a), dtype=disk)
+    missing = 0xFFFFFFFFFFFFFFFF
+    for k in range(n_inner):
+        off, nb = int(table[k, 0]), int(table[k, 1])
+        if off == missing and nb == missing:
+            continue
+        if off + nb > len(raw):
+            raise ValueError("read_zarr: shard index points past the object")
+        block = _decompress(raw[off : off + nb], a["compressor"])
+        arr = np.frombuffer(block, dtype=disk).reshape(inner)
+        # inner-chunk coords: C-order enumeration of the shard grid
+        pos, rem = [], k
+        for g in reversed(grid):
+            pos.append(rem % g)
+            rem //= g
+        pos = pos[::-1]
+        sl = tuple(slice(p * i, (p + 1) * i) for p, i in zip(pos, inner))
+        full[sl] = arr
+    return full.tobytes()
+
+
 def _read_chunk_raw(store_path: str, col: str, a: dict, coords: tuple[int, ...]):
     """Decompressed bytes of one chunk, or None when the chunk file is
-    absent (legal: an all-fill chunk was never written)."""
+    absent (legal: an all-fill chunk was never written). For a sharded
+    v3 array the stored object is a SHARD: its inner chunks assemble
+    into the full outer chunk here, so every caller keeps seeing plain
+    chunk bytes."""
     p = _chunk_file(store_path, col, a, coords)
     try:
         with open(p, "rb") as f:
             raw = f.read()
     except FileNotFoundError:
         return None
+    if a.get("_shard"):
+        return _read_shard(raw, a)
     return _decompress(raw, a["compressor"])
 
 
@@ -386,6 +457,46 @@ def _v3_arrays(path: str) -> dict[str, dict]:
             raise ValueError(f"read_zarr: unsupported v3 data_type {m['data_type']}")
         codecs = m.get("codecs", [])
         names = [c.get("name") for c in codecs]
+        shard = None
+        if names == ["sharding_indexed"]:
+            # v3 sharding (round 10): one stored object holds a grid of
+            # inner chunks plus a (offset,nbytes) index — the layout
+            # zarr-python 3 toolchains write to dodge the
+            # millions-of-tiny-files problem at 100 TB. The OUTER shard
+            # grid stays this dict's "chunks" so the stripe logic is
+            # untouched; _read_chunk_raw assembles a full shard from
+            # the index.
+            cfg = codecs[0].get("configuration", {})
+            inner = cfg.get("chunk_shape")
+            codecs = cfg.get("codecs", [])
+            names = [c.get("name") for c in codecs]
+            idx_names = [c.get("name") for c in cfg.get("index_codecs", [])]
+            if idx_names not in (["bytes"], ["bytes", "crc32c"]):
+                raise ValueError(
+                    f"read_zarr: unsupported shard index_codecs {idx_names} "
+                    f"for {name!r} (bytes [+ crc32c] only)"
+                )
+            ibytes = next(c for c in cfg.get("index_codecs", []) if c["name"] == "bytes")
+            if ibytes.get("configuration", {}).get("endian", "little") != "little":
+                raise ValueError(
+                    f"read_zarr: big-endian shard index not supported for {name!r}"
+                )
+            loc = cfg.get("index_location", "end")
+            if loc not in ("start", "end"):
+                raise ValueError(f"read_zarr: bad shard index_location {loc!r}")
+            outer = m["chunk_grid"]["configuration"]["chunk_shape"]
+            if len(inner) != len(outer) or any(
+                o % i != 0 for o, i in zip(outer, inner)
+            ):
+                raise ValueError(
+                    f"read_zarr: shard chunk_shape {inner} does not divide "
+                    f"the outer chunk grid {outer} for {name!r}"
+                )
+            shard = {
+                "inner": inner,
+                "index_location": loc,
+                "index_crc": "crc32c" in idx_names,
+            }
         if names not in (["bytes"], ["bytes", "gzip"]):
             raise ValueError(
                 f"read_zarr: unsupported v3 codec chain {names} for {name!r} "
@@ -424,6 +535,8 @@ def _v3_arrays(path: str) -> dict[str, dict]:
             "_sep": sep,
             "_cke": cke.get("name", "default"),
         }
+        if shard is not None:
+            out[name]["_shard"] = shard
     if not out:
         raise ValueError(f"read_zarr: no v3 arrays under {path}")
     return out

@@ -611,3 +611,215 @@ def test_zarr_dir_mixes_be_and_le_stores(spark, tmp_path):
     df = read_zarr_dir(spark, str(tmp_path))
     got = sorted(r["ref_pt"] for r in df.collect())
     assert got == sorted(list(seg) + list(seg + 100))
+
+
+# --- v3 sharding_indexed reads (round 10) ------------------------------
+def _write_sharded_store(
+    path: str,
+    col: str,
+    data,
+    outer,
+    inner,
+    gzip_inner: bool = True,
+    crc: bool = True,
+    index_location: str = "end",
+    drop_inner: set | None = None,
+    fill_value=0,
+):
+    """Hand-construct a v3 store whose array uses sharding_indexed —
+    built byte-by-byte from the spec (NOT via the repo's writer), so
+    the test validates the reader against the wire format: per shard,
+    concatenated encoded inner chunks + a uint64-LE (offset, nbytes)
+    index (2^64-1 pairs for missing inner chunks), crc32c-stamped,
+    at index_location."""
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import _NP_TO_V3, _crc32c
+
+    data = np.asarray(data)
+    drop_inner = drop_inner or set()
+    os.makedirs(os.path.join(path, col), exist_ok=True)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, f)
+    inner_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if gzip_inner:
+        inner_codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    index_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if crc:
+        index_codecs.append({"name": "crc32c"})
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(data.shape),
+        "data_type": _NP_TO_V3[np.dtype(data.dtype).newbyteorder("<").str],
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(outer)}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "codecs": [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(inner),
+                    "codecs": inner_codecs,
+                    "index_codecs": index_codecs,
+                    "index_location": index_location,
+                },
+            }
+        ],
+        "fill_value": fill_value,
+        "attributes": {},
+    }
+    with open(os.path.join(path, col, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+    def gz(b: bytes) -> bytes:
+        if not gzip_inner:
+            return b
+        co = zlib.compressobj(1, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    grid = [o // i for o, i in zip(outer, inner)]
+    n_inner = 1
+    for g in grid:
+        n_inner *= g
+    n_shards = [(s + o - 1) // o for s, o in zip(data.shape, outer)]
+
+    def shard_coords():
+        if len(n_shards) == 1:
+            return [(i,) for i in range(n_shards[0])]
+        return [(i, j) for i in range(n_shards[0]) for j in range(n_shards[1])]
+
+    for sc in shard_coords():
+        # full-size shard holding the data slice (edges zero-padded)
+        full = np.full(outer, fill_value, dtype=data.dtype)
+        src = tuple(
+            slice(c * o, min((c + 1) * o, s)) for c, o, s in zip(sc, outer, data.shape)
+        )
+        dst = tuple(slice(0, sl.stop - sl.start) for sl in src)
+        full[dst] = data[src]
+        blobs, index = [], []
+        offset = 0
+        for k in range(n_inner):
+            pos, rem = [], k
+            for g in reversed(grid):
+                pos.append(rem % g)
+                rem //= g
+            pos = pos[::-1]
+            if (sc, k) in drop_inner or k in drop_inner:
+                index.append((0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF))
+                continue
+            sl = tuple(slice(p * i, (p + 1) * i) for p, i in zip(pos, inner))
+            blob = gz(np.ascontiguousarray(full[sl]).tobytes())
+            index.append((offset, len(blob)))
+            blobs.append(blob)
+            offset += len(blob)
+        idx = np.array(index, dtype="<u8").tobytes()
+        if index_location == "start":
+            head_len = len(idx) + (4 if crc else 0)
+            index = [
+                (o + head_len, n) if o != 0xFFFFFFFFFFFFFFFF else (o, n)
+                for o, n in index
+            ]
+            idx = np.array(index, dtype="<u8").tobytes()
+        if crc:
+            idx += _crc32c(idx).to_bytes(4, "little")
+        body = b"".join(blobs)
+        payload = idx + body if index_location == "start" else body + idx
+        key = os.path.join(path, col, "c", *[str(c) for c in sc])
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        with open(key, "wb") as f:
+            f.write(payload)
+
+
+def test_v3_sharded_1d_reads_exactly(spark, tmp_path):
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr
+
+    data = (np.arange(1000, dtype="i8") * 3) % 997
+    store = str(tmp_path / "shard1d")
+    _write_sharded_store(store, "v", data, outer=[512], inner=[128])
+    got = read_zarr(spark, store, columns=["v"]).orderBy("row_index").collect()
+    assert [r["v"] for r in got] == data.tolist()
+
+
+def test_v3_sharded_2d_with_missing_inner_chunks(spark, tmp_path):
+    import math
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr
+
+    h = (np.arange(300, dtype="f4")[:, None] * 0.5 + np.arange(9)[None, :]).astype("f4")
+    store = str(tmp_path / "shard2d")
+    # drop inner chunk #1 of EVERY shard -> reads as NaN fill there
+    _write_sharded_store(
+        store, "h", h, outer=[128, 4], inner=[64, 2],
+        drop_inner={1}, fill_value="NaN",
+    )
+    rows = read_zarr(spark, store, columns=["h"]).orderBy("row_index").collect()
+    assert len(rows) == 300
+    for i, r in enumerate(rows):
+        vec = r["h"]
+        assert len(vec) == 9
+        for j, v in enumerate(vec):
+            # inner grid: axis0 64-blocks x axis1 2-blocks; chunk #1 of
+            # each shard = rows [0,64) of the shard, cols [2,4)
+            in_dropped = (i % 128) < 64 and 2 <= (j % 4) < 4
+            if in_dropped:
+                assert math.isnan(v), (i, j, v)
+            else:
+                assert v == float(np.float32(i * 0.5 + j)), (i, j, v)
+
+
+def test_v3_sharded_index_at_start_uncompressed_nocrc(spark, tmp_path):
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr
+
+    data = np.arange(200, dtype="f8") / 4.0
+    store = str(tmp_path / "shardstart")
+    _write_sharded_store(
+        store, "v", data, outer=[128], inner=[32],
+        gzip_inner=False, crc=False, index_location="start",
+    )
+    got = read_zarr(spark, store, columns=["v"]).orderBy("row_index").collect()
+    assert [r["v"] for r in got] == data.tolist()
+
+
+def test_v3_shard_crc_mismatch_raises(tmp_path):
+    import glob
+
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.sources.zarr import _read_stripe, _store_arrays
+
+    data = np.arange(64, dtype="i8")
+    store = str(tmp_path / "shardbad")
+    _write_sharded_store(store, "v", data, outer=[64], inner=[16])
+    shard_file = glob.glob(f"{store}/v/c/*")[0]
+    raw = bytearray(open(shard_file, "rb").read())
+    raw[-1] ^= 0xFF  # flip a crc byte
+    open(shard_file, "wb").write(bytes(raw))
+    arrays = _store_arrays(store, ["v"])
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        _read_stripe(store, "v", arrays["v"], 0, 64)
+
+
+def test_v3_sharded_mixes_with_plain_stores_in_dir_scan(spark, tmp_path):
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    parent = str(tmp_path)
+    a = np.arange(100, dtype="i8")
+    _write_sharded_store(str(tmp_path / "s_shard"), "v", a, outer=[64], inner=[16])
+    write_zarr_local(str(tmp_path / "s_plain"), {"v": a * 2}, zarr_format=3)
+    df = read_zarr_dir(spark, parent, columns=["v"])
+    got = {(r["store"], r["row_index"]): r["v"] for r in df.collect()}
+    assert len(got) == 200
+    assert got[("s_shard", 10)] == 10 and got[("s_plain", 10)] == 20
