@@ -761,6 +761,7 @@ def write_zarr_local(
     chunk_rows: int = 65536,
     zarr_format: int = 2,
     chunk_shape: tuple[int, ...] | None = None,
+    shard_shape: tuple[int, ...] | None = None,
 ) -> None:
     """Single-process Zarr store write from numpy arrays — the
     executor-side kernel for write_zarr_partitioned (and a driver
@@ -818,6 +819,25 @@ def write_zarr_local(
             return (int(chunk_shape[0]),) + a.shape[1:]
         return (int(chunk_rows),) + a.shape[1:]
 
+    def sshape_of(c: str) -> tuple[int, ...]:
+        a = arrays[c]
+        if len(shard_shape) == a.ndim:
+            s = tuple(int(x) for x in shard_shape)
+        else:  # rank-mismatch: share the axis-0 extent (as cshape_of)
+            s = (int(shard_shape[0]),) + a.shape[1:]
+        cs = cshape_of(c)
+        if any(sv % cv != 0 for sv, cv in zip(s, cs)):
+            raise ValueError(
+                f"write_zarr_local: shard_shape {s} must be a multiple of "
+                f"chunk_shape {cs} for {c!r}"
+            )
+        return s
+
+    if shard_shape is not None and zarr_format != 3:
+        # sharding_indexed is a v3 codec — a v2 store has no place to
+        # declare it, so a silent fallback would write unreadable data
+        raise ValueError("write_zarr_local: shard_shape requires zarr_format=3")
+
     if zarr_format == 2:
         meta = {"metadata": {".zgroup": {"zarr_format": 2}}, "zarr_format": 1}
         for c in cols:
@@ -836,19 +856,80 @@ def write_zarr_local(
             json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, f)
         for c in cols:
             os.makedirs(os.path.join(path, c, "c"), exist_ok=True)
-            with open(os.path.join(path, c, "zarr.json"), "w") as f:
-                json.dump(
-                    _zarray_meta_v3(
-                        list(arrays[c].shape), list(cshape_of(c)), np_dtypes[c]
-                    ),
-                    f,
+            m3 = _zarray_meta_v3(
+                list(arrays[c].shape), list(cshape_of(c)), np_dtypes[c]
+            )
+            if shard_shape is not None:
+                # shard objects ARE the chunk grid; inner chunks + the
+                # crc32c-stamped (offset, nbytes) index live inside
+                m3["chunk_grid"]["configuration"]["chunk_shape"] = list(
+                    sshape_of(c)
                 )
+                m3["codecs"] = [
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": list(cshape_of(c)),
+                            "codecs": m3["codecs"],
+                            "index_codecs": [
+                                {
+                                    "name": "bytes",
+                                    "configuration": {"endian": "little"},
+                                },
+                                {"name": "crc32c"},
+                            ],
+                            "index_location": "end",
+                        },
+                    }
+                ]
+            with open(os.path.join(path, c, "zarr.json"), "w") as f:
+                json.dump(m3, f)
 
     import itertools
 
     for c in cols:
         a = arrays[c]
         cs = cshape_of(c)
+        if shard_shape is not None:
+            ss = sshape_of(c)
+            igrid = [ss[ax] // cs[ax] for ax in range(a.ndim)]
+            n_inner = 1
+            for g in igrid:
+                n_inner *= g
+            sgrid = [range(0, max(a.shape[ax], 1), ss[ax]) for ax in range(a.ndim)]
+            missing = (0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+            for soff in itertools.product(*sgrid):
+                blobs, index, off = [], [], 0
+                for pos in itertools.product(*[range(g) for g in igrid]):
+                    abs_off = tuple(
+                        so + p * cw for so, p, cw in zip(soff, pos, cs)
+                    )
+                    if any(o >= a.shape[ax] for ax, o in enumerate(abs_off)):
+                        index.append(missing)  # inner chunk past the array
+                        continue
+                    sel = tuple(
+                        slice(o, min(o + w, a.shape[ax]))
+                        for ax, (o, w) in enumerate(zip(abs_off, cs))
+                    )
+                    piece = a[sel]
+                    if piece.shape != cs:  # edge inner chunk, full-size
+                        full = np.zeros(cs, dtype=a.dtype)
+                        full[tuple(slice(0, s) for s in piece.shape)] = piece
+                        piece = full
+                    blob = _gzip_compress(piece.tobytes(order="C"), 1)
+                    index.append((off, len(blob)))
+                    blobs.append(blob)
+                    off += len(blob)
+                idx = np.array(index, dtype="<u8").tobytes()
+                idx += _crc32c(idx).to_bytes(4, "little")
+                key = tuple(o // w for o, w in zip(soff, ss))
+                target = os.path.join(
+                    path, c, "c", os.sep.join(str(k) for k in key)
+                )
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                with open(target, "wb") as f:
+                    f.write(b"".join(blobs) + idx)
+            continue
         grid = [range(0, max(a.shape[ax], 1), cs[ax]) for ax in range(a.ndim)]
         for coords in itertools.product(*grid):
             sel = tuple(

@@ -3868,3 +3868,78 @@ def q_atl11_dhdt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("track", "ref_pt", "n", "dhdt_slope", "intercept").orderBy(
         "track", "ref_pt"
     )
+
+
+# S3/S4 sharded variant (round 10): the same per-track ATL11 2-D shape
+# served from v3 sharding_indexed stores — zarr-python 3's layout for
+# the millions-of-tiny-files problem (one object per SHARD of inner
+# chunks + a crc32c-stamped index; at the reference's 1387-store scale
+# a plain 256-row chunk grid is ~40 objects per array per store, and a
+# 100 TB archive multiplies that into object-store death). Two sharded
+# stores (inner 128x4 chunks grouped 2x2 into 256x8 shards) scan
+# through the SAME read_zarr_dir task table as plain stores — the
+# shard assembly happens inside the chunk decode, so stripes, schema
+# signatures and the exchange topology are identical to
+# atl11_zarr_cube. Values exact f32 quarters; closed-form oracle.
+@register(
+    "zarr_sharded_cube",
+    """
+    WITH rows AS (
+      SELECT g.g, i.i, c.c
+      FROM (VALUES (0),(1)) g(g),
+           (SELECT unnest(range(0, 700)) AS i) i,
+           (SELECT unnest(range(3, 12)) AS c) c),
+    kept AS (SELECT * FROM rows WHERE (i + c + g) % 4 != 0),
+    pts AS (
+      SELECT concat('track_', CAST(2000 + g AS VARCHAR)) AS store,
+             CAST(i AS BIGINT) AS ref_pt,
+             CAST((i % 40) * 0.5 + (c - 3) * ((i % 5) - 2) * 0.25 + g AS DOUBLE) AS h
+      FROM kept)
+    SELECT store, ref_pt,
+           CAST(count(*) AS BIGINT) AS n_valid,
+           round(max(h) - min(h), 6) AS h_range
+    FROM pts GROUP BY store, ref_pt
+    HAVING count(*) >= 2
+    ORDER BY store, ref_pt
+    """,
+)
+def q_zarr_sharded_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    n, cycles = 700, np.arange(3, 12, dtype="i8")
+    parent = scratch_path(sf_dir, "zarr_sharded")
+    os.makedirs(parent, exist_ok=True)
+    for g in (0, 1):
+        store = os.path.join(parent, f"track_{2000 + g}")
+
+        def make(tmp: str, g: int = g) -> None:
+            i = np.arange(n, dtype="i8")[:, None]
+            c = cycles[None, :]
+            h = ((i % 40) * 0.5 + (c - 3) * ((i % 5) - 2) * 0.25 + g).astype("f4")
+            h[(i + c + g) % 4 == 0] = np.nan
+            write_zarr_local(
+                tmp,
+                {"ref_pt": np.arange(n, dtype="i8"), "h_corr": h},
+                zarr_format=3,
+                chunk_shape=(128, 4),
+                shard_shape=(256, 8),
+            )
+
+        synth_once(store, make, token="v1")
+    df = read_zarr_dir(spark, parent, columns=["ref_pt", "h_corr"])
+    long = df.select("store", "ref_pt", F.explode("h_corr").alias("h")).where(
+        ~F.isnan("h")
+    )
+    return (
+        long.groupBy("store", "ref_pt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_valid"),
+            F.round(
+                F.max(F.col("h").cast("double")) - F.min(F.col("h").cast("double")), 6
+            ).alias("h_range"),
+        )
+        .where(F.col("n_valid") >= 2)
+        .orderBy("store", "ref_pt")
+    )

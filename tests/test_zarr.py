@@ -823,3 +823,41 @@ def test_v3_sharded_mixes_with_plain_stores_in_dir_scan(spark, tmp_path):
     got = {(r["store"], r["row_index"]): r["v"] for r in df.collect()}
     assert len(got) == 200
     assert got[("s_shard", 10)] == 10 and got[("s_plain", 10)] == 20
+
+
+def test_writer_sharded_roundtrip_and_guards(spark, tmp_path):
+    """write_zarr_local(shard_shape=...) -> read_zarr round trip (2-D +
+    rank-mixed 1-D sharing the axis-0 shard extent), plus the two
+    writer guards: sharding is v3-only, and shards must be chunk
+    multiples."""
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr_local
+
+    h = (np.arange(300, dtype="f4")[:, None] * 0.25 + np.arange(9)[None, :]).astype(
+        "f4"
+    )
+    rp = np.arange(300, dtype="i8")
+    store = str(tmp_path / "s")
+    write_zarr_local(
+        store, {"ref_pt": rp, "h_corr": h}, zarr_format=3,
+        chunk_shape=(64, 2), shard_shape=(128, 4),
+    )
+    rows = read_zarr(spark, store, columns=["ref_pt", "h_corr"]).orderBy(
+        "row_index"
+    ).collect()
+    assert len(rows) == 300
+    for i, r in enumerate(rows):
+        assert r["ref_pt"] == i
+        assert r["h_corr"] == [float(np.float32(i * 0.25 + j)) for j in range(9)]
+    with pytest.raises(ValueError, match="requires zarr_format=3"):
+        write_zarr_local(
+            str(tmp_path / "b1"), {"v": rp}, zarr_format=2,
+            chunk_shape=(64,), shard_shape=(128,),
+        )
+    with pytest.raises(ValueError, match="multiple of"):
+        write_zarr_local(
+            str(tmp_path / "b2"), {"v": rp}, zarr_format=3,
+            chunk_shape=(48,), shard_shape=(128,),
+        )
