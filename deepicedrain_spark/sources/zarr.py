@@ -967,6 +967,7 @@ def write_zarr_partitioned(
     chunk_rows: int = 65536,
     zarr_format: int = 2,
     sort_col: str | None = None,
+    shard_shape: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Distributed per-key Zarr store layout: ONE store per distinct
     ``key_col`` value under ``parent`` — the reference's actual output
@@ -976,7 +977,13 @@ def write_zarr_partitioned(
     write_zarr_local (staged + renamed, crash-safe); the lazy manifest
     (store, key, n_rows) is the only driver state. Groups must fit in
     executor memory — same contract as the reference's per-track
-    stores. Read everything back with read_zarr_dir."""
+    stores. ``shard_shape`` (v3 only) groups chunks into
+    sharding_indexed objects — at archive scale the per-store object
+    count is what object-store metadata quotas meter. Read everything
+    back with read_zarr_dir."""
+    if shard_shape is not None and zarr_format != 3:
+        # fail on the driver, not once per group on executors
+        raise ValueError("write_zarr_partitioned: shard_shape requires zarr_format=3")
     os.makedirs(parent, exist_ok=True)
     cols = columns or [c for c in df.columns if c != key_col]
 
@@ -990,6 +997,7 @@ def write_zarr_partitioned(
             {c: pdf[c].to_numpy() for c in cols},
             chunk_rows=chunk_rows,
             zarr_format=zarr_format,
+            shard_shape=shard_shape,
         )
         return pd.DataFrame({"store": [name], key_col: [key], "n_rows": [len(pdf)]})
 

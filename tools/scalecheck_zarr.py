@@ -13,12 +13,15 @@ on executors) and measures, separately:
   3. the distributed scan itself (single mapInPandas over the task
      table, capped at 512 partitions).
 
-Usage: python tools/scalecheck_zarr.py [2d] [n_stores] [rows_per_store]
-  ("2d" runs the round-10 ATL11 2-D end-to-end topology probe)
+Usage: python tools/scalecheck_zarr.py [2d|2ds] [n_stores] [rows_per_store]
+  ("2d" runs the round-10 ATL11 2-D end-to-end topology probe;
+   "2ds" the same with sharding_indexed stores - 4x1 chunk groups,
+   so ~1/4 the objects per array)
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
@@ -26,8 +29,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-MODE_2D = "2d" in sys.argv[1:]
-_args = [a for a in sys.argv[1:] if a != "2d"]
+MODE_2D = "2d" in sys.argv[1:] or "2ds" in sys.argv[1:]
+SHARDED = "2ds" in sys.argv[1:]
+_args = [a for a in sys.argv[1:] if a not in ("2d", "2ds")]
 N_STORES = int(_args[0]) if len(_args) > 0 else 1387
 ROWS = int(_args[1]) if len(_args) > 1 else 2000
 
@@ -121,12 +125,21 @@ def main_2d() -> None:
         h = ((i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 + (g % 8)).astype("f4")
         h[(i + c + g) % 5 == 0] = np.nan
         dt = np.broadcast_to(c.astype("f8") + (g % 8) * 0.125, h.shape).copy()
-        write_zarr_local(
-            os.path.join(parent, f"track_{g:04d}"),
-            {"ref_pt": np.arange(ROWS, dtype="i8"), "h_corr": h, "delta_time": dt},
-            zarr_format=2 + g % 2,
-            chunk_shape=(512, 4),
-        )
+        if SHARDED:
+            write_zarr_local(
+                os.path.join(parent, f"track_{g:04d}"),
+                {"ref_pt": np.arange(ROWS, dtype="i8"), "h_corr": h, "delta_time": dt},
+                zarr_format=3,
+                chunk_shape=(512, 4),
+                shard_shape=(2048, 4),
+            )
+        else:
+            write_zarr_local(
+                os.path.join(parent, f"track_{g:04d}"),
+                {"ref_pt": np.arange(ROWS, dtype="i8"), "h_corr": h, "delta_time": dt},
+                zarr_format=2 + g % 2,
+                chunk_shape=(512, 4),
+            )
         return 1
 
     try:
@@ -173,6 +186,9 @@ def main_2d() -> None:
         ).collect()[0]
         t_fit = time.time() - t0
         n_cells = N_STORES * ROWS * n_cycles
+        n_objects = sum(
+            len(files) for _, _, files in os.walk(parent)
+        )
         print(
             f"2-D stores={N_STORES} ref_pts/store={ROWS} cycles={n_cycles} | "
             f"write(executor fan-out) {t_write:.1f}s | "
@@ -180,7 +196,8 @@ def main_2d() -> None:
             f"scan+explode+regression {t_fit:.1f}s "
             f"({n_cells / max(t_fit, 1e-9) / 1e6:.1f} M cells/s) | "
             f"regressed points {got['pts']} over {got['n_stores']} stores | "
-            f"scan partitions {n_parts} (cap 512)"
+            f"scan partitions {n_parts} (cap 512) | "
+            f"{'sharded' if SHARDED else 'plain'} objects on disk {n_objects}"
         )
     finally:
         shutil.rmtree(parent, ignore_errors=True)
