@@ -468,6 +468,10 @@ def _v3_arrays(path: str) -> dict[str, dict]:
             # the index.
             cfg = codecs[0].get("configuration", {})
             inner = cfg.get("chunk_shape")
+            if not inner:
+                raise ValueError(
+                    f"read_zarr: sharding_indexed without chunk_shape for {name!r}"
+                )
             codecs = cfg.get("codecs", [])
             names = [c.get("name") for c in codecs]
             idx_names = [c.get("name") for c in cfg.get("index_codecs", [])]
