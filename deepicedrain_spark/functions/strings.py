@@ -69,17 +69,22 @@ def canonicalize_url(col: Column) -> Column:
     survive). Pure JVM-side built-ins (whole-stage codegen, no UDF):
 
       1. drop the fragment            (#...)
-      2. lowercase scheme and host
-      3. strip the scheme's default port  (https:443 / http:80)
-      4. strip a leading 'www.'
-      5. drop utm_* tracking params, tidy '&'
-      6. strip trailing slashes from the path ('' -> '/')
+      2. strip userinfo ('user:pw@') — otherwise
+         'https://x@site.com' evades a host blocklist and splits the
+         dedup group of the same page fetched without it
+      3. lowercase scheme and host
+      4. strip the scheme's default port  (https:443 / http:80)
+      5. strip a leading 'www.'
+      6. drop utm_* tracking params, tidy '&'
+      7. strip trailing slashes from the path ('' -> '/')
 
     Everything is plain regex, so an ANSI-SQL oracle replays it
     exactly (see q_url_dedup_hosts)."""
     no_frag = F.regexp_replace(col, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(no_frag, r"://([^/?#]*)", 1))
+    hostport = F.lower(
+        F.regexp_replace(F.regexp_extract(no_frag, r"://([^/?#]*)", 1), r"^[^@]*@", "")
+    )
     host = (
         F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
         .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))

@@ -673,7 +673,7 @@ def read_zarr_dir(
         # actual '<name>.staging.<pid>' / '<name>.tmp.<pid>' SUFFIX, so
         # a legitimately named store like 'track.tmp.archive' still
         # scans (ADVICE r9)
-        and not re.search(r"\.(staging|tmp)\.\d+$", d)
+        and not re.search(r"\.(staging|tmp|old)\.\d+$", d)
         and (
             os.path.isfile(os.path.join(parent, d, ".zmetadata"))
             or os.path.isfile(os.path.join(parent, d, "zarr.json"))
@@ -804,12 +804,6 @@ def write_zarr_local(
             raise ValueError(f"write_zarr_local: ragged column {c}")
         arrays[c] = a.astype(ds)
 
-    final_path = path
-    path = f"{final_path}.staging.{os.getpid()}"
-    import shutil as _sh
-
-    _sh.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
     cols = sorted(arrays)
 
     def cshape_of(c: str) -> tuple[int, ...]:
@@ -837,10 +831,20 @@ def write_zarr_local(
             )
         return s
 
-    if shard_shape is not None and zarr_format != 3:
+    if shard_shape is not None:
         # sharding_indexed is a v3 codec — a v2 store has no place to
         # declare it, so a silent fallback would write unreadable data
-        raise ValueError("write_zarr_local: shard_shape requires zarr_format=3")
+        if zarr_format != 3:
+            raise ValueError("write_zarr_local: shard_shape requires zarr_format=3")
+        for c in cols:  # fail before any disk mutation, like every guard above
+            sshape_of(c)
+
+    final_path = path
+    path = f"{final_path}.staging.{os.getpid()}"
+    import shutil as _sh
+
+    _sh.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
 
     if zarr_format == 2:
         meta = {"metadata": {".zgroup": {"zarr_format": 2}}, "zarr_format": 1}

@@ -63,14 +63,23 @@ def synth_once(path: str, make, token: str = "v1") -> str:
     tmp = f"{path}.tmp.{os.getpid()}"
     make(tmp)
     # os.replace cannot overwrite a non-empty DIRECTORY (ENOTEMPTY) —
-    # and q_atl11_zarr_cube routes a whole Zarr store through here, so
-    # a token bump on a machine holding the old store must clear it
-    # first (ADVICE r9)
+    # and the Zarr-store fixtures route whole directories through here,
+    # so a token bump on a machine holding the old store must move it
+    # out of the way first (ADVICE r9). Rename ASIDE + replace + rmtree
+    # the aside (round 10): rmtree-before-replace left the published
+    # path absent for the whole tree removal; now the gap is two
+    # renames. (Not fully atomic — POSIX has no directory exchange —
+    # but a concurrent reader's window shrinks from seconds to
+    # microseconds, and the .ok token guards ordinary races.)
+    aside = None
     if os.path.isdir(path) and not os.path.islink(path):
+        aside = f"{path}.old.{os.getpid()}"
+        os.rename(path, aside)
+    os.replace(tmp, path)
+    if aside is not None:
         import shutil
 
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        shutil.rmtree(aside, ignore_errors=True)
     with open(ok, "w") as fh:
         fh.write(token)
     return path

@@ -2216,9 +2216,11 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH raw AS (
       SELECT doc_id,
-        (CASE WHEN doc_id % 2 = 0
-              THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443'
-              ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com' END)
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 6 = 0 THEN 'crawler:tok@' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+              THEN 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443'
+              ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' END)
         || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
         || '?utm_source=feed&page=' || CAST(doc_id % 10 AS VARCHAR)
@@ -2230,8 +2232,9 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         regexp_replace(url, '#.*$', '') AS no_frag,
         lower(regexp_extract(regexp_replace(url, '#.*$', ''),
                              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-                             '://([^/?#]*)', 1)) AS hostport
+        lower(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                            '://([^/?#]*)', 1),
+                             '^[^@]*@', '')) AS hostport
       FROM raw),
     parts AS (
       SELECT doc_id, scheme,
@@ -2274,9 +2277,11 @@ def q_url_dedup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.expr(
         """
         concat(
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+          CASE WHEN doc_id % 6 = 0 THEN 'crawler:tok@' ELSE '' END,
           CASE WHEN doc_id % 2 = 0
-               THEN concat('HTTPS://WWW.Site', CAST(doc_id % 7 AS STRING), '.COM:443')
-               ELSE concat('https://site', CAST(doc_id % 7 AS STRING), '.com') END,
+               THEN concat('WWW.Site', CAST(doc_id % 7 AS STRING), '.COM:443')
+               ELSE concat('site', CAST(doc_id % 7 AS STRING), '.com') END,
           '/articles/', CAST(doc_id % 50 AS STRING),
           CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
           '?utm_source=feed&page=', CAST(doc_id % 10 AS STRING),

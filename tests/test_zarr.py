@@ -503,6 +503,9 @@ def test_read_zarr_dir_keeps_tmp_named_store(spark, tmp_path):
     write_zarr_local(str(tmp_path / "track.tmp.archive"), {"v": np.arange(3, dtype="i8")})
     write_zarr_local(str(tmp_path / "plain"), {"v": np.arange(2, dtype="i8")})
     write_zarr_local(str(tmp_path / "plain.staging.777"), {"v": np.arange(9, dtype="i8")})
+    # synth_once's rename-aside during a directory fixture swap
+    # (round 10) must not scan as a phantom store either
+    write_zarr_local(str(tmp_path / "plain.old.777"), {"v": np.arange(7, dtype="i8")})
     df = read_zarr_dir(spark, str(tmp_path))
     assert {r["store"] for r in df.select("store").distinct().collect()} == {
         "track.tmp.archive", "plain",
@@ -861,3 +864,24 @@ def test_writer_sharded_roundtrip_and_guards(spark, tmp_path):
             str(tmp_path / "b2"), {"v": rp}, zarr_format=3,
             chunk_shape=(48,), shard_shape=(128,),
         )
+
+
+def test_invalid_shard_args_leave_no_staging_residue(tmp_path):
+    """Every write_zarr_local guard fires BEFORE any disk mutation — an
+    invalid shard_shape call must not leave a .staging.<pid> dir
+    behind (round-10 review)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.sources.zarr import write_zarr_local
+
+    a = np.arange(100, dtype="i8")
+    with pytest.raises(ValueError, match="requires zarr_format=3"):
+        write_zarr_local(str(tmp_path / "s1"), {"v": a}, zarr_format=2,
+                         chunk_shape=(64,), shard_shape=(128,))
+    with pytest.raises(ValueError, match="multiple of"):
+        write_zarr_local(str(tmp_path / "s2"), {"v": a}, zarr_format=3,
+                         chunk_shape=(48,), shard_shape=(128,))
+    assert os.listdir(tmp_path) == []
