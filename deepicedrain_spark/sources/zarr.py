@@ -361,14 +361,28 @@ def write_zarr(
         with open(os.path.join(path, ".zmetadata"), "w") as f:
             json.dump(meta, f)
     else:
-        with open(os.path.join(path, "zarr.json"), "w") as f:
-            json.dump(
-                {"zarr_format": 3, "node_type": "group", "attributes": {}}, f
-            )
+        metas = {}
         for c in cols:
             os.makedirs(os.path.join(path, c, "c"), exist_ok=True)
+            metas[c] = _zarray_meta_v3(n_rows, chunk_rows, np_dtypes[c])
             with open(os.path.join(path, c, "zarr.json"), "w") as f:
-                json.dump(_zarray_meta_v3(n_rows, chunk_rows, np_dtypes[c]), f)
+                json.dump(metas[c], f)
+        # root last, with consolidated metadata (one driver open per
+        # store at read time; see write_zarr_local)
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 3,
+                    "node_type": "group",
+                    "attributes": {},
+                    "consolidated_metadata": {
+                        "metadata": metas,
+                        "kind": "inline",
+                        "must_understand": False,
+                    },
+                },
+                f,
+            )
 
     spark = df.sparkSession
     b_offsets = spark.sparkContext.broadcast(offsets)
@@ -443,14 +457,28 @@ def write_zarr(
 def _v3_arrays(path: str) -> dict[str, dict]:
     """Normalize a Zarr v3 store's array metadata into the v2-shaped
     dict read_zarr consumes: {col: {shape, chunks, dtype (numpy str),
-    compressor, filters, _v3: True, _sep: separator}}."""
+    compressor, filters, _v3: True, _sep: separator}}.
+
+    Round 10: a root ``consolidated_metadata`` block (written by
+    zarr-python 3's consolidate_metadata and by this module's v3
+    writer) supplies every array's metadata from the ONE root
+    zarr.json — at the reference's 1387-store topology that turns the
+    driver metadata loop from (1 + n_arrays) file opens per store into
+    exactly one. Stores without it fall back to per-array opens."""
+    with open(os.path.join(path, "zarr.json")) as f:
+        root = json.load(f)
+    cm = (root.get("consolidated_metadata") or {}).get("metadata")
+    if cm:
+        items = sorted((k, v) for k, v in cm.items() if "/" not in k)
+    else:
+        items = []
+        for name in sorted(os.listdir(path)):
+            meta_p = os.path.join(path, name, "zarr.json")
+            if os.path.isfile(meta_p):
+                with open(meta_p) as f:
+                    items.append((name, json.load(f)))
     out = {}
-    for name in sorted(os.listdir(path)):
-        meta_p = os.path.join(path, name, "zarr.json")
-        if not os.path.isfile(meta_p):
-            continue
-        with open(meta_p) as f:
-            m = json.load(f)
+    for name, m in items:
         if m.get("node_type") != "array":
             continue
         if m["data_type"] not in _V3_TO_NP:
@@ -860,8 +888,7 @@ def write_zarr_local(
         with open(os.path.join(path, ".zmetadata"), "w") as f:
             json.dump(meta, f)
     else:
-        with open(os.path.join(path, "zarr.json"), "w") as f:
-            json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, f)
+        metas = {}
         for c in cols:
             os.makedirs(os.path.join(path, c, "c"), exist_ok=True)
             m3 = _zarray_meta_v3(
@@ -892,6 +919,26 @@ def write_zarr_local(
                 ]
             with open(os.path.join(path, c, "zarr.json"), "w") as f:
                 json.dump(m3, f)
+            metas[c] = m3
+        # consolidated metadata in the root (zarr-python 3 shape):
+        # read_zarr_dir's driver loop opens ONE file per store instead
+        # of 1 + n_arrays — at 1387 stores that is the whole metadata
+        # phase; per-array zarr.json files above keep plain readers
+        # working
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 3,
+                    "node_type": "group",
+                    "attributes": {},
+                    "consolidated_metadata": {
+                        "metadata": metas,
+                        "kind": "inline",
+                        "must_understand": False,
+                    },
+                },
+                f,
+            )
 
     import itertools
 

@@ -184,7 +184,9 @@ def test_zarr_v3_roundtrip_and_layout(spark, tmp_path):
     )
     write_zarr(df, path, chunk_rows=64, zarr_format=3)
     root = json.load(open(os.path.join(path, "zarr.json")))
-    assert root == {"zarr_format": 3, "node_type": "group", "attributes": {}}
+    assert root["zarr_format"] == 3 and root["node_type"] == "group"
+    # round 10: the root carries consolidated metadata for every array
+    assert set(root["consolidated_metadata"]["metadata"]) == {"k", "v", "b"}
     am = json.load(open(os.path.join(path, "k", "zarr.json")))
     assert am["data_type"] == "int64"
     assert [c["name"] for c in am["codecs"]] == ["bytes", "gzip"]
@@ -210,6 +212,27 @@ def test_zarr_v3_roundtrip_and_layout(spark, tmp_path):
     assert np.array_equal(np.asarray(g["k"]), np.arange(500))
 
 
+
+def _patch_v3_meta(store, col, fn):
+    """Apply fn to a v3 array's metadata in BOTH authoritative copies —
+    the per-array zarr.json and the root's consolidated_metadata entry
+    (round 10: the reader prefers the consolidated block, exactly like
+    v2's .zmetadata, so external mutations must keep them in sync)."""
+    import json
+    import os
+
+    zp = os.path.join(store, col, "zarr.json")
+    m = json.load(open(zp))
+    fn(m)
+    json.dump(m, open(zp, "w"))
+    rp = os.path.join(store, "zarr.json")
+    root = json.load(open(rp))
+    cm = (root.get("consolidated_metadata") or {}).get("metadata", {})
+    if col in cm:
+        fn(cm[col])
+        json.dump(root, open(rp, "w"))
+
+
 def test_v3_rejects_nondefault_chunk_key_encoding(spark, tmp_path):
     """ADVICE r4 (low): a v3 store using the spec's 'v2' chunk-key
     encoding must be rejected up front with a clear error, not a bare
@@ -219,10 +242,10 @@ def test_v3_rejects_nondefault_chunk_key_encoding(spark, tmp_path):
     path = str(tmp_path / "cke.zarr")
     df = spark.range(0, 10).select(F.col("id").alias("k"))
     write_zarr(df, path, chunk_rows=8, zarr_format=3)
-    mp = os.path.join(path, "k", "zarr.json")
-    m = json.load(open(mp))
-    m["chunk_key_encoding"] = {"name": "v2", "configuration": {"separator": "."}}
-    json.dump(m, open(mp, "w"))
+    def flip(m):
+        m["chunk_key_encoding"] = {"name": "v2", "configuration": {"separator": "."}}
+
+    _patch_v3_meta(path, "k", flip)
     with pytest.raises(ValueError, match="chunk_key_encoding"):
         read_zarr(spark, path).collect()
 
@@ -420,9 +443,11 @@ def test_zarr_missing_chunk_reads_as_fill(spark, tmp_path):
         else:
             os.unlink(os.path.join(p, "h_corr", "c", "1", "1"))
             os.unlink(os.path.join(p, "ref_pt", "c", "2"))
-            zp = os.path.join(p, "h_corr", "zarr.json")
-            m = json.load(open(zp)); m["fill_value"] = "NaN"
-            json.dump(m, open(zp, "w"))
+
+            def nanfill(m):
+                m["fill_value"] = "NaN"
+
+            _patch_v3_meta(p, "h_corr", nanfill)
         rows = {r["row_index"]: r for r in read_zarr(spark, p).collect()}
         # rows 16..31, cols 2..3 came from the deleted h_corr chunk
         assert all(math.isnan(v) for v in rows[20]["h_corr"][2:4])
@@ -585,12 +610,12 @@ def test_zarr_bigendian_v3_reads_native(spark, tmp_path):
         co = zlib.compressobj(1, zlib.DEFLATED, 31)
         return co.compress(b) + co.flush()
 
-    mp = os.path.join(p, "v", "zarr.json")
-    m = json.load(open(mp))
-    for c in m["codecs"]:
-        if c["name"] == "bytes":
-            c["configuration"]["endian"] = "big"
-    json.dump(m, open(mp, "w"))
+    def flip_be(m):
+        for c in m["codecs"]:
+            if c["name"] == "bytes":
+                c["configuration"]["endian"] = "big"
+
+    _patch_v3_meta(p, "v", flip_be)
     for i in range(3):
         cp = os.path.join(p, "v", "c", str(i))
         blk = np.zeros(10, dtype="f8")
@@ -885,3 +910,29 @@ def test_invalid_shard_args_leave_no_staging_residue(tmp_path):
         write_zarr_local(str(tmp_path / "s2"), {"v": a}, zarr_format=3,
                          chunk_shape=(48,), shard_shape=(128,))
     assert os.listdir(tmp_path) == []
+
+
+def test_v3_consolidated_metadata_is_the_read_path(spark, tmp_path):
+    """The reader must take array metadata from the root's
+    consolidated_metadata when present (one driver open per store, the
+    1387-store metadata-loop fix): a consolidated store still reads
+    after its per-array zarr.json files are DELETED, and a store
+    without consolidation (the spec-byte sharded helper) falls back to
+    per-array opens (covered by the sharded tests above)."""
+    import os
+
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr_local
+
+    store = str(tmp_path / "cons")
+    write_zarr_local(
+        store,
+        {"k": np.arange(100, dtype="i8"), "v": (np.arange(100) * 0.5).astype("f8")},
+        zarr_format=3,
+        chunk_rows=32,
+    )
+    for c in ("k", "v"):
+        os.remove(os.path.join(store, c, "zarr.json"))
+    rows = read_zarr(spark, store).orderBy("k").collect()
+    assert len(rows) == 100 and rows[7]["k"] == 7 and rows[7]["v"] == 3.5
