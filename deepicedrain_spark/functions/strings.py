@@ -82,8 +82,12 @@ def canonicalize_url(col: Column) -> Column:
     exactly (see q_url_dedup_hosts)."""
     no_frag = F.regexp_replace(col, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # greedy '^.*@' splits the authority at the LAST '@' (WHATWG /
+    # urllib behavior) — '^[^@]*@' stopped at the first, so a double-@
+    # URL ('https://a@b@site.com') still evaded host blocklists; safe
+    # because the extract already excludes '/?#'
     hostport = F.lower(
-        F.regexp_replace(F.regexp_extract(no_frag, r"://([^/?#]*)", 1), r"^[^@]*@", "")
+        F.regexp_replace(F.regexp_extract(no_frag, r"://([^/?#]*)", 1), r"^.*@", "")
     )
     host = (
         F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))

@@ -370,19 +370,7 @@ def write_zarr(
         # root last, with consolidated metadata (one driver open per
         # store at read time; see write_zarr_local)
         with open(os.path.join(path, "zarr.json"), "w") as f:
-            json.dump(
-                {
-                    "zarr_format": 3,
-                    "node_type": "group",
-                    "attributes": {},
-                    "consolidated_metadata": {
-                        "metadata": metas,
-                        "kind": "inline",
-                        "must_understand": False,
-                    },
-                },
-                f,
-            )
+            json.dump(_v3_root_meta(metas), f)
 
     spark = df.sparkSession
     b_offsets = spark.sparkContext.broadcast(offsets)
@@ -449,9 +437,46 @@ def write_zarr(
         raise
     finally:
         pinned.unpersist()
-    if os.path.exists(final_path):
-        shutil.rmtree(final_path)
-    os.rename(path, final_path)
+    _publish_store(path, final_path)
+
+
+def _publish_store(staging: str, final: str) -> None:
+    """Swap a fully-written staging directory into place (round-10
+    review): rmtree-then-rename left the published path ABSENT for the
+    whole tree removal, and a crash mid-rmtree left a half-deleted old
+    store whose intact metadata reads missing chunks as silent fill
+    values. Now an existing store renames ASIDE (two-syscall window),
+    the staging renames in, and the aside is removed; read_zarr_dir
+    skips '.old.<pid>' names so a killed process's leftover aside never
+    scans as a phantom store, and a stale aside from a recycled pid is
+    cleared before the rename."""
+    import shutil
+
+    aside = None
+    if os.path.exists(final):
+        aside = f"{final}.old.{os.getpid()}"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(final, aside)
+    os.rename(staging, final)
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
+
+
+def _v3_root_meta(metas: dict[str, dict]) -> dict:
+    """Root zarr.json for a v3 store, carrying every array's metadata
+    consolidated (zarr-python 3 shape) so readers open ONE file per
+    store. Shared by the local and distributed writers — the on-disk
+    format must not fork between them."""
+    return {
+        "zarr_format": 3,
+        "node_type": "group",
+        "attributes": {},
+        "consolidated_metadata": {
+            "metadata": metas,
+            "kind": "inline",
+            "must_understand": False,
+        },
+    }
 
 
 def _v3_arrays(path: str) -> dict[str, dict]:
@@ -869,9 +894,7 @@ def write_zarr_local(
 
     final_path = path
     path = f"{final_path}.staging.{os.getpid()}"
-    import shutil as _sh
-
-    _sh.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
 
     if zarr_format == 2:
@@ -926,19 +949,7 @@ def write_zarr_local(
         # phase; per-array zarr.json files above keep plain readers
         # working
         with open(os.path.join(path, "zarr.json"), "w") as f:
-            json.dump(
-                {
-                    "zarr_format": 3,
-                    "node_type": "group",
-                    "attributes": {},
-                    "consolidated_metadata": {
-                        "metadata": metas,
-                        "kind": "inline",
-                        "must_understand": False,
-                    },
-                },
-                f,
-            )
+            json.dump(_v3_root_meta(metas), f)
 
     import itertools
 
@@ -1009,9 +1020,7 @@ def write_zarr_local(
                 os.makedirs(os.path.dirname(target), exist_ok=True)
             with open(target, "wb") as f:
                 f.write(payload)
-    if os.path.exists(final_path):
-        shutil.rmtree(final_path)
-    os.rename(path, final_path)
+    _publish_store(path, final_path)
 
 
 def write_zarr_partitioned(

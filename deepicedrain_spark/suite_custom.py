@@ -74,6 +74,11 @@ def synth_once(path: str, make, token: str = "v1") -> str:
     aside = None
     if os.path.isdir(path) and not os.path.islink(path):
         aside = f"{path}.old.{os.getpid()}"
+        # a killed run with a recycled pid can leave a stale non-empty
+        # aside — os.rename onto it would raise ENOTEMPTY forever
+        import shutil
+
+        shutil.rmtree(aside, ignore_errors=True)
         os.rename(path, aside)
     os.replace(tmp, path)
     if aside is not None:

@@ -2234,7 +2234,7 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         lower(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''),
                                             '://([^/?#]*)', 1),
-                             '^[^@]*@', '')) AS hostport
+                             '^.*@', '')) AS hostport
       FROM raw),
     parts AS (
       SELECT doc_id, scheme,
