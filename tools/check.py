@@ -91,6 +91,51 @@ def spark_arrow_types(sdf) -> dict:
     return {f.name: canon_type(f.type) for f in tbl.schema}
 
 
+
+def compare_query(spark, con, fn, sql, sf_dir):
+    """Run one query on Spark and its oracle on DuckDB, compare
+    rowcount / column names / arrow types / canonical values.
+    Returns (ok, msg, n_rows). Shared by main() and the adversarial
+    probes (tools/partition_adversary.py) so the compare semantics
+    can never drift between harnesses."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    stypes = spark_arrow_types(sdf)
+    ares = con.execute(sql).arrow()
+    dcols = ares.schema.names
+    dtypes = {f.name: canon_type(f.type) for f in ares.schema}
+    dcolumns = [col.to_pylist() for col in ares.columns]
+    drows = list(zip(*dcolumns)) if dcolumns else []
+    if not drows and ares.num_rows:
+        drows = [() for _ in range(ares.num_rows)]
+    msgs = []
+    if len(srows) != len(drows):
+        msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        msgs.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+    if not msgs and stypes:
+        tmism = {
+            c: (stypes[c], dtypes[c])
+            for c in stypes
+            if c in dtypes and stypes[c] != dtypes[c]
+        }
+        if tmism:
+            msgs.append(f"type mismatch (spark,duck): {tmism}")
+    if not msgs:
+        _, sc = canon(srows, scols)
+        _, dc = canon(drows, dcols)
+        mism = sum(1 for a, b in zip(sc, dc) if a != b)
+        if mism:
+            msgs.append(f"{mism}/{len(sc)} rows differ")
+            for a, b in zip(sc, dc):
+                if a != b:
+                    msgs.append(f"  spark={a}")
+                    msgs.append(f"  duck ={b}")
+                    break
+    return (not msgs, "; ".join(msgs), len(srows))
+
+
 def main() -> int:
     from deepicedrain_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -105,69 +150,28 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            stypes = spark_arrow_types(sdf)
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
-            n_fail += 1
-            continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"weak {name}: rows={len(srows)} ({time.time()-t0:.1f}s, no oracle)")
+            try:
+                n_rows = qs[name](spark, SF_DIR).count()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: spark error: {e}")
+                n_fail += 1
+                continue
+            print(f"weak {name}: rows={n_rows} ({time.time()-t0:.1f}s, no oracle)")
             n_weak += 1
             continue
         try:
-            # ONE oracle execution: arrow() gives schema AND rows
-            # (a second fetchall() execution doubled oracle wall time)
-            ares = con.execute(sql).arrow()
-            dcols = ares.schema.names
-            dtypes = {f.name: canon_type(f.type) for f in ares.schema}
-            dcolumns = [col.to_pylist() for col in ares.columns]
-            drows = list(zip(*dcolumns)) if dcolumns else []
-            if not drows and ares.num_rows:
-                drows = [() for _ in range(ares.num_rows)]
+            ok, msg, n_rows = compare_query(spark, con, fn, sql, SF_DIR)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(f"FAIL {name}: error: {e}")
             n_fail += 1
             continue
-
-        ok = True
-        msgs = []
-        if len(srows) != len(drows):
-            ok = False
-            msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            ok = False
-            msgs.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
-        if ok and stypes:
-            tmism = {
-                c: (stypes[c], dtypes[c])
-                for c in stypes
-                if c in dtypes and stypes[c] != dtypes[c]
-            }
-            if tmism:
-                ok = False
-                msgs.append(f"type mismatch (spark,duck): {tmism}")
         if ok:
-            _, sc = canon(srows, scols)
-            _, dc = canon(drows, dcols)
-            mism = sum(1 for a, b in zip(sc, dc) if a != b)
-            if mism:
-                ok = False
-                msgs.append(f"{mism}/{len(sc)} rows differ")
-                for a, b in zip(sc, dc):
-                    if a != b:
-                        msgs.append(f"  spark={a}")
-                        msgs.append(f"  duck ={b}")
-                        break
-        if ok:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {n_rows} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
         else:
-            print(f"FAIL {name}: " + "; ".join(msgs))
+            print(f"FAIL {name}: {msg}")
             n_fail += 1
         spark.catalog.clearCache()  # drop per-query persisted intermediates
 

@@ -53,20 +53,7 @@ def main() -> int:
     n_pass = n_fail = 0
     for name in names:
         try:
-            sdf = qs[name](spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            ares = con.execute(osql[name]).arrow()
-            dcols = ares.schema.names
-            dcolumns = [col.to_pylist() for col in ares.columns]
-            drows = list(zip(*dcolumns)) if dcolumns else []
-            ok = len(srows) == len(drows) and sorted(scols) == sorted(dcols)
-            msg = f"rows spark={len(srows)} duck={len(drows)}"
-            if ok:
-                _, sc = ck.canon(srows, scols)
-                _, dc = ck.canon(drows, dcols)
-                mism = sum(1 for a, b in zip(sc, dc) if a != b)
-                ok, msg = mism == 0, f"{mism} rows differ"
+            ok, msg, _ = ck.compare_query(spark, con, qs[name], osql[name], SF_DIR)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, repr(e)[:200]
         spark.catalog.clearCache()
