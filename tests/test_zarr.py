@@ -936,3 +936,38 @@ def test_v3_consolidated_metadata_is_the_read_path(spark, tmp_path):
         os.remove(os.path.join(store, c, "zarr.json"))
     rows = read_zarr(spark, store).orderBy("k").collect()
     assert len(rows) == 100 and rows[7]["k"] == 7 and rows[7]["v"] == 3.5
+
+
+def test_sharded_store_crosscheck_against_zarr_python(spark, tmp_path):
+    """When zarr-python 3 is available: (a) a sharded store written by
+    OUR writer opens under zarr-python with identical values, and (b) a
+    sharded store written by zarr-python reads back through OUR scan.
+    Env-gated like the plain cross-check above — flips on without code
+    change when the env ships zarr>=3."""
+    zarr = pytest.importorskip("zarr")
+    if int(getattr(zarr, "__version__", "0").split(".")[0]) < 3:
+        pytest.skip("sharding needs zarr-python 3")
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr, write_zarr_local
+
+    # ours -> zarr-python
+    h = (np.arange(300, dtype="f4")[:, None] * 0.25 + np.arange(9)[None, :]).astype("f4")
+    ours = str(tmp_path / "ours")
+    write_zarr_local(
+        ours, {"ref_pt": np.arange(300, dtype="i8"), "h_corr": h},
+        zarr_format=3, chunk_shape=(64, 2), shard_shape=(128, 4),
+    )
+    g = zarr.open_group(ours, mode="r")
+    assert np.array_equal(np.asarray(g["h_corr"]), h)
+    assert np.array_equal(np.asarray(g["ref_pt"]), np.arange(300))
+
+    # zarr-python -> ours
+    theirs = str(tmp_path / "theirs")
+    root = zarr.open_group(theirs, mode="w")
+    root.create_array(
+        "v", shape=(500,), chunks=(32,), shards=(128,), dtype="int64",
+    )
+    root["v"][:] = np.arange(500, dtype="i8") * 3
+    back = read_zarr(spark, theirs, columns=["v"]).orderBy("row_index").collect()
+    assert [r["v"] for r in back] == [i * 3 for i in range(500)]

@@ -10,7 +10,8 @@ deliberately hostile session: local[3], spark.sql.shuffle.partitions=7
 (vs the engine default 32 and the driver's vanilla 200). Exit code =
 number of failures.
 
-Usage: python tools/partition_adversary.py [sf_dir] [query ...]
+Usage: python tools/partition_adversary.py [sf_dir] [query ... | --all]
+  (--all sweeps every oracle-bearing query, not just the sensitive set)
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ def main() -> int:
 
     qs, osql = entry.queries(), entry.oracle_sql()
     con = ck.duck_connection(SF_DIR)
-    names = ONLY or SENSITIVE
+    names = list(osql) if ONLY == ["--all"] else (ONLY or SENSITIVE)
     n_pass = n_fail = 0
     for name in names:
         try:
