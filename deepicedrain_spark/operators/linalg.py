@@ -1,0 +1,190 @@
+"""Distributed dense linear algebra over embedding columns
+(beyond-reference extension): single-pass covariance / Gram moments
+and PCA built on them.
+
+The 100 TB shape: one ``mapInPandas`` pass turns each Arrow batch of
+vectors into ONE fixed-size moment row — count, per-dim sums, and the
+full d×d Gram (``Xᵀ·X``, a single BLAS matmul per batch) flattened to
+``1 + d + d²`` doubles. Everything after that is Catalyst over
+O(batches) rows: posexplode → one tiny hash aggregation (shuffle
+bytes are ``batches × (1+d+d²) × 8`` — independent of row count) →
+broadcast joins assemble covariance entries. No raw vector ever
+crosses an exchange, so the plan's network cost is constant in n,
+exactly like the dhdt regression's moment aggregation.
+
+PCA reuses the same moments: the reduced covariance collapses to a
+d×d driver-side matrix (fixed size, like k-means centroids), numpy
+``eigh`` factors it, and the projection is a map-only Catalyst
+``aggregate(zip_with(...))`` against literal component vectors — the
+projection stage shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_rows(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """One row per Arrow batch: moments = [n, s_0..s_{d-1}, G_00..G_{dd}]
+    (length 1 + d + d²); counts are exact in double below 2^53."""
+    import numpy as np
+    import pandas as pd
+
+    d = int(dims)
+
+    def gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"expected {d}-dim vectors, got {x.shape[1]}"
+                )
+            m = np.concatenate(
+                ([float(len(pdf))], x.sum(axis=0), (x.T @ x).ravel())
+            )
+            yield pd.DataFrame({"m": [m.tolist()]})
+
+    return df.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+        gram, schema="m array<double>"
+    )
+
+
+def _reduced_moments(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """(pidx, msum): element-wise sum of the per-batch moment rows —
+    the one (tiny) exchange of the whole covariance computation."""
+    return (
+        _moment_rows(df, vec_col, dims)
+        .select(F.posexplode("m").alias("pidx", "mval"))
+        .groupBy("pidx")
+        .agg(F.sum("mval").alias("msum"))
+    )
+
+
+def covariance_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population covariance of the vector dims, long form (i, j, cov)
+    for i ≤ j, via cov_ij = (G_ij − s_i·s_j/n)/n over the single-pass
+    moments. Rounded to ``decimals`` (the assembled-from-sums formula
+    and a streaming co-moment pass differ in final ulps)."""
+    d = int(dims)
+    red = _reduced_moments(df, vec_col, d)
+    n_row = F.broadcast(
+        red.filter(F.col("pidx") == 0).select(F.col("msum").alias("n"))
+    )
+    s_df = F.broadcast(
+        red.filter((F.col("pidx") >= 1) & (F.col("pidx") <= d)).select(
+            (F.col("pidx") - 1).cast("int").alias("si"),
+            F.col("msum").alias("s"),
+        )
+    )
+    g_df = red.filter(F.col("pidx") > d).select(
+        F.floor((F.col("pidx") - 1 - d) / d).cast("int").alias("i"),
+        ((F.col("pidx") - 1 - d) % d).cast("int").alias("j"),
+        F.col("msum").alias("g"),
+    )
+    return (
+        g_df.filter(F.col("i") <= F.col("j"))
+        .join(s_df.withColumnRenamed("s", "s_i"), F.col("i") == F.col("si"))
+        .drop("si")
+        .join(s_df.withColumnRenamed("s", "s_j"), F.col("j") == F.col("si"))
+        .drop("si")
+        .join(n_row)
+        .select(
+            "i",
+            "j",
+            # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB's round keeps the
+            # sign on doubles, Spark's drops it — normalize both)
+            (
+                F.round(
+                    (F.col("g") - F.col("s_i") * F.col("s_j") / F.col("n"))
+                    / F.col("n"),
+                    decimals,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding", dims: int = 64):
+    """The same moments collapsed driver-side to (n, mean[d], cov[d,d])
+    numpy values — the fixed-size collect PCA needs (d² doubles,
+    independent of row count, the k-means-centroid pattern)."""
+    import numpy as np
+
+    d = int(dims)
+    rows = _reduced_moments(df, vec_col, d).collect()
+    m = np.zeros(1 + d + d * d)
+    for r in rows:
+        m[r["pidx"]] = r["msum"]
+    n = m[0]
+    if n <= 0:
+        raise ValueError("covariance_matrix: empty input")
+    s = m[1 : 1 + d]
+    g = m[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 64, k: int = 2
+):
+    """Top-k principal components from the distributed covariance.
+
+    Returns (components: k×d ndarray, explained_variance: k ndarray,
+    mean: d ndarray). Deterministic sign: each component's
+    largest-|coefficient| entry is made positive (eigh's sign is
+    otherwise arbitrary)."""
+    import numpy as np
+
+    _, mean, cov = covariance_matrix(df, vec_col, dims)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:
+        pivot = np.argmax(np.abs(c))
+        if c[pivot] < 0:
+            c *= -1.0
+    return comps, vals[order], mean
+
+
+def project_expr(vec_col: str, weights, center=None) -> Column:
+    """Catalyst dot product of ``vec_col`` against a literal weight
+    vector (optionally mean-centered): map-only, codegen, no Python in
+    the projection path."""
+    w = ", ".join(f"{float(x)!r}D" for x in weights)
+    if center is None:
+        return F.expr(
+            f"aggregate(zip_with({vec_col}, array({w}), "
+            f"(x, y) -> cast(x as double) * y), 0.0D, (a, v) -> a + v)"
+        )
+    c = ", ".join(f"{float(x)!r}D" for x in center)
+    return F.expr(
+        f"aggregate(zip_with(zip_with({vec_col}, array({c}), "
+        f"(x, m) -> cast(x as double) - m), array({w}), "
+        f"(x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean=None,
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """Append pc0..pc{k-1} projection columns (map-only stage)."""
+    out = df
+    for idx, comp in enumerate(components):
+        out = out.withColumn(
+            f"{out_prefix}{idx}", project_expr(vec_col, comp, mean)
+        )
+    return out

@@ -216,3 +216,122 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos")
     )
+
+
+def knn_graph_blocked(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs k-NN graph via block-partitioned GEMM.
+
+    The brute-force baseline done the way a 100 TB cluster would run
+    it: shard the corpus into B deterministic blocks
+    (``xxhash64(id) % B``), replicate each block B ways so every block
+    PAIR (i, j) co-locates on one task, and evaluate that pair's whole
+    similarity sub-matrix as ONE float64 ``numpy`` matmul (BLAS) per
+    task instead of O(rows²) expression evaluations. Each task prunes
+    to its local top-k per query using the exact global total order,
+    so the post-GEMM exchange carries O(n·B·k) candidate rows — never
+    the n²/B score matrix — and the final window merge collapses them
+    with the standard partial-top-k + WindowGroupLimit shape.
+
+    Memory per task is bounded by ``block_rows²·8`` bytes for the
+    score matrix (32 MB at the 2048 default), independent of corpus
+    size; replication shuffles 2·n·B rows, the unavoidable I/O of an
+    exact all-pairs pass (the sub-quadratic alternatives are
+    ``cosine_topk_lsh`` / ``ivf_topk``, which trade recall for it).
+
+    Exactness: cosines are computed in float64 and rounded
+    half-away-from-zero to 6 decimals BEFORE any ranking (the
+    suite-wide convention), and the local prune orders by the
+    identical (cos DESC, cand_id ASC) key as the global merge — so
+    the result is identical for every B and every partitioning, and
+    matches the brute-force SQL oracle.
+
+    Output: (query_id, cand_id, rank, cos) — one row per (vector,
+    neighbor) with rank 1..k, self-matches excluded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // block_rows))
+    b_count = int(n_blocks)
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_bid", F.pmod(F.xxhash64(F.col("_id")), F.lit(b_count)))
+    all_blocks = F.array([F.lit(j) for j in range(b_count)])
+    q_side = base.select(
+        F.col("_id"),
+        F.col("_v"),
+        F.col("_bid").alias("_ba"),
+        F.explode(all_blocks).alias("_bb"),
+        F.lit(0).alias("_side"),
+    )
+    c_side = base.select(
+        F.col("_id"),
+        F.col("_v"),
+        F.explode(all_blocks).alias("_ba"),
+        F.col("_bid").alias("_bb"),
+        F.lit(1).alias("_side"),
+    )
+    both = q_side.unionByName(c_side)
+
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "cand_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        qm = pdf[pdf["_side"] == 0]
+        cm = pdf[pdf["_side"] == 1]
+        if qm.empty or cm.empty:
+            return empty
+        xq = np.vstack(qm["_v"].to_numpy()).astype(np.float64)
+        xc = np.vstack(cm["_v"].to_numpy()).astype(np.float64)
+        qid = qm["_id"].to_numpy(dtype=np.int64)
+        cid = cm["_id"].to_numpy(dtype=np.int64)
+        scores = xq @ xc.T
+        nq = np.sqrt((xq * xq).sum(axis=1))
+        nc = np.sqrt((xc * xc).sum(axis=1))
+        cos = scores / (nq[:, None] * nc[None, :])
+        cos[qid[:, None] == cid[None, :]] = -np.inf  # self-match
+        # half-away-from-zero to 6 decimals (suite convention; -inf
+        # passes through: sign(-inf)*floor(inf)/1e6 = -inf)
+        cos_r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        nqr, ncr = cos_r.shape
+        kk = min(k, ncr)
+        q_idx = np.repeat(np.arange(nqr), ncr)
+        cid_t = np.tile(cid, nqr)
+        flat = cos_r.ravel()
+        # primary q_idx, then cos DESC, then cand_id ASC — the exact
+        # global merge order, so local top-k ⊇ the global winners
+        order = np.lexsort((cid_t, -flat, q_idx))
+        sel = order.reshape(nqr, ncr)[:, :kk].ravel()
+        keep = np.isfinite(flat[sel])
+        sel = sel[keep]
+        return pd.DataFrame(
+            {
+                "query_id": qid[q_idx[sel]],
+                "cand_id": cid_t[sel],
+                "cos": flat[sel],
+            }
+        )
+
+    local = both.groupBy("_ba", "_bb").applyInPandas(
+        score_block_pair, schema="query_id long, cand_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )

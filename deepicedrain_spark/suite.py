@@ -998,12 +998,15 @@ PRIORITY: list[str] = [
     "doc_fingerprints",
     "multimodal_frame_sample",
     # --- tier 2: past the driver's 50-query window -------------------
-    # zarr_sharded_cube (round-10 late addition, local-checked at
-    # sf0.01 + sf0.001 + TZ-shifted), multimodal_resize (r6, also
-    # behind the adaptive-_spread change, displaced by
-    # url_dedup_hosts) and the 20 remaining r6 rows lead the r11
-    # window
+    # Round-10 late additions (each local-checked at sf0.01 + sf0.001
+    # + TZ-shifted): zarr_sharded_cube, the blocked-GEMM exact k-NN
+    # graph, and the single-pass distributed covariance;
+    # multimodal_resize (r6, also behind the adaptive-_spread change,
+    # displaced by url_dedup_hosts) and the 20 remaining r6 rows lead
+    # the r11 window
     "zarr_sharded_cube",
+    "knn_graph_blocked",
+    "embedding_covariance",
     "multimodal_resize",
     "array_to_columns",
     "bbox_subset",

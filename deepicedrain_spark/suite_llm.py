@@ -2307,3 +2307,76 @@ def q_url_dedup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --- blocked-GEMM exact k-NN graph (round 10) ---------------------------
+# The exact all-pairs baseline run the way a cluster would: B×B block
+# pairs, one BLAS matmul per pair, local top-k in the exact global
+# order, O(n·B·k) merge exchange. Identical output for every B /
+# partitioning (proved by the partition adversary), so the brute-force
+# SQL oracle certifies the blocked physical strategy.
+@register(
+    "knn_graph_blocked",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM v),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.io import table_rows
+    from deepicedrain_spark.operators.similarity import knn_graph_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # parquet-footer row count (no job) sizes the block grid; 128-row
+    # blocks force a real multi-block pair grid at every fixture sf
+    n = table_rows(sf_dir, "embeddings")
+    return knn_graph_blocked(
+        emb, k=3, block_rows=128, n_blocks=max(1, -(-n // 128))
+    )
+
+
+# --- single-pass distributed covariance (round 10) ----------------------
+# One mapInPandas moment pass (count + sums + full Gram per Arrow
+# batch, one BLAS matmul each), one O(d²)-byte exchange, Catalyst
+# assembly — shuffle bytes independent of row count. The oracle
+# recomputes every entry with DuckDB's streaming covar_pop; the
+# assembled-from-sums formula agrees to ~1e-13, certified at 6
+# decimals.
+@register(
+    "embedding_covariance",
+    """
+    WITH x AS (
+      SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS xi
+      FROM embeddings, unnest(generate_series(0, 63)) t(i)),
+    p AS (
+      SELECT a.i AS i, b.i AS j, covar_pop(a.xi, b.xi) AS cov
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(cov, 6) + 0.0 AS cov
+    FROM p
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.linalg import covariance_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_long(emb, vec_col="embedding", dims=64, decimals=6)

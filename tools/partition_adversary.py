@@ -31,6 +31,9 @@ SENSITIVE = [
     "dedup_keep_best", "sequence_packing", "session_batch",
     "mergeable_agg_state", "block_median", "grouped_median_mad",
     "atl11_dhdt_end_to_end", "url_dedup_hosts",
+    # block/batch-shaped by construction: Arrow batch boundaries feed
+    # the covariance moment pass; the k-NN graph's GEMM block grid
+    "knn_graph_blocked", "embedding_covariance",
 ]
 
 
