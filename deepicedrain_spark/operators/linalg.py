@@ -72,44 +72,44 @@ def covariance_long(
     """Population covariance of the vector dims, long form (i, j, cov)
     for i ≤ j, via cov_ij = (G_ij − s_i·s_j/n)/n over the single-pass
     moments. Rounded to ``decimals`` (the assembled-from-sums formula
-    and a streaming co-moment pass differ in final ulps)."""
+    and a streaming co-moment pass differ in final ulps).
+
+    Plan shape (asserted in tests/test_plans.py): the data is read
+    ONCE — the reduced (pidx, msum) rows collapse to a single
+    pidx→sum map row, and every covariance entry is computed from
+    that one row by exploding the literal d² index grid. A join-based
+    assembly would re-execute the whole moment pass once per joined
+    branch (Spark does not share un-persisted subplans), turning a
+    one-pass algorithm into four passes at 100 TB."""
     d = int(dims)
-    red = _reduced_moments(df, vec_col, d)
-    n_row = F.broadcast(
-        red.filter(F.col("pidx") == 0).select(F.col("msum").alias("n"))
+    packed = _reduced_moments(df, vec_col, d).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pidx", "msum")))
+        ).alias("mm")
     )
-    s_df = F.broadcast(
-        red.filter((F.col("pidx") >= 1) & (F.col("pidx") <= d)).select(
-            (F.col("pidx") - 1).cast("int").alias("si"),
-            F.col("msum").alias("s"),
+
+    def entry(t):
+        mm = lambda key: F.element_at(F.col("mm"), key)  # noqa: E731
+        i = F.floor(t / d).cast("int")
+        j = (t % d).cast("int")
+        n = mm(F.lit(0))
+        cov = (mm(t + 1 + d) - mm(i + 1) * mm(j + 1) / n) / n
+        # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB's round keeps the
+        # sign on doubles, Spark's drops it — normalize both)
+        return F.struct(
+            i.alias("i"),
+            j.alias("j"),
+            (F.round(cov, decimals) + F.lit(0.0)).alias("cov"),
         )
-    )
-    g_df = red.filter(F.col("pidx") > d).select(
-        F.floor((F.col("pidx") - 1 - d) / d).cast("int").alias("i"),
-        ((F.col("pidx") - 1 - d) % d).cast("int").alias("j"),
-        F.col("msum").alias("g"),
+
+    entries = F.filter(
+        F.transform(F.sequence(F.lit(0), F.lit(d * d - 1)), entry),
+        lambda s: s["i"] <= s["j"],
     )
     return (
-        g_df.filter(F.col("i") <= F.col("j"))
-        .join(s_df.withColumnRenamed("s", "s_i"), F.col("i") == F.col("si"))
-        .drop("si")
-        .join(s_df.withColumnRenamed("s", "s_j"), F.col("j") == F.col("si"))
-        .drop("si")
-        .join(n_row)
-        .select(
-            "i",
-            "j",
-            # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB's round keeps the
-            # sign on doubles, Spark's drops it — normalize both)
-            (
-                F.round(
-                    (F.col("g") - F.col("s_i") * F.col("s_j") / F.col("n"))
-                    / F.col("n"),
-                    decimals,
-                )
-                + F.lit(0.0)
-            ).alias("cov"),
-        )
+        packed.filter(F.size(F.col("mm")) > 0)  # empty input → 0 rows
+        .select(F.explode(entries).alias("e"))
+        .select("e.i", "e.j", "e.cov")
     )
 
 

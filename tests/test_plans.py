@@ -408,3 +408,37 @@ def test_atl11_e2e_single_aggregation_exchange(spark):
     # and the certified result itself: right shape, every track present
     rows = df.groupBy("track").count().collect()
     assert {r["track"] for r in rows} == {f"track_{1000 + g}" for g in range(6)}
+
+
+def test_covariance_one_pass_one_exchange(spark):
+    """The covariance plan must read the data ONCE (one MapInPandas
+    moment pass) with exactly one hash exchange (the pidx reduce over
+    batches x (1+d+d^2) doubles) — no joins: a join-based assembly
+    re-executes the un-persisted moment subplan once per branch,
+    turning a one-pass algorithm into four passes at 100 TB."""
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.linalg import covariance_long
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = plan_of(covariance_long(emb, dims=64))
+    assert plan.count("MapInPandas") == 1  # the data pass happens once
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    # the only Generate is the final 2080-entry explode; the vectors
+    # themselves are never exploded
+    assert "posexplode(m" in plan or plan.count("Generate") == 2
+
+
+def test_knn_graph_prunes_before_merge(spark):
+    """The k-NN graph's merge window must consume the block tasks'
+    pruned top-k output (O(n*B*k) rows), with Spark's rank-filter
+    rewrite (WindowGroupLimit) bounding the merge, and exactly two
+    exchanges: block-pair grouping and the query_id window."""
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.similarity import knn_graph_blocked
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = plan_of(knn_graph_blocked(emb, k=3, n_blocks=4))
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
