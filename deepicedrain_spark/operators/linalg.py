@@ -8,9 +8,10 @@ full d×d Gram (``Xᵀ·X``, a single BLAS matmul per batch) flattened to
 ``1 + d + d²`` doubles. Everything after that is Catalyst over
 O(batches) rows: posexplode → one tiny hash aggregation (shuffle
 bytes are ``batches × (1+d+d²) × 8`` — independent of row count) →
-broadcast joins assemble covariance entries. No raw vector ever
-crosses an exchange, so the plan's network cost is constant in n,
-exactly like the dhdt regression's moment aggregation.
+a single pidx→sum map row from which every covariance entry is
+computed (no joins — see covariance_long's docstring). No raw vector
+ever crosses an exchange, so the plan's network cost is constant in
+n, exactly like the dhdt regression's moment aggregation.
 
 PCA reuses the same moments: the reduced covariance collapses to a
 d×d driver-side matrix (fixed size, like k-means centroids), numpy
@@ -188,3 +189,121 @@ def pca_project(
             f"{out_prefix}{idx}", project_expr(vec_col, comp, mean)
         )
     return out
+
+
+def _grouped_moment_rows(
+    df: DataFrame, group_col: str, vec_col: str, dims: int
+) -> DataFrame:
+    """One row per (Arrow batch, group): diagonal moments
+    [n, Σx (d), Σx² (d)] — length 1 + 2d. The grouped analogue of
+    ``_moment_rows`` for per-slice mean/variance (drift detection);
+    the full Gram is omitted since drift stats only need the
+    diagonal."""
+    import numpy as np
+    import pandas as pd
+
+    d = int(dims)
+
+    def gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_g, out_m = [], []
+            for gval, sub in pdf.groupby(group_col, sort=False):
+                x = np.vstack(sub[vec_col].to_numpy()).astype(np.float64)
+                if x.shape[1] != d:
+                    raise ValueError(f"expected {d}-dim vectors, got {x.shape[1]}")
+                out_g.append(gval)
+                out_m.append(
+                    np.concatenate(
+                        ([float(len(sub))], x.sum(axis=0), (x * x).sum(axis=0))
+                    ).tolist()
+                )
+            yield pd.DataFrame({"grp": out_g, "m": out_m})
+
+    return df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(vec_col).alias(vec_col),
+    ).mapInPandas(gram, schema="grp string, m array<double>")
+
+
+def drift_per_dim(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-dimension dataset-shift statistics between two corpus
+    slices: (i, mean_a, mean_b, var_a, var_b, smd) where smd is the
+    standardized mean difference (mean_a − mean_b)/√((var_a+var_b)/2)
+    — the per-dim component of a Fréchet-style embedding-drift check.
+
+    Same one-pass plan as ``covariance_long``: each Arrow batch emits
+    one (group, [n, Σx, Σx²]) moment row, a (grp, pidx) reduce and a
+    group→map pack collapse to ONE map-of-maps row, and every output
+    dim is computed from that row — the data is read once, no joins.
+    smd derives from the ROUNDED means/vars so both engines evaluate
+    the identical double expression."""
+    d = int(dims)
+    red = (
+        _grouped_moment_rows(df, group_col, vec_col, d)
+        .select("grp", F.posexplode("m").alias("pidx", "mval"))
+        .groupBy("grp", "pidx")
+        .agg(F.sum("mval").alias("msum"))
+    )
+    packed = (
+        red.groupBy("grp")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("pidx", "msum")))
+            ).alias("mm")
+        )
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("grp", "mm"))).alias("gm")
+        )
+    )
+
+    def entry(i):
+        def stats(gname):
+            mm = F.element_at(F.col("gm"), F.lit(gname))
+            n = F.element_at(mm, F.lit(0))
+            mean = F.round(F.element_at(mm, i + 1) / n, decimals) + F.lit(0.0)
+            var = (
+                F.round(
+                    F.element_at(mm, i + 1 + d) / n
+                    - (F.element_at(mm, i + 1) / n) ** 2,
+                    decimals,
+                )
+                + F.lit(0.0)
+            )
+            return mean, var
+
+        mean_a, var_a = stats(group_a)
+        mean_b, var_b = stats(group_b)
+        smd = (
+            F.round(
+                (mean_a - mean_b) / F.sqrt((var_a + var_b) / 2), decimals
+            )
+            + F.lit(0.0)
+        )
+        return F.struct(
+            i.cast("int").alias("i"),
+            mean_a.alias("mean_a"),
+            mean_b.alias("mean_b"),
+            var_a.alias("var_a"),
+            var_b.alias("var_b"),
+            smd.alias("smd"),
+        )
+
+    entries = F.transform(F.sequence(F.lit(0), F.lit(d - 1)), entry)
+    return (
+        packed.filter(
+            F.element_at(F.col("gm"), F.lit(group_a)).isNotNull()
+            & F.element_at(F.col("gm"), F.lit(group_b)).isNotNull()
+        )
+        .select(F.explode(entries).alias("e"))
+        .select("e.i", "e.mean_a", "e.mean_b", "e.var_a", "e.var_b", "e.smd")
+    )

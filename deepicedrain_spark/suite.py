@@ -1007,6 +1007,7 @@ PRIORITY: list[str] = [
     "zarr_sharded_cube",
     "knn_graph_blocked",
     "embedding_covariance",
+    "embedding_drift",
     "multimodal_resize",
     "array_to_columns",
     "bbox_subset",

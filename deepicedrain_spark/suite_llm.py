@@ -2380,3 +2380,38 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return covariance_long(emb, vec_col="embedding", dims=64, decimals=6)
+
+
+# --- embedding drift / dataset-shift detection (round 10) ---------------
+# Per-dim mean/variance/standardized-mean-difference between two
+# corpus slices — the training-pipeline check for "did this crawl
+# batch shift the embedding distribution". Spark side is the one-pass
+# grouped-moment plan (no joins, data read once); the oracle replays
+# with DuckDB's streaming avg/var_pop and is free to join its CTEs.
+@register(
+    "embedding_drift",
+    """
+    WITH x AS (
+      SELECT CASE WHEN label % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+             i, CAST(embedding[i + 1] AS DOUBLE) AS xi
+      FROM embeddings, unnest(generate_series(0, 63)) t(i)),
+    s AS (
+      SELECT grp, i,
+             round(avg(xi), 6) + 0.0 AS mean,
+             round(var_pop(xi), 6) + 0.0 AS var
+      FROM x GROUP BY grp, i),
+    a AS (SELECT i, mean AS mean_a, var AS var_a FROM s WHERE grp = 'even'),
+    b AS (SELECT i, mean AS mean_b, var AS var_b FROM s WHERE grp = 'odd')
+    SELECT CAST(a.i AS INT) AS i, mean_a, mean_b, var_a, var_b,
+           round((mean_a - mean_b) / sqrt((var_a + var_b) / 2), 6) + 0.0 AS smd
+    FROM a JOIN b USING (i)
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.linalg import drift_per_dim
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "grp",
+        F.when(F.col("label") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+    )
+    return drift_per_dim(emb, "grp", "even", "odd", dims=64)

@@ -123,3 +123,42 @@ def test_moment_pass_rejects_wrong_dims(spark):
     with pytest.raises(Exception) as ei:
         covariance_long(emb, dims=32).collect()
     assert "32" in str(ei.value)
+
+
+def test_drift_per_dim_matches_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.linalg import drift_per_dim
+
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "grp",
+        F.when(F.col("label") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+    )
+    out = drift_per_dim(emb, "grp", "even", "odd").orderBy("i").toPandas()
+    assert len(out) == 64
+
+    pdf = emb.select("grp", "embedding").toPandas()
+    x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    g = pdf["grp"].to_numpy()
+    for name, grp in (("a", "even"), ("b", "odd")):
+        np.testing.assert_allclose(
+            out[f"mean_{name}"], x[g == grp].mean(axis=0), atol=5.1e-7
+        )
+        np.testing.assert_allclose(
+            out[f"var_{name}"], x[g == grp].var(axis=0), atol=5.1e-7
+        )
+    smd_ref = (out["mean_a"] - out["mean_b"]) / np.sqrt(
+        (out["var_a"] + out["var_b"]) / 2
+    )
+    np.testing.assert_allclose(out["smd"], np.round(smd_ref, 6), atol=1e-12)
+
+
+def test_drift_missing_group_empty(spark):
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.linalg import drift_per_dim
+
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "grp", F.lit("only")
+    )
+    assert drift_per_dim(emb, "grp", "only", "missing").count() == 0

@@ -32,8 +32,8 @@ SENSITIVE = [
     "mergeable_agg_state", "block_median", "grouped_median_mad",
     "atl11_dhdt_end_to_end", "url_dedup_hosts",
     # block/batch-shaped by construction: Arrow batch boundaries feed
-    # the covariance moment pass; the k-NN graph's GEMM block grid
-    "knn_graph_blocked", "embedding_covariance",
+    # the covariance/drift moment passes; the k-NN graph's GEMM grid
+    "knn_graph_blocked", "embedding_covariance", "embedding_drift",
 ]
 
 
