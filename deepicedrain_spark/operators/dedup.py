@@ -91,15 +91,45 @@ def minhash_signature(
     # measured round 8; outputs bit-identical)
     p = F.lit(_MERSENNE31)
     hs = F.transform(F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), p))
+    return df.withColumn("_hs", hs).select(
+        id_col, minhash_sig_from_hashes(F.col("_hs"), num_hashes, raw=False).alias("sig")
+    )
+
+
+def minhash_sig_from_hashes(
+    hashes: Column, num_hashes: int = 64, raw: bool = True
+) -> Column:
+    """The same MinHash signature from precomputed shingle hashes.
+    With ``raw=True`` the input is plain xxhash64 values (e.g. the
+    distinct-hash arrays the streaming gate stores for exact verify)
+    and the mod-p fold is applied here; min-over-distinct equals
+    min-over-multiset, so the signature is identical to
+    :func:`minhash_signature` over the original shingles."""
+    p = F.lit(_MERSENNE31)
+    base = F.transform(hashes, lambda h: F.pmod(h, p)) if raw else hashes
     pa = F.lit([_minhash_coef(k, "a") for k in range(num_hashes)]).alias("a")
     pb = F.lit([_minhash_coef(k, "b") for k in range(num_hashes)]).alias("b")
-    sig = F.transform(
+    return F.transform(
         F.arrays_zip(pa, pb),
         lambda ab: F.array_min(
-            F.transform(F.col("_hs"), lambda h: F.pmod(ab["a"] * h + ab["b"], p))
+            F.transform(base, lambda h: F.pmod(ab["a"] * h + ab["b"], p))
         ),
     )
-    return df.withColumn("_hs", hs).select(id_col, sig.alias("sig"))
+
+
+def band_hash_array(
+    sig: str | Column = "sig", num_hashes: int = 64, bands: int = 16
+) -> Column:
+    """The LSH band digest array: element b = xxhash64 of the b-th
+    r-slot slice of the MinHash signature. Shared by the batch pair
+    generator below and the streaming near-dup gate so both produce
+    identical buckets for identical text."""
+    r = num_hashes // bands
+    sig_col = F.col(sig) if isinstance(sig, str) else sig
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(sig_col, b * r + 1, r)),
+    )
 
 
 def lsh_candidate_pairs(
@@ -111,15 +141,11 @@ def lsh_candidate_pairs(
     """LSH banding: hash each band of r = num_hashes/bands signature
     slots; docs sharing any band bucket become candidate pairs.
     Equi-join on (band_idx, band_hash) — linear shuffle, no O(n²)."""
-    r = num_hashes // bands
     stacked = signatures.select(
         id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hash_array("sig", num_hashes, bands)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     # bucket once, expand i<j pairs inside each bucket — the signature
     # subtree is evaluated ONCE (a self-join would compute it twice) and

@@ -1,0 +1,236 @@
+"""Streaming MinHash-LSH near-duplicate gate: dedup-on-ingest.
+
+The production pattern batch dedup can't cover: documents arrive in
+micro-batches (a crawl feed), and each batch must be filtered against
+EVERYTHING already ingested, not just itself. Reference-class batch
+ops (`operators.dedup.minhash_near_duplicates`) dedup a static corpus;
+this gate maintains an LSH band index + shingle-hash store as
+persisted state and processes each batch with one band equi-join
+against it.
+
+Semantics (batch- and ARRIVAL-ORDER-invariant, which is what makes the
+result certifiable): a document is a duplicate iff some document with
+a SMALLER doc_id anywhere in the stream is a verified near-duplicate
+(band collision AND exact Jaccard ≥ threshold on distinct shingle
+hashes). Every unordered pair is examined exactly once — when its
+later-ARRIVING member processes — and the dup markers merge by
+min(smaller id), a commutative/associative reduction, so any batch
+split or reordering of the same documents produces the identical
+final table. (An "earlier-arrival wins" gate would depend on feed
+order — untestable and irreproducible after a replay.)
+
+State layout under ``state_dir``:
+- ``docs/``  appended parquet, ONE row per ingested document:
+  (doc_id, hs array<long>, n, bands array<long>) — ``hs`` is the
+  distinct xxhash64 shingle hashes the exact verify reads (8-byte
+  hashes instead of shingle strings keep the state ~6× smaller;
+  Jaccard on the hash sets equals Jaccard on the shingle sets absent
+  64-bit collisions), ``bands`` the LSH band digests, stored packed
+  and exploded per batch at read time (one state table → one append
+  job per batch instead of two).
+- ``markers.parquet`` + ``_batches.json`` — the min-merged dup
+  markers and the applied-batch manifest (foreachBatch can replay a
+  batch after a failure; applied ids are skipped so the gate is
+  exactly-once on at-least-once delivery).
+
+Scale: per batch the work is map-side signature/banding over the
+batch, one equi-join of batch bands against the band index, and exact
+verify on candidates only. The state grows with corpus DISTINCT
+content, the markers table with duplicates found — both tiny next to
+the corpus. At cluster scale the docs/ store would be written
+bucketed by doc_id so verify joins co-locate, and the exploded band
+index maintained as a second bucketed table once re-exploding per
+batch stops being free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.operators.dedup import (
+    band_hash_array,
+    minhash_sig_from_hashes,
+    word_shingles,
+)
+
+
+def _markers_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "markers.parquet")
+
+
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "_batches.json")
+
+
+def _applied(state_dir: str) -> set[int]:
+    try:
+        with open(_manifest_path(state_dir)) as f:
+            return set(json.load(f)["batches"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return set()
+
+
+def _mark_applied(state_dir: str, batch_id: int) -> None:
+    ids = sorted(_applied(state_dir) | {int(batch_id)})
+    tmp = _manifest_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batches": ids}, f)
+    os.replace(tmp, _manifest_path(state_dir))
+
+
+def _read_markers(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    path = _markers_path(state_dir)
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    docs_dir = os.path.join(state_dir, "docs")
+    if not os.path.isdir(docs_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(docs_dir)
+    ):
+        return None
+    return spark.read.parquet(docs_dir)
+
+
+def near_dup_gate(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    workers: int = 8,
+):
+    """Returns the foreachBatch callable. Feed it document batches;
+    read the verdicts back with :func:`read_gate_result`."""
+    docs_dir = os.path.join(state_dir, "docs")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in _applied(state_dir):
+            return  # replay after failure: already committed
+
+        # a micro-batch usually arrives as ONE file = one partition;
+        # the shingle walk + 64-permutation MinHash are the heavy math
+        # of the whole gate, so spread them first. A MODEST fan-out:
+        # full defaultParallelism (32) measured 4-5x SLOWER end-to-end
+        # than single-partition at sf0.1 — every downstream stage
+        # inherits the width and task scheduling swamps the 1-2k-doc
+        # batch. Size via workers= to the real batch at cluster scale.
+        sh = word_shingles(
+            batch_df.repartition(workers), text_col=text_col, n=shingle_n
+        )
+        sig = minhash_sig_from_hashes(F.col("hs"), num_hashes, raw=True)
+        prep = (
+            sh.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.array_distinct(
+                    F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+                ).alias("hs"),
+            )
+            .withColumn("n", F.size("hs").cast("long"))
+            .withColumn(
+                "bands",
+                F.when(
+                    F.col("n") > 0, band_hash_array(sig, num_hashes, bands)
+                ).otherwise(F.array().cast("array<long>")),
+            )
+            # ONE eager pin per batch: every downstream consumer
+            # (candidate join, verify, state append) reads this
+            .localCheckpoint(eager=True)
+        )
+
+        def explode_bands(df: DataFrame) -> DataFrame:
+            return df.select(
+                "doc_id",
+                F.posexplode("bands").alias("band_idx", "band_hash"),
+            )
+
+        batch_bands = explode_bands(prep)
+        prior = _read_state(spark, state_dir)
+        index = (
+            batch_bands
+            if prior is None
+            else explode_bands(prior).unionByName(batch_bands)
+        )
+
+        # candidates: any band shared between a batch doc and ANY doc
+        # (prior state or this batch); orient each pair (later, earlier)
+        cand = (
+            batch_bands.alias("b")
+            .join(
+                index.alias("i"),
+                (F.col("b.band_idx") == F.col("i.band_idx"))
+                & (F.col("b.band_hash") == F.col("i.band_hash"))
+                & (F.col("b.doc_id") != F.col("i.doc_id")),
+            )
+            .select(
+                F.greatest("b.doc_id", "i.doc_id").alias("id_hi"),
+                F.least("b.doc_id", "i.doc_id").alias("id_lo"),
+            )
+            .distinct()
+        )
+
+        store = prep.select("doc_id", "hs", "n")
+        if prior is not None:
+            store = prior.select("doc_id", "hs", "n").unionByName(store)
+        # a crash between the state append and the manifest commit
+        # below replays the batch and re-appends — doc_id-dedup makes
+        # the duplicate rows harmless
+        store = store.dropDuplicates(["doc_id"])
+
+        inter = F.size(F.array_intersect("a.hs", "b.hs")).cast("double")
+        verified = (
+            cand.join(store.alias("a"), F.col("id_hi") == F.col("a.doc_id"))
+            .join(store.alias("b"), F.col("id_lo") == F.col("b.doc_id"))
+            .withColumn("jac", inter / (F.col("a.n") + F.col("b.n") - inter))
+            .filter(F.col("jac") >= threshold)
+            .groupBy(F.col("id_hi").alias("doc_id"))
+            .agg(F.min("id_lo").alias("dup_of"))
+        )
+
+        old = _read_markers(spark, state_dir)
+        merged = verified if old is None else old.unionByName(verified)
+        merged = merged.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+        staging = _markers_path(state_dir) + f".staging.{os.getpid()}"
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        final = _markers_path(state_dir)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(staging, final)
+
+        # append AFTER markers commit: a crash in between replays the
+        # batch (not in _batches.json yet) against pre-batch state
+        prep.write.mode("append").parquet(docs_dir)
+        _mark_applied(state_dir, batch_id)
+
+    return process
+
+
+def read_gate_result(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(doc_id, kept, dup_of) for every document the gate has seen:
+    kept = no smaller-id verified near-duplicate exists anywhere in
+    the ingested stream."""
+    docs = (
+        spark.read.parquet(os.path.join(state_dir, "docs"))
+        .select("doc_id")
+        .distinct()  # crash-replay may have double-appended a batch
+    )
+    markers = _read_markers(spark, state_dir)
+    if markers is None:
+        return docs.select(
+            "doc_id", F.lit(True).alias("kept"), F.lit(None).cast("long").alias("dup_of")
+        )
+    return docs.join(markers, "doc_id", "left").select(
+        "doc_id", F.col("dup_of").isNull().alias("kept"), "dup_of"
+    )

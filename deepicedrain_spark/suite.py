@@ -1008,6 +1008,7 @@ PRIORITY: list[str] = [
     "knn_graph_blocked",
     "embedding_covariance",
     "embedding_drift",
+    "streaming_lsh_dedup",
     "multimodal_resize",
     "array_to_columns",
     "bbox_subset",

@@ -813,3 +813,104 @@ def q_streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_upsert_table_bucketed(spark, out_dir).select(
         "user_id", F.col("value").alias("last_value"), F.col("t_us").alias("last_us")
     )
+
+
+# --- streaming MinHash-LSH near-dup gate (round 10, session 2) ----------
+# Dedup-on-ingest: four micro-batches of documents flow through
+# streaming/neardup.py's persisted band-index gate. The gate's
+# semantics are arrival-order invariant (dup = smaller-id verified
+# near-duplicate exists ANYWHERE in the stream; markers min-merge), so
+# the oracle is the plain batch statement of the same predicate — any
+# batch split of the same corpus must produce this exact table. The
+# fixture's near-dup pairs sit at J ∈ {0.9, 1.0} where 16-band recall
+# is 1 (same argument as minhash_near_dup), so band-collision+verify
+# equals the exact-Jaccard predicate here.
+@register(
+    "streaming_lsh_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT id_b AS doc_id, min(id_a) AS dup_of
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+      GROUP BY 1)
+    SELECT d.doc_id, dup_of IS NULL AS kept, dup_of
+    FROM documents d LEFT JOIN dups USING (doc_id)
+    """,
+)
+def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.streaming.neardup import near_dup_gate, read_gate_result
+    from deepicedrain_spark.suite_custom import scratch_path
+
+    feed = scratch_path(sf_dir, "lshdedup_feed")
+    state = scratch_path(sf_dir, "lshdedup_state")
+    ckpt = scratch_path(sf_dir, "lshdedup_ckpt")
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_feed = 4
+    have = (
+        [f for f in os.listdir(feed) if f.endswith(".parquet")]
+        if os.path.isdir(feed)
+        else []
+    )
+    if len(have) != n_feed:
+        tmp = f"{feed}.staging.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for b in range(n_feed):
+            part = f"{tmp}_b{b}"
+            docs.filter(F.col("doc_id") % n_feed == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part)
+            src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            os.replace(os.path.join(part, src), os.path.join(tmp, f"batch_{b}.parquet"))
+            shutil.rmtree(part)
+        shutil.rmtree(feed, ignore_errors=True)
+        os.replace(tmp, feed)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    gate = near_dup_gate(spark, state, threshold=0.8)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # AQE re-plans after every shuffle — ~1 s/batch of fixed cost on
+    # these kilobyte exchanges (min-of-4: 13.7 s with, 9.7 s without
+    # at sf0.1). Leave it ON for production batch sizes; the demo's
+    # micro-batches are below its break-even.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return read_gate_result(spark, state)

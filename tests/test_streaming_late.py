@@ -180,3 +180,95 @@ def test_stream_dir_links_are_named_by_target_not_position(tmp_path, monkeypatch
     links2 = sorted(f for f in os.listdir(d2) if f.endswith(".parquet"))
     assert links2 == ["part-00000-cccc.parquet"]
     assert not (set(links) & set(links2))  # no name reuse across rewrites
+
+
+# --- streaming MinHash-LSH near-dup gate (round 10, session 2) ----------
+
+
+def _gate_docs(spark):
+    from pyspark.sql import Row
+
+    words = [f"w{i}" for i in range(30)]
+    base = " ".join(words)
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact dup of 0
+        # near-dup: two words appended — 28 of 30 shingles shared,
+        # J = 28/30 ≈ 0.93 ≥ 0.8 with band recall ~1-3e-10
+        Row(doc_id=2, text=base + " extra tail"),
+        Row(doc_id=3, text="one two three four five six seven eight nine ten"),
+        Row(doc_id=4, text="completely different words entirely unrelated content here now"),
+        Row(doc_id=5, text=base),  # dup of 0 (and 1)
+        Row(doc_id=6, text="xx"),  # too short for 3-shingles: always kept
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _run_gate(spark, docs, splits, tmp_path, tag):
+    import pyspark.sql.functions as F
+
+    from deepicedrain_spark.streaming.neardup import near_dup_gate, read_gate_result
+
+    state = str(tmp_path / f"gate_{tag}")
+    gate = near_dup_gate(spark, state, threshold=0.8, workers=2)
+    for b, pred in enumerate(splits):
+        gate(docs.filter(pred), b)
+    return (
+        sorted(tuple(r) for r in read_gate_result(spark, state).collect()),
+        state,
+    )
+
+
+def test_near_dup_gate_batch_split_invariant(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    docs = _gate_docs(spark)
+    one = [F.lit(True)]
+    by_parity = [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1]
+    reversed_halves = [F.col("doc_id") >= 4, F.col("doc_id") < 4]
+    r1, _ = _run_gate(spark, docs, one, tmp_path, "one")
+    r2, _ = _run_gate(spark, docs, by_parity, tmp_path, "parity")
+    r3, _ = _run_gate(spark, docs, reversed_halves, tmp_path, "rev")
+    assert r1 == r2 == r3
+    verdict = {d: (kept, dup) for d, kept, dup in r1}
+    assert verdict[0] == (True, None)
+    assert verdict[1] == (False, 0)
+    assert verdict[2] == (False, 0)  # near-dup caught, min earlier id
+    assert verdict[3] == (True, None)
+    assert verdict[4] == (True, None)
+    assert verdict[5] == (False, 0)
+    assert verdict[6] == (True, None)  # shingle-less doc passes
+
+
+def test_near_dup_gate_replay_idempotent(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from deepicedrain_spark.streaming.neardup import (
+        _manifest_path,
+        near_dup_gate,
+        read_gate_result,
+    )
+
+    docs = _gate_docs(spark)
+    state = str(tmp_path / "gate_replay")
+    gate = near_dup_gate(spark, state, threshold=0.8, workers=2)
+    gate(docs.filter(F.col("doc_id") < 4), 0)
+    before = sorted(tuple(r) for r in read_gate_result(spark, state).collect())
+    # committed batch replays are skipped outright
+    gate(docs.filter(F.col("doc_id") < 4), 0)
+    assert sorted(tuple(r) for r in read_gate_result(spark, state).collect()) == before
+
+    # crash-shaped replay: state appended but the manifest commit was
+    # lost — the batch reprocesses, and doc_id dedup keeps the result
+    # identical (no phantom duplicates, no changed verdicts)
+    import os
+
+    os.remove(_manifest_path(state))
+    gate(docs.filter(F.col("doc_id") < 4), 0)
+    assert sorted(tuple(r) for r in read_gate_result(spark, state).collect()) == before
+
+    gate(docs.filter(F.col("doc_id") >= 4), 1)
+    final = {d: (k, p) for d, k, p in (
+        tuple(r) for r in read_gate_result(spark, state).collect()
+    )}
+    assert final[5] == (False, 0)

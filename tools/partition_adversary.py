@@ -34,6 +34,9 @@ SENSITIVE = [
     # block/batch-shaped by construction: Arrow batch boundaries feed
     # the covariance/drift moment passes; the k-NN graph's GEMM grid
     "knn_graph_blocked", "embedding_covariance", "embedding_drift",
+    # micro-batch boundary sensitivity by construction (foreachBatch
+    # state gate; semantics must be batch-split invariant)
+    "streaming_lsh_dedup",
 ]
 
 
