@@ -307,3 +307,44 @@ def drift_per_dim(
         .select(F.explode(entries).alias("e"))
         .select("e.i", "e.mean_a", "e.mean_b", "e.var_a", "e.var_b", "e.smd")
     )
+
+
+def frechet_distance(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> float:
+    """Fréchet distance between the Gaussian fits of two corpus
+    slices — the FID-style scalar drift metric:
+    ``|μ_a−μ_b|² + tr(C_a + C_b − 2(C_a·C_b)^½)``.
+
+    Each slice's (mean, covariance) comes from the one-pass moment
+    plan (``covariance_matrix``), so the distributed cost is two data
+    passes with constant-size shuffles; the matrix square root runs on
+    the driver over d×d symmetric matrices via eigh (clipping the
+    tiny negative eigenvalues float error produces — both C and
+    S·C_b·S are PSD up to rounding)."""
+    import numpy as np
+
+    def psd_sqrtm(m):
+        w, v = np.linalg.eigh((m + m.T) / 2.0)
+        return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+    _, mu_a, cov_a = covariance_matrix(
+        df.filter(F.col(group_col) == group_a), vec_col, dims
+    )
+    _, mu_b, cov_b = covariance_matrix(
+        df.filter(F.col(group_col) == group_b), vec_col, dims
+    )
+    s = psd_sqrtm(cov_a)
+    cross = psd_sqrtm(s @ cov_b @ s)  # tr((C_a·C_b)^½) = tr((S·C_b·S)^½)
+    d2 = float(
+        ((mu_a - mu_b) ** 2).sum()
+        + np.trace(cov_a)
+        + np.trace(cov_b)
+        - 2.0 * np.trace(cross)
+    )
+    return max(d2, 0.0)  # float error can dip an identical-pair below 0

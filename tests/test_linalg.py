@@ -162,3 +162,48 @@ def test_drift_missing_group_empty(spark):
         "grp", F.lit("only")
     )
     assert drift_per_dim(emb, "grp", "only", "missing").count() == 0
+
+
+def test_frechet_distance_properties(spark):
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.linalg import frechet_distance
+
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "grp",
+        F.when(F.col("label") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+    )
+    # identical slices → 0
+    same = emb.withColumn("grp", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b"))
+    mirrored = same.select(
+        "vec_id", "embedding", F.lit("a").alias("grp")
+    ).unionByName(
+        same.select("vec_id", "embedding", F.lit("b").alias("grp"))
+    )
+    assert frechet_distance(mirrored, "grp", "a", "b") == pytest.approx(0.0, abs=1e-9)
+
+    d = frechet_distance(emb, "grp", "even", "odd")
+    assert d > 0
+    # symmetric
+    assert d == pytest.approx(frechet_distance(emb, "grp", "odd", "even"), rel=1e-9)
+
+    # cross-check against a direct numpy computation
+    pdf = emb.select("grp", "embedding").toPandas()
+    x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    g = pdf["grp"].to_numpy()
+    xa, xb = x[g == "even"], x[g == "odd"]
+    ca = np.cov(xa, rowvar=False, bias=True)
+    cb = np.cov(xb, rowvar=False, bias=True)
+
+    def sqrtm(m):
+        w, v = np.linalg.eigh((m + m.T) / 2)
+        return (v * np.sqrt(np.clip(w, 0, None))) @ v.T
+
+    s = sqrtm(ca)
+    ref = (
+        ((xa.mean(0) - xb.mean(0)) ** 2).sum()
+        + np.trace(ca)
+        + np.trace(cb)
+        - 2 * np.trace(sqrtm(s @ cb @ s))
+    )
+    assert d == pytest.approx(ref, rel=1e-9)
