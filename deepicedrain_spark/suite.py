@@ -936,13 +936,21 @@ PRIORITY: list[str] = [
     # (1) anchors
     "dhdt_per_point_regression",
     "parquet_roundtrip",
-    # (2) never driver-checked: the round-9 ATL11 2-D cube pair and the
+    # (2) never driver-checked: the round-9 ATL11 2-D cube pair, the
     # round-10 whole-program pipeline (multi-store 2-D Zarr union ->
-    # dropna -> per-point trend -> partitioned parquet sink)
+    # dropna -> per-point trend -> partitioned parquet sink), and the
+    # round-10 session-2 additions (sharded Zarr, blocked-GEMM k-NN,
+    # one-pass covariance/drift, streaming LSH ingest gate — each
+    # local-checked at sf0.01 + sf0.001 + TZ-shifted + local[3]/7)
     "atl11_ingest_cube",
     "atl11_zarr_cube",
     "atl11_dhdt_end_to_end",
     "url_dedup_hosts",
+    "zarr_sharded_cube",
+    "knn_graph_blocked",
+    "embedding_covariance",
+    "embedding_drift",
+    "streaming_lsh_dedup",
     # (3) code changed since last driver row — the hdf5lite/zarr family
     # (N-D layers r9; BE reads + staging/F-order fixes r10; rows r6-r8
     # all predate), the multimodal codecs (_spread went adaptive r10,
@@ -992,23 +1000,18 @@ PRIORITY: list[str] = [
     "streaming_bloom_bits",
     "embedding_near_dup_lsh",
     "embedding_near_dup",
+    # --- tier 2: past the driver's 50-query window -------------------
+    # Displaced by the five session-2 never-checked entries above
+    # (policy: no-driver-row-ever outranks aged rows): ivf_topk,
+    # cosine_topk, tfidf_top_terms, doc_fingerprints,
+    # multimodal_frame_sample — all r6-green histories — plus
+    # multimodal_resize and the 20 remaining r6 rows lead the r11
+    # window
     "ivf_topk",
     "cosine_topk",
     "tfidf_top_terms",
     "doc_fingerprints",
     "multimodal_frame_sample",
-    # --- tier 2: past the driver's 50-query window -------------------
-    # Round-10 late additions (each local-checked at sf0.01 + sf0.001
-    # + TZ-shifted): zarr_sharded_cube, the blocked-GEMM exact k-NN
-    # graph, and the single-pass distributed covariance;
-    # multimodal_resize (r6, also behind the adaptive-_spread change,
-    # displaced by url_dedup_hosts) and the 20 remaining r6 rows lead
-    # the r11 window
-    "zarr_sharded_cube",
-    "knn_graph_blocked",
-    "embedding_covariance",
-    "embedding_drift",
-    "streaming_lsh_dedup",
     "multimodal_resize",
     "array_to_columns",
     "bbox_subset",
