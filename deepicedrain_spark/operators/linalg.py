@@ -221,10 +221,16 @@ def _grouped_moment_rows(
                 )
             yield pd.DataFrame({"grp": out_g, "m": out_m})
 
-    return df.select(
-        F.col(group_col).cast("string").alias(group_col),
-        F.col(vec_col).alias(vec_col),
-    ).mapInPandas(gram, schema="grp string, m array<double>")
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(vec_col).alias(vec_col),
+        )
+        # pandas groupby drops null keys silently — make the contract
+        # explicit: null-group rows are excluded from every slice
+        .filter(F.col(group_col).isNotNull())
+        .mapInPandas(gram, schema="grp string, m array<double>")
+    )
 
 
 def drift_per_dim(

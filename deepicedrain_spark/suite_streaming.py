@@ -873,7 +873,14 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(feed)
         else []
     )
-    if len(have) != n_feed:
+    # restage when the SOURCE is newer than the staged feed — a
+    # regenerated documents.parquet must not read against a stale
+    # split (the fixture-swap lesson from the HDF5 scratch dirs)
+    src_mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    stale = bool(have) and min(
+        os.path.getmtime(os.path.join(feed, f)) for f in have
+    ) < src_mtime
+    if len(have) != n_feed or stale:
         tmp = f"{feed}.staging.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
