@@ -289,9 +289,14 @@ def drift_per_dim(
 
         mean_a, var_a = stats(group_a)
         mean_b, var_b = stats(group_b)
+        # try_divide: a dim whose rounded pooled variance is 0 (an
+        # exactly-constant or <5e-7-variance dim) must yield NULL like
+        # the DuckDB oracle's x/0.0 — plain division THROWS under the
+        # session's ANSI mode
         smd = (
             F.round(
-                (mean_a - mean_b) / F.sqrt((var_a + var_b) / 2), decimals
+                F.try_divide(mean_a - mean_b, F.sqrt((var_a + var_b) / 2)),
+                decimals,
             )
             + F.lit(0.0)
         )

@@ -20,18 +20,25 @@ final table. (An "earlier-arrival wins" gate would depend on feed
 order — untestable and irreproducible after a replay.)
 
 State layout under ``state_dir``:
-- ``docs/``  appended parquet, ONE row per ingested document:
-  (doc_id, hs array<long>, n, bands array<long>) — ``hs`` is the
-  distinct xxhash64 shingle hashes the exact verify reads (8-byte
-  hashes instead of shingle strings keep the state ~6× smaller;
-  Jaccard on the hash sets equals Jaccard on the shingle sets absent
-  64-bit collisions), ``bands`` the LSH band digests, stored packed
-  and exploded per batch at read time (one state table → one append
-  job per batch instead of two).
-- ``markers.parquet`` + ``_batches.json`` — the min-merged dup
-  markers and the applied-batch manifest (foreachBatch can replay a
-  batch after a failure; applied ids are skipped so the gate is
-  exactly-once on at-least-once delivery).
+- ``docs/b<batch_id>/``  one parquet subdir per batch, ONE row per
+  ingested document: (doc_id, hs array<long>, n, bands array<long>)
+  — ``hs`` is the distinct xxhash64 shingle hashes the exact verify
+  reads (8-byte hashes instead of shingle strings keep the state ~6×
+  smaller; Jaccard on the hash sets equals Jaccard on the shingle
+  sets absent 64-bit collisions), ``bands`` the LSH band digests,
+  stored packed and exploded per batch at read time. Per-batch
+  subdirs written with overwrite make crash-replay idempotent WITHOUT
+  a doc_id dedup — a dedup would shuffle the entire accumulated state
+  every batch, the history-bound cost the flat wall profile forbids.
+- ``markers_c<seq>/`` + ``_markers.json`` pointer — the min-merged
+  dup markers, committed by writing a fresh commit-numbered version
+  then atomically flipping the pointer (a crash at any point leaves
+  the pointer on the last complete version, and a replay never
+  overwrites the directory its own merge plan is lazily reading);
+  stale versions are cleaned after the flip.
+- ``_batches.json`` — the applied-batch manifest (foreachBatch can
+  replay a batch after a failure; applied ids are skipped so the
+  gate is exactly-once on at-least-once delivery).
 
 Scale: per batch the work is map-side signature/banding over the
 batch, one equi-join of batch bands against the band index, and exact
@@ -58,8 +65,23 @@ from deepicedrain_spark.operators.dedup import (
 )
 
 
-def _markers_path(state_dir: str) -> str:
-    return os.path.join(state_dir, "markers.parquet")
+def _markers_pointer(state_dir: str) -> str:
+    return os.path.join(state_dir, "_markers.json")
+
+
+def _markers_state(state_dir: str) -> tuple[str | None, int]:
+    """(current marker dir name or None, last commit seq)."""
+    try:
+        with open(_markers_pointer(state_dir)) as f:
+            p = json.load(f)
+        return p["current"], int(p.get("seq", 0))
+    except (FileNotFoundError, KeyError, ValueError):
+        return None, -1
+
+
+def _current_markers_dir(state_dir: str) -> str | None:
+    name, _ = _markers_state(state_dir)
+    return None if name is None else os.path.join(state_dir, name)
 
 
 def _manifest_path(state_dir: str) -> str:
@@ -83,8 +105,8 @@ def _mark_applied(state_dir: str, batch_id: int) -> None:
 
 
 def _read_markers(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    path = _markers_path(state_dir)
-    if not os.path.exists(path):
+    path = _current_markers_dir(state_dir)
+    if path is None or not os.path.isdir(path):
         return None
     return spark.read.parquet(path)
 
@@ -92,10 +114,10 @@ def _read_markers(spark: SparkSession, state_dir: str) -> DataFrame | None:
 def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     docs_dir = os.path.join(state_dir, "docs")
     if not os.path.isdir(docs_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(docs_dir)
+        e.is_dir() for e in os.scandir(docs_dir)
     ):
         return None
-    return spark.read.parquet(docs_dir)
+    return spark.read.parquet(os.path.join(docs_dir, "b*"))
 
 
 def near_dup_gate(
@@ -179,13 +201,17 @@ def near_dup_gate(
             .distinct()
         )
 
+        # no doc_id dedup here: each batch writes its OWN subdirectory
+        # with mode=overwrite, so a crash-replay rewrites the same
+        # files instead of appending duplicates. (A dropDuplicates
+        # would shuffle the ENTIRE accumulated state every batch —
+        # exactly the history-bound per-batch cost this gate's flat
+        # wall profile forbids.) A doc redelivered under two DIFFERENT
+        # batch ids can still appear twice; the verify groupBy-min and
+        # read_gate_result's distinct absorb that.
         store = prep.select("doc_id", "hs", "n")
         if prior is not None:
             store = prior.select("doc_id", "hs", "n").unionByName(store)
-        # a crash between the state append and the manifest commit
-        # below replays the batch and re-appends — doc_id-dedup makes
-        # the duplicate rows harmless
-        store = store.dropDuplicates(["doc_id"])
 
         inter = F.size(F.array_intersect("a.hs", "b.hs")).cast("double")
         verified = (
@@ -200,18 +226,39 @@ def near_dup_gate(
         old = _read_markers(spark, state_dir)
         merged = verified if old is None else old.unionByName(verified)
         merged = merged.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
-        staging = _markers_path(state_dir) + f".staging.{os.getpid()}"
-        merged.coalesce(1).write.mode("overwrite").parquet(staging)
-        final = _markers_path(state_dir)
-        if os.path.exists(final):
-            import shutil
+        # versioned commit: write the new marker table under a FRESH
+        # name (commit counter, never reused — a batch-id name would
+        # make a crash-replay overwrite the very directory the lazy
+        # `old` plan is reading), then flip the pointer atomically. A
+        # crash at ANY point leaves the pointer on the last complete
+        # version — the earlier delete-then-rename scheme had a window
+        # that lost every prior batch's markers (review r10s2). Stale
+        # versions are cleaned only after the pointer moves on.
+        cur_name, seq = _markers_state(state_dir)
+        new_name = f"markers_c{seq + 1}"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, new_name)
+        )
+        tmp = _markers_pointer(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"current": new_name, "seq": seq + 1}, f)
+        os.replace(tmp, _markers_pointer(state_dir))
+        import shutil
 
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        for e in os.scandir(state_dir):
+            if (
+                e.is_dir()
+                and e.name.startswith("markers_")
+                and e.name != new_name
+            ):
+                shutil.rmtree(e.path, ignore_errors=True)
 
-        # append AFTER markers commit: a crash in between replays the
-        # batch (not in _batches.json yet) against pre-batch state
-        prep.write.mode("append").parquet(docs_dir)
+        # per-batch subdir with overwrite: crash-replay rewrites the
+        # same files (idempotent), never appends duplicates. Committed
+        # AFTER markers so a replay re-verifies against pre-batch state.
+        prep.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"b{int(batch_id)}")
+        )
         _mark_applied(state_dir, batch_id)
 
     return process
@@ -222,9 +269,9 @@ def read_gate_result(spark: SparkSession, state_dir: str) -> DataFrame:
     kept = no smaller-id verified near-duplicate exists anywhere in
     the ingested stream."""
     docs = (
-        spark.read.parquet(os.path.join(state_dir, "docs"))
+        spark.read.parquet(os.path.join(state_dir, "docs", "b*"))
         .select("doc_id")
-        .distinct()  # crash-replay may have double-appended a batch
+        .distinct()  # a doc redelivered under two batch ids appears twice
     )
     markers = _read_markers(spark, state_dir)
     if markers is None:

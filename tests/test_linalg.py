@@ -207,3 +207,22 @@ def test_frechet_distance_properties(spark):
         - 2 * np.trace(sqrtm(s @ cb @ s))
     )
     assert d == pytest.approx(ref, rel=1e-9)
+
+
+def test_drift_zero_variance_dim_yields_null_smd(spark):
+    from pyspark.sql import functions as F
+
+    from deepicedrain_spark.operators.linalg import drift_per_dim
+
+    # dim 0 is constant in BOTH groups -> rounded pooled variance 0;
+    # smd must be NULL (like the DuckDB oracle's x/0.0), not an ANSI
+    # DIVIDE_BY_ZERO crash
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", [5.0, float(i % 7), float((i * 3) % 11)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, embedding array<double>")
+    out = {r["i"]: r for r in drift_per_dim(df, "grp", "a", "b", dims=3).collect()}
+    assert out[0]["var_a"] == 0.0 and out[0]["var_b"] == 0.0
+    assert out[0]["smd"] is None
+    assert out[1]["smd"] is not None and out[2]["smd"] is not None

@@ -26,15 +26,12 @@ from deepicedrain_spark.operators.similarity import cosine_topk, knn_graph_block
 
 
 def synth_vectors(spark, n: int):
-    """64-dim float vectors, pure-Catalyst generation (no Python)."""
-    lab = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10)).cast("int")
-    emb = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: (
-            F.sin(lab * F.lit(1.7) + i * F.lit(0.31))
-            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / F.lit(4000.0)
-        ).cast("float"),
-    )
+    """64-dim float vectors — the shared generator from
+    scalecheck_queries, so linalg/gate/query probes measure the same
+    distribution."""
+    from scalecheck_queries import embedding_exprs
+
+    _, emb = embedding_exprs()
     return spark.range(n).select(F.col("id").alias("vec_id"), emb.alias("embedding"))
 
 

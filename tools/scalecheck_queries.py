@@ -97,6 +97,23 @@ QUERIES = [
 ]
 
 
+def embedding_exprs(id_col: str = "id"):
+    """(label, embedding) column exprs for the synthetic 64-dim
+    vectors — 10 sin-cluster centers + hash noise over a long id
+    column. The ONE definition every scale probe shares (stage() here
+    and tools/scalecheck_linalg.py), so the probes stay comparable."""
+    lab = F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(10)).cast("int")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.sin(lab * F.lit(1.7) + i * F.lit(0.31))
+            + (F.pmod(F.xxhash64(F.col(id_col), i), F.lit(2001)) - 1000)
+            / F.lit(4000.0)
+        ).cast("float"),
+    )
+    return lab, emb
+
+
 def stage(spark, out_dir: str, mult: int) -> None:
     N_DOCS = 5_000 * mult
     N_VECS = 2_000 * mult
@@ -130,14 +147,7 @@ def stage(spark, out_dir: str, mult: int) -> None:
 
     # embeddings: 10 gaussian-ish label clusters in 64-dim float
     v = spark.range(N_VECS)
-    lab = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10)).cast("int")
-    emb = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: (
-            F.sin(lab * F.lit(1.7) + i * F.lit(0.31))
-            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / F.lit(4000.0)
-        ).cast("float"),
-    )
+    lab, emb = embedding_exprs()
     v.select(
         F.col("id").alias("vec_id"), emb.alias("embedding"), lab.alias("label")
     ).coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
