@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from deepicedrain_spark import suite  # noqa: E402
 from deepicedrain_spark import suite_custom  # noqa: E402,F401  (registers queries)
 from deepicedrain_spark import suite_llm  # noqa: E402,F401  (registers queries)
+from deepicedrain_spark import suite_retrieval  # noqa: E402,F401  (registers queries)
 from deepicedrain_spark import suite_sketch  # noqa: E402,F401  (registers queries)
 from deepicedrain_spark import suite_streaming  # noqa: E402,F401  (registers queries)
 

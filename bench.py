@@ -25,6 +25,7 @@ from deepicedrain_spark.session import get_spark  # noqa: E402
 from deepicedrain_spark import suite  # noqa: E402
 from deepicedrain_spark import suite_custom  # noqa: E402,F401
 from deepicedrain_spark import suite_llm  # noqa: E402,F401
+from deepicedrain_spark import suite_retrieval  # noqa: E402,F401
 from deepicedrain_spark import suite_sketch  # noqa: E402,F401
 from deepicedrain_spark import suite_streaming  # noqa: E402,F401
 

@@ -262,3 +262,74 @@ def vocabulary(
     if top_k is not None:
         counts = counts.orderBy(F.desc("n"), "token").limit(top_k)
     return counts
+
+
+def entropy_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon-entropy quality signals (nats):
+
+    - token_entropy  H₁ = ln n − (Σ c·ln c)/n over the token counts —
+      near 0 for boilerplate that repeats one token, maximal for
+      uniform token use;
+    - norm_entropy   H₁/ln(n_distinct) in [0, 1] (NULL when a doc has
+      a single distinct token — try_divide, matching SQL NULL);
+    - bigram_cond_entropy  H₂ − H₁ computed over bigram counts — the
+      conditional next-token entropy, the repetition signal Gopher's
+      top-fraction ratios (repetition_features) can't see: a doc that
+      cycles "a b a b a b" has high H₁ but ZERO conditional entropy.
+
+    One pass: tokens explode once; bigrams derive from the same split.
+    Both count aggregations shuffle on (doc, term) — vocabulary-bounded
+    combiner output — and rejoin on doc_id. Documents with < 2 tokens
+    carry NULL bigram_cond_entropy (LEFT join, no bigrams).
+
+    Determinism: counts are exact integers; entropies are Σ c·ln c
+    double sums rounded to 6 d.p. (generic values — suite_llm header).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("tok"),
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    uni = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("_h1"),
+    )
+    bg = (
+        df.select(F.col(id_col).alias("doc_id"), whitespace_tokens(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+                )
+            ).alias("b"),
+        )
+    )
+    bc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    bi = bc.groupBy("doc_id").agg(
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("_h2")
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round("_h1", 6).alias("token_entropy"),
+            F.round(
+                F.try_divide(F.col("_h1"), F.log(F.col("n_distinct").cast("double"))), 6
+            ).alias("norm_entropy"),
+            F.round(F.col("_h2") - F.col("_h1"), 6).alias("bigram_cond_entropy"),
+        )
+    )

@@ -951,6 +951,16 @@ PRIORITY: list[str] = [
     "embedding_covariance",
     "embedding_drift",
     "streaming_lsh_dedup",
+    # round-10 session-3 additions (retrieval/evaluation family —
+    # BM25, MMR, Kneser–Ney LM, ROC-AUC, PR grid, entropy signals),
+    # never driver-checked, local-certified at sf0.01 + sf0.001 +
+    # TZ-shifted + local[3]/7 (ROADMAP session-3 close)
+    "bm25_topk_per_lang",
+    "mmr_diversified_topk",
+    "kneser_ney_lm_score",
+    "classifier_auc_eval",
+    "precision_recall_curve",
+    "entropy_quality",
     # (3) code changed since last driver row — the hdf5lite/zarr family
     # (N-D layers r9; BE reads + staging/F-order fixes r10; rows r6-r8
     # all predate), the multimodal codecs (_spread went adaptive r10,
@@ -990,23 +1000,24 @@ PRIORITY: list[str] = [
     "stratified_sample_events",
     "text_cleaning",
     "weighted_sample_docs",
-    # then 13 of the 33 r6 rows — complex plans first (stateful
-    # streaming, LSH/ANN, fingerprints) plus the two r6 multimodal
-    # queries (also behind the adaptive-_spread change)
+    # one r6 row closes the 50 (stateful streaming, the most complex
+    # of the remaining r6 cohort)
     "streaming_running_anomaly",
+    # --- tier 2: past the driver's 50-query window -------------------
+    # Displaced by the session-2 + session-3 never-checked entries
+    # above (policy: no-driver-row-ever outranks aged rows):
+    # streaming_kmeans_assign, streaming_raster_counts,
+    # streaming_hll_users, streaming_bloom_bits,
+    # embedding_near_dup_lsh, embedding_near_dup, ivf_topk,
+    # cosine_topk, tfidf_top_terms, doc_fingerprints,
+    # multimodal_frame_sample — all r6-green histories — plus
+    # multimodal_resize and the remaining r6 rows lead the r11 window
     "streaming_kmeans_assign",
     "streaming_raster_counts",
     "streaming_hll_users",
     "streaming_bloom_bits",
     "embedding_near_dup_lsh",
     "embedding_near_dup",
-    # --- tier 2: past the driver's 50-query window -------------------
-    # Displaced by the five session-2 never-checked entries above
-    # (policy: no-driver-row-ever outranks aged rows): ivf_topk,
-    # cosine_topk, tfidf_top_terms, doc_fingerprints,
-    # multimodal_frame_sample — all r6-green histories — plus
-    # multimodal_resize and the 20 remaining r6 rows lead the r11
-    # window
     "ivf_topk",
     "cosine_topk",
     "tfidf_top_terms",

@@ -1,0 +1,305 @@
+"""Driver-contract queries for the retrieval / evaluation operators
+(round-10 session-3 extension): BM25 keyword retrieval, MMR
+diversity-aware selection, Kneser–Ney LM scoring, distributed
+classifier evaluation (ROC-AUC + PR grid), and Shannon-entropy quality
+signals — the training-data-pipeline stages that sit between the
+dedup/quality family (suite_llm/suite_sketch) and model training.
+
+Determinism follows the suite_llm.py header contract: counts are
+exact integers, per-row double arithmetic is the identical expression
+tree in both engines, double SUMS are rounded to 6 d.p. (generic
+values never land on a half-quantum), and driver-side (numpy) cosines
+use the multiply-round form certified bit-identical to DuckDB's
+round(x, 6) in operators/similarity.knn_graph_blocked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.io import load_table
+from deepicedrain_spark.operators import textstats as ts_ops
+from deepicedrain_spark.operators.evalmetrics import pr_at_thresholds, roc_auc
+from deepicedrain_spark.operators.lm import kneser_ney_score
+from deepicedrain_spark.operators.retrieval import bm25_topk, mmr_select
+from deepicedrain_spark.operators.similarity import cosine_topk
+from deepicedrain_spark.suite import register
+
+# shared oracle fragment: whitespace tokens, the corpus convention
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+
+# --- BM25 keyword retrieval ---------------------------------------------
+# Query set derived from the corpus itself (no artifact to ship): each
+# language's 3 most frequent tokens, ties by token asc. The scoring
+# plan: ONE corpus shuffle to (doc, term, tf) postings + a doc-length
+# window over the same partitioning; query terms / per-term df / the
+# one-row corpus stats broadcast; per-query rank window collapses via
+# WindowGroupLimit. avgdl is spelled sum/count so both engines divide
+# the same exact integer sum; k1+1 and 1−b are computed from the same
+# literals in both engines.
+@register(
+    "bm25_topk_per_lang",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    qterms AS (
+      SELECT lang AS query_id, tok AS term,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS r
+      FROM toks GROUP BY lang, tok QUALIFY r <= 3),
+    dfreq AS (
+      SELECT tok, count(*) AS df FROM tf
+      WHERE tok IN (SELECT term FROM qterms) GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             round(sum(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * (1.2 + 1.0))
+               / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM qterms q
+      JOIN tf t ON t.tok = q.term
+      JOIN dfreq f ON f.tok = q.term
+      JOIN dl d ON d.doc_id = t.doc_id, stats s
+      GROUP BY 1, 2)
+    SELECT query_id, doc_id, rank, score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q_bm25_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(ts_ops.whitespace_tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    qterms = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select(F.col("lang").alias("query_id"), "term")
+    )
+    out = bm25_topk(docs, qterms, k=5, k1=1.2, b=0.75)
+    return out.select("query_id", "doc_id", "rank", "score")
+
+
+# --- MMR diversity-aware selection --------------------------------------
+# Pool = exact top-24 by round-6 cosine to the vec_id-0 query (the
+# distributed stage, cosine_topk's broadcast + WindowGroupLimit plan);
+# greedy MMR (λ=0.7, div=0.3, k=8) decides the ORDER driver-side over
+# the bounded collected pool; output values re-derive Spark-side. The
+# oracle replays the greedy as a recursive CTE with a LATERAL
+# argmax-pick per step over the same round-6 rel/sim values.
+@register(
+    "mmr_diversified_topk",
+    """
+    WITH RECURSIVE
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cand_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings WHERE vec_id <> 0),
+    relall AS (
+      SELECT cand_id, cv,
+             round(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))
+                   / sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]))
+                        * list_sum(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]))), 6) AS rel
+      FROM c, q),
+    pool AS (
+      SELECT cand_id, cv, rel,
+             row_number() OVER (ORDER BY rel DESC, cand_id) AS rr
+      FROM relall QUALIFY rr <= 24),
+    sims AS (
+      SELECT a.cand_id AS ia, b.cand_id AS ib,
+             round(list_sum(list_transform(generate_series(1, 64), i -> a.cv[i] * b.cv[i]))
+                   / sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.cv[i] * a.cv[i]))
+                        * list_sum(list_transform(generate_series(1, 64), i -> b.cv[i] * b.cv[i]))), 6) AS cos
+      FROM pool a JOIN pool b ON a.cand_id <> b.cand_id),
+    sel(step, picked, sel_ids) AS (
+      (SELECT 1, cand_id, [cand_id] FROM pool ORDER BY 0.7 * rel DESC, cand_id LIMIT 1)
+      UNION ALL
+      SELECT s.step + 1, pick.cand_id, list_append(s.sel_ids, pick.cand_id)
+      FROM sel s, LATERAL (
+        SELECT p.cand_id,
+               0.7 * p.rel - 0.3 * (SELECT max(si.cos) FROM sims si
+                                    WHERE si.ia = p.cand_id
+                                      AND list_contains(s.sel_ids, si.ib)) AS score
+        FROM pool p WHERE NOT list_contains(s.sel_ids, p.cand_id)
+        ORDER BY score DESC, p.cand_id LIMIT 1) pick
+      WHERE s.step < 8)
+    SELECT CAST(s.step AS BIGINT) AS rank, s.picked AS cand_id, p.rel
+    FROM sel s JOIN pool p ON p.cand_id = s.picked
+    ORDER BY rank
+    """,
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    top = cosine_topk(qdf, emb, k=24)
+    pool = top.join(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")),
+        "cand_id",
+    ).select("cand_id", F.col("cos").alias("rel"), "cv")
+    return mmr_select(pool, k=8, lam=0.7, div=0.3, max_pool=24)
+
+
+# --- Kneser–Ney bigram LM scoring ----------------------------------------
+@register(
+    "kneser_ney_lm_score",
+    f"""
+    WITH ws AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s
+      FROM ws WHERE len(w) >= 2),
+    bg2 AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+    bgc AS (SELECT w1, w2, count(*) AS c FROM bg2 GROUP BY 1, 2),
+    lft AS (SELECT w1, sum(c) AS tot, count(*) AS fol FROM bgc GROUP BY 1),
+    rgt AS (SELECT w2, count(*) AS prc FROM bgc GROUP BY 1),
+    bt AS (SELECT count(*) AS bt FROM bgc),
+    scored AS (
+      SELECT g.doc_id,
+             ln(greatest(c.c - 0.75, 0.0) / l.tot
+                + 0.75 * l.fol / l.tot * r.prc / b.bt) AS lp
+      FROM bg2 g
+      JOIN bgc c ON c.w1 = g.w1 AND c.w2 = g.w2
+      JOIN lft l ON l.w1 = g.w1
+      JOIN rgt r ON r.w2 = g.w2, bt b)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp) / count(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_score(docs, discount=0.75)
+
+
+# --- classifier evaluation: exact tie-corrected ROC-AUC -------------------
+# Scores = the heuristic quality composite (textstats.quality_score —
+# its unrounded double is certified bit-identical cross-engine by the
+# driver-green quality_scores rows); labels = (lang = 'en'), i.e. "does
+# the English-stopword-based quality score discriminate English docs".
+_QUALITY_FEATS = f"""
+    feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_tokens,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 t -> t != '' AND list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) AS n_stop,
+             list_sum(list_transform({_TOKS}, t -> length(t))) AS tok_chars
+      FROM documents),
+    scored AS (
+      SELECT doc_id, (lang = 'en') AS lab,
+             least(n_tokens / 64.0, 1.0) * 0.4
+               + least(round(CAST(n_punct AS DOUBLE) / n_chars, 6) * 20.0, 1.0) * 0.2
+               + least(round(CAST(n_stop AS DOUBLE) / n_tokens, 6) * 5.0, 1.0) * 0.2
+               + least(round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) / 8.0, 1.0) * 0.2 AS s
+      FROM feats)
+"""
+
+
+@register(
+    "classifier_auc_eval",
+    f"""
+    WITH {_QUALITY_FEATS},
+    per AS (
+      SELECT s,
+             sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN lab THEN 0 ELSE 1 END) AS nn
+      FROM scored GROUP BY s),
+    cum AS (
+      SELECT np, nn,
+             coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM per),
+    agg AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             sum(np * (2 * cnb + nn)) AS num2
+      FROM cum)
+    SELECT n_pos, n_neg,
+           round(num2 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(2.0 * (num2 / (2.0 * n_pos * n_neg)) - 1.0, 6) AS gini
+    FROM agg
+    """,
+)
+def q_classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(docs).select(
+        F.col("quality").alias("score"), (F.col("lang") == "en").alias("label")
+    )
+    return roc_auc(scored, "score", "label")
+
+
+# --- classifier evaluation: precision/recall/F1 threshold grid ------------
+@register(
+    "precision_recall_curve",
+    f"""
+    WITH {_QUALITY_FEATS},
+    th(threshold) AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE)),
+    cnt AS (
+      SELECT th.threshold,
+             CAST(sum(CASE WHEN s >= threshold AND lab THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= threshold AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s < threshold AND lab THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s < threshold AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored, th GROUP BY 1)
+    SELECT threshold, tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+    FROM cnt ORDER BY threshold
+    """,
+)
+def q_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(docs).select(
+        F.col("quality").alias("score"), (F.col("lang") == "en").alias("label")
+    )
+    return pr_at_thresholds(scored, (0.2, 0.4, 0.6, 0.8), "score", "label")
+
+
+# --- Shannon-entropy quality signals --------------------------------------
+@register(
+    "entropy_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c) AS h1
+      FROM tc GROUP BY 1),
+    ws AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1])) AS b
+      FROM ws WHERE len(w) >= 2),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id,
+             ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c) AS h2
+      FROM bc GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens, u.n_distinct,
+           round(u.h1, 6) AS token_entropy,
+           round(u.h1 / ln(CAST(u.n_distinct AS DOUBLE)), 6) AS norm_entropy,
+           round(b.h2 - u.h1, 6) AS bigram_cond_entropy
+    FROM uni u LEFT JOIN bi b ON b.doc_id = u.doc_id
+    """,
+)
+def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts_ops.entropy_features(docs)

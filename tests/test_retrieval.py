@@ -1,0 +1,266 @@
+"""Unit tests for the retrieval / evaluation operators (round-10
+session 3): BM25, MMR selection, Kneser–Ney LM, ROC-AUC / PR grid,
+entropy features — each checked against an independent pure-Python
+computation on tiny planted corpora."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deepicedrain_spark.operators.evalmetrics import pr_at_thresholds, roc_auc
+from deepicedrain_spark.operators.lm import kneser_ney_score
+from deepicedrain_spark.operators.retrieval import bm25_topk, mmr_select
+from deepicedrain_spark.operators.textstats import entropy_features
+
+
+DOCS = [
+    Row(doc_id=0, text="spark shuffle join join join"),
+    Row(doc_id=1, text="spark scan filter"),
+    Row(doc_id=2, text="join scan scan scan scan scan"),
+    Row(doc_id=3, text="filter filter filter filter"),
+]
+
+
+def _bm25_py(docs, terms, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in docs}
+    n = len(toks)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / n
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl[d] / avgdl))
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    df = spark.createDataFrame(DOCS)
+    qt = spark.createDataFrame([Row(query_id="q", term="join"), Row(query_id="q", term="scan")])
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, qt, k=10).collect()}
+    want = _bm25_py([(r.doc_id, r.text) for r in DOCS], ["join", "scan"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=2e-6)
+
+
+def test_bm25_rank_order_and_k(spark):
+    df = spark.createDataFrame(DOCS)
+    qt = spark.createDataFrame([Row(query_id="q", term="scan")])
+    rows = bm25_topk(df, qt, k=2).orderBy("rank").collect()
+    assert len(rows) == 2
+    assert rows[0]["doc_id"] == 2  # 5x 'scan' dominates
+    assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_bm25_broadcasts_model_tables(spark):
+    df = spark.createDataFrame(DOCS)
+    qt = spark.createDataFrame([Row(query_id="q", term="scan")])
+    plan = bm25_topk(df, qt, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # query terms / df / stats never shuffle the postings
+
+
+def _mmr_py(ids, rel, vecs, k, lam, div):
+    import numpy as np
+
+    mat = np.array(vecs, dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(nrm, nrm)
+    sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+    sel, rem = [], set(range(len(ids)))
+    while len(sel) < min(k, len(ids)):
+        best, bk = None, None
+        for p in sorted(rem):
+            s = lam * rel[p] - (div * max(sims[p][q] for q in sel) if sel else 0.0)
+            key = (-s, ids[p])
+            if bk is None or key < bk:
+                best, bk = p, key
+        sel.append(best)
+        rem.discard(best)
+    return [ids[p] for p in sel]
+
+
+def test_mmr_diversifies_over_pure_relevance(spark):
+    # two near-identical high-relevance vectors + one orthogonal lower
+    # one: relevance-only top-2 takes the twins; MMR must not
+    pool = spark.createDataFrame(
+        [
+            # step 2: cand 2 scores 0.7·0.90 − 0.3·1.0 = 0.33, cand 3
+            # scores 0.7·0.50 − 0.3·0.0 = 0.35 → diversity wins
+            Row(cand_id=1, rel=0.95, cv=[1.0, 0.0, 0.0]),
+            Row(cand_id=2, rel=0.90, cv=[0.999, 0.01, 0.0]),
+            Row(cand_id=3, rel=0.50, cv=[0.0, 1.0, 0.0]),
+        ]
+    )
+    got = [r["cand_id"] for r in mmr_select(pool, k=2, lam=0.7, div=0.3).collect()]
+    assert got == [1, 3]
+
+
+def test_mmr_matches_python_greedy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 8)).tolist()
+    rel = [round(float(x), 6) for x in rng.uniform(0.1, 0.9, 12)]
+    ids = list(range(100, 112))
+    pool = spark.createDataFrame(
+        [Row(cand_id=i, rel=r, cv=v) for i, r, v in zip(ids, rel, vecs)]
+    )
+    got = [r["cand_id"] for r in mmr_select(pool, k=5, lam=0.7, div=0.3).orderBy("rank").collect()]
+    assert got == _mmr_py(ids, rel, vecs, 5, 0.7, 0.3)
+
+
+def test_mmr_pool_guard_and_empty(spark):
+    big = spark.range(100).select(
+        F.col("id").alias("cand_id"), F.lit(0.5).alias("rel"),
+        F.array(F.lit(1.0)).alias("cv"),
+    )
+    with pytest.raises(ValueError, match="max_pool"):
+        mmr_select(big, k=2, max_pool=10)
+    empty = big.filter(F.col("cand_id") < 0)
+    assert mmr_select(empty, k=2).count() == 0
+
+
+def _kn_py(texts, d=0.75):
+    bgs = []
+    for i, t in enumerate(texts):
+        w = t.split()
+        bgs += [(i, w[j], w[j + 1]) for j in range(len(w) - 1)]
+    from collections import Counter
+
+    bgc = Counter((a, b) for _, a, b in bgs)
+    tot = Counter()
+    fol = Counter()
+    prc = Counter()
+    for (a, b), c in bgc.items():
+        tot[a] += c
+        fol[a] += 1
+        prc[b] += 1
+    bt = len(bgc)
+    out = {}
+    for i, _ in enumerate(texts):
+        lps = [
+            math.log(
+                max(bgc[(a, b)] - d, 0.0) / tot[a] + d * fol[a] / tot[a] * prc[b] / bt
+            )
+            for (j, a, b) in bgs
+            if j == i
+        ]
+        if lps:
+            out[i] = (len(lps), round(sum(lps) / len(lps), 6))
+    return out
+
+
+def test_kneser_ney_matches_python(spark):
+    texts = [
+        "a b a b c",
+        "b c b a",
+        "c c c a b",
+        "a",  # single token: no bigrams, absent from output
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"]) for r in kneser_ney_score(df).collect()}
+    want = _kn_py(texts)
+    assert set(got) == set(want) == {0, 1, 2}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+
+def test_kneser_ney_probabilities_sum_to_one(spark):
+    # KN is a proper conditional distribution: for each context w1,
+    # Σ_w2∈vocab p(w2|w1) = 1 when scored over the full vocab grid
+    texts = ["a b a c b b", "c a b c"]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    from collections import Counter
+
+    bgs = []
+    for t in texts:
+        w = t.split()
+        bgs += list(zip(w, w[1:]))
+    bgc = Counter(bgs)
+    tot, fol, prc = Counter(), Counter(), Counter()
+    for (a, b), c in bgc.items():
+        tot[a] += c
+        fol[a] += 1
+        prc[b] += 1
+    bt = len(bgc)
+    vocab = {w for t in texts for w in t.split()}
+    for a in tot:
+        s = sum(
+            max(bgc.get((a, b), 0) - 0.75, 0.0) / tot[a]
+            + 0.75 * fol[a] / tot[a] * prc[b] / bt
+            for b in vocab
+        )
+        # Σ_b max(c−D,0)/tot = (tot − D·fol)/tot and Σ_b prc[b]/bt = 1,
+        # so the interpolated form is a PROPER distribution: exactly 1
+        assert s == pytest.approx(1.0, abs=1e-9)
+
+
+def test_roc_auc_exact_with_ties(spark):
+    rows = [
+        (0.9, True), (0.8, False), (0.8, True), (0.7, False),
+        (0.5, True), (0.5, False), (0.5, False), (0.3, False),
+    ]
+    df = spark.createDataFrame([Row(score=s, label=l) for s, l in rows])
+    got = roc_auc(df).collect()[0]
+    # brute-force pair count
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    # outputs are rounded to 6 d.p. → half-quantum tolerance
+    assert got["auc"] == pytest.approx(num / (len(pos) * len(neg)), abs=5e-7)
+    assert got["gini"] == pytest.approx(2 * num / (len(pos) * len(neg)) - 1, abs=5e-7)
+
+
+def test_roc_auc_perfect_and_random(spark):
+    perfect = spark.createDataFrame(
+        [Row(score=float(i), label=i >= 5) for i in range(10)]
+    )
+    assert roc_auc(perfect).collect()[0]["auc"] == 1.0
+    const = spark.createDataFrame([Row(score=0.5, label=i % 2 == 0) for i in range(10)])
+    assert roc_auc(const).collect()[0]["auc"] == 0.5  # all ties → 0.5
+
+
+def test_pr_grid_counts_and_nulls(spark):
+    rows = [(0.9, True), (0.6, False), (0.4, True), (0.1, False)]
+    df = spark.createDataFrame([Row(score=s, label=l) for s, l in rows])
+    out = {r["threshold"]: r for r in pr_at_thresholds(df, (0.5, 0.95)).collect()}
+    r5 = out[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (1, 1, 1, 1)
+    assert r5["precision"] == 0.5 and r5["recall"] == 0.5 and r5["f1"] == 0.5
+    r95 = out[0.95]
+    assert (r95["tp"], r95["fp"]) == (0, 0)
+    assert r95["precision"] is None  # 0/0 → NULL (try_divide)
+    assert r95["recall"] == 0.0
+
+
+def test_entropy_features(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="x x x x"),          # one distinct token
+            Row(doc_id=1, text="a b a b a b"),       # H1=ln2, cond entropy ~0
+            Row(doc_id=2, text="a b c d"),           # uniform: H1 = ln4
+            Row(doc_id=3, text="z"),                  # single token: no bigrams
+        ]
+    )
+    got = {r["doc_id"]: r for r in entropy_features(df).collect()}
+    assert got[0]["token_entropy"] == 0.0
+    assert got[0]["norm_entropy"] is None  # ln(1) division → NULL
+    assert got[1]["token_entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    # "a b a b a b": bigrams 'a b'x3,'b a'x2 → H2 ≈ 0.673, H2−H1 ≈ −0.02
+    h2 = math.log(5) - (3 * math.log(3) + 2 * math.log(2)) / 5
+    assert got[1]["bigram_cond_entropy"] == pytest.approx(h2 - math.log(2), abs=1e-6)
+    assert got[2]["token_entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert got[2]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    assert got[3]["n_tokens"] == 1 and got[3]["bigram_cond_entropy"] is None

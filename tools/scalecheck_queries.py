@@ -83,6 +83,19 @@ QUERIES = [
     # scale story is key-shaped, not row-shaped — it is gated
     # separately by tools/scalecheck_dissolve.py's single-key and
     # many-keys modes.)
+    # round 10 session 3: retrieval / evaluation family. BM25 (postings
+    # shuffle + broadcast model tables), Kneser–Ney LM (same shape as
+    # perplexity_buckets — ALSO run on the Zipf fixture below, since
+    # the uniform fixture's near-unique bigrams grow the model table
+    # with the corpus, the documented perplexity artifact), entropy
+    # signals (two doc-keyed count aggs), exact ROC-AUC (per-score
+    # groupBy + compressed distinct-score pass), MMR (distributed
+    # top-M pool + bounded driver greedy).
+    "bm25_topk_per_lang",
+    "kneser_ney_lm_score",
+    "entropy_quality",
+    "classifier_auc_eval",
+    "mmr_diversified_topk",
     "crossover_track_intersections",
     "point_in_polygon_gridded",
     "raster_datashade",
@@ -266,6 +279,12 @@ def run(spark, mult: int) -> dict:
     t0 = time.time()
     n = qs["perplexity_buckets"](spark, out_dir + "_zipf").count()
     timings["perplexity_buckets_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
+    # Kneser–Ney has the same LM-model-table sensitivity: the Zipf run
+    # is the realistic-plateau measurement, the uniform run above the
+    # adversarial (model-table-grows) one
+    t0 = time.time()
+    n = qs["kneser_ney_lm_score"](spark, out_dir + "_zipf").count()
+    timings["kneser_ney_lm_score_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
     return {
         "metric": "query_scale_sfx",
         "sf_multiple_of_0.1": mult,
