@@ -779,3 +779,102 @@ def intradoc_dedup_stats(
         F.sum(F.col("_cnt") - 1).cast("long").alias("dup_chunks"),
         F.sum("_ctoks_max").cast("long").alias("kept_tokens"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |S_A ∩ S_B| / |S_A| —
+    the doc-in-doc detector (quotes, wrapper pages, boilerplate
+    envelopes) that symmetric Jaccard misses: a 20-token quote inside
+    a 500-token page has J ≈ 0.04 but C = 1.0.
+
+    Candidate generation is a ONE-SIDED prefix filter (the containment
+    variant of ngram_jaccard_pairs' PPJoin scheme): if C(A→B) ≥ τ then
+    at most ⌊(1−τ)·|S_A|⌋ of A's shingles miss B, so A's
+    |S_A| − ⌈τ·|S_A|⌉ + 1 globally-rarest shingles must intersect B —
+    lossless, and only the CONTAINED side is prefix-pruned; the
+    container side is the full postings index (one corpus shuffle).
+    Verification re-joins the bounded candidate set against the
+    shingle arrays and computes the exact ratio.
+
+    Output: (contained_id, container_id, containment) with rounded
+    containment ≥ threshold, self-pairs excluded.
+    """
+    sh = (
+        word_shingles(df, text_col, n)
+        .withColumn("_n", F.size("shingles"))
+        .filter(F.col("_n") > 0)
+        .localCheckpoint()
+    )
+    ex = sh.select(F.col(id_col), "_n", F.explode("shingles").alias("_s"))
+    freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df")).localCheckpoint()
+    wcanon = Window.partitionBy(id_col).orderBy("_df", "_s")
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + 1
+    a = (
+        ex.join(freq, "_s")
+        .withColumn("_pos", F.row_number().over(wcanon))
+        .filter(F.col("_pos") <= prefix_len)
+        .select(F.col(id_col).alias("id_a"), "_s")
+    )
+    b = ex.select(F.col(id_col).alias("id_b"), "_s")
+    cands = (
+        a.join(b, (a["_s"] == b["_s"]) & (F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    j = cands.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("containment", F.round(inter / F.size("sh_a"), 6))
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            "containment",
+        )
+    )
+
+
+def ngram_overlap_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Exact n-gram decontamination (the GPT-3/PaLM recipe: drop a
+    training doc if it shares ANY 13-gram with an eval benchmark —
+    Brown et al. 2020 App. C), distinct from ngram_contamination's
+    Jaccard THRESHOLD: one shared span is enough here.
+
+    The benchmark's distinct n-gram set is model-sized and BROADCAST;
+    the corpus side is one shingle explode + map-side semi-join-like
+    inner join + per-doc count — no corpus-keyed shuffle beyond the
+    final per-doc aggregation.
+
+    Output: (doc_id, n_matching_ngrams) for contaminated docs only.
+    """
+    c = word_shingles(corpus, text_col, n, out="_g").select(
+        F.col(id_col), F.explode("_g").alias("_gram")
+    )
+    b = (
+        word_shingles(benchmark, text_col, n, out="_g")
+        .select(F.explode("_g").alias("_gram"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_ngrams"))
+    )

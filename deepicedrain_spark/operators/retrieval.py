@@ -201,3 +201,96 @@ def mmr_select(
         "cand_id",
     )
     return out.select("rank", "cand_id", "rel").orderBy("rank")
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar candidates with a DIFFERENT label — the
+    highest-loss negatives a triplet/InfoNCE trainer wants.
+
+    Same plan as similarity.cosine_topk (broadcast query set, norms
+    folded once per row, WindowGroupLimit rank) with the label
+    mismatch folded into the join condition so same-label rows never
+    enter the scored stream. Output: (query_id, cand_id, rank, cos).
+    """
+    from deepicedrain_spark.operators.similarity import dot_expr, norm2_expr
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("_ql"),
+        ).withColumn("qn", norm2_expr("qv"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("_cl"),
+    ).withColumn("cn", norm2_expr("cv"))
+    scored = c.join(q, F.col("_ql") != F.col("_cl")).withColumn(
+        "cos",
+        F.round(dot_expr("qv", "cv") / F.sqrt(F.col("qn") * F.col("cn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+def sample_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic uniform negative sampling: per anchor, k
+    different-label candidates ranked by an md5-derived pseudo-random
+    key over the (anchor, candidate) pair — reproducible on any
+    engine and any partitioning (the random-but-stable convention the
+    sampling family uses).
+
+    The anchor table is broadcast; the per-anchor rank window
+    collapses via WindowGroupLimit, so the shuffle carries
+    O(anchors · k · partitions) rows. Output: (anchor_id, neg_id,
+    rank), rank 1..k by the hash order (ties by neg_id).
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"), F.col(label_col).alias("_al")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neg_id"), F.col(label_col).alias("_cl"))
+    paired = c.join(a, F.col("_al") != F.col("_cl")).withColumn(
+        "_h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("anchor_id").cast("string"),
+                        F.col("neg_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("_h", "neg_id")
+    return (
+        paired.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "rank")
+    )

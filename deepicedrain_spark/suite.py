@@ -961,6 +961,10 @@ PRIORITY: list[str] = [
     "classifier_auc_eval",
     "precision_recall_curve",
     "entropy_quality",
+    "containment_dedup",
+    "ngram_decontamination",
+    "negative_sampling",
+    "hard_negative_mining",
     # (3) code changed since last driver row — the hdf5lite/zarr family
     # (N-D layers r9; BE reads + staging/F-order fixes r10; rows r6-r8
     # all predate), the multimodal codecs (_spread went adaptive r10,
@@ -997,21 +1001,19 @@ PRIORITY: list[str] = [
     "revenue_cube",
     "revenue_rollup",
     "source_mixture_balance",
+    # --- tier 2: past the driver's 50-query window -------------------
+    # Displaced by the session-2 + session-3 never-checked entries
+    # above (policy: no-driver-row-ever outranks aged rows). The
+    # session-3 batch-2 additions push out the LAST 3 of the 17
+    # promised r5 rows (stratified_sample_events, text_cleaning,
+    # weighted_sample_docs — each re-verified locally at session close,
+    # recorded in ROADMAP) plus streaming_running_anomaly (r6); they
+    # lead the r11 window together with the r6 cohort
+    # (streaming_kmeans_assign … multimodal_resize and the rest).
     "stratified_sample_events",
     "text_cleaning",
     "weighted_sample_docs",
-    # one r6 row closes the 50 (stateful streaming, the most complex
-    # of the remaining r6 cohort)
     "streaming_running_anomaly",
-    # --- tier 2: past the driver's 50-query window -------------------
-    # Displaced by the session-2 + session-3 never-checked entries
-    # above (policy: no-driver-row-ever outranks aged rows):
-    # streaming_kmeans_assign, streaming_raster_counts,
-    # streaming_hll_users, streaming_bloom_bits,
-    # embedding_near_dup_lsh, embedding_near_dup, ivf_topk,
-    # cosine_topk, tfidf_top_terms, doc_fingerprints,
-    # multimodal_frame_sample — all r6-green histories — plus
-    # multimodal_resize and the remaining r6 rows lead the r11 window
     "streaming_kmeans_assign",
     "streaming_raster_counts",
     "streaming_hll_users",

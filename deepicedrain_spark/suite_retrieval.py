@@ -303,3 +303,154 @@ def q_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ts_ops.entropy_features(docs)
+
+
+# --- asymmetric containment dedup (doc-in-doc detection) ------------------
+# Planted fixture (the exact_dedup_pairs convention): for each doc_id
+# < 40 with ≥ 21 tokens, a NEGATIVE-id "quote" doc holding tokens
+# 2..20 of the source — contained in its source at C = 1.0 while the
+# symmetric Jaccard sits far below any threshold (the signal
+# containment exists to catch).
+@register(
+    "containment_dedup",
+    f"""
+    WITH ws0 AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    pool AS (
+      SELECT doc_id, ws FROM ws0
+      UNION ALL
+      SELECT -(doc_id + 1), ws[2:20] FROM ws0 WHERE len(ws) >= 21 AND doc_id < 40),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM pool WHERE len(ws) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT ia AS contained_id, ib AS container_id,
+           round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = ia
+    WHERE round(CAST(c AS DOUBLE) / sa.n, 6) >= 0.9
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = ts_ops.whitespace_tokens(F.col("text"))
+    quotes = (
+        docs.select("doc_id", w.alias("_w"))
+        .filter((F.size("_w") >= 21) & (F.col("doc_id") < 40))
+        .select(
+            (-(F.col("doc_id") + F.lit(1))).alias("doc_id"),
+            F.array_join(F.slice("_w", 2, 19), " ").alias("text"),
+        )
+    )
+    pool = docs.select("doc_id", "text").unionByName(quotes)
+    return containment_pairs(pool, n=3, threshold=0.9)
+
+
+# --- exact 13-gram decontamination (GPT-3/PaLM recipe) --------------------
+# One shared 13-gram with the benchmark flags a training doc (Brown et
+# al. 2020 App. C) — vs benchmark_contamination's Jaccard THRESHOLD.
+# Benchmark = the same planted 19-token slices (7 13-grams each).
+@register(
+    "ngram_decontamination",
+    f"""
+    WITH ws0 AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    bench AS (
+      SELECT ws[2:20] AS ws FROM ws0 WHERE len(ws) >= 21 AND doc_id < 40),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                           i -> array_to_string(ws[i:i+12], ' ')))) AS g
+      FROM ws0 WHERE len(ws) >= 13),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                           i -> array_to_string(ws[i:i+12], ' ')))) AS g
+      FROM bench WHERE len(ws) >= 13)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matching_ngrams
+    FROM cg JOIN bg USING (g) GROUP BY doc_id
+    """,
+)
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import ngram_overlap_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = ts_ops.whitespace_tokens(F.col("text"))
+    bench = (
+        docs.select("doc_id", w.alias("_w"))
+        .filter((F.size("_w") >= 21) & (F.col("doc_id") < 40))
+        .select(
+            (-(F.col("doc_id") + F.lit(1))).alias("doc_id"),
+            F.array_join(F.slice("_w", 2, 19), " ").alias("text"),
+        )
+    )
+    return ngram_overlap_hits(docs, bench, n=13)
+
+
+# --- deterministic negative sampling (contrastive training prep) ----------
+_H15 = (
+    "(SELECT sum(CAST(strpos('0123456789abcdef', substring({h}, j+1, 1)) - 1 AS BIGINT)"
+    " << (4*(14-j))) FROM generate_series(0, 14) g(j))"
+)
+
+
+@register(
+    "negative_sampling",
+    f"""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS al FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neg_id, label AS cl FROM embeddings),
+    p AS (
+      SELECT anchor_id, neg_id,
+             {_H15.format(h="md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR))")} AS h
+      FROM c JOIN a ON al <> cl),
+    r AS (
+      SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY h, neg_id) AS rank
+      FROM p)
+    SELECT anchor_id, neg_id, rank FROM r WHERE rank <= 4
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.retrieval import sample_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return sample_negatives(anchors, emb, k=4)
+
+
+# --- hard-negative mining (top-k similar, WRONG label) --------------------
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS ql,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS cand_id, label AS cl,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+             round(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))
+                   / sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]))
+                        * list_sum(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]))), 6) AS cos
+      FROM c JOIN q ON ql <> cl),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.retrieval import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb.filter(F.col("vec_id") < 10), emb, k=3)

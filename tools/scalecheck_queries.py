@@ -96,6 +96,11 @@ QUERIES = [
     "entropy_quality",
     "classifier_auc_eval",
     "mmr_diversified_topk",
+    # session-3 batch 2: one-sided-prefix containment (its own filter,
+    # not covered by ngram_jaccard's symmetric gate) and 13-gram
+    # decontamination (benchmark-gram broadcast + corpus shingle scan)
+    "containment_dedup",
+    "ngram_decontamination",
     "crossover_track_intersections",
     "point_in_polygon_gridded",
     "raster_datashade",
