@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from deepicedrain_spark.operators.textstats import whitespace_tokens
+
 
 def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, " +", " ")))
@@ -858,23 +860,59 @@ def ngram_overlap_hits(
     Brown et al. 2020 App. C), distinct from ngram_contamination's
     Jaccard THRESHOLD: one shared span is enough here.
 
-    The benchmark's distinct n-gram set is model-sized and BROADCAST;
-    the corpus side is one shingle explode + map-side semi-join-like
-    inner join + per-doc count — no corpus-keyed shuffle beyond the
+    The benchmark's distinct n-gram set is model-sized and BROADCAST.
+    The corpus pass does NOT materialize an n-token string per
+    position — that constant dominated the first version (90 bytes ×
+    every corpus position; measured 195 s at 200k docs). Instead it
+    explodes a 2-token PREFIX per position, semi-joins against the
+    benchmark grams' distinct prefixes (a necessary condition for any
+    full match), and only the surviving (doc, pos) candidates — sized
+    by the benchmark, not the corpus — are joined back to rebuild and
+    exactly match the full n-gram. No corpus-keyed shuffle beyond the
     final per-doc aggregation.
 
-    Output: (doc_id, n_matching_ngrams) for contaminated docs only.
+    Output: (doc_id, n_matching_ngrams) for contaminated docs only —
+    n_matching_ngrams counts DISTINCT matched n-grams per doc.
     """
-    c = word_shingles(corpus, text_col, n, out="_g").select(
-        F.col(id_col), F.explode("_g").alias("_gram")
-    )
     b = (
         word_shingles(benchmark, text_col, n, out="_g")
         .select(F.explode("_g").alias("_gram"))
         .distinct()
+        .localCheckpoint()  # feeds the prefix set AND the exact match
+    )
+    b_pre = b.select(
+        F.concat(
+            F.split(F.col("_gram"), " ").getItem(0),
+            F.lit(" "),
+            F.split(F.col("_gram"), " ").getItem(1),
+        ).alias("_pre")
+    ).distinct()
+
+    toks = corpus.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_w")
+    ).where(F.size("_w") >= n)
+    pos = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_w) - {n - 1}),"
+                " i -> struct(i as p, concat(element_at(_w, i), ' ',"
+                " element_at(_w, i + 1)) as pre))"
+            )
+        ).alias("_c"),
+    ).select(F.col(id_col), F.col("_c.p").alias("_p"), F.col("_c.pre").alias("_pre"))
+    cand = pos.join(F.broadcast(b_pre), "_pre").select(F.col(id_col), "_p")
+
+    # unhinted join (the LM-family convention): candidates are
+    # benchmark-sized by design, so AQE broadcasts them at runtime —
+    # but a benchmark holding a hot stop-bigram prefix could inflate
+    # them toward corpus size, where a forced broadcast would OOM
+    full = toks.join(cand, id_col).select(
+        F.col(id_col),
+        F.array_join(F.slice(F.col("_w"), F.col("_p"), n), " ").alias("_gram"),
     )
     return (
-        c.join(F.broadcast(b), "_gram")
+        full.join(F.broadcast(b), "_gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_ngrams"))
+        .agg(F.countDistinct("_gram").cast("long").alias("n_matching_ngrams"))
     )

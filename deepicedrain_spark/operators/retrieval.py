@@ -64,9 +64,13 @@ def bm25_topk(
         F.explode(whitespace_tokens(F.col(text_col))).alias("tok"),
     )
     # one corpus shuffle: exact term frequencies per document, then the
-    # document length as a window over the SAME doc-partitioned rows
+    # document length as a window over the SAME doc-partitioned rows.
+    # localCheckpoint: the postings feed THREE consumers (corpus stats,
+    # per-term df, the scoring stream) and Spark re-executes un-persisted
+    # subplans per consumer — without the fence this plan explodes the
+    # corpus three times (the DSIR one-pass lesson)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id"))).localCheckpoint()
 
     # corpus stats: dl sums are exact integers, and avgdl is spelled
     # sum/count (not avg()) so both engines divide the same exact sum
@@ -158,7 +162,11 @@ def mmr_select(
     """
     import numpy as np
 
-    rows = pool.select(id_col, rel_col, vec_col).collect()
+    # localCheckpoint: the pool subplan (often a full corpus cosine
+    # top-M) is consumed twice — the driver collect AND the output
+    # value join — and would re-execute for the second consumer
+    pool = pool.select(id_col, rel_col, vec_col).localCheckpoint()
+    rows = pool.collect()
     if len(rows) > max_pool:
         raise ValueError(
             f"MMR pool has {len(rows)} rows > max_pool={max_pool}; "

@@ -3957,3 +3957,40 @@ def q_zarr_sharded_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_valid") >= 2)
         .orderBy("store", "ref_pt")
     )
+
+
+# --- S2 ext: ORC sink/scan round-trip (round 10, session 3) -----------
+# Spark's second built-in columnar format — the interchange surface a
+# mixed Hive/Trino estate expects alongside parquet_roundtrip. Written
+# partitioned (partition pruning on re-read, the 100 TB layout); the
+# oracle is the pre-write aggregate, so the row makes the ORC
+# writer+reader prove value fidelity end-to-end. Money sums accumulate
+# in DECIMAL and cast once to double (the parquet_roundtrip pattern).
+@register(
+    "orc_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    path = scratch_path(sf_dir, "orc_roundtrip")
+    agg.write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "sum_qty",
+    )

@@ -454,3 +454,129 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
+# --- classifier calibration + Brier decomposition --------------------------
+# The third leg of the evaluation family (AUC ranks, PR thresholds,
+# calibration asks "does score 0.7 MEAN 70%?"): 10 equal-width score
+# bins, per-bin observed positive rate vs mean score, per-bin Brier
+# contribution. Scale: one corpus pass into a 10-group aggregate —
+# bin counts are exact integers, mean/brier are double sums rounded
+# to 6 (generic values).
+@register(
+    "calibration_brier",
+    f"""
+    WITH {_QUALITY_FEATS},
+    binned AS (
+      SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+             s, (CASE WHEN lab THEN 1.0 ELSE 0.0 END) AS y
+      FROM scored)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           round(sum(s) / count(*), 6) AS mean_score,
+           round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_pos,
+           round(sum((s - y) * (s - y)) / count(*), 6) AS brier
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(docs).select(
+        F.col("quality").alias("s"), (F.col("lang") == "en").alias("lab")
+    )
+    y = F.when(F.col("lab"), F.lit(1.0)).otherwise(F.lit(0.0))
+    binned = scored.select(
+        F.least(F.floor(F.col("s") * 10).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        "s",
+        y.alias("y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.round(F.sum("s") / F.count(F.lit(1)), 6).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_pos"),
+            F.round(
+                F.sum((F.col("s") - F.col("y")) * (F.col("s") - F.col("y")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- tokenizer fertility (BPE eval metric) ---------------------------------
+# Fertility = BPE tokens per word, chars per BPE token, per language —
+# the standard tokenizer-quality report (a tokenizer trained on English
+# shows inflated fertility on other languages). Reuses the certified
+# BPE trainer (bpe_merge_table's memoized merges); encoding is the
+# map-side literal fold, so the only exchanges are the word-frequency
+# shuffle inside training and the per-lang aggregate.
+@register(
+    "tokenizer_fertility",
+    None,  # placeholder, replaced below after importing the BPE chain
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.bpe import bpe_train, bpe_encode
+    from deepicedrain_spark.suite_llm import _BPE_MERGES
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    enc = bpe_encode(docs, merges, out="_bpe")
+    w = ts_ops.whitespace_tokens(F.col("text"))
+    per = enc.select(
+        "lang",
+        F.size(w).alias("_nw"),
+        F.size("_bpe").alias("_nb"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("_nc"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("_nw").cast("long").alias("n_words"),
+            F.sum("_nb").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("_nb").cast("double") / F.sum("_nw"), 6).alias("fertility"),
+            F.round(F.sum("_nc").cast("double") / F.sum("_nb"), 6).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# the fertility oracle replays the BPE merge chain (suite_llm._bpe_chain,
+# MATERIALIZED per-merge states) and joins the per-(lang, word) counts
+# against the final symbol table — installed after the function so the
+# chain builder import stays local to suite_llm
+def _install_fertility_oracle() -> None:
+    from deepicedrain_spark.suite import REGISTRY, QuerySpec
+    from deepicedrain_spark.suite_llm import _bpe_chain, _BPE_MERGES
+
+    sql = (
+        _bpe_chain()
+        + f""",
+    wl AS (
+      SELECT lang, unnest({_TOKS}) AS word FROM documents),
+    wlc AS (SELECT lang, word, count(*) AS c FROM wl GROUP BY 1, 2),
+    j AS (
+      SELECT lang, c, len(syms) AS ns, length(word) AS nc
+      FROM wlc JOIN state{_BPE_MERGES} USING (word))
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * ns) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(c * ns) AS DOUBLE) / sum(c), 6) AS fertility,
+       round(CAST(sum(c * nc) AS DOUBLE) / sum(c * ns), 6) AS chars_per_token
+FROM j GROUP BY lang ORDER BY lang
+"""
+    )
+    spec = REGISTRY["tokenizer_fertility"]
+    REGISTRY["tokenizer_fertility"] = QuerySpec(spec.name, spec.fn, sql)
+
+
+_install_fertility_oracle()

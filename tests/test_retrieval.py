@@ -366,3 +366,59 @@ def test_hard_negatives_excludes_same_label(spark):
     )
     got_r1 = [r["cand_id"] for r in out if r["query_id"] == 0 and r["rank"] == 1]
     assert got_r1 == [best]
+
+
+def test_calibration_brier_bins(spark):
+    rows = [(0.05, False), (0.05, True), (0.95, True), (0.95, True), (1.0, True)]
+    df = spark.createDataFrame([Row(s=s, lab=l) for s, l in rows])
+    from pyspark.sql import functions as FF
+    y = FF.when(FF.col("lab"), FF.lit(1.0)).otherwise(FF.lit(0.0))
+    binned = df.select(
+        FF.least(FF.floor(FF.col("s") * 10).cast("long"), FF.lit(9).cast("long")).alias("bin"),
+        "s", y.alias("y"),
+    )
+    out = {r["bin"]: r for r in binned.groupBy("bin").agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.round(FF.sum((FF.col("s") - FF.col("y")) * (FF.col("s") - FF.col("y"))) / FF.count(FF.lit(1)), 6).alias("brier"),
+    ).collect()}
+    assert out[0]["n"] == 2 and out[9]["n"] == 3  # score 1.0 clamps into bin 9
+    # bin 0: ((0.05-0)^2 + (0.05-1)^2)/2 = (0.0025+0.9025)/2 = 0.4525
+    assert out[0]["brier"] == pytest.approx(0.4525, abs=1e-6)
+
+
+def test_tokenizer_fertility_ratios(spark):
+    from deepicedrain_spark.operators.bpe import bpe_train, bpe_encode, clear_bpe_cache
+    from deepicedrain_spark.operators.textstats import whitespace_tokens
+
+    clear_bpe_cache()
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, lang="en", text="abab abab cd"),
+            Row(doc_id=1, lang="de", text="cd cd abab"),
+        ]
+    )
+    merges = bpe_train(docs, n_merges=2)
+    enc = bpe_encode(docs, merges, out="_bpe")
+    w = whitespace_tokens(F.col("text"))
+    per = enc.select(
+        "lang", F.size(w).alias("nw"), F.size("_bpe").alias("nb"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("nc"),
+    ).collect()
+    got = {r["lang"]: (r["nw"], r["nb"], r["nc"]) for r in per}
+    # fertility ≥ 1 token per word; chars conserved: nc == sum of symbol lengths
+    for lang, (nw, nb, nc) in got.items():
+        assert nb >= nw
+        assert nc > 0
+    clear_bpe_cache()
+
+
+def test_orc_roundtrip_fidelity(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(k="a", v=1.5), Row(k="a", v=2.25), Row(k="b", v=-3.0)]
+    )
+    path = str(tmp_path / "orc_probe")
+    df.write.mode("overwrite").partitionBy("k").orc(path)
+    back = spark.read.orc(path)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [
+        ("a", 1.5), ("a", 2.25), ("b", -3.0),
+    ]

@@ -259,10 +259,11 @@ def stage_zipf(spark, out_dir: str, mult: int) -> None:
     ).parquet(os.path.join(out_dir, "documents.parquet"))
 
 
-def run(spark, mult: int) -> dict:
+def run(spark, mult: int, only: set[str] | None = None) -> dict:
     """Stage a synthetic sf directory at ``mult`` x sf0.1 and time the
     registered queries against it. Returns the result dict (also the
-    shape BENCH_SCALE.json stores per scale point)."""
+    shape BENCH_SCALE.json stores per scale point). ``only`` restricts
+    to a named subset (the ``_zipf`` variants match their base name)."""
     out_dir = f"/tmp/spark_graft_sfx{mult}"
     t0 = time.time()
     stage(spark, out_dir, mult)
@@ -274,6 +275,8 @@ def run(spark, mult: int) -> dict:
     qs = entry.queries()
     timings = {}
     for name in QUERIES:
+        if only and name not in only:
+            continue
         t0 = time.time()
         n = qs[name](spark, out_dir).count()
         timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
@@ -281,15 +284,17 @@ def run(spark, mult: int) -> dict:
     # distribution — the LM model table plateaus instead of growing
     # with the corpus, isolating the uniform fixture's superlinear
     # ratio as a data artifact (near-unique synthetic bigrams)
-    t0 = time.time()
-    n = qs["perplexity_buckets"](spark, out_dir + "_zipf").count()
-    timings["perplexity_buckets_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
+    if not only or "perplexity_buckets" in only:
+        t0 = time.time()
+        n = qs["perplexity_buckets"](spark, out_dir + "_zipf").count()
+        timings["perplexity_buckets_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
     # Kneser–Ney has the same LM-model-table sensitivity: the Zipf run
     # is the realistic-plateau measurement, the uniform run above the
     # adversarial (model-table-grows) one
-    t0 = time.time()
-    n = qs["kneser_ney_lm_score"](spark, out_dir + "_zipf").count()
-    timings["kneser_ney_lm_score_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
+    if not only or "kneser_ney_lm_score" in only:
+        t0 = time.time()
+        n = qs["kneser_ney_lm_score"](spark, out_dir + "_zipf").count()
+        timings["kneser_ney_lm_score_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
     return {
         "metric": "query_scale_sfx",
         "sf_multiple_of_0.1": mult,
@@ -302,9 +307,10 @@ def run(spark, mult: int) -> dict:
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:]) or None
     spark = get_spark(app_name="scalecheck_queries")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(run(spark, mult), separators=(",", ":")))
+    print(json.dumps(run(spark, mult, only), separators=(",", ":")))
 
 
 if __name__ == "__main__":
