@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 
 def roc_auc(
-    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Exact tie-corrected ROC-AUC from a (score, boolean label) frame.
 
@@ -39,26 +42,40 @@ def roc_auc(
     normalized Mann–Whitney U over per-score count pairs: one groupBy
     over the corpus, one ordered pass over distinct scores.
 
-    Output: one row (n_pos, n_neg, auc, gini) — auc rounded to 6,
-    gini = 2·auc − 1.
+    With ``by`` (slice columns — per-source/per-language evaluation),
+    the ordered pass is a window PARTITIONED on the slice keys, so it
+    parallelizes across slices instead of the global single-partition
+    sort; a slice with no positives or no negatives yields NULL auc
+    (try_divide — AUC is undefined there).
+
+    Output: one row (…by, n_pos, n_neg, auc, gini) per slice — auc
+    rounded to 6, gini = 2·auc − 1.
     """
-    per_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+    by = list(by or [])
+    per_score = scored.groupBy(*by, F.col(score_col).alias("s")).agg(
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("nn"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        (Window.partitionBy(*by) if by else Window)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     # 2·numerator keeps the ½-tie term integral: np·(2·cum_neg_below + nn)
     contrib = per_score.withColumn(
         "num2",
         F.col("np") * (F.lit(2) * F.coalesce(F.sum("nn").over(w), F.lit(0)) + F.col("nn")),
     )
-    agg = contrib.agg(
+    agg = contrib.groupBy(*by).agg(
         F.sum("np").cast("long").alias("n_pos"),
         F.sum("nn").cast("long").alias("n_neg"),
         F.sum("num2").alias("num2"),
     )
-    auc = F.col("num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+    auc = F.try_divide(
+        F.col("num2"), F.lit(2.0) * F.col("n_pos") * F.col("n_neg")
+    )
     return agg.select(
+        *by,
         "n_pos",
         "n_neg",
         F.round(auc, 6).alias("auc"),

@@ -968,6 +968,8 @@ PRIORITY: list[str] = [
     "calibration_brier",
     "tokenizer_fertility",
     "orc_roundtrip",
+    "auc_by_source",
+    "streaming_decontamination",
     # (3) code changed since last driver row — the hdf5lite/zarr family
     # (N-D layers r9; BE reads + staging/F-order fixes r10; rows r6-r8
     # all predate), the multimodal codecs (_spread went adaptive r10,
@@ -999,18 +1001,18 @@ PRIORITY: list[str] = [
     "grouped_correlation",
     "keyword_snippets",
     "lang_id_heuristic",
-    "oov_rate",
-    "quality_scores",
     # --- tier 2: past the driver's 50-query window -------------------
     # Displaced by the session-2 + session-3 never-checked entries
     # above (policy: no-driver-row-ever outranks aged rows). The
-    # session-3 additions push out the LAST 6 of the 17 promised r5
-    # rows (revenue_cube, revenue_rollup, source_mixture_balance,
-    # stratified_sample_events, text_cleaning, weighted_sample_docs —
-    # each re-verified locally at session close, recorded in ROADMAP)
-    # plus streaming_running_anomaly (r6); they lead the r11 window
-    # together with the r6 cohort (streaming_kmeans_assign …
-    # multimodal_resize and the rest).
+    # session-3 additions push out the LAST 8 of the 17 promised r5
+    # rows (oov_rate, quality_scores, revenue_cube, revenue_rollup,
+    # source_mixture_balance, stratified_sample_events, text_cleaning,
+    # weighted_sample_docs — each re-verified locally at session
+    # close, recorded in ROADMAP) plus streaming_running_anomaly (r6);
+    # they lead the r11 window together with the r6 cohort
+    # (streaming_kmeans_assign … multimodal_resize and the rest).
+    "oov_rate",
+    "quality_scores",
     "revenue_cube",
     "revenue_rollup",
     "source_mixture_balance",

@@ -190,7 +190,7 @@ def q_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the English-stopword-based quality score discriminate English docs".
 _QUALITY_FEATS = f"""
     feats AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, source,
              length(text) AS n_chars,
              len({_TOKS}) AS n_tokens,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
@@ -199,7 +199,7 @@ _QUALITY_FEATS = f"""
              list_sum(list_transform({_TOKS}, t -> length(t))) AS tok_chars
       FROM documents),
     scored AS (
-      SELECT doc_id, (lang = 'en') AS lab,
+      SELECT doc_id, source, (lang = 'en') AS lab,
              least(n_tokens / 64.0, 1.0) * 0.4
                + least(round(CAST(n_punct AS DOUBLE) / n_chars, 6) * 20.0, 1.0) * 0.2
                + least(round(CAST(n_stop AS DOUBLE) / n_tokens, 6) * 5.0, 1.0) * 0.2
@@ -580,3 +580,44 @@ FROM j GROUP BY lang ORDER BY lang
 
 
 _install_fertility_oracle()
+
+
+# --- per-slice AUC (evaluation by source) ----------------------------------
+# The sliced variant every data-mixing decision needs ("is the quality
+# classifier calibrated on src7 crawls too?"). The ordered Mann–Whitney
+# pass is a window PARTITIONED on the slice key — it parallelizes
+# across slices instead of the global single-partition sort, the
+# better shape at 100 TB; a slice lacking positives or negatives
+# yields NULL auc on both engines (try_divide / DuckDB x/0).
+@register(
+    "auc_by_source",
+    f"""
+    WITH {_QUALITY_FEATS},
+    per AS (
+      SELECT source, s,
+             sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN lab THEN 0 ELSE 1 END) AS nn
+      FROM scored GROUP BY 1, 2),
+    cum AS (
+      SELECT source, np, nn,
+             coalesce(sum(nn) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM per),
+    agg AS (
+      SELECT source,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             sum(np * (2 * cnb + nn)) AS num2
+      FROM cum GROUP BY 1)
+    SELECT source, n_pos, n_neg,
+           round(num2 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(2.0 * (num2 / (2.0 * n_pos * n_neg)) - 1.0, 6) AS gini
+    FROM agg ORDER BY source
+    """,
+)
+def q_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(docs).select(
+        "source", F.col("quality").alias("score"), (F.col("lang") == "en").alias("label")
+    )
+    return roc_auc(scored, "score", "label", by=["source"]).orderBy("source")

@@ -921,3 +921,71 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return read_gate_result(spark, state)
+
+
+# Streaming decontamination gate: the ingest-side twin of
+# ngram_decontamination (suite_retrieval) — block a doc the moment it
+# arrives if it shares ANY 13-gram with the eval benchmark. The
+# benchmark's distinct grams are benchmark-sized, so they fold into
+# the stream as a LITERAL array: the whole gate is one map-side
+# projection (array_intersect per doc), append mode, no state, no
+# shuffle — the cheapest possible streaming-gate shape (vs
+# streaming_lsh_dedup's stateful band index, which exists for the
+# corpus-vs-ITSELF problem; contamination is corpus-vs-fixed-set).
+def _decontamination_oracle() -> str:
+    from deepicedrain_spark.suite_retrieval import _TOKS
+
+    return f"""
+    WITH ws0 AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    bench AS (
+      SELECT ws[2:20] AS ws FROM ws0 WHERE len(ws) >= 21 AND doc_id < 40),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                           i -> array_to_string(ws[i:i+12], ' ')))) AS g
+      FROM ws0 WHERE len(ws) >= 13),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(ws) - 12),
+                           i -> array_to_string(ws[i:i+12], ' ')))) AS g
+      FROM bench WHERE len(ws) >= 13)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matching_ngrams
+    FROM cg JOIN bg USING (g) GROUP BY doc_id
+    """
+
+
+@register("streaming_decontamination", _decontamination_oracle())
+def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.dedup import word_shingles
+    from deepicedrain_spark.operators.textstats import whitespace_tokens
+    from deepicedrain_spark.streaming.windows import _stream_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    bench = (
+        docs.select("doc_id", w.alias("_w"))
+        .filter((F.size("_w") >= 21) & (F.col("doc_id") < 40))
+        .select(F.array_join(F.slice("_w", 2, 19), " ").alias("text"))
+    )
+    grams = sorted(
+        r["_g"]
+        for r in word_shingles(bench, "text", 13, out="_gs")
+        .select(F.explode("_gs").alias("_g"))
+        .distinct()
+        .collect()
+    )  # benchmark-sized driver state (the kmeans-centroid pattern)
+
+    stream = spark.readStream.schema(docs.schema).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+    lit_grams = F.array(*[F.lit(g) for g in grams])
+    gated = (
+        word_shingles(stream, "text", 13, out="_gs")
+        .withColumn(
+            "n_matching_ngrams",
+            F.size(F.array_intersect("_gs", lit_grams)).cast("long"),
+        )
+        .filter(F.col("n_matching_ngrams") > 0)
+        .select("doc_id", "n_matching_ngrams")
+    )
+    return run_to_batch(gated, "append").orderBy("doc_id")

@@ -422,3 +422,15 @@ def test_orc_roundtrip_fidelity(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [
         ("a", 1.5), ("a", 2.25), ("b", -3.0),
     ]
+
+
+def test_roc_auc_by_slice_and_null(spark):
+    rows = [
+        ("a", 0.9, True), ("a", 0.1, False), ("a", 0.5, True), ("a", 0.4, False),
+        ("b", 0.7, True), ("b", 0.7, True),  # slice with NO negatives → NULL auc
+    ]
+    df = spark.createDataFrame([Row(src=s, score=x, label=l) for s, x, l in rows])
+    got = {r["src"]: r for r in roc_auc(df, by=["src"]).collect()}
+    assert got["a"]["auc"] == 1.0  # both positives outrank both negatives
+    assert got["b"]["auc"] is None and got["b"]["gini"] is None
+    assert got["b"]["n_pos"] == 2 and got["b"]["n_neg"] == 0
