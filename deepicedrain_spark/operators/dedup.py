@@ -874,6 +874,12 @@ def ngram_overlap_hits(
     Output: (doc_id, n_matching_ngrams) for contaminated docs only —
     n_matching_ngrams counts DISTINCT matched n-grams per doc.
     """
+    if n < 2:
+        raise ValueError(
+            f"ngram_overlap_hits needs n >= 2 (got {n}): the 2-token "
+            "prefix prefilter reads positions i and i+1, and 1-gram "
+            "decontamination is a plain token semi-join anyway"
+        )
     b = (
         word_shingles(benchmark, text_col, n, out="_g")
         .select(F.explode("_g").alias("_gram"))

@@ -61,18 +61,26 @@ def roc_auc(
         .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # 2·numerator keeps the ½-tie term integral: np·(2·cum_neg_below + nn)
+    # 2·numerator keeps the ½-tie term integral: np·(2·cum_neg_below + nn).
+    # Accumulated in DECIMAL(38,0): the numerator is bounded by
+    # 2·n_pos·n_neg, which passes Long.MAX at ~2e9 positives × 2e9
+    # negatives — exactly the corpus scale this module pitches (the
+    # DuckDB oracle sums into HUGEINT; a long here would ANSI-abort or
+    # silently wrap where the operator claims exactness)
     contrib = per_score.withColumn(
         "num2",
-        F.col("np") * (F.lit(2) * F.coalesce(F.sum("nn").over(w), F.lit(0)) + F.col("nn")),
+        F.col("np").cast("decimal(38,0)")
+        * (F.lit(2) * F.coalesce(F.sum("nn").over(w), F.lit(0)) + F.col("nn")),
     )
     agg = contrib.groupBy(*by).agg(
         F.sum("np").cast("long").alias("n_pos"),
         F.sum("nn").cast("long").alias("n_neg"),
         F.sum("num2").alias("num2"),
     )
+    # both engines convert the exact integer numerator to its nearest
+    # double before the one division — identical IEEE result
     auc = F.try_divide(
-        F.col("num2"), F.lit(2.0) * F.col("n_pos") * F.col("n_neg")
+        F.col("num2").cast("double"), F.lit(2.0) * F.col("n_pos") * F.col("n_neg")
     )
     return agg.select(
         *by,

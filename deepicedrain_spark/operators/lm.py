@@ -14,12 +14,15 @@ left-contexts of w₂ (the continuation count — KN's signature), and
 B = distinct bigram types. Self-trained on the corpus, so every
 scored bigram has c ≥ 1 and the max(·) never zeroes the whole term.
 
-Scale shape: ONE corpus shuffle builds the bigram count table; the
-three model tables derived from it (per-w₁ totals+continuations,
-per-w₂ continuation counts, the one-row bigram-type total) are
-vocabulary-sized and BROADCAST into the scoring join, so scoring is
-map-side over the exploded bigram stream and the only other exchange
-is the per-document mean aggregation.
+Scale shape: ONE corpus shuffle builds the bigram count table
+(checkpointed — it feeds four consumers); the model joins are left
+UNHINTED so AQE broadcasts them only when the tables are actually
+small (the perplexity_buckets convention): the per-w₁ and per-w₂
+tables are vocabulary-sized, but the bigram-count table itself is
+bigram-TYPE-sized — tens of GB for a KenLM-class web model — where a
+forced broadcast would OOM. With small models every join broadcasts
+at runtime and scoring is map-side over the exploded bigram stream;
+the only other exchange is the per-document mean aggregation.
 
 Determinism: all model statistics are exact integers; the per-bigram
 probability is identical per-row double arithmetic in any engine; the
@@ -84,10 +87,15 @@ def kneser_ney_score(
     btypes = bgc.agg(F.count(F.lit(1)).alias("btypes"))
 
     d = F.lit(float(discount))
+    # model joins UNHINTED (the perplexity_buckets convention): AQE
+    # broadcasts them only when the tables are actually small. bgc is
+    # bigram-TYPE-sized — vocabulary² worst case, tens of GB for a
+    # KenLM-class web model — so a forced broadcast hint would bypass
+    # AQE's size check and OOM exactly at the scale this LM targets
     scored = (
-        bg.join(F.broadcast(bgc), ["w1", "w2"])
-        .join(F.broadcast(left), "w1")
-        .join(F.broadcast(right), "w2")
+        bg.join(bgc, ["w1", "w2"])
+        .join(left, "w1")
+        .join(right, "w2")
         .crossJoin(F.broadcast(btypes))
         .withColumn(
             "lp",

@@ -122,15 +122,6 @@ def bm25_topk(
     )
 
 
-def _round6(x: float) -> float:
-    """floor(|x|·1e6 + 0.5) multiply-round — the form certified
-    bit-identical to DuckDB's round(x, 6) (similarity.py
-    knn_graph_blocked, 300k boundary samples)."""
-    import math
-
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
-
-
 def mmr_select(
     pool: DataFrame,
     k: int = 8,

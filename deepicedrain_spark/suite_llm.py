@@ -553,6 +553,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: suite_retrieval._QUALITY_FEATS mirrors this oracle's feats +
+# composite-score SQL (the eval family scores with quality_score) —
+# a formula change here needs a synchronized edit there.
 @register(
     "quality_scores",
     """

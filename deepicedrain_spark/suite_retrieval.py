@@ -188,6 +188,11 @@ def q_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its unrounded double is certified bit-identical cross-engine by the
 # driver-green quality_scores rows); labels = (lang = 'en'), i.e. "does
 # the English-stopword-based quality score discriminate English docs".
+# NOTE: this fragment is the SQL mirror of textstats.quality_score and
+# must stay formula-identical to the driver-green quality_scores oracle
+# in suite_llm.py (the formula is frozen by that certification — any
+# change there requires a synchronized edit here and re-certification
+# of the four eval queries built on it).
 _QUALITY_FEATS = f"""
     feats AS (
       SELECT doc_id, lang, source,
@@ -357,9 +362,10 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One shared 13-gram with the benchmark flags a training doc (Brown et
 # al. 2020 App. C) — vs benchmark_contamination's Jaccard THRESHOLD.
 # Benchmark = the same planted 19-token slices (7 13-grams each).
-@register(
-    "ngram_decontamination",
-    f"""
+# Exported as a constant: the streaming gate (suite_streaming.
+# streaming_decontamination) registers the SAME oracle — one
+# definition keeps the batch and streaming contracts in sync.
+DECON_ORACLE_SQL = f"""
     WITH ws0 AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
     bench AS (
       SELECT ws[2:20] AS ws FROM ws0 WHERE len(ws) >= 21 AND doc_id < 40),
@@ -374,8 +380,10 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bench WHERE len(ws) >= 13)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matching_ngrams
     FROM cg JOIN bg USING (g) GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("ngram_decontamination", DECON_ORACLE_SQL)
 def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.dedup import ngram_overlap_hits
 

@@ -933,24 +933,11 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming_lsh_dedup's stateful band index, which exists for the
 # corpus-vs-ITSELF problem; contamination is corpus-vs-fixed-set).
 def _decontamination_oracle() -> str:
-    from deepicedrain_spark.suite_retrieval import _TOKS
+    # the batch query's oracle verbatim (ONE definition — the batch and
+    # streaming contracts must stay in sync)
+    from deepicedrain_spark.suite_retrieval import DECON_ORACLE_SQL
 
-    return f"""
-    WITH ws0 AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
-    bench AS (
-      SELECT ws[2:20] AS ws FROM ws0 WHERE len(ws) >= 21 AND doc_id < 40),
-    cg AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(generate_series(1, len(ws) - 12),
-                           i -> array_to_string(ws[i:i+12], ' ')))) AS g
-      FROM ws0 WHERE len(ws) >= 13),
-    bg AS (
-      SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(ws) - 12),
-                           i -> array_to_string(ws[i:i+12], ' ')))) AS g
-      FROM bench WHERE len(ws) >= 13)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matching_ngrams
-    FROM cg JOIN bg USING (g) GROUP BY doc_id
-    """
+    return DECON_ORACLE_SQL
 
 
 @register("streaming_decontamination", _decontamination_oracle())

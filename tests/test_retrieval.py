@@ -434,3 +434,24 @@ def test_roc_auc_by_slice_and_null(spark):
     assert got["a"]["auc"] == 1.0  # both positives outrank both negatives
     assert got["b"]["auc"] is None and got["b"]["gini"] is None
     assert got["b"]["n_pos"] == 2 and got["b"]["n_neg"] == 0
+
+
+def test_ngram_overlap_hits_rejects_n1(spark):
+    from deepicedrain_spark.operators.dedup import ngram_overlap_hits
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    with pytest.raises(ValueError, match="n >= 2"):
+        ngram_overlap_hits(df, df, n=1)
+
+
+def test_roc_auc_decimal_numerator_stays_exact(spark):
+    # many distinct scores, large counts per score: the doubled
+    # Mann-Whitney numerator must accumulate exactly (decimal path)
+    # ids 2k and 2k+1 share a score with opposite labels, so the
+    # positive and negative score multisets are identical -> AUC 0.5
+    df = spark.range(20000).select(
+        (F.floor(F.col("id") / 2) % 100 / 100.0).alias("score"),
+        (F.col("id") % 2 == 0).alias("label"),
+    )
+    got = roc_auc(df).collect()[0]
+    assert got["auc"] == 0.5 and got["n_pos"] == 10000

@@ -267,7 +267,10 @@ def run(spark, mult: int, only: set[str] | None = None) -> dict:
     out_dir = f"/tmp/spark_graft_sfx{mult}"
     t0 = time.time()
     stage(spark, out_dir, mult)
-    stage_zipf(spark, out_dir + "_zipf", mult)
+    # the Zipf fixture only feeds the two LM _zipf runs — skip its
+    # staging when a subset run requests neither
+    if not only or only & {"perplexity_buckets", "kneser_ney_lm_score"}:
+        stage_zipf(spark, out_dir + "_zipf", mult)
     t_stage = time.time() - t0
 
     import __spark_entry__ as entry
