@@ -966,13 +966,26 @@ def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_dir(sf_dir, "documents")
     )
     lit_grams = F.array(*[F.lit(g) for g in grams])
+    # Generate fence (the r9 kmv lesson's shape): filtering directly on
+    # the derived count collapses the WHOLE shingle+intersect expression
+    # into the scan's interpreted filter path (measured 19.5 s at sf0.1
+    # for a map-only plan); exploding a 1-element struct puts the filter
+    # above the Generate on the materialized count — 2.6 s, same rows
     gated = (
         word_shingles(stream, "text", 13, out="_gs")
-        .withColumn(
-            "n_matching_ngrams",
-            F.size(F.array_intersect("_gs", lit_grams)).cast("long"),
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.size(F.array_intersect("_gs", lit_grams))
+                        .cast("long")
+                        .alias("n_matching_ngrams")
+                    )
+                )
+            ).alias("_x"),
         )
+        .select("doc_id", F.col("_x.n_matching_ngrams").alias("n_matching_ngrams"))
         .filter(F.col("n_matching_ngrams") > 0)
-        .select("doc_id", "n_matching_ngrams")
     )
     return run_to_batch(gated, "append").orderBy("doc_id")
