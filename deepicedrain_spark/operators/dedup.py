@@ -821,11 +821,15 @@ def containment_pairs(
         ex.join(freq, "_s")
         .withColumn("_pos", F.row_number().over(wcanon))
         .filter(F.col("_pos") <= prefix_len)
-        .select(F.col(id_col).alias("id_a"), "_s")
+        .select(F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"))
     )
-    b = ex.select(F.col(id_col).alias("id_b"), "_s")
+    # distinct column names per side: both branches descend from `ex`,
+    # and a shared-lineage equi-column triggers Spark's self-join
+    # disambiguation WARN ("trivially true equals predicate") — renamed
+    # keys make the predicate unambiguous with an identical plan
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("_s").alias("_sb"))
     cands = (
-        a.join(b, (a["_s"] == b["_s"]) & (F.col("id_a") != F.col("id_b")))
+        a.join(b, (F.col("_sa") == F.col("_sb")) & (F.col("id_a") != F.col("id_b")))
         .select("id_a", "id_b")
         .distinct()
     )

@@ -12,9 +12,10 @@ number of DISTINCT scores per partition). The ordered cumulative pass
 that turns per-score (n_pos, n_neg) counts into the Mann–Whitney
 numerator runs over the compressed distinct-score table, which is
 orders of magnitude smaller than the corpus; for a score column with
-unbounded cardinality, quantize scores first (the usual AUC-at-scale
-trade) — this module computes the EXACT statistic and therefore keeps
-the distinct-score pass.
+unbounded cardinality, pass ``quantize=Q`` to roc_auc (the usual
+AUC-at-scale trade — scores bucket to floor(s·Q)/Q before the
+distinct-score pass, bounding it at the bucket count); the default
+computes the EXACT statistic over the raw scores.
 
 Determinism: every intermediate is an exact integer (tie-aware
 Mann–Whitney sums n_pos·(2·cum_neg_below + n_neg) of half-unit terms,
@@ -35,12 +36,27 @@ def roc_auc(
     score_col: str = "score",
     label_col: str = "label",
     by: list[str] | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
-    """Exact tie-corrected ROC-AUC from a (score, boolean label) frame.
+    """Tie-corrected ROC-AUC from a (score, boolean label) frame.
 
     AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), computed as the
     normalized Mann–Whitney U over per-score count pairs: one groupBy
     over the corpus, one ordered pass over distinct scores.
+
+    The exact-vs-quantized contract: with ``quantize=None`` (default)
+    the statistic is EXACT over the raw scores — correct whenever the
+    score column's distinct cardinality is bounded (a classifier with
+    a fixed feature grid, integer scores, already-rounded outputs).
+    With ``quantize=Q`` each score is first bucketed to
+    ``floor(score·Q)/Q`` (left-edge buckets, floor so negatives bucket
+    toward −∞ consistently), which BOUNDS the distinct-score table at
+    the bucket count regardless of input cardinality — the usual
+    AUC-at-scale trade for unbounded/continuous scores: the map-side
+    combiner output, the shuffle, and the ordered pass all become
+    O(buckets), and the result is the exact AUC of the quantized
+    scores (ties WITHIN a bucket count ½, exactly as equal raw scores
+    would).
 
     With ``by`` (slice columns — per-source/per-language evaluation),
     the ordered pass is a window PARTITIONED on the slice keys, so it
@@ -52,7 +68,14 @@ def roc_auc(
     rounded to 6, gini = 2·auc − 1.
     """
     by = list(by or [])
-    per_score = scored.groupBy(*by, F.col(score_col).alias("s")).agg(
+    s_expr = F.col(score_col)
+    if quantize is not None:
+        # floor(s·Q)/Q in pure double arithmetic: both engines compute
+        # the same IEEE product, floor, and division (Spark's floor on
+        # double yields LONG — cast back before the divide)
+        q = F.lit(float(quantize))
+        s_expr = F.floor(s_expr * q).cast("double") / q
+    per_score = scored.groupBy(*by, s_expr.alias("s")).agg(
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("nn"),
     )
@@ -134,3 +157,108 @@ def pr_at_thresholds(
         F.round(recall, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     ).orderBy("threshold")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference slice and a
+    current slice of a numeric feature — the standard
+    score/feature-drift monitor a scoring pipeline runs per batch
+    (PSI < 0.1 stable, > 0.25 shifted).
+
+    Buckets are the EXACT equi-depth edges of the reference slice,
+    computed with the value-domain aggregation shape certified by
+    equi_depth_deciles (shuffle payload = distinct values, never rows;
+    no global sort of the fact table). Both slices then bucket
+    map-side against the broadcast edge array via
+    ``1 + Σ_k [v > edge_k]`` — with tied edges (a value spanning
+    multiple quantiles) the intermediate buckets are empty in BOTH
+    slices by the same formula, and their contribution is NULL
+    (p·ln(p/q) is undefined at zero mass; psi_total sums the defined
+    buckets — the exclusion is part of the contract, not a silent
+    cap).
+
+    Determinism: counts exact integers; p = c/total and the
+    (p_cur − p_ref)·ln(p_cur/p_ref) contribution are identical double
+    expression trees; contributions round to 6 and psi_total sums the
+    ROUNDED contributions in DECIMAL so it is summation-order-free.
+
+    Output: (bucket, c_ref, c_cur, contrib, psi_total) one row per
+    1..buckets, psi_total repeated (window sum over the decimal-cast
+    rounded contributions).
+    """
+    counts = ref.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = counts.select(
+        "v", F.sum("n").over(w_cum).alias("c"), F.sum("n").over(w_all).alias("total")
+    )
+    qs = ref.sparkSession.range(1, buckets).select(F.col("id").alias("q"))
+    edges = (
+        cum.join(
+            F.broadcast(qs),
+            F.col("c") >= F.ceil(F.col("q") * F.col("total") / F.lit(float(buckets))),
+        )
+        .groupBy("q")
+        .agg(F.min("v").alias("edge"))
+        .agg(F.array_sort(F.collect_list("edge")).alias("edges"))
+    )
+
+    def bucketize(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.col(value_col).alias("v"))
+            .crossJoin(F.broadcast(edges))
+            .select(
+                (
+                    F.lit(1)
+                    + F.aggregate(
+                        "edges",
+                        F.lit(0),
+                        lambda acc, e: acc
+                        + F.when(F.col("v") > e, F.lit(1)).otherwise(F.lit(0)),
+                    )
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    r = bucketize(ref, "c_ref")
+    c = bucketize(cur, "c_cur")
+    grid = ref.sparkSession.range(1, buckets + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    tot_r = F.sum("c_ref").over(w_all)
+    tot_c = F.sum("c_cur").over(w_all)
+    p_ref = F.col("c_ref").cast("double") / tot_r
+    p_cur = F.col("c_cur").cast("double") / tot_c
+    contrib = F.when(
+        (F.col("c_ref") > 0) & (F.col("c_cur") > 0),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6),
+    )
+    joined = (
+        grid.join(r, "bucket", "left")
+        .join(c, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
+        )
+        .withColumn("contrib", contrib)
+    )
+    return joined.select(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        "contrib",
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(18,6)")).over(w_all).cast("double"),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bucket")

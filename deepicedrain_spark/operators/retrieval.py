@@ -131,6 +131,7 @@ def mmr_select(
     id_col: str = "cand_id",
     rel_col: str = "rel",
     vec_col: str = "cv",
+    prune: bool = False,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection over a candidate pool.
 
@@ -144,28 +145,53 @@ def mmr_select(
 
     ``pool`` must be SMALL (top-M from cosine_topk / ivf_topk — the
     distributed stage); it is collected to the driver (bounded state,
-    the kmeans-centroid pattern; guarded by ``max_pool``). The greedy
-    order is decided driver-side with numpy float64 cosines rounded by
-    the multiply-round form; the returned DataFrame joins the order
-    back against ``pool`` so every output VALUE is computed Spark-side.
+    the kmeans-centroid pattern; guarded by ``max_pool``). With
+    ``prune=True`` an oversized pool is first cut to its top
+    ``max_pool`` rows by relevance DISTRIBUTED (orderBy+limit — Spark's
+    TakeOrderedAndProject: per-partition top-M, one M-row merge, never
+    a full sort or an unbounded collect); with the default
+    ``prune=False`` an oversized pool raises instead (the explicit-pool
+    API), and the guard fires from a bounded ``limit(max_pool + 1)``
+    collect so the driver never materializes the oversized pool. The
+    greedy order is decided driver-side with numpy float64 cosines
+    rounded by the multiply-round form; the returned DataFrame joins
+    the order back against ``pool`` so every output VALUE is computed
+    Spark-side.
 
-    Output: (rank, cand_id, rel) for the k selected, rank 1..k.
+    Output: (rank, cand_id, rel) for the k selected, rank 1..k;
+    cand_id/rel keep the pool's column types (including the empty
+    result, whose schema is derived from ``pool.schema``).
     """
     import numpy as np
+    from pyspark.sql import types as T
 
+    pool = pool.select(id_col, rel_col, vec_col)
+    if prune:
+        pool = pool.orderBy(F.col(rel_col).desc(), F.col(id_col)).limit(max_pool)
     # localCheckpoint: the pool subplan (often a full corpus cosine
     # top-M) is consumed twice — the driver collect AND the output
     # value join — and would re-execute for the second consumer
-    pool = pool.select(id_col, rel_col, vec_col).localCheckpoint()
-    rows = pool.collect()
+    pool = pool.localCheckpoint()
+    # bounded collect: at most max_pool + 1 rows reach the driver, so
+    # the oversize guard fires BEFORE an oversized pool materializes
+    # driver-side (≤ max_pool rows means the limit returned ALL rows)
+    rows = pool.limit(max_pool + 1).collect()
     if len(rows) > max_pool:
         raise ValueError(
-            f"MMR pool has {len(rows)} rows > max_pool={max_pool}; "
-            "prune with a distributed top-M first"
+            f"MMR pool has > max_pool={max_pool} rows; "
+            "prune with a distributed top-M first (or pass prune=True)"
         )
+    fields = {f.name: f for f in pool.schema.fields}
     if not rows:
         spark = pool.sparkSession
-        return spark.createDataFrame([], "rank long, cand_id long, rel double")
+        schema = T.StructType(
+            [
+                T.StructField("rank", T.LongType(), False),
+                T.StructField("cand_id", fields[id_col].dataType, True),
+                T.StructField("rel", fields[rel_col].dataType, True),
+            ]
+        )
+        return spark.createDataFrame([], schema)
 
     ids = [r[id_col] for r in rows]
     rel = [float(r[rel_col]) for r in rows]
@@ -193,7 +219,12 @@ def mmr_select(
     spark = pool.sparkSession
     order = spark.createDataFrame(
         [(i + 1, ids[p]) for i, p in enumerate(selected)],
-        "rank long, cand_id long",
+        T.StructType(
+            [
+                T.StructField("rank", T.LongType(), False),
+                T.StructField("cand_id", fields[id_col].dataType, True),
+            ]
+        ),
     )
     out = order.join(
         pool.select(F.col(id_col).alias("cand_id"), F.col(rel_col).alias("rel")),

@@ -279,10 +279,15 @@ def entropy_features(
       top-fraction ratios (repetition_features) can't see: a doc that
       cycles "a b a b a b" has high H₁ but ZERO conditional entropy.
 
-    One pass: tokens explode once; bigrams derive from the same split.
-    Both count aggregations shuffle on (doc, term) — vocabulary-bounded
-    combiner output — and rejoin on doc_id. Documents with < 2 tokens
-    carry NULL bigram_cond_entropy (LEFT join, no bigrams).
+    Plan shape: TWO independent subplans scan the corpus — unigrams
+    (explode → count) and bigrams (re-split → transform → explode →
+    count) — each pruned to (id, text) at the scan, then rejoined on
+    doc_id. Sharing one tokenized projection would need a
+    corpus-sized cache/checkpoint of the token arrays (Spark re-runs
+    an unpersisted subplan per consumer), so two pruned scans are the
+    cheaper shape at 100 TB. Both count aggregations shuffle on
+    (doc, term) — vocabulary-bounded combiner output. Documents with
+    < 2 tokens carry NULL bigram_cond_entropy (LEFT join, no bigrams).
 
     Determinism: counts are exact integers; entropies are Σ c·ln c
     double sums rounded to 6 d.p. (generic values — suite_llm header).
@@ -332,4 +337,81 @@ def entropy_features(
             ).alias("norm_entropy"),
             F.round(F.col("_h2") - F.col("_h1"), 6).alias("bigram_cond_entropy"),
         )
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the classic phrase-mining signal (Church & Hanks
+    1990) a tokenizer-vocabulary or merge-rule builder ranks candidate
+    multi-word units with.
+
+    PMI(w1, w2) = ln( p(w1 w2) / (p(w1)·p(w2)) ), with p(w1 w2) from
+    adjacent-pair counts over their own total and p(w) from unigram
+    counts over the token total. ``min_count`` drops the rare-pair
+    noise PMI is notoriously dominated by.
+
+    Scale shape: two pruned corpus scans (unigrams explode→count,
+    bigrams re-split→count — the entropy_features trade: sharing one
+    tokenized projection would need a corpus-sized cache), then
+    everything is VOCABULARY-bounded: two equi-joins of the bigram
+    count table against the unigram counts (w1, w2), one-row totals
+    broadcast via crossJoin, and the final top-k rank window over the
+    min_count-filtered survivors (WindowGroupLimit collapses it to a
+    per-partition top-k before the single merge).
+
+    Determinism: all counts exact integers; PMI is one ln over an
+    identical mul/div tree of int-valued doubles, rounded to 6; rank
+    orders by (pmi DESC, w1, w2). Output: (w1, w2, cb, pmi, rank).
+    """
+    toks = df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # totals computed from the vocab-bounded count table, not the corpus
+    u_tot = uni.agg(F.sum("c").cast("long").alias("u"))
+    bg = (
+        df.select(whitespace_tokens(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> struct(element_at(_w, i) AS w1,"
+                    "             element_at(_w, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    b_tot = bgc.agg(F.sum("cb").cast("long").alias("bt"))
+    scored = (
+        bgc.filter(F.col("cb") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(b_tot))
+        .crossJoin(F.broadcast(u_tot))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") / F.col("bt"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("u"))
+                        * (F.col("c2").cast("double") / F.col("u"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("w1", "w2", "cb", "pmi", "rank")
     )

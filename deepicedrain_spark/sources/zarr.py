@@ -701,6 +701,7 @@ def read_zarr_dir(
     parent: str,
     columns: list[str] | None = None,
     store_col: str = "store",
+    schema_mode: str = "strict",
 ) -> DataFrame:
     """Multi-store Zarr scan — the reference's ACTUAL ingest shape:
     ``xr.open_mfdataset("ATL11_*.zarr", combine="nested",
@@ -710,11 +711,34 @@ def read_zarr_dir(
     ``parent`` that is a Zarr store (v2 consolidated or v3) becomes
     part of ONE (store × chunk-stripe) task table — a single
     mapInPandas whatever the store count, like read_hdf5_dir, never a
-    per-store union plan. Stores must agree on column names/dtypes;
-    row counts, chunk sizes, versions and compressors may differ per
-    store. Output: ``store`` (dir name), ``row_index`` (position
-    WITHIN the store — the reference's per-granule ref_pt), plus the
-    data columns."""
+    per-store union plan. Row counts, chunk sizes, versions and
+    compressors may differ per store.
+
+    ``schema_mode``:
+
+    - ``"strict"`` (default): stores must agree exactly on column
+      names, dtypes, ranks and trailing shapes — any drift raises.
+    - ``"union"``: the output schema is the UNION of the stores'
+      variable sets; a variable absent from a store reads as NULL for
+      that store's rows — matching ``xr.open_mfdataset`` nested-concat
+      semantics, where a granule missing a variable (e.g. a track
+      without some cycles) contributes missing values that downstream
+      ``dropna(thresh=…)`` then prunes (atlxi_dhdt.py:73-82, 111).
+      Where a variable IS present its dtype/rank/trailing shape must
+      still agree across stores (union mode fills MISSING variables;
+      it never coerces conflicting types). The null-fill is metadata
+      driven — no chunk is read for an absent variable, so the scan
+      cost is unchanged and the per-task work stays proportional to
+      the bytes that exist.
+
+    Output: ``store`` (dir name), ``row_index`` (position WITHIN the
+    store — the reference's per-granule ref_pt), plus the data
+    columns."""
+    if schema_mode not in ("strict", "union"):
+        raise ValueError(
+            f"read_zarr_dir: schema_mode={schema_mode!r}; "
+            "expected 'strict' or 'union'"
+        )
     stores = sorted(
         d
         for d in os.listdir(parent)
@@ -739,11 +763,22 @@ def read_zarr_dir(
             "<f8": "double", "<f4": "float", "|b1": "boolean"}
     meta: dict[str, dict] = {}
     sig_ref: list[tuple[str, str]] | None = None
+    union_sig: dict[str, tuple] = {}  # col -> (dtype, rank, tail shape)
     tasks: list[tuple[str, int]] = []
     for s in stores:
         path = os.path.join(parent, s)
-        arrays = _store_arrays(path, columns)
-        cols = sorted(arrays)
+        if schema_mode == "union":
+            arrays = _store_arrays(path, None)
+            if columns:
+                arrays = {c: arrays[c] for c in columns if c in arrays}
+            if not arrays:
+                raise ValueError(
+                    f"read_zarr_dir: store {s} has none of the requested "
+                    f"columns {columns}"
+                )
+        else:
+            arrays = _store_arrays(path, columns)
+        store_cols = sorted(arrays)
         # rank is part of the schema signature: a 2-D column is
         # array<T>, so stores must agree on it (axis-1 extent may vary
         # per store only when every store's is equal — the vector
@@ -751,21 +786,33 @@ def read_zarr_dir(
         # would silently misalign downstream zips, so pin it too)
         sig = [
             (c, arrays[c]["dtype"], len(arrays[c]["shape"]), tuple(arrays[c]["shape"][1:]))
-            for c in cols
+            for c in store_cols
         ]
-        if sig_ref is None:
+        if schema_mode == "union":
+            # per-VARIABLE agreement where present; absence is fine
+            for c, dt, rank, tail in sig:
+                if c not in union_sig:
+                    union_sig[c] = (dt, rank, tail)
+                elif union_sig[c] != (dt, rank, tail):
+                    raise ValueError(
+                        f"read_zarr_dir: schema drift for variable {c!r} "
+                        f"at {s}: {(dt, rank, tail)} != {union_sig[c]} — "
+                        "union mode null-fills MISSING variables but "
+                        "requires agreeing dtype/rank where present"
+                    )
+        elif sig_ref is None:
             sig_ref = sig
         elif sig != sig_ref:
             raise ValueError(
                 f"read_zarr_dir: schema drift at {s}: {sig} != {sig_ref}"
             )
-        for c in cols:
+        for c in store_cols:
             if arrays[c].get("filters"):
                 raise ValueError(
                     f"read_zarr_dir: array {s}/{c} uses codec filters; "
                     "only plain zlib/no-compressor stores are supported"
                 )
-        first = arrays[cols[0]]
+        first = arrays[store_cols[0]]
         n_rows, chunk_rows = first["shape"][0], first["chunks"][0]
         meta[s] = {
             "n_rows": n_rows,
@@ -775,12 +822,17 @@ def read_zarr_dir(
         n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
         tasks.extend((s, cid) for cid in range(n_chunks))
 
-    cols = [c for c, _, _, _ in sig_ref]
+    if schema_mode == "union":
+        cols = sorted(union_sig)
+        col_sig = union_sig
+    else:
+        cols = [c for c, _, _, _ in sig_ref]
+        col_sig = {c: (dt, rank, tail) for c, dt, rank, tail in sig_ref}
 
     def ddl(c: str) -> str:
-        a = meta[stores[0]]["arrays"][c]
-        base = _REV[a["dtype"]]
-        return base if len(a["shape"]) == 1 else f"array<{base}>"
+        dt, rank, _ = col_sig[c]
+        base = _REV[dt]
+        return base if rank == 1 else f"array<{base}>"
 
     schema = f"`{store_col}` string, row_index long, " + ", ".join(
         f"`{c}` {ddl(c)}" for c in cols
@@ -803,9 +855,13 @@ def read_zarr_dir(
                     "row_index": np.arange(start, start + length, dtype=np.int64),
                 }
                 for c in cols:
-                    arr = _read_stripe(
-                        os.path.join(parent, s), c, m["arrays"][c], cid, length
-                    )
+                    a = m["arrays"].get(c)
+                    if a is None:
+                        # union mode: variable absent from this store —
+                        # metadata-driven NULL fill, no chunk I/O
+                        out[c] = pd.Series([None] * length, dtype="object")
+                        continue
+                    arr = _read_stripe(os.path.join(parent, s), c, a, cid, length)
                     out[c] = list(arr) if arr.ndim == 2 else arr
                 yield pd.DataFrame(out)
 

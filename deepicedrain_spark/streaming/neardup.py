@@ -44,14 +44,29 @@ Scale: per batch the work is map-side signature/banding over the
 batch, one equi-join of batch bands against the band index, and exact
 verify on candidates only. The state grows with corpus DISTINCT
 content, the markers table with duplicates found — both tiny next to
-the corpus. At cluster scale the docs/ store would be written
-bucketed by doc_id so verify joins co-locate, and the exploded band
-index maintained as a second bucketed table once re-exploding per
-batch stops being free.
+the corpus.
+
+Cluster-scale state layout (``bucketed=B``): the docs store and the
+EXPLODED band index are maintained as Spark bucketed parquet tables
+under ``state_dir`` (CLUSTERED BY doc_id / (band_idx, band_hash) INTO
+B BUCKETS), appended per batch. The verify join's state side then
+arrives pre-partitioned — the bucketed scan reports
+hashpartitioning(doc_id, B), so only the batch-sized candidate side
+exchanges (zero state-side shuffle even when the candidate set
+outgrows the broadcast threshold; SCALE.md r11) — and the band index
+is read instead of re-exploded from the whole docs store every batch.
+Verdicts are layout-invariant (pytest proves flat == bucketed row for
+row); the default flat layout keeps the demo free of catalog state.
+Crash-replay: a batch is skipped once in the applied manifest; a
+crash BETWEEN the bucketed appends and the manifest write can leave
+duplicate state rows, which the semantics absorb (candidate distinct,
+marker min-merge, read_gate_result distinct) — same contract as a doc
+redelivered under two batch ids in flat mode.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -120,6 +135,49 @@ def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(docs_dir, "b*"))
 
 
+def _bucket_tag(state_dir: str) -> str:
+    return hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+
+
+def _bucket_specs(state_dir: str) -> dict[str, tuple[str, str, list[str]]]:
+    """table name -> (location, column DDL, bucket keys)."""
+    tag = _bucket_tag(state_dir)
+    return {
+        f"gate_docs_{tag}": (
+            os.path.join(state_dir, "docs_bkt"),
+            "doc_id BIGINT, hs ARRAY<BIGINT>, n BIGINT",
+            ["doc_id"],
+        ),
+        f"gate_bands_{tag}": (
+            os.path.join(state_dir, "bands_bkt"),
+            "doc_id BIGINT, band_idx INT, band_hash BIGINT",
+            ["band_idx", "band_hash"],
+        ),
+    }
+
+
+def _ensure_bucket_tables(spark: SparkSession, state_dir: str, buckets: int) -> list[str]:
+    """Register the bucketed state tables, re-attaching existing table
+    files after a session restart (the default in-memory catalog loses
+    table metadata with the session; the bucket spec in the CREATE
+    keeps Spark's bucketed-scan partitioning on the re-read)."""
+    names = []
+    for name, (path, ddl, keys) in _bucket_specs(state_dir).items():
+        names.append(name)
+        if not spark.catalog.tableExists(name) and os.path.isdir(path):
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(keys)}) INTO {buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+    return names
+
+
+def _bucketed_docs(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    name = next(iter(_bucket_specs(state_dir)))
+    return spark.table(name) if spark.catalog.tableExists(name) else None
+
+
 def near_dup_gate(
     spark: SparkSession,
     state_dir: str,
@@ -130,9 +188,15 @@ def near_dup_gate(
     bands: int = 16,
     shingle_n: int = 3,
     workers: int = 8,
+    bucketed: int = 0,
 ):
     """Returns the foreachBatch callable. Feed it document batches;
-    read the verdicts back with :func:`read_gate_result`."""
+    read the verdicts back with :func:`read_gate_result`.
+
+    ``bucketed``: 0 (default) keeps the flat per-batch-subdir layout;
+    B > 0 maintains the docs store and the exploded band index as
+    Spark bucketed tables with B buckets (module docstring, cluster
+    layout) — verdict-identical, state-side-shuffle-free."""
     docs_dir = os.path.join(state_dir, "docs")
     os.makedirs(state_dir, exist_ok=True)
 
@@ -177,12 +241,29 @@ def near_dup_gate(
             )
 
         batch_bands = explode_bands(prep)
-        prior = _read_state(spark, state_dir)
-        index = (
-            batch_bands
-            if prior is None
-            else explode_bands(prior).unionByName(batch_bands)
-        )
+        if bucketed:
+            _ensure_bucket_tables(spark, state_dir, bucketed)
+            prior = _bucketed_docs(spark, state_dir)
+            # the index is a MAINTAINED table — read it back instead of
+            # re-exploding the whole docs store every batch
+            bands_tbl = list(_bucket_specs(state_dir))[1]
+            prior_bands = (
+                spark.table(bands_tbl)
+                if spark.catalog.tableExists(bands_tbl)
+                else None
+            )
+            index = (
+                batch_bands
+                if prior_bands is None
+                else prior_bands.unionByName(batch_bands)
+            )
+        else:
+            prior = _read_state(spark, state_dir)
+            index = (
+                batch_bands
+                if prior is None
+                else explode_bands(prior).unionByName(batch_bands)
+            )
 
         # candidates: any band shared between a batch doc and ANY doc
         # (prior state or this batch); orient each pair (later, earlier)
@@ -253,12 +334,33 @@ def near_dup_gate(
             ):
                 shutil.rmtree(e.path, ignore_errors=True)
 
-        # per-batch subdir with overwrite: crash-replay rewrites the
-        # same files (idempotent), never appends duplicates. Committed
-        # AFTER markers so a replay re-verifies against pre-batch state.
-        prep.write.mode("overwrite").parquet(
-            os.path.join(docs_dir, f"b{int(batch_id)}")
-        )
+        # state append LAST (after the markers commit) so a replay
+        # re-verifies against pre-batch state.
+        if bucketed:
+            docs_tbl, bands_tbl = _ensure_bucket_tables(spark, state_dir, bucketed)
+            specs = _bucket_specs(state_dir)
+            (
+                prep.select("doc_id", "hs", "n")
+                .write.format("parquet")
+                .bucketBy(bucketed, "doc_id")
+                .sortBy("doc_id")
+                .option("path", specs[docs_tbl][0])
+                .mode("append")
+                .saveAsTable(docs_tbl)
+            )
+            (
+                batch_bands.write.format("parquet")
+                .bucketBy(bucketed, "band_idx", "band_hash")
+                .option("path", specs[bands_tbl][0])
+                .mode("append")
+                .saveAsTable(bands_tbl)
+            )
+        else:
+            # per-batch subdir with overwrite: crash-replay rewrites the
+            # same files (idempotent), never appends duplicates.
+            prep.write.mode("overwrite").parquet(
+                os.path.join(docs_dir, f"b{int(batch_id)}")
+            )
         _mark_applied(state_dir, batch_id)
 
     return process
@@ -267,12 +369,18 @@ def near_dup_gate(
 def read_gate_result(spark: SparkSession, state_dir: str) -> DataFrame:
     """(doc_id, kept, dup_of) for every document the gate has seen:
     kept = no smaller-id verified near-duplicate exists anywhere in
-    the ingested stream."""
-    docs = (
-        spark.read.parquet(os.path.join(state_dir, "docs", "b*"))
-        .select("doc_id")
-        .distinct()  # a doc redelivered under two batch ids appears twice
-    )
+    the ingested stream. Reads whichever state layout the gate wrote
+    (flat per-batch subdirs or the bucketed tables)."""
+    bkt_dir = os.path.join(state_dir, "docs_bkt")
+    if os.path.isdir(bkt_dir):
+        # ids only — a plain path read suffices (no join on this side)
+        docs = spark.read.parquet(bkt_dir).select("doc_id").distinct()
+    else:
+        docs = (
+            spark.read.parquet(os.path.join(state_dir, "docs", "b*"))
+            .select("doc_id")
+            .distinct()  # a doc redelivered under two batch ids appears twice
+        )
     markers = _read_markers(spark, state_dir)
     if markers is None:
         return docs.select(

@@ -926,7 +926,7 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-10 rotation ----------------------
+    # --- driver top-50 window, round-11 rotation ----------------------
     # STANDING POLICY (amended r9): the window is filled in strict
     # priority order (1) anchors, (2) queries with NO driver row ever,
     # (3) queries whose CODE changed since their last driver row,
@@ -936,81 +936,27 @@ PRIORITY: list[str] = [
     # (1) anchors
     "dhdt_per_point_regression",
     "parquet_roundtrip",
-    # (2) never driver-checked: the round-9 ATL11 2-D cube pair, the
-    # round-10 whole-program pipeline (multi-store 2-D Zarr union ->
-    # dropna -> per-point trend -> partitioned parquet sink), and the
-    # round-10 session-2 additions (sharded Zarr, blocked-GEMM k-NN,
-    # one-pass covariance/drift, streaming LSH ingest gate — each
-    # local-checked at sf0.01 + sf0.001 + TZ-shifted + local[3]/7)
-    "atl11_ingest_cube",
-    "atl11_zarr_cube",
-    "atl11_dhdt_end_to_end",
-    "url_dedup_hosts",
-    "zarr_sharded_cube",
-    "knn_graph_blocked",
-    "embedding_covariance",
-    "embedding_drift",
-    "streaming_lsh_dedup",
-    # round-10 session-3 additions (retrieval/evaluation family —
-    # BM25, MMR, Kneser–Ney LM, ROC-AUC, PR grid, entropy signals),
-    # never driver-checked, local-certified at sf0.01 + sf0.001 +
-    # TZ-shifted + local[3]/7 (ROADMAP session-3 close)
-    "bm25_topk_per_lang",
-    "mmr_diversified_topk",
-    "kneser_ney_lm_score",
-    "classifier_auc_eval",
-    "precision_recall_curve",
-    "entropy_quality",
-    "containment_dedup",
-    "ngram_decontamination",
-    "negative_sampling",
-    "hard_negative_mining",
-    "calibration_brier",
-    "tokenizer_fertility",
-    "orc_roundtrip",
-    "auc_by_source",
-    "streaming_decontamination",
-    # (3) code changed since last driver row — the hdf5lite/zarr family
-    # (N-D layers r9; BE reads + staging/F-order fixes r10; rows r6-r8
-    # all predate), the multimodal codecs (_spread went adaptive r10,
-    # after every r8/r9 row), and DSIR (rebuilt r10: collected
-    # 256-bucket model, zero cache residue)
-    "hdf5_roundtrip",
+    # (2) never driver-checked: the r11 additions — schema-evolution
+    # multi-store Zarr union (VERDICT r10 task 3) and the quantized
+    # ROC-AUC variant (task 6)
+    "zarr_evolving_union",
+    "classifier_auc_quantized",
+    # (3) code changed since last driver row (all r10 rows, touched in
+    # r11): read_zarr_dir gained schema_mode (strict path refactored —
+    # zarr_multistore_scan is the in-window representative; the other
+    # three consumers overflow to tier-2 head below), containment's
+    # self-join aliasing (task 5), mmr_select's bounded-collect guard +
+    # prune path (ADVICE + task 7), roc_auc's quantize parameter
+    # (classifier_auc_eval exercises the default path), and the
+    # streaming LSH gate's bucketed-state flag (flat path re-certified)
     "zarr_multistore_scan",
-    "zarr_v3_roundtrip",
-    "zarr_roundtrip",
-    "atl06_ingest_pipeline",
-    "atl06_ingest_dense_layout",
-    "atl06_dhdt_end_to_end",
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg_progressive",
-    "multimodal_mjpeg_frames",
-    "multimodal_real_audio",
-    "multimodal_real_video",
-    "multimodal_audio_resample",
-    "multimodal_real_decode",
-    "dsir_importance_weights",
-    # (4) oldest rows first: all 17 remaining r5 rows (re-verified
-    # locally at r9 close; they were promised the head of this window)
-    "bigram_lm_score",
-    "constraint_audit",
-    "conversion_funnel",
-    "customers_without_orders",
-    "embedding_int8_quantize",
-    "feature_hash_embed",
-    "grouped_correlation",
-    "keyword_snippets",
-    "lang_id_heuristic",
-    # --- tier 2: past the driver's 50-query window -------------------
-    # Displaced by the session-2 + session-3 never-checked entries
-    # above (policy: no-driver-row-ever outranks aged rows). The
-    # session-3 additions push out the LAST 8 of the 17 promised r5
-    # rows (oov_rate, quality_scores, revenue_cube, revenue_rollup,
-    # source_mixture_balance, stratified_sample_events, text_cleaning,
-    # weighted_sample_docs — each re-verified locally at session
-    # close, recorded in ROADMAP) plus streaming_running_anomaly (r6);
-    # they lead the r11 window together with the r6 cohort
-    # (streaming_kmeans_assign … multimodal_resize and the rest).
+    "containment_dedup",
+    "mmr_diversified_topk",
+    "classifier_auc_eval",
+    "streaming_lsh_dedup",
+    # (4) oldest rows first: ALL 41 rows aged <= r6 (VERDICT r10 task 1
+    # — after this window no row's latest driver check predates r7).
+    # First the 8 r5 rows,
     "oov_rate",
     "quality_scores",
     "revenue_cube",
@@ -1019,6 +965,7 @@ PRIORITY: list[str] = [
     "stratified_sample_events",
     "text_cleaning",
     "weighted_sample_docs",
+    # then the 33 r6 rows
     "streaming_running_anomaly",
     "streaming_kmeans_assign",
     "streaming_raster_counts",
@@ -1052,7 +999,23 @@ PRIORITY: list[str] = [
     "topk_per_segment",
     "track_densify_greatcircle",
     "wide_long_roundtrip",
-    # r7 rows (next after the r6 cohort)
+    # --- tier 2: past the driver's 50-query window -------------------
+    # r11 never-checked overflow: the union-mode whole-ATL11 pipeline
+    # (built on the r11 schema_mode='union' path already certified by
+    # the in-window zarr_evolving_union), then the r11 code-changed
+    # overflow: four r10-row queries whose code was touched in r11 but
+    # which the 41-aged-rows directive displaced (window arithmetic:
+    # 2 anchors + 2 never-checked + 41 aged leaves 5 changed slots for
+    # 9 changed queries). Each re-verified locally with tools/check.py
+    # at round close (ROADMAP r11); they lead the r12 window.
+    "atl11_union_dhdt",
+    "bigram_pmi_top",
+    "psi_value_drift",
+    "auc_by_source",
+    "atl11_zarr_cube",
+    "atl11_dhdt_end_to_end",
+    "zarr_sharded_cube",
+    # r7 rows (next after the overflow)
     "anomaly_vs_first",
     "argmax_top1",
     "bin_labels",
@@ -1177,6 +1140,49 @@ PRIORITY: list[str] = [
     "time_travel_read",
     "triangle_count",
     "version_diff_cdf",
+    # r10 rows (youngest, untouched in r11): the ATL11 cube, the r10
+    # session-2/3 families, the hdf5lite/zarr roundtrips and the
+    # multimodal codecs, and the r5-cohort remainder that got fresh
+    # r10 rows
+    "atl11_ingest_cube",
+    "url_dedup_hosts",
+    "knn_graph_blocked",
+    "embedding_covariance",
+    "embedding_drift",
+    "bm25_topk_per_lang",
+    "kneser_ney_lm_score",
+    "precision_recall_curve",
+    "entropy_quality",
+    "ngram_decontamination",
+    "negative_sampling",
+    "hard_negative_mining",
+    "calibration_brier",
+    "tokenizer_fertility",
+    "orc_roundtrip",
+    "streaming_decontamination",
+    "hdf5_roundtrip",
+    "zarr_v3_roundtrip",
+    "zarr_roundtrip",
+    "atl06_ingest_pipeline",
+    "atl06_ingest_dense_layout",
+    "atl06_dhdt_end_to_end",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_progressive",
+    "multimodal_mjpeg_frames",
+    "multimodal_real_audio",
+    "multimodal_real_video",
+    "multimodal_audio_resample",
+    "multimodal_real_decode",
+    "dsir_importance_weights",
+    "bigram_lm_score",
+    "constraint_audit",
+    "conversion_funnel",
+    "customers_without_orders",
+    "embedding_int8_quantize",
+    "feature_hash_embed",
+    "grouped_correlation",
+    "keyword_snippets",
+    "lang_id_heuristic",
 ]
 
 

@@ -3309,6 +3309,71 @@ def q_zarr_multistore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S3 schema-evolution multi-store scan (round 11, VERDICT r10
+# task 3): xr.open_mfdataset(combine='nested') unions granules whose
+# VARIABLE SETS differ — a track missing some cycles simply lacks those
+# height columns, and the absent values read as missing so the
+# downstream dropna(thresh=2) prunes them (atlxi_dhdt.py:73-82, 111).
+# Three shard stores are written with HETEROGENEOUS variable sets
+# (shard_0 all three, shard_1 without t_us, shard_2 without value);
+# read_zarr_dir(schema_mode='union') presents the union schema with
+# metadata-driven NULL fill (no chunk I/O for absent variables), and
+# per-store null-aware aggregates must match the oracle's CASE-gated
+# aggregation of the source table exactly — count(col) counting only
+# the stores that HAVE the variable proves absent reads as NULL, not
+# as a fill value.
+@register(
+    "zarr_evolving_union",
+    """
+    WITH base AS (
+      SELECT user_id % 3 AS shard, user_id, value, epoch_us(ts) AS t_us
+      FROM events)
+    SELECT concat('shard_', CAST(shard AS VARCHAR)) AS store,
+           count(*) AS n,
+           CAST(sum(CASE WHEN shard <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+           CASE WHEN shard <> 2
+                THEN CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) END AS sum_value,
+           CAST(sum(CASE WHEN shard <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CASE WHEN shard <> 1 THEN min(t_us) END AS first_us
+    FROM base GROUP BY shard ORDER BY 1
+    """,
+)
+def q_zarr_evolving_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        _ts_us().alias("t_us"),
+        F.pmod("user_id", F.lit(3)).alias("_shard"),
+    )
+    parent = scratch_path(sf_dir, "zarr_evolving")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    shard_cols = {0: ["user_id", "value", "t_us"], 1: ["user_id", "value"], 2: ["user_id", "t_us"]}
+    for shard, keep in shard_cols.items():
+        write_zarr(
+            ev.filter(F.col("_shard") == shard).select(*keep),
+            os.path.join(parent, f"shard_{shard}"),
+            chunk_rows=4096,
+            zarr_format=3 if shard == 2 else 2,
+        )
+    back = read_zarr_dir(spark, parent, schema_mode="union")
+    return (
+        back.groupBy("store")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("n_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.count("t_us").alias("n_t"),
+            F.min("t_us").alias("first_us"),
+        )
+        .orderBy("store")
+    )
+
+
 # --- J6 follow-on: the reference's lake-selection flow end-to-end ----
 # atlxi_lake.py:350-380: pick a lake group, DISSOLVE the polygons into
 # one geometry, build a Region from it, and SUBSET the point table to
@@ -3881,6 +3946,116 @@ def q_atl11_dhdt_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.select("track", "ref_pt", "n", "dhdt_slope", "intercept").orderBy(
         "track", "ref_pt"
+    )
+
+
+# Union-mode variant of the whole-ATL11 pipeline (round 11, follows
+# VERDICT r10 task 3): real multi-granule archives have HETEROGENEOUS
+# variable sets — some granules carry auxiliary variables (here
+# h_corr_sigma on the even tracks) that others lack, and
+# xr.open_mfdataset(combine='nested') unions them with missing reads
+# (atlxi_dhdt.py:73-82). The cube is read with schema_mode='union';
+# rows from sigma-less tracks carry a NULL sigma array (coalesced to a
+# NULL-element array so the zip-explode keeps their cycles), the
+# per-point regression runs over every track, and the sigma aggregates
+# (count + mean) must come out 0/NULL exactly on the tracks that lack
+# the variable — the oracle CASE-gates sigma on track parity, so a
+# fill-value leak or a dropped row anywhere in the union path breaks
+# the hash. Sigma values are exact eighths; avg is an exact-dyadic sum
+# divided once, IEEE-identical in both engines.
+@register(
+    "atl11_union_dhdt",
+    """
+    WITH rows AS (
+      SELECT g.g, i.i, c.c
+      FROM (SELECT unnest(range(0, 6)) AS g) g,
+           (SELECT unnest(range(0, 800)) AS i) i,
+           (SELECT unnest(range(3, 12)) AS c) c),
+    kept AS (SELECT * FROM rows WHERE (i + c + g) % 5 != 0),
+    pts AS (
+      SELECT concat('track_', CAST(1000 + g AS VARCHAR)) AS track,
+             CAST(i AS BIGINT) AS ref_pt,
+             CAST(c AS DOUBLE) + g * 0.125 AS t,
+             (i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 + g AS h,
+             CASE WHEN g % 2 = 0
+                  THEN 0.25 + ((i + c) % 4) * 0.125 END AS sig
+      FROM kept)
+    SELECT track, ref_pt,
+           CAST(regr_count(h, t) AS BIGINT) AS n,
+           round(regr_slope(h, t), 6) AS dhdt_slope,
+           CAST(count(sig) AS BIGINT) AS n_sig,
+           round(avg(sig), 6) AS mean_sigma
+    FROM pts GROUP BY track, ref_pt
+    HAVING regr_count(h, t) >= 2
+    ORDER BY track, ref_pt
+    """,
+)
+def q_atl11_union_dhdt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    n, cycles = 800, np.arange(3, 12, dtype="i8")
+    parent = scratch_path(sf_dir, "zarr_atl11_union")
+    os.makedirs(parent, exist_ok=True)
+    for g in range(6):
+        store = os.path.join(parent, f"track_{1000 + g}")
+
+        def make(tmp: str, g: int = g) -> None:
+            i = np.arange(n, dtype="i8")[:, None]
+            c = cycles[None, :]
+            h = ((i % 100) * 0.5 + (c - 3) * ((i % 7) - 3) * 0.25 + g).astype("f4")
+            h[(i + c + g) % 5 == 0] = np.nan  # missing cycles
+            dt = np.broadcast_to(c.astype("f8") + g * 0.125, h.shape).copy()
+            arrays = {
+                "ref_pt": np.arange(n, dtype="i8"),
+                "h_corr": h,
+                "delta_time": dt,
+            }
+            if g % 2 == 0:  # only even tracks ship the sigma variable
+                arrays["h_corr_sigma"] = (
+                    0.25 + ((i + c) % 4) * 0.125
+                ).astype("f4")
+            write_zarr_local(
+                tmp, arrays, zarr_format=2 + g % 2, chunk_shape=(256, 4)
+            )
+
+        synth_once(store, make, token="v1")
+    cube = read_zarr_dir(spark, parent, schema_mode="union")
+    # sigma-less tracks: NULL array -> array of NULLs, so arrays_zip
+    # doesn't null out and the explode keeps every cycle of every track
+    cube = cube.withColumn(
+        "sig",
+        F.coalesce(
+            F.col("h_corr_sigma"),
+            F.expr("transform(h_corr, x -> CAST(NULL AS FLOAT))"),
+        ),
+    )
+    long = (
+        cube.select(
+            F.col("store").alias("track"),
+            "ref_pt",
+            F.explode(F.arrays_zip("h_corr", "delta_time", "sig")).alias("z"),
+        )
+        .select(
+            "track",
+            "ref_pt",
+            F.col("z.h_corr").cast("double").alias("h"),
+            F.col("z.delta_time").alias("t"),
+            F.col("z.sig").cast("double").alias("sig"),
+        )
+        .where(~F.isnan("h"))
+    )
+    return (
+        long.groupBy("track", "ref_pt")
+        .agg(
+            F.expr("regr_count(h, t)").cast("long").alias("n"),
+            F.round(F.expr("regr_slope(h, t)"), 6).alias("dhdt_slope"),
+            F.count("sig").alias("n_sig"),
+            F.round(F.avg("sig"), 6).alias("mean_sigma"),
+        )
+        .where(F.col("n") >= 2)
+        .orderBy("track", "ref_pt")
     )
 
 

@@ -246,6 +246,46 @@ def q_classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(scored, "score", "label")
 
 
+# --- classifier evaluation: quantized-score ROC-AUC (the at-scale trade) --
+# Same scores/labels as classifier_auc_eval, but bucketed to
+# floor(s·16)/16 BEFORE the distinct-score pass (roc_auc quantize=16):
+# the shuffle and ordered pass become O(16 buckets) instead of
+# O(distinct raw scores) — the shape a continuous-score classifier
+# needs at 100 TB. The result is the exact AUC of the quantized
+# scores; both engines bucket with the same IEEE floor(s·16.0)/16.0.
+@register(
+    "classifier_auc_quantized",
+    f"""
+    WITH {_QUALITY_FEATS},
+    per AS (
+      SELECT floor(s * 16.0) / 16.0 AS qs,
+             sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN lab THEN 0 ELSE 1 END) AS nn
+      FROM scored GROUP BY 1),
+    cum AS (
+      SELECT np, nn,
+             coalesce(sum(nn) OVER (ORDER BY qs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM per),
+    agg AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             sum(np * (2 * cnb + nn)) AS num2
+      FROM cum)
+    SELECT n_pos, n_neg,
+           round(num2 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(2.0 * (num2 / (2.0 * n_pos * n_neg)) - 1.0, 6) AS gini
+    FROM agg
+    """,
+)
+def q_classifier_auc_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(docs).select(
+        F.col("quality").alias("score"), (F.col("lang") == "en").alias("label")
+    )
+    return roc_auc(scored, "score", "label", quantize=16)
+
+
 # --- classifier evaluation: precision/recall/F1 threshold grid ------------
 @register(
     "precision_recall_curve",
@@ -629,3 +669,101 @@ def q_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("quality").alias("score"), (F.col("lang") == "en").alias("label")
     )
     return roc_auc(scored, "score", "label", by=["source"]).orderBy("source")
+
+
+# --- bigram PMI collocations (round 11) ------------------------------------
+# Phrase mining over the corpus: top-25 adjacent-bigram collocations by
+# pointwise mutual information with a min-count floor — the signal a
+# tokenizer-vocabulary/merge-rule builder ranks multi-word units with.
+# Two pruned corpus scans (unigram + bigram counts, the entropy_features
+# trade); all joins and the rank window are vocabulary-bounded.
+@register(
+    "bigram_pmi_top",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    ut AS (SELECT CAST(sum(c) AS BIGINT) AS u FROM uni),
+    ws AS (SELECT {_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s
+      FROM ws WHERE len(w) >= 2),
+    bgc AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+    bt AS (SELECT CAST(sum(cb) AS BIGINT) AS bt FROM bgc),
+    scored AS (
+      SELECT g.w1, g.w2, g.cb,
+             round(ln((CAST(g.cb AS DOUBLE) / t.bt)
+                      / ((CAST(u1.c AS DOUBLE) / ut.u)
+                         * (CAST(u2.c AS DOUBLE) / ut.u))), 6) AS pmi
+      FROM bgc g
+      JOIN uni u1 ON u1.tok = g.w1
+      JOIN uni u2 ON u2.tok = g.w2, bt t, ut
+      WHERE g.cb >= 5)
+    SELECT w1, w2, cb, pmi, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM scored)
+    WHERE rank <= 25
+    ORDER BY rank
+    """,
+)
+def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts_ops.bigram_pmi(docs, min_count=5, top_k=25).orderBy("rank")
+
+
+# --- PSI feature drift (round 11) -------------------------------------------
+# Population Stability Index of the events value column between the
+# even-user (reference) and odd-user (current) slices: exact equi-depth
+# decile edges of the reference (the equi_depth_deciles value-domain
+# shape — no fact-table sort), map-side bucketing of both slices
+# against the broadcast 9-edge array, per-bucket
+# (p_cur − p_ref)·ln(p_cur/p_ref) contributions, and a
+# summation-order-free decimal total.
+@register(
+    "psi_value_drift",
+    """
+    WITH ref AS (SELECT value AS v FROM events WHERE user_id % 2 = 0),
+    cur AS (SELECT value AS v FROM events WHERE user_id % 2 = 1),
+    counts AS (SELECT v, count(*) AS n FROM ref GROUP BY 1),
+    cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS c,
+                   sum(n) OVER () AS total FROM counts),
+    edges AS (
+      SELECT list(e ORDER BY q) AS edges FROM (
+        SELECT q, min(v) AS e
+        FROM generate_series(1, 9) g(q) JOIN cum
+          ON cum.c >= ceil(q * cum.total / 10.0)
+        GROUP BY q)),
+    rb AS (SELECT 1 + len(list_filter(edges.edges, e -> v > e)) AS bucket,
+                  count(*) AS c_ref FROM ref, edges GROUP BY 1),
+    cb AS (SELECT 1 + len(list_filter(edges.edges, e -> v > e)) AS bucket,
+                  count(*) AS c_cur FROM cur, edges GROUP BY 1),
+    grid AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS bucket),
+    j AS (
+      SELECT g.bucket,
+             CAST(coalesce(rb.c_ref, 0) AS BIGINT) AS c_ref,
+             CAST(coalesce(cb.c_cur, 0) AS BIGINT) AS c_cur
+      FROM grid g
+      LEFT JOIN rb ON rb.bucket = g.bucket
+      LEFT JOIN cb ON cb.bucket = g.bucket),
+    k AS (
+      SELECT bucket, c_ref, c_cur,
+             CASE WHEN c_ref > 0 AND c_cur > 0 THEN
+               round((CAST(c_cur AS DOUBLE) / (sum(c_cur) OVER ())
+                      - CAST(c_ref AS DOUBLE) / (sum(c_ref) OVER ()))
+                     * ln((CAST(c_cur AS DOUBLE) / (sum(c_cur) OVER ()))
+                          / (CAST(c_ref AS DOUBLE) / (sum(c_ref) OVER ()))), 6)
+             END AS contrib
+      FROM j)
+    SELECT bucket, c_ref, c_cur, contrib,
+           round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+             AS psi_total
+    FROM k ORDER BY bucket
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.evalmetrics import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.pmod("user_id", F.lit(2)) == 0)
+    cur = ev.filter(F.pmod("user_id", F.lit(2)) == 1)
+    return psi_drift(ref, cur, "value", buckets=10)

@@ -130,6 +130,40 @@ def test_mmr_pool_guard_and_empty(spark):
     assert mmr_select(empty, k=2).count() == 0
 
 
+def test_mmr_prune_path_oversized_pool(spark):
+    # oversized pool + prune=True: distributed top-max_pool by rel
+    # (desc, ties by id) replaces the raise; the selection then runs
+    # over exactly the pruned pool. rel descends with id here, so the
+    # top-10 prune keeps ids 0..9 and rank-1 is the global argmax id 0.
+    big = spark.range(100).select(
+        F.col("id").alias("cand_id"),
+        (F.lit(1.0) - F.col("id") * F.lit(0.005)).alias("rel"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("cv"),
+    )
+    out = mmr_select(big, k=3, max_pool=10, prune=True).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["cand_id"] == 0
+    assert all(r["cand_id"] < 10 for r in out)  # only pruned-pool members
+    # the explicit-pool API still raises on the same input
+    with pytest.raises(ValueError, match="max_pool"):
+        mmr_select(big, k=3, max_pool=10)
+
+
+def test_mmr_schema_follows_pool_types(spark):
+    # string ids: empty AND non-empty outputs must carry the pool's id
+    # type (the empty branch used to hardcode 'cand_id long')
+    pool = spark.createDataFrame(
+        [Row(cand_id="docB", rel=0.9, cv=[1.0, 0.0]),
+         Row(cand_id="docA", rel=0.8, cv=[0.0, 1.0])]
+    )
+    out = mmr_select(pool, k=2)
+    assert dict(out.dtypes)["cand_id"] == "string"
+    assert [r["cand_id"] for r in out.orderBy("rank").collect()] == ["docB", "docA"]
+    empty = mmr_select(pool.filter(F.col("rel") < 0), k=2)
+    assert dict(empty.dtypes)["cand_id"] == "string"
+    assert empty.count() == 0
+
+
 def _kn_py(texts, d=0.75):
     bgs = []
     for i, t in enumerate(texts):
@@ -230,6 +264,33 @@ def test_roc_auc_perfect_and_random(spark):
     assert roc_auc(perfect).collect()[0]["auc"] == 1.0
     const = spark.createDataFrame([Row(score=0.5, label=i % 2 == 0) for i in range(10)])
     assert roc_auc(const).collect()[0]["auc"] == 0.5  # all ties → 0.5
+
+
+def test_roc_auc_quantized_matches_bucketed_exact(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.random(), rng.random() < 0.4) for _ in range(400)]
+    df = spark.createDataFrame([Row(score=s, label=l) for s, l in rows])
+    q = 8
+    got = roc_auc(df, quantize=q).collect()[0]
+    # oracle: exact tie-aware AUC over the pre-bucketed scores
+    import math
+
+    bucketed = [(math.floor(s * q) / q, l) for s, l in rows]
+    pos = [s for s, l in bucketed if l]
+    neg = [s for s, l in bucketed if not l]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == pytest.approx(num / (len(pos) * len(neg)), abs=5e-7)
+    # quantize=None on already-quantized input gives the identical value
+    pre = spark.createDataFrame([Row(score=s, label=l) for s, l in bucketed])
+    assert roc_auc(pre).collect()[0]["auc"] == got["auc"]
+    # negatives bucket toward -inf (floor, not trunc)
+    negdf = spark.createDataFrame(
+        [Row(score=-0.01, label=False), Row(score=0.01, label=True)]
+    )
+    assert roc_auc(negdf, quantize=4).collect()[0]["auc"] == 1.0
 
 
 def test_pr_grid_counts_and_nulls(spark):
@@ -455,3 +516,70 @@ def test_roc_auc_decimal_numerator_stays_exact(spark):
     )
     got = roc_auc(df).collect()[0]
     assert got["auc"] == 0.5 and got["n_pos"] == 10000
+
+
+def test_bigram_pmi_matches_python(spark):
+    import math
+    from collections import Counter
+
+    texts = [
+        "new york is a big city",
+        "new york city is in new york state",
+        "the big apple is new york",
+        "a city in a state",
+        "new york new york",
+    ] * 3
+    from deepicedrain_spark.operators.textstats import bigram_pmi
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = bigram_pmi(df, min_count=3, top_k=10).orderBy("rank").collect()
+
+    uni = Counter(w for t in texts for w in t.split())
+    u = sum(uni.values())
+    bgc = Counter()
+    for t in texts:
+        w = t.split()
+        bgc.update(zip(w, w[1:]))
+    bt = sum(bgc.values())
+    scored = [
+        (w1, w2, c, round(math.log((c / bt) / ((uni[w1] / u) * (uni[w2] / u))), 6))
+        for (w1, w2), c in bgc.items()
+        if c >= 3
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = scored[:10]
+    assert [(r["w1"], r["w2"], r["cb"]) for r in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g["pmi"] == pytest.approx(w[3], abs=1e-9)
+    # 'new york' scores in-list but BELOW the rare exclusive pairs —
+    # PMI's known frequency bias, which is exactly what min_count +
+    # the python-oracle equality above pin down
+    assert ("new", "york") in {(r["w1"], r["w2"]) for r in got}
+    assert {("big", "apple"), ("the", "big")} <= {
+        (r["w1"], r["w2"]) for r in got[:2]
+    }
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from deepicedrain_spark.operators.evalmetrics import psi_drift
+
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("value"))
+    # identical distribution -> every contribution 0, psi_total 0
+    same = psi_drift(ref, ref, "value").collect()
+    assert len(same) == 10
+    assert all(r["contrib"] == 0.0 for r in same)
+    assert same[0]["psi_total"] == 0.0
+    # counts split evenly across the 10 equi-depth buckets
+    assert all(r["c_ref"] == 100 for r in same)
+
+    # shifted distribution -> positive psi; empty-bucket contribs NULL
+    cur = spark.range(1000).select(
+        (F.col("id") % 100 + 60).cast("double").alias("value")
+    )
+    out = psi_drift(ref, cur, "value").collect()
+    assert len(out) == 10
+    assert out[0]["psi_total"] is not None and out[0]["psi_total"] > 0.25
+    # buckets 1..6 cover values 0..59 which cur lacks entirely
+    by = {r["bucket"]: r for r in out}
+    assert by[1]["c_cur"] == 0 and by[1]["contrib"] is None
+    assert by[10]["c_cur"] > by[10]["c_ref"]

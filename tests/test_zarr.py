@@ -291,6 +291,63 @@ def test_read_zarr_dir_mixed_versions(spark, tmp_path):
         read_zarr_dir(spark, parent)
 
 
+def test_read_zarr_dir_union_schema_evolution(spark, tmp_path):
+    """schema_mode='union': stores with heterogeneous variable sets
+    union like xr.open_mfdataset(combine='nested') — missing variables
+    read as NULL (never a fill value), present variables keep exact
+    values, and strict mode still rejects the same layout."""
+    import pytest
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir
+
+    parent = str(tmp_path / "evolving")
+    os.makedirs(parent)
+    full = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
+        (F.col("id") + 1000).alias("extra"),
+    )
+    write_zarr(full, os.path.join(parent, "s_full"), chunk_rows=16)
+    write_zarr(full.select("k", "v"), os.path.join(parent, "s_nov_extra"),
+               chunk_rows=16, zarr_format=3)
+    write_zarr(full.select("k", "extra").where(F.col("k") < 10),
+               os.path.join(parent, "s_nov_v"), chunk_rows=4)
+
+    # strict rejects the drift
+    with pytest.raises(ValueError, match="schema drift"):
+        read_zarr_dir(spark, parent)
+
+    back = read_zarr_dir(spark, parent, schema_mode="union")
+    assert set(back.columns) == {"store", "row_index", "k", "v", "extra"}
+    assert back.count() == 40 + 40 + 10
+    # per-store null pattern: count(col) skips exactly the absent stores
+    per = {
+        r["store"]: (r["nv"], r["ne"])
+        for r in back.groupBy("store")
+        .agg(F.count("v").alias("nv"), F.count("extra").alias("ne"))
+        .collect()
+    }
+    assert per == {"s_full": (40, 40), "s_nov_extra": (40, 0), "s_nov_v": (0, 10)}
+    # present values exact; absent reads as NULL, not NaN or a fill value
+    r = back.where((F.col("store") == "s_nov_v") & (F.col("k") == 3)).collect()[0]
+    assert r["extra"] == 1003 and r["v"] is None
+    # downstream dropna(thresh) prunes granules missing variables — the
+    # reference's atlxi_dhdt.py:111 shape
+    assert back.dropna(subset=["v", "extra"]).count() == 40
+
+    # column restriction intersects per store; requesting only a column
+    # some store lacks entirely raises a clear error
+    sub = read_zarr_dir(spark, parent, columns=["k", "v"], schema_mode="union")
+    assert set(sub.columns) == {"store", "row_index", "k", "v"}
+    with pytest.raises(ValueError, match="none of the requested"):
+        read_zarr_dir(spark, parent, columns=["v"], schema_mode="union")
+
+    # conflicting dtype for a PRESENT variable still raises in union mode
+    bad = spark.range(0, 5).select(F.col("id").cast("double").alias("k"))
+    write_zarr(bad, os.path.join(parent, "s_badtype"), chunk_rows=4)
+    with pytest.raises(ValueError, match="schema drift for variable 'k'"):
+        read_zarr_dir(spark, parent, schema_mode="union")
+
+
 def test_write_zarr_partitioned_per_key_stores(spark, tmp_path):
     """One store per key written on executors (the reference's
     per-track layout), read back by read_zarr_dir, byte-compatible with
