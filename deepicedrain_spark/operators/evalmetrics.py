@@ -262,3 +262,43 @@ def psi_drift(
             6,
         ).alias("psi_total"),
     ).orderBy("bucket")
+
+
+def cohens_kappa(
+    labeled: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Cohen's kappa between two boolean labelers — the
+    chance-corrected agreement a pipeline reports when cross-checking
+    a cheap heuristic gate against a trained classifier (or two
+    annotator models) before trusting either at corpus scale.
+
+    ONE corpus pass into four confusion counters; po/pe/kappa are a
+    handful of identical double expressions over those exact integers
+    (try_divide: kappa undefined when chance agreement is 1, e.g. both
+    labelers constant). Output: one row
+    (n, n11, n10, n01, n00, po, pe, kappa), ratios rounded to 6.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    cnt = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pa = (F.col("n11") + F.col("n10")).cast("double") / F.col("n")
+    pb = (F.col("n11") + F.col("n01")).cast("double") / F.col("n")
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return cnt.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -415,3 +415,123 @@ def bigram_pmi(
         .filter(F.col("rank") <= top_k)
         .select("w1", "w2", "cb", "pmi", "rank")
     )
+
+
+def keyness_g2(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-slice keyword extraction by Dunning's log-likelihood G²
+    (Dunning 1993) — which terms are OVER-represented in one source
+    relative to the rest of the corpus, the standard domain-analysis /
+    corpus-comparison statistic a mixture curator reads before setting
+    source weights.
+
+    For term w in slice s: a = count in s, b = count elsewhere,
+    n_s / n_o the slice / other token totals, expected
+    E_a = (a+b)·(n_s/N), E_b = (a+b)·(n_o/N);
+    G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)), the b = 0 term taken at its
+    0 limit. Only the signed (a/n_s > (a+b)/N) over-represented terms
+    rank — classic keyness, not merely "surprising" terms.
+
+    Scale shape: one corpus explode → (slice, term) counts; per-term
+    totals derive from THAT table (vocabulary-bounded second
+    aggregation, not a second corpus pass); slice totals broadcast;
+    the per-slice rank window collapses via WindowGroupLimit.
+
+    Output: (``by``, term, a, b, g2, rank), g2 rounded to 6.
+    """
+    toks = df.select(
+        F.col(by).alias("_s"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
+    )
+    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a"))
+    tot_term = sc.groupBy("term").agg(F.sum("a").alias("t"))
+    tot_slice = sc.groupBy("_s").agg(F.sum("a").cast("long").alias("n_s"))
+    tot_all = tot_slice.agg(F.sum("n_s").cast("long").alias("n_all"))
+    j = (
+        sc.join(tot_term, "term")
+        .join(F.broadcast(tot_slice), "_s")
+        .crossJoin(F.broadcast(tot_all))
+        .withColumn("b", (F.col("t") - F.col("a")).cast("long"))
+        .withColumn("n_o", (F.col("n_all") - F.col("n_s")).cast("long"))
+    )
+    a_d = F.col("a").cast("double")
+    b_d = F.col("b").cast("double")
+    e_a = F.col("t") * (F.col("n_s").cast("double") / F.col("n_all"))
+    e_b = F.col("t") * (F.col("n_o").cast("double") / F.col("n_all"))
+    g2 = F.lit(2.0) * (
+        a_d * F.log(a_d / e_a)
+        + F.when(F.col("b") > 0, b_d * F.log(b_d / e_b)).otherwise(F.lit(0.0))
+    )
+    scored = (
+        j.filter(F.col("a") >= min_count)
+        # keyness: over-represented in the slice only
+        .filter(a_d / F.col("n_s") > F.col("t").cast("double") / F.col("n_all"))
+        .withColumn("g2", F.round(g2, 6))
+    )
+    w = Window.partitionBy("_s").orderBy(F.col("g2").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("_s").alias(by), "term", "a", "b", "g2", "rank")
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence of each slice's unigram distribution
+    from the whole-corpus distribution — the bounded, symmetric
+    "how different is this source's language" scalar (0 = identical,
+    ln 2 = disjoint) that complements psi_drift's per-feature view.
+
+    JS(P_s ‖ P_all) = ½·Σ_w [ p·ln(p/m) + q·ln(q/m) ], m = ½(p+q),
+    p = slice term frequency, q = corpus term frequency; zero-mass
+    terms contribute their 0 limit. Per-slice sums run over the
+    (slice × vocabulary) count table — vocabulary-bounded, never
+    corpus-bounded; the corpus distribution derives from the same
+    count table (no second corpus pass). Sums of thousands of
+    O(vocab⁻¹) doubles are far below the 6-d.p. half-quantum in
+    accumulated order error, so round(…, 6) is engine-stable (suite
+    header convention).
+
+    Output: (``by``, n_terms, js) — n_terms the slice's distinct
+    vocabulary, js rounded to 6.
+    """
+    toks = df.select(
+        F.col(by).alias("_s"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
+    )
+    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a"))
+    tot_term = sc.groupBy("term").agg(F.sum("a").cast("long").alias("t"))
+    tot_slice = sc.groupBy("_s").agg(
+        F.sum("a").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    tot_all = tot_slice.agg(F.sum("n_s").cast("long").alias("n_all"))
+    # full (slice × vocab) grid: a term absent from the slice still
+    # contributes q·ln(q/m) = q·ln 2 — crossJoin of two
+    # vocabulary/slice-bounded tables, then the counts re-attach LEFT
+    grid = (
+        tot_slice.crossJoin(tot_term)
+        .join(sc, ["_s", "term"], "left")
+        .crossJoin(F.broadcast(tot_all))
+    )
+    p = F.coalesce(F.col("a"), F.lit(0)).cast("double") / F.col("n_s")
+    q = F.col("t").cast("double") / F.col("n_all")
+    m = F.lit(0.5) * (p + q)
+    contrib = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.groupBy("_s", "n_terms")
+        .agg(F.round(F.lit(0.5) * F.sum(contrib), 6).alias("js"))
+        .select(F.col("_s").alias(by), "n_terms", "js")
+        .orderBy(by)
+    )

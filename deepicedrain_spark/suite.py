@@ -1011,6 +1011,9 @@ PRIORITY: list[str] = [
     "atl11_union_dhdt",
     "bigram_pmi_top",
     "psi_value_drift",
+    "classifier_agreement_kappa",
+    "keyness_terms_per_source",
+    "js_divergence_sources",
     "auc_by_source",
     "atl11_zarr_cube",
     "atl11_dhdt_end_to_end",

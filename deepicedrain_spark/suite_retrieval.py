@@ -767,3 +767,131 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.pmod("user_id", F.lit(2)) == 0)
     cur = ev.filter(F.pmod("user_id", F.lit(2)) == 1)
     return psi_drift(ref, cur, "value", buckets=10)
+
+
+# --- Cohen's kappa labeler agreement (round 11) ----------------------------
+# Chance-corrected agreement between the heuristic quality gate
+# (quality > 0.5) and the English-language labeler (lang = 'en') — the
+# cross-check a pipeline reports before trusting a cheap gate. One
+# corpus pass into four confusion counters; po/pe/kappa are identical
+# double expressions over exact integers in both engines.
+@register(
+    "classifier_agreement_kappa",
+    f"""
+    WITH {_QUALITY_FEATS},
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN s > 0.5 AND lab THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN s > 0.5 AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT (s > 0.5) AND lab THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN NOT (s > 0.5) AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM scored)
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           round((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                   * (1.0 - CAST(n11 + n01 AS DOUBLE) / n), 6) AS pe,
+           CASE WHEN 1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                   * (1.0 - CAST(n11 + n01 AS DOUBLE) / n)) = 0 THEN NULL
+           ELSE round((CAST(n11 + n00 AS DOUBLE) / n
+                 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                    + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                      * (1.0 - CAST(n11 + n01 AS DOUBLE) / n)))
+                / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                    + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                      * (1.0 - CAST(n11 + n01 AS DOUBLE) / n))), 6) END AS kappa
+    FROM cnt
+    """,
+)
+def q_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.evalmetrics import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = ts_ops.quality_score(docs).select(
+        (F.col("quality") > 0.5).alias("a"), (F.col("lang") == "en").alias("b")
+    )
+    return cohens_kappa(labeled, "a", "b")
+
+
+# --- Dunning G² keyness per source (round 11) -------------------------------
+# Which terms are over-represented in each source vs the rest of the
+# corpus — the corpus-comparison statistic a mixture curator reads
+# before setting source weights. Vocabulary-bounded joins; per-source
+# rank via WindowGroupLimit.
+@register(
+    "keyness_terms_per_source",
+    f"""
+    WITH toks AS (SELECT source AS s, unnest({_TOKS}) AS term FROM documents),
+    sc AS (SELECT s, term, count(*) AS a FROM toks GROUP BY 1, 2),
+    tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM sc GROUP BY 1),
+    ts AS (SELECT s, CAST(sum(a) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+    ta AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM ts),
+    j AS (
+      SELECT sc.s, sc.term, sc.a, tt.t - sc.a AS b,
+             ts.n_s, ta.n_all - ts.n_s AS n_o, tt.t, ta.n_all
+      FROM sc JOIN tt USING (term) JOIN ts USING (s), ta),
+    scored AS (
+      SELECT s, term, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             round(2.0 * (a * ln(CAST(a AS DOUBLE)
+                                 / (t * (CAST(n_s AS DOUBLE) / n_all)))
+                   + CASE WHEN b > 0
+                          THEN b * ln(CAST(b AS DOUBLE)
+                                      / (t * (CAST(n_o AS DOUBLE) / n_all)))
+                          ELSE 0.0 END), 6) AS g2
+      FROM j
+      WHERE a >= 5 AND CAST(a AS DOUBLE) / n_s > CAST(t AS DOUBLE) / n_all)
+    SELECT s AS source, term, a, b, g2, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY s ORDER BY g2 DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY source, rank
+    """,
+)
+def q_keyness_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts_ops.keyness_g2(docs, by="source", top_k=5, min_count=5).orderBy(
+        "source", "rank"
+    )
+
+
+# --- Jensen–Shannon source divergence (round 11) ----------------------------
+# Bounded symmetric "how different is this source's language" scalar
+# vs the whole corpus; the (slice × vocabulary) grid is
+# vocabulary-bounded and the corpus distribution derives from the same
+# count table (no second corpus pass).
+@register(
+    "js_divergence_sources",
+    f"""
+    WITH toks AS (SELECT source AS s, unnest({_TOKS}) AS term FROM documents),
+    sc AS (SELECT s, term, count(*) AS a FROM toks GROUP BY 1, 2),
+    tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM sc GROUP BY 1),
+    ts AS (SELECT s, CAST(sum(a) AS BIGINT) AS n_s,
+                  CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1),
+    ta AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM ts),
+    grid AS (
+      SELECT ts.s, ts.n_s, ts.n_terms, tt.term, tt.t,
+             coalesce(sc.a, 0) AS a, ta.n_all
+      FROM ts CROSS JOIN tt
+      LEFT JOIN sc ON sc.s = ts.s AND sc.term = tt.term, ta),
+    c AS (
+      SELECT s, n_terms,
+             CASE WHEN a > 0
+                  THEN (CAST(a AS DOUBLE) / n_s)
+                       * ln((CAST(a AS DOUBLE) / n_s)
+                            / (0.5 * ((CAST(a AS DOUBLE) / n_s)
+                                      + (CAST(t AS DOUBLE) / n_all))))
+                  ELSE 0.0 END
+           + CASE WHEN t > 0
+                  THEN (CAST(t AS DOUBLE) / n_all)
+                       * ln((CAST(t AS DOUBLE) / n_all)
+                            / (0.5 * ((CAST(a AS DOUBLE) / n_s)
+                                      + (CAST(t AS DOUBLE) / n_all))))
+                  ELSE 0.0 END AS contrib
+      FROM grid)
+    SELECT s AS source, n_terms, round(0.5 * sum(contrib), 6) AS js
+    FROM c GROUP BY 1, 2 ORDER BY source
+    """,
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ts_ops.js_divergence(docs, by="source")

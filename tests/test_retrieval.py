@@ -583,3 +583,86 @@ def test_psi_drift_identical_and_shifted(spark):
     by = {r["bucket"]: r for r in out}
     assert by[1]["c_cur"] == 0 and by[1]["contrib"] is None
     assert by[10]["c_cur"] > by[10]["c_ref"]
+
+
+def test_cohens_kappa_matches_python(spark):
+    from deepicedrain_spark.operators.evalmetrics import cohens_kappa
+
+    rows = [(i % 3 == 0, i % 2 == 0) for i in range(60)]
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in rows])
+    got = cohens_kappa(df).collect()[0]
+    n = len(rows)
+    n11 = sum(1 for a, b in rows if a and b)
+    n10 = sum(1 for a, b in rows if a and not b)
+    n01 = sum(1 for a, b in rows if not a and b)
+    n00 = sum(1 for a, b in rows if not a and not b)
+    po = (n11 + n00) / n
+    pa, pb = (n11 + n10) / n, (n11 + n01) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (n11, n10, n01, n00)
+    assert got["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+    # perfect agreement -> kappa 1; both-constant -> undefined (NULL)
+    same = spark.createDataFrame([Row(a=i % 2 == 0, b=i % 2 == 0) for i in range(10)])
+    assert cohens_kappa(same).collect()[0]["kappa"] == 1.0
+    const = spark.createDataFrame([Row(a=True, b=True) for _ in range(10)])
+    assert cohens_kappa(const).collect()[0]["kappa"] is None
+
+
+def test_keyness_g2_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from deepicedrain_spark.operators.textstats import keyness_g2
+
+    texts = {
+        "web": ["http link click web page"] * 6,
+        "book": ["chapter verse prose book text"] * 6,
+    }
+    rows = [
+        Row(doc_id=i, source=s, text=t)
+        for i, (s, t) in enumerate((s, t) for s, ts in texts.items() for t in ts)
+    ]
+    df = spark.createDataFrame(rows)
+    got = keyness_g2(df, by="source", top_k=3, min_count=3).collect()
+    # every term is exclusive to its source here: b = 0, and the
+    # keyness filter keeps it only in its own source
+    sc = Counter()
+    ns = Counter()
+    for r in rows:
+        for w in r.text.split():
+            sc[(r.source, w)] += 1
+            ns[r.source] += 1
+    n_all = sum(ns.values())
+    for r in got:
+        a = sc[(r["source"], r["term"])]
+        assert r["a"] == a and r["b"] == 0
+        e_a = a * (ns[r["source"]] / n_all)
+        assert r["g2"] == pytest.approx(2.0 * a * math.log(a / e_a), abs=1e-6)
+    assert {r["source"] for r in got} == {"web", "book"}
+    # a term over-represented ELSEWHERE never ranks for a slice
+    assert ("web", "book") not in {(r["source"], r["term"]) for r in got}
+
+
+def test_js_divergence_bounds(spark):
+    import math
+
+    from deepicedrain_spark.operators.textstats import js_divergence
+
+    # identical slices -> js 0; fully disjoint vocab -> ln 2 in the
+    # two-slice symmetric case js(P, M) where M is the 50/50 corpus
+    same = spark.createDataFrame(
+        [Row(source=s, text="x y z") for s in ("a", "b") for _ in range(5)]
+    )
+    out = {r["source"]: r["js"] for r in js_divergence(same).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+    disj = spark.createDataFrame(
+        [Row(source="a", text="x x x"), Row(source="b", text="y y y")]
+    )
+    out = {r["source"]: r["js"] for r in js_divergence(disj).collect()}
+    # P disjoint from the other half of M: JS(P||M) with q = P/2 on
+    # P's support: 0.5*(1*ln(1/0.75) + 0.5*ln(0.5/0.75) + 0.5*ln(0.5/0.25))
+    want = 0.5 * (
+        math.log(1 / 0.75) + 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    )
+    assert out["a"] == pytest.approx(want, abs=1e-6)
+    assert out["a"] == out["b"]
