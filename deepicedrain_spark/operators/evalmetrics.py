@@ -191,6 +191,16 @@ def psi_drift(
     1..buckets, psi_total repeated (window sum over the decimal-cast
     rounded contributions).
     """
+    edges = psi_ref_edges(ref, value_col, buckets)
+    r = psi_bucket_counts(ref, edges, value_col, "c_ref")
+    c = psi_bucket_counts(cur, edges, value_col, "c_cur")
+    return psi_from_bucket_counts(ref.sparkSession, r, c, buckets)
+
+
+def psi_ref_edges(ref: DataFrame, value_col: str, buckets: int) -> DataFrame:
+    """One-row (edges array<...>) frame: the buckets−1 exact equi-depth
+    edges of the reference slice (equi_depth_deciles value-domain
+    shape)."""
     counts = ref.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -200,7 +210,7 @@ def psi_drift(
         "v", F.sum("n").over(w_cum).alias("c"), F.sum("n").over(w_all).alias("total")
     )
     qs = ref.sparkSession.range(1, buckets).select(F.col("id").alias("q"))
-    edges = (
+    return (
         cum.join(
             F.broadcast(qs),
             F.col("c") >= F.ceil(F.col("q") * F.col("total") / F.lit(float(buckets))),
@@ -210,30 +220,38 @@ def psi_drift(
         .agg(F.array_sort(F.collect_list("edge")).alias("edges"))
     )
 
-    def bucketize(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.select(F.col(value_col).alias("v"))
-            .crossJoin(F.broadcast(edges))
-            .select(
-                (
-                    F.lit(1)
-                    + F.aggregate(
-                        "edges",
-                        F.lit(0),
-                        lambda acc, e: acc
-                        + F.when(F.col("v") > e, F.lit(1)).otherwise(F.lit(0)),
-                    )
-                ).alias("bucket")
-            )
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
-    r = bucketize(ref, "c_ref")
-    c = bucketize(cur, "c_cur")
-    grid = ref.sparkSession.range(1, buckets + 1).select(
-        F.col("id").cast("int").alias("bucket")
+def psi_bucket_expr(value: F.Column, edges: F.Column) -> F.Column:
+    """bucket = 1 + Σ_k [v > edge_k] — map-side, codegen; usable on a
+    STREAM with the edges folded as a literal array (the frozen
+    reference a streaming drift gate buckets against)."""
+    return F.lit(1) + F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc + F.when(value > e, F.lit(1)).otherwise(F.lit(0)),
     )
+
+
+def psi_bucket_counts(
+    df: DataFrame, edges: DataFrame, value_col: str, out: str
+) -> DataFrame:
+    return (
+        df.select(F.col(value_col).alias("v"))
+        .crossJoin(F.broadcast(edges))
+        .select(psi_bucket_expr(F.col("v"), F.col("edges")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def psi_from_bucket_counts(
+    spark, r: DataFrame, c: DataFrame, buckets: int
+) -> DataFrame:
+    """Finalize PSI from per-bucket (bucket, c_ref) / (bucket, c_cur)
+    count tables — counts are MERGEABLE, so a streaming gate can
+    maintain them incrementally and finalize identically."""
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid = spark.range(1, buckets + 1).select(F.col("id").cast("int").alias("bucket"))
     tot_r = F.sum("c_ref").over(w_all)
     tot_c = F.sum("c_cur").over(w_all)
     p_ref = F.col("c_ref").cast("double") / tot_r

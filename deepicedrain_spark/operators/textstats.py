@@ -370,7 +370,13 @@ def bigram_pmi(
     orders by (pmi DESC, w1, w2). Output: (w1, w2, cb, pmi, rank).
     """
     toks = df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint: the unigram counts feed THREE consumers (total,
+    # w1 join, w2 join) and the bigram counts two (total, scoring) —
+    # Spark re-executes un-persisted subplans per consumer, so without
+    # the fences the corpus explodes 3x/2x (sf1/sf4 probe measured
+    # 13.7x wall for 4x data; 4.0x after). Both tables are
+    # model-sized: vocabulary / observed-bigram bounded.
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     # totals computed from the vocab-bounded count table, not the corpus
     u_tot = uni.agg(F.sum("c").cast("long").alias("u"))
     bg = (
@@ -387,7 +393,7 @@ def bigram_pmi(
         )
         .select("b.w1", "b.w2")
     )
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).localCheckpoint()
     b_tot = bgc.agg(F.sum("cb").cast("long").alias("bt"))
     scored = (
         bgc.filter(F.col("cb") >= min_count)
@@ -448,7 +454,9 @@ def keyness_g2(
         F.col(by).alias("_s"),
         F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
     )
-    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a"))
+    # localCheckpoint: the (slice, term) counts feed every model table
+    # AND the scoring join — fence so the corpus explodes once
+    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a")).localCheckpoint()
     tot_term = sc.groupBy("term").agg(F.sum("a").alias("t"))
     tot_slice = sc.groupBy("_s").agg(F.sum("a").cast("long").alias("n_s"))
     tot_all = tot_slice.agg(F.sum("n_s").cast("long").alias("n_all"))
@@ -508,7 +516,9 @@ def js_divergence(
         F.col(by).alias("_s"),
         F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
     )
-    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a"))
+    # localCheckpoint: the (slice, term) counts feed every model table
+    # AND the scoring join — fence so the corpus explodes once
+    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a")).localCheckpoint()
     tot_term = sc.groupBy("term").agg(F.sum("a").cast("long").alias("t"))
     tot_slice = sc.groupBy("_s").agg(
         F.sum("a").cast("long").alias("n_s"),

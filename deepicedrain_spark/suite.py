@@ -1014,6 +1014,7 @@ PRIORITY: list[str] = [
     "classifier_agreement_kappa",
     "keyness_terms_per_source",
     "js_divergence_sources",
+    "streaming_psi_drift",
     "auc_by_source",
     "atl11_zarr_cube",
     "atl11_dhdt_end_to_end",

@@ -719,9 +719,10 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the broadcast 9-edge array, per-bucket
 # (p_cur − p_ref)·ln(p_cur/p_ref) contributions, and a
 # summation-order-free decimal total.
-@register(
-    "psi_value_drift",
-    """
+# shared with streaming_psi_drift (suite_streaming): the stream's
+# merged bucket counts equal the batch ones exactly (count-merge is
+# order/replay-free), so the batch statement is the oracle verbatim
+PSI_VALUE_DRIFT_SQL = """
     WITH ref AS (SELECT value AS v FROM events WHERE user_id % 2 = 0),
     cur AS (SELECT value AS v FROM events WHERE user_id % 2 = 1),
     counts AS (SELECT v, count(*) AS n FROM ref GROUP BY 1),
@@ -758,8 +759,10 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
              AS psi_total
     FROM k ORDER BY bucket
-    """,
-)
+    """
+
+
+@register("psi_value_drift", PSI_VALUE_DRIFT_SQL)
 def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.evalmetrics import psi_drift
 

@@ -989,3 +989,44 @@ def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matching_ngrams") > 0)
     )
     return run_to_batch(gated, "append").orderBy("doc_id")
+
+
+# Streaming PSI drift gate (round 11): the Population Stability Index
+# as an INGEST monitor — the reference-slice decile edges are computed
+# once batch-side (value-domain shape, then collected: 9 doubles, the
+# kmeans-centroid bounded-model pattern) and folded into the stream
+# projection as a literal array, so per-batch work is one map-side
+# bucket expression + a 10-group count in complete mode. Count-merge is
+# order/replay/retraction-free, so the stream's final bucket counts
+# equal the batch ones EXACTLY and the batch PSI statement
+# (suite_retrieval.PSI_VALUE_DRIFT_SQL) is the oracle verbatim — same
+# invariance argument as streaming_hll_users / streaming_bloom_bits.
+from deepicedrain_spark.suite_retrieval import PSI_VALUE_DRIFT_SQL  # noqa: E402
+
+
+@register("streaming_psi_drift", PSI_VALUE_DRIFT_SQL)
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.evalmetrics import (
+        psi_bucket_counts,
+        psi_bucket_expr,
+        psi_from_bucket_counts,
+        psi_ref_edges,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.pmod("user_id", F.lit(2)) == 0)
+    edges_df = psi_ref_edges(ref, "value", 10)
+    edge_vals = edges_df.collect()[0]["edges"]  # bounded: buckets-1 doubles
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.pmod("user_id", F.lit(2)) == 1
+    )
+    lit_edges = F.array(*[F.lit(float(e)) for e in edge_vals])
+    counts = (
+        stream.select(psi_bucket_expr(F.col("value"), lit_edges).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    cur_counts = run_to_batch(counts, "complete")
+    ref_counts = psi_bucket_counts(ref, edges_df, "value", "c_ref")
+    return psi_from_bucket_counts(spark, ref_counts, cur_counts, 10)

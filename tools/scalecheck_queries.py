@@ -101,6 +101,20 @@ QUERIES = [
     # decontamination (benchmark-gram broadcast + corpus shingle scan)
     "containment_dedup",
     "ngram_decontamination",
+    # round 11: corpus-analysis / drift family. PMI shares Kneser–Ney's
+    # bigram-model-table sensitivity on the uniform fixture (near-unique
+    # synthetic bigrams grow the count table with the corpus), so it
+    # ALSO runs on the Zipf fixture; keyness/JS are unigram-bounded
+    # (30k vocab cap); PSI is a value-domain edge pass + two map-side
+    # bucket counts; the streaming PSI gate adds only the
+    # complete-mode count maintenance.
+    "bigram_pmi_top",
+    "keyness_terms_per_source",
+    "js_divergence_sources",
+    "psi_value_drift",
+    "streaming_psi_drift",
+    "classifier_agreement_kappa",
+    "classifier_auc_quantized",
     "crossover_track_intersections",
     "point_in_polygon_gridded",
     "raster_datashade",
@@ -267,9 +281,9 @@ def run(spark, mult: int, only: set[str] | None = None) -> dict:
     out_dir = f"/tmp/spark_graft_sfx{mult}"
     t0 = time.time()
     stage(spark, out_dir, mult)
-    # the Zipf fixture only feeds the two LM _zipf runs — skip its
-    # staging when a subset run requests neither
-    if not only or only & {"perplexity_buckets", "kneser_ney_lm_score"}:
+    # the Zipf fixture only feeds the _zipf runs — skip its staging
+    # when a subset run requests none of them
+    if not only or only & {"perplexity_buckets", "kneser_ney_lm_score", "bigram_pmi_top"}:
         stage_zipf(spark, out_dir + "_zipf", mult)
     t_stage = time.time() - t0
 
@@ -298,6 +312,12 @@ def run(spark, mult: int, only: set[str] | None = None) -> dict:
         t0 = time.time()
         n = qs["kneser_ney_lm_score"](spark, out_dir + "_zipf").count()
         timings["kneser_ney_lm_score_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
+    # PMI shares the bigram-model-table sensitivity: Zipf = realistic
+    # plateau, uniform = adversarial model-table growth
+    if not only or "bigram_pmi_top" in only:
+        t0 = time.time()
+        n = qs["bigram_pmi_top"](spark, out_dir + "_zipf").count()
+        timings["bigram_pmi_top_zipf"] = {"sec": round(time.time() - t0, 1), "rows": n}
     return {
         "metric": "query_scale_sfx",
         "sf_multiple_of_0.1": mult,
