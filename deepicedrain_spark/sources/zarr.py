@@ -599,9 +599,16 @@ def _v3_arrays(path: str) -> dict[str, dict]:
     return out
 
 
-def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
+def _store_arrays(
+    path: str, columns: list[str] | None, optional: bool = False
+) -> dict[str, dict]:
     """Array metadata for one store (v2 consolidated or v3), restricted
-    to ``columns`` when given, ragged-validated."""
+    to ``columns`` when given, ragged-validated AFTER the restriction
+    (a store may carry auxiliary arrays on other axes — e.g. a
+    per-cycle coordinate — that a column-restricted scan never touches
+    and must not trip over). ``optional=True`` keeps only the requested
+    columns that EXIST (union / schema-evolution mode) instead of
+    raising on a missing name."""
     if os.path.isfile(os.path.join(path, ".zmetadata")):
         with open(os.path.join(path, ".zmetadata")) as f:
             consolidated = json.load(f)["metadata"]
@@ -619,7 +626,17 @@ def _store_arrays(path: str, columns: list[str] | None) -> dict[str, dict]:
             f"read_zarr: {path} has neither .zmetadata (v2) nor zarr.json (v3)"
         )
     if columns:
-        arrays = {c: arrays[c] for c in columns}
+        if optional:
+            arrays = {c: arrays[c] for c in columns if c in arrays}
+            if not arrays:
+                return arrays
+        else:
+            missing = [c for c in columns if c not in arrays]
+            if missing:
+                raise ValueError(
+                    f"read_zarr: store {path} has no array(s) {missing}"
+                )
+            arrays = {c: arrays[c] for c in columns}
     cols = sorted(arrays)
     first = arrays[cols[0]]
     n_rows, chunk_rows = first["shape"][0], first["chunks"][0]
@@ -768,9 +785,7 @@ def read_zarr_dir(
     for s in stores:
         path = os.path.join(parent, s)
         if schema_mode == "union":
-            arrays = _store_arrays(path, None)
-            if columns:
-                arrays = {c: arrays[c] for c in columns if c in arrays}
+            arrays = _store_arrays(path, columns, optional=True)
             if not arrays:
                 raise ValueError(
                     f"read_zarr_dir: store {s} has none of the requested "

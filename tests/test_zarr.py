@@ -348,6 +348,50 @@ def test_read_zarr_dir_union_schema_evolution(spark, tmp_path):
         read_zarr_dir(spark, parent, schema_mode="union")
 
 
+def test_read_zarr_dir_union_ignores_offaxis_aux(spark, tmp_path):
+    """A store may carry an auxiliary array on another axis (xarray's
+    per-cycle coordinate, length != the row axis). A column-restricted
+    scan never touches it and must not trip the ragged check — in
+    union AND strict mode; requesting everything still rejects it."""
+    import json
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr_local
+
+    parent = str(tmp_path / "aux")
+    os.makedirs(parent)
+    main = os.path.join(parent, "m1")
+    write_zarr_local(main, {"k": np.arange(40, dtype="i8"),
+                            "v": (np.arange(40) * 2.0)}, chunk_rows=16)
+    auxsrc = os.path.join(str(tmp_path), "auxsrc")
+    write_zarr_local(auxsrc, {"cyc": np.arange(9, dtype="i8")}, chunk_rows=16)
+    # graft the 9-long coordinate array into the 40-row store
+    shutil.copytree(os.path.join(auxsrc, "cyc"), os.path.join(main, "cyc"))
+    with open(os.path.join(main, ".zmetadata")) as f:
+        zm = json.load(f)
+    with open(os.path.join(auxsrc, ".zmetadata")) as f:
+        zb = json.load(f)
+    zm["metadata"]["cyc/.zarray"] = zb["metadata"]["cyc/.zarray"]
+    with open(os.path.join(main, ".zmetadata"), "w") as f:
+        json.dump(zm, f)
+
+    for mode in ("strict", "union"):
+        back = read_zarr_dir(spark, parent, columns=["k", "v"], schema_mode=mode)
+        assert back.count() == 40
+        assert set(back.columns) == {"store", "row_index", "k", "v"}
+    # unrestricted scans still reject the genuinely ragged request
+    with pytest.raises(ValueError, match="ragged"):
+        read_zarr_dir(spark, parent)
+    with pytest.raises(ValueError, match="ragged"):
+        read_zarr_dir(spark, parent, schema_mode="union")
+    # strict missing-column request errors clearly (not a KeyError)
+    with pytest.raises(ValueError, match="no array"):
+        read_zarr_dir(spark, parent, columns=["nope"])
+
+
 def test_write_zarr_partitioned_per_key_stores(spark, tmp_path):
     """One store per key written on executors (the reference's
     per-track layout), read back by read_zarr_dir, byte-compatible with
