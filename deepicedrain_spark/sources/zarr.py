@@ -599,6 +599,20 @@ def _v3_arrays(path: str) -> dict[str, dict]:
     return out
 
 
+def _v2_walk_arrays(path: str) -> dict[str, dict]:
+    """Array metadata for an UN-consolidated v2 store: one
+    ``<array>/.zarray`` JSON per immediate child directory."""
+    arrays: dict[str, dict] = {}
+    for e in os.scandir(path):
+        za = os.path.join(e.path, ".zarray")
+        if e.is_dir() and os.path.isfile(za):
+            with open(za) as f:
+                meta = json.load(f)
+            meta["_sep2"] = meta.get("dimension_separator", ".")
+            arrays[e.name] = meta
+    return arrays
+
+
 def _store_arrays(
     path: str, columns: list[str] | None, optional: bool = False
 ) -> dict[str, dict]:
@@ -622,9 +636,17 @@ def _store_arrays(
     elif os.path.isfile(os.path.join(path, "zarr.json")):
         arrays = _v3_arrays(path)
     else:
-        raise ValueError(
-            f"read_zarr: {path} has neither .zmetadata (v2) nor zarr.json (v3)"
-        )
+        # un-consolidated v2 (zarr-python only consolidates on request,
+        # so stores in the wild commonly ship without .zmetadata): walk
+        # the immediate children for per-array .zarray documents — the
+        # same metadata, one file per array instead of one per store
+        arrays = _v2_walk_arrays(path)
+        if not arrays:
+            raise ValueError(
+                f"read_zarr: {path} has no .zmetadata (v2 consolidated), "
+                "no zarr.json (v3), and no <array>/.zarray children "
+                "(v2 un-consolidated)"
+            )
     if columns:
         if optional:
             arrays = {c: arrays[c] for c in columns if c in arrays}
@@ -771,6 +793,12 @@ def read_zarr_dir(
         and (
             os.path.isfile(os.path.join(parent, d, ".zmetadata"))
             or os.path.isfile(os.path.join(parent, d, "zarr.json"))
+            # un-consolidated v2: any immediate <array>/.zarray child
+            or any(
+                e.is_dir()
+                and os.path.isfile(os.path.join(e.path, ".zarray"))
+                for e in os.scandir(os.path.join(parent, d))
+            )
         )
     )
     if not stores:

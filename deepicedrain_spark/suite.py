@@ -1015,6 +1015,7 @@ PRIORITY: list[str] = [
     "keyness_terms_per_source",
     "js_divergence_sources",
     "streaming_psi_drift",
+    "zarr_unconsolidated_scan",
     "auc_by_source",
     "atl11_zarr_cube",
     "atl11_dhdt_end_to_end",

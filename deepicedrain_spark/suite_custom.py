@@ -3309,6 +3309,56 @@ def q_zarr_multistore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S3 un-consolidated v2 scan (round 11): zarr-python only writes
+# .zmetadata when the caller consolidates explicitly, so stores in the
+# wild commonly ship WITHOUT it. The scan falls back to walking the
+# per-array <name>/.zarray documents (same metadata, one file per
+# array); mixed parents — consolidated, un-consolidated, v3 — read
+# through ONE task table. Fixture: three shards, shard_1's .zmetadata
+# deleted after the write.
+@register(
+    "zarr_unconsolidated_scan",
+    """
+    SELECT concat('shard_', CAST(user_id % 3 AS VARCHAR)) AS store,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(sum(user_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_zarr_unconsolidated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from deepicedrain_spark.sources.zarr import read_zarr_dir, write_zarr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.pmod("user_id", F.lit(3)).alias("_shard")
+    )
+    parent = scratch_path(sf_dir, "zarr_unconsolidated")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    for shard in range(3):
+        store = os.path.join(parent, f"shard_{shard}")
+        write_zarr(
+            ev.filter(F.col("_shard") == shard).drop("_shard"),
+            store,
+            chunk_rows=4096,
+            zarr_format=3 if shard == 2 else 2,
+        )
+        if shard == 1:  # strip consolidation: the common in-the-wild layout
+            os.remove(os.path.join(store, ".zmetadata"))
+    back = read_zarr_dir(spark, parent, columns=["user_id", "value"])
+    return (
+        back.groupBy("store")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum("user_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("store")
+    )
+
+
 # --- S3 schema-evolution multi-store scan (round 11, VERDICT r10
 # task 3): xr.open_mfdataset(combine='nested') unions granules whose
 # VARIABLE SETS differ — a track missing some cycles simply lacks those

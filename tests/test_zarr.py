@@ -1072,3 +1072,31 @@ def test_sharded_store_crosscheck_against_zarr_python(spark, tmp_path):
     root["v"][:] = np.arange(500, dtype="i8") * 3
     back = read_zarr(spark, theirs, columns=["v"]).orderBy("row_index").collect()
     assert [r["v"] for r in back] == [i * 3 for i in range(500)]
+
+
+def test_read_zarr_unconsolidated_v2(spark, tmp_path):
+    """v2 store WITHOUT .zmetadata (zarr-python's default: nobody
+    called consolidate_metadata) reads via the per-array .zarray walk;
+    single-store read_zarr and mixed-parent read_zarr_dir both work,
+    and an empty directory still errors clearly."""
+    import pytest
+
+    from deepicedrain_spark.sources.zarr import read_zarr, read_zarr_dir
+
+    parent = str(tmp_path / "uncons")
+    os.makedirs(parent)
+    df = spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    write_zarr(df, os.path.join(parent, "s0"), chunk_rows=16)
+    os.remove(os.path.join(parent, "s0", ".zmetadata"))
+    back = read_zarr(spark, os.path.join(parent, "s0"))
+    assert back.count() == 40
+    assert back.where(F.col("k") == 7).collect()[0]["v"] == 14.0
+    # mixed parent: consolidated sibling + un-consolidated one
+    write_zarr(df.withColumn("k", F.col("k") + 100), os.path.join(parent, "s1"), chunk_rows=16)
+    both = read_zarr_dir(spark, parent)
+    assert both.count() == 80
+    assert {r["store"] for r in both.select("store").distinct().collect()} == {"s0", "s1"}
+    # not-a-store errors with the full diagnosis
+    os.makedirs(os.path.join(str(tmp_path), "empty"))
+    with pytest.raises(ValueError, match="un-consolidated"):
+        read_zarr(spark, os.path.join(str(tmp_path), "empty"))
