@@ -333,6 +333,7 @@ def read_hdf5_dir(
     datasets: list[str],
     chunk_rows: int | None = None,
     granule_col: str | None = None,
+    missing_ok: bool = False,
 ) -> DataFrame:
     """Multi-granule scan: ONE task table over (path × chunk stripe)
     for every ``*.h5`` under ``out_dir`` — the file axis the
@@ -342,7 +343,18 @@ def read_hdf5_dir(
     file count. Driver cost is one header read per file (schema
     validation + row counts); each task then touches one contiguous
     stripe of one file. ``granule_col`` adds the source filename (the
-    reference's add_path_to_ds, atlxi_dhdt.py:60-70)."""
+    reference's add_path_to_ds, atlxi_dhdt.py:60-70).
+
+    ``missing_ok=True`` is the schema-evolution mode real ICESat-2
+    archives need (the Zarr-side analogue is read_zarr_dir's
+    schema_mode='union'): a granule missing a requested DATASET
+    null-fills that column for its rows (metadata-driven — no I/O for
+    the absent dataset), and a granule missing the whole beam GROUP
+    contributes zero rows, exactly as the reference's per-beam loops
+    skip absent beams (atl06_play.py:318-327). Where a dataset IS
+    present its dtype/rank must still agree across granules; a granule
+    having the group but NONE of the requested datasets is an error
+    (its row count would be undefined)."""
     import pandas as pd  # noqa: F811
 
     files = sorted(
@@ -355,13 +367,19 @@ def read_hdf5_dir(
 
     tasks = []
     dtypes_ref: dict[str, str] | None = None
+    union_dtypes: dict[str, tuple] = {}
+    present: dict[str, set[str]] = {}
     for path in files:
         with _open_h5(path) as f:
+            if missing_ok and group not in f:
+                continue  # granule lacks the beam entirely: zero rows
             grp = f[group]
             shapes = set()
             dtypes = {}
             native_chunks = set()
             for name in datasets:
+                if missing_ok and name not in grp:
+                    continue
                 d = grp[name]
                 if len(d.shape) not in (1, 2):
                     raise ValueError(
@@ -371,9 +389,26 @@ def read_hdf5_dir(
                 dtypes[name] = (str(np.dtype(d.dtype).newbyteorder("=")), len(d.shape))
                 if d.chunks:
                     native_chunks.add(d.chunks[0])
+        if missing_ok and not dtypes:
+            raise ValueError(
+                f"read_hdf5_dir: {path}:{group} has none of the requested "
+                f"datasets {datasets}"
+            )
         if len(shapes) != 1:
             raise ValueError(f"read_hdf5_dir: ragged datasets in {path}")
-        if dtypes_ref is None:
+        if missing_ok:
+            present[path] = set(dtypes)
+            for name, sig in dtypes.items():
+                if name not in union_dtypes:
+                    union_dtypes[name] = sig
+                elif union_dtypes[name] != sig:
+                    raise ValueError(
+                        f"read_hdf5_dir: schema drift for dataset {name!r} at "
+                        f"{path}: {sig} != {union_dtypes[name]} — missing_ok "
+                        "null-fills ABSENT datasets but requires agreeing "
+                        "dtype/rank where present"
+                    )
+        elif dtypes_ref is None:
             dtypes_ref = dtypes
         elif dtypes != dtypes_ref:
             raise ValueError(
@@ -391,6 +426,13 @@ def read_hdf5_dir(
             (path, start, length) for start, length in plan_chunks(n_rows, stride)
         )
 
+    if missing_ok:
+        if not union_dtypes:
+            raise ValueError(
+                f"read_hdf5_dir: no granule under {out_dir} has group {group!r}"
+            )
+        # deterministic column order: the caller's datasets order
+        dtypes_ref = {n: union_dtypes[n] for n in datasets if n in union_dtypes}
     schema = spark_schema_for(dtypes_ref)
     if granule_col:
         schema += f", `{granule_col}` string"
@@ -400,16 +442,24 @@ def read_hdf5_dir(
         tasks, "path string, start long, length long"
     ).repartition(len(tasks))
 
+    out_names = list(dtypes_ref)
+
     def decode(batches):
         for pdf in batches:
             for path, start, length in zip(pdf["path"], pdf["start"], pdf["length"]):
                 start, length = int(start), int(length)
+                have = present.get(str(path)) if missing_ok else None
                 with _open_h5(path) as f:
                     grp = f[group]
                     out = {
                         "row_index": np.arange(start, start + length, dtype=np.int64)
                     }
-                    for name in datasets:
+                    for name in out_names:
+                        if have is not None and name not in have:
+                            # missing_ok: dataset absent from this
+                            # granule — metadata-driven NULL fill
+                            out[name] = pd.Series([None] * length, dtype="object")
+                            continue
                         arr = grp[name][start : start + length]
                         if arr.dtype.byteorder == ">":  # h5py keeps file order
                             arr = arr.astype(arr.dtype.newbyteorder("="))

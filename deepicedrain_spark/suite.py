@@ -1016,6 +1016,7 @@ PRIORITY: list[str] = [
     "js_divergence_sources",
     "streaming_psi_drift",
     "zarr_unconsolidated_scan",
+    "hdf5_missing_beam_union",
     "auc_by_source",
     "atl11_zarr_cube",
     "atl11_dhdt_end_to_end",

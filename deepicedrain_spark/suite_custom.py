@@ -2298,6 +2298,82 @@ def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S3 missing-beam/missing-dataset union (round 11): real ICESat-2
+# archives are HETEROGENEOUS — a granule can lack a dataset (optional
+# products) or a whole beam group (beam off / no land-ice segments),
+# and the reference's per-beam loops simply skip what's absent
+# (atl06_play.py:318-327). read_hdf5_dir(missing_ok=True) is that
+# semantics as one scan: granule g1 lacks the t dataset (column
+# null-fills for its rows, metadata-driven), granule g2 lacks the
+# requested beam group entirely (contributes zero rows). Values are
+# closed-form so the oracle recomputes every row without a parser;
+# count(t) distinguishing the granules proves absent reads as NULL.
+@register(
+    "hdf5_missing_beam_union",
+    """
+    WITH rows AS (
+      SELECT g.g, i.i FROM (VALUES (0),(1)) g(g),
+           (SELECT unnest(range(0, 2000)) AS i) i),
+    named AS (
+      SELECT concat('g', CAST(g AS VARCHAR), '.h5') AS granule,
+             ((i * 7 + g * 13) % 1000) * 0.5 AS val,
+             CASE WHEN g = 0 THEN i + g * 100000 END AS t
+      FROM rows)
+    SELECT granule, count(*) AS n,
+           CAST(sum(CAST(val AS DECIMAL(18,1))) AS DOUBLE) AS sum_val,
+           CAST(count(t) AS BIGINT) AS n_t,
+           min(t) AS min_t
+    FROM named GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_hdf5_missing_beam_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5_dir
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    n = 2000
+    gdir = scratch_path(sf_dir, "granules_missing")
+    os.makedirs(gdir, exist_ok=True)
+    i = np.arange(n)
+    specs = {
+        # g0: full beam; g1: beam present, t dataset absent; g2: the
+        # requested beam group absent entirely (only gt2l present)
+        "g0.h5": {"gt1l/land_ice_segments": {
+            "val": (((i * 7) % 1000) * 0.5).astype("f8"),
+            "t": i.astype("i8")}},
+        "g1.h5": {"gt1l/land_ice_segments": {
+            "val": (((i * 7 + 13) % 1000) * 0.5).astype("f8")}},
+        "g2.h5": {"gt2l/land_ice_segments": {
+            "val": (((i * 7 + 26) % 1000) * 0.5).astype("f8"),
+            "t": (i + 200000).astype("i8")}},
+    }
+    for fname, groups in specs.items():
+        synth_once(
+            os.path.join(gdir, fname),
+            lambda p, groups=groups: write_hdf5(p, groups, chunk_rows=512),
+        )
+    back = read_hdf5_dir(
+        spark,
+        gdir,
+        "gt1l/land_ice_segments",
+        ["val", "t"],
+        chunk_rows=512,
+        granule_col="granule",
+        missing_ok=True,
+    )
+    return (
+        back.groupBy("granule")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(18,1)")).cast("double").alias("sum_val"),
+            F.count("t").alias("n_t"),
+            F.min("t").alias("min_t"),
+        )
+        .orderBy("granule")
+    )
+
+
 # §3.1 front half — the ATL06 ingest pipeline over REAL granule bytes
 # (round 3): three synthetic ATL06 granules (hdf5lite writer; filenames
 # carry rgt+cycle exactly like the reference's reverse_format parse at

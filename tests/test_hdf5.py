@@ -768,3 +768,52 @@ def test_write_hdf5_invalid_byte_order_rejected_even_empty(tmp_path):
     for groups in ({}, {"g": {"h": __import__("numpy").arange(3.0)}}):
         with pytest.raises(ValueError, match="byte_order"):
             hdf5lite.write_hdf5(str(tmp_path / "x.h5"), groups, byte_order="BE")
+
+
+def test_read_hdf5_dir_missing_ok_union(spark, tmp_path):
+    """missing_ok=True: absent datasets null-fill, absent groups skip,
+    dtype drift on a PRESENT dataset still raises, and strict mode
+    rejects the same layout."""
+    import numpy as np
+    import pytest
+
+    from deepicedrain_spark.sources.hdf5 import read_hdf5_dir
+    from deepicedrain_spark.sources.hdf5lite import write_hdf5
+
+    import os
+
+    d = str(tmp_path / "gr")
+    os.makedirs(d)
+    i = np.arange(50)
+    write_hdf5(os.path.join(d, "a.h5"),
+               {"g/x": {"v": i.astype("f8"), "t": i.astype("i8")}}, chunk_rows=16)
+    write_hdf5(os.path.join(d, "b.h5"),
+               {"g/x": {"v": (i + 100).astype("f8")}}, chunk_rows=16)
+    write_hdf5(os.path.join(d, "c.h5"),
+               {"other/x": {"v": i.astype("f8")}}, chunk_rows=16)
+
+    # strict rejects (b lacks t)
+    with pytest.raises(Exception):
+        read_hdf5_dir(spark, d, "g/x", ["v", "t"])
+
+    back = read_hdf5_dir(spark, d, "g/x", ["v", "t"],
+                         granule_col="granule", missing_ok=True)
+    assert back.count() == 100  # c.h5 contributes zero rows
+    import pyspark.sql.functions as F
+
+    per = {r["granule"]: (r["nv"], r["nt"]) for r in back.groupBy("granule")
+           .agg(F.count("v").alias("nv"), F.count("t").alias("nt")).collect()}
+    assert per == {"a.h5": (50, 50), "b.h5": (50, 0)}
+    r = back.where((F.col("granule") == "b.h5") & (F.col("v") == 107.0)).collect()[0]
+    assert r["t"] is None
+
+    # a granule with the group but none of the datasets is an error
+    write_hdf5(os.path.join(d, "e.h5"), {"g/x": {"w": i.astype("f8")}}, chunk_rows=16)
+    with pytest.raises(ValueError, match="none of the requested"):
+        read_hdf5_dir(spark, d, "g/x", ["v", "t"], missing_ok=True)
+    os.remove(os.path.join(d, "e.h5"))
+
+    # dtype drift on a present dataset still raises in missing_ok mode
+    write_hdf5(os.path.join(d, "f.h5"), {"g/x": {"v": i.astype("i8")}}, chunk_rows=16)
+    with pytest.raises(ValueError, match="schema drift for dataset 'v'"):
+        read_hdf5_dir(spark, d, "g/x", ["v", "t"], missing_ok=True)
