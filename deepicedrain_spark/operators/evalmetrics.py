@@ -191,7 +191,12 @@ def psi_drift(
     1..buckets, psi_total repeated (window sum over the decimal-cast
     rounded contributions).
     """
-    edges = psi_ref_edges(ref, value_col, buckets)
+    # localCheckpoint: the edges subplan (a full groupBy over the ref
+    # slice's value domain + the ordered window) feeds BOTH bucket-count
+    # branches, and Spark re-executes un-persisted subplans per
+    # consumer — the one-row fence costs nothing and halves the ref
+    # passes (the bigram_pmi re-execution class)
+    edges = psi_ref_edges(ref, value_col, buckets).localCheckpoint()
     r = psi_bucket_counts(ref, edges, value_col, "c_ref")
     c = psi_bucket_counts(cur, edges, value_col, "c_cur")
     return psi_from_bucket_counts(ref.sparkSession, r, c, buckets)

@@ -151,8 +151,9 @@ def mmr_select(
     TakeOrderedAndProject: per-partition top-M, one M-row merge, never
     a full sort or an unbounded collect); with the default
     ``prune=False`` an oversized pool raises instead (the explicit-pool
-    API), and the guard fires from a bounded ``limit(max_pool + 1)``
-    collect so the driver never materializes the oversized pool. The
+    API), and the ``limit(max_pool + 1)`` sits UNDER the eager
+    checkpoint, so neither the executors nor the driver ever
+    materialize more than max_pool + 1 rows of an oversized pool. The
     greedy order is decided driver-side with numpy float64 cosines
     rounded by the multiply-round form; the returned DataFrame joins
     the order back against ``pool`` so every output VALUE is computed
@@ -168,14 +169,17 @@ def mmr_select(
     pool = pool.select(id_col, rel_col, vec_col)
     if prune:
         pool = pool.orderBy(F.col(rel_col).desc(), F.col(id_col)).limit(max_pool)
-    # localCheckpoint: the pool subplan (often a full corpus cosine
-    # top-M) is consumed twice — the driver collect AND the output
-    # value join — and would re-execute for the second consumer
-    pool = pool.localCheckpoint()
+    # limit BEFORE the (eager) localCheckpoint: the checkpoint itself
+    # would otherwise materialize an oversized pool executor-side
+    # before the guard ever ran. When the guard passes, limit(max_pool
+    # + 1) returned ALL rows, so the checkpointed frame is the whole
+    # pool; the checkpoint still fences the two consumers (driver
+    # collect + output value join) against subplan re-execution.
+    pool = pool.limit(max_pool + 1).localCheckpoint()
     # bounded collect: at most max_pool + 1 rows reach the driver, so
     # the oversize guard fires BEFORE an oversized pool materializes
-    # driver-side (≤ max_pool rows means the limit returned ALL rows)
-    rows = pool.limit(max_pool + 1).collect()
+    # anywhere (≤ max_pool rows means the limit returned ALL rows)
+    rows = pool.collect()
     if len(rows) > max_pool:
         raise ValueError(
             f"MMR pool has > max_pool={max_pool} rows; "

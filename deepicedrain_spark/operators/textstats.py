@@ -423,6 +423,30 @@ def bigram_pmi(
     )
 
 
+def _slice_term_counts(df: DataFrame, by: str, text_col: str):
+    """Shared prelude of the per-slice corpus-comparison statistics
+    (keyness_g2, js_divergence): ONE corpus explode into a
+    checkpointed (slice, term) count table, every total derived from
+    it — vocabulary-bounded, no second corpus pass. Returns
+    (sc, tot_term, tot_slice, tot_all): (_s, term, a) counts,
+    (term, t) per-term totals, (_s, n_s, n_terms) per-slice totals,
+    and the one-row corpus total (n_all)."""
+    toks = df.select(
+        F.col(by).alias("_s"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
+    )
+    # localCheckpoint: the counts feed every model table AND the
+    # scoring join - fence so the corpus explodes once
+    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a")).localCheckpoint()
+    tot_term = sc.groupBy("term").agg(F.sum("a").cast("long").alias("t"))
+    tot_slice = sc.groupBy("_s").agg(
+        F.sum("a").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    tot_all = tot_slice.agg(F.sum("n_s").cast("long").alias("n_all"))
+    return sc, tot_term, tot_slice, tot_all
+
+
 def keyness_g2(
     df: DataFrame,
     by: str = "source",
@@ -450,16 +474,7 @@ def keyness_g2(
 
     Output: (``by``, term, a, b, g2, rank), g2 rounded to 6.
     """
-    toks = df.select(
-        F.col(by).alias("_s"),
-        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
-    )
-    # localCheckpoint: the (slice, term) counts feed every model table
-    # AND the scoring join — fence so the corpus explodes once
-    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a")).localCheckpoint()
-    tot_term = sc.groupBy("term").agg(F.sum("a").alias("t"))
-    tot_slice = sc.groupBy("_s").agg(F.sum("a").cast("long").alias("n_s"))
-    tot_all = tot_slice.agg(F.sum("n_s").cast("long").alias("n_all"))
+    sc, tot_term, tot_slice, tot_all = _slice_term_counts(df, by, text_col)
     j = (
         sc.join(tot_term, "term")
         .join(F.broadcast(tot_slice), "_s")
@@ -512,19 +527,7 @@ def js_divergence(
     Output: (``by``, n_terms, js) — n_terms the slice's distinct
     vocabulary, js rounded to 6.
     """
-    toks = df.select(
-        F.col(by).alias("_s"),
-        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
-    )
-    # localCheckpoint: the (slice, term) counts feed every model table
-    # AND the scoring join — fence so the corpus explodes once
-    sc = toks.groupBy("_s", "term").agg(F.count(F.lit(1)).alias("a")).localCheckpoint()
-    tot_term = sc.groupBy("term").agg(F.sum("a").cast("long").alias("t"))
-    tot_slice = sc.groupBy("_s").agg(
-        F.sum("a").cast("long").alias("n_s"),
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-    )
-    tot_all = tot_slice.agg(F.sum("n_s").cast("long").alias("n_all"))
+    sc, tot_term, tot_slice, tot_all = _slice_term_counts(df, by, text_col)
     # full (slice × vocab) grid: a term absent from the slice still
     # contributes q·ln(q/m) = q·ln 2 — crossJoin of two
     # vocabulary/slice-bounded tables, then the counts re-attach LEFT

@@ -139,35 +139,74 @@ def _bucket_tag(state_dir: str) -> str:
     return hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
 
 
-def _bucket_specs(state_dir: str) -> dict[str, tuple[str, str, list[str]]]:
-    """table name -> (location, column DDL, bucket keys)."""
+def _bucket_specs(
+    state_dir: str,
+) -> dict[str, tuple[str, str, list[str], list[str]]]:
+    """table name -> (location, column DDL, bucket keys, sort keys)."""
     tag = _bucket_tag(state_dir)
     return {
         f"gate_docs_{tag}": (
             os.path.join(state_dir, "docs_bkt"),
             "doc_id BIGINT, hs ARRAY<BIGINT>, n BIGINT",
             ["doc_id"],
+            ["doc_id"],
         ),
         f"gate_bands_{tag}": (
             os.path.join(state_dir, "bands_bkt"),
             "doc_id BIGINT, band_idx INT, band_hash BIGINT",
             ["band_idx", "band_hash"],
+            [],
         ),
     }
+
+
+def _buckets_meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "_buckets.json")
+
+
+def _check_bucket_count(state_dir: str, buckets: int) -> None:
+    """Pin the layout's bucket count: the physical files are hashed
+    into B buckets at write time, so reopening the state with a
+    different B would register catalog metadata the files don't obey —
+    the bucketed scan would advertise a partitioning the rows violate
+    and joins would silently drop matches. Refuse instead."""
+    meta = _buckets_meta_path(state_dir)
+    try:
+        with open(meta) as f:
+            existing = int(json.load(f)["buckets"])
+    except (FileNotFoundError, KeyError, ValueError):
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"buckets": int(buckets)}, f)
+        os.replace(tmp, meta)
+        return
+    if existing != int(buckets):
+        raise ValueError(
+            f"near_dup_gate: state at {state_dir} was written with "
+            f"bucketed={existing}; reopening with bucketed={buckets} would "
+            "corrupt the bucketed layout — pass the original value"
+        )
 
 
 def _ensure_bucket_tables(spark: SparkSession, state_dir: str, buckets: int) -> list[str]:
     """Register the bucketed state tables, re-attaching existing table
     files after a session restart (the default in-memory catalog loses
-    table metadata with the session; the bucket spec in the CREATE
-    keeps Spark's bucketed-scan partitioning on the re-read)."""
+    table metadata with the session). The CREATE must carry the FULL
+    BucketSpec the writer uses — including SORTED BY for the docs
+    table — or the first post-restart append fails Spark's
+    bucket-spec equality check ('Specified bucketing does not match
+    that of the existing table')."""
     names = []
-    for name, (path, ddl, keys) in _bucket_specs(state_dir).items():
+    for name, (path, ddl, keys, sort) in _bucket_specs(state_dir).items():
         names.append(name)
         if not spark.catalog.tableExists(name) and os.path.isdir(path):
+            sorted_by = (
+                f"SORTED BY ({', '.join(f'{s} ASC' for s in sort)}) " if sort else ""
+            )
             spark.sql(
                 f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-                f"CLUSTERED BY ({', '.join(keys)}) INTO {buckets} BUCKETS "
+                f"CLUSTERED BY ({', '.join(keys)}) {sorted_by}"
+                f"INTO {buckets} BUCKETS "
                 f"LOCATION '{path}'"
             )
     return names
@@ -196,9 +235,38 @@ def near_dup_gate(
     ``bucketed``: 0 (default) keeps the flat per-batch-subdir layout;
     B > 0 maintains the docs store and the exploded band index as
     Spark bucketed tables with B buckets (module docstring, cluster
-    layout) — verdict-identical, state-side-shuffle-free."""
+    layout) — verdict-identical, state-side-shuffle-free. One state
+    dir is ONE layout: reopening flat state as bucketed (or vice
+    versa) raises rather than silently ignoring the other layout's
+    ingested documents, and the bucket count is pinned at first write
+    (_buckets.json) so a different B cannot corrupt the files'
+    physical bucketing."""
     docs_dir = os.path.join(state_dir, "docs")
     os.makedirs(state_dir, exist_ok=True)
+
+    def _has_flat() -> bool:
+        return os.path.isdir(docs_dir) and any(
+            e.is_dir() for e in os.scandir(docs_dir)
+        )
+
+    def _has_bucketed() -> bool:
+        return os.path.isdir(os.path.join(state_dir, "docs_bkt"))
+
+    if bucketed:
+        if _has_flat():
+            raise ValueError(
+                f"near_dup_gate: state at {state_dir} holds a FLAT docs/ "
+                "layout; reopening it with bucketed>0 would ignore every "
+                "previously ingested document — use a fresh state_dir or "
+                "the original bucketed=0"
+            )
+        _check_bucket_count(state_dir, bucketed)
+    elif _has_bucketed():
+        raise ValueError(
+            f"near_dup_gate: state at {state_dir} holds a BUCKETED layout; "
+            "reopening it with bucketed=0 would ignore every previously "
+            "ingested document — pass the original bucketed=B"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in _applied(state_dir):
@@ -372,6 +440,15 @@ def read_gate_result(spark: SparkSession, state_dir: str) -> DataFrame:
     the ingested stream. Reads whichever state layout the gate wrote
     (flat per-batch subdirs or the bucketed tables)."""
     bkt_dir = os.path.join(state_dir, "docs_bkt")
+    flat_dir = os.path.join(state_dir, "docs")
+    if os.path.isdir(bkt_dir) and os.path.isdir(flat_dir) and any(
+        e.is_dir() for e in os.scandir(flat_dir)
+    ):
+        raise ValueError(
+            f"read_gate_result: {state_dir} holds BOTH flat and bucketed "
+            "docs state — the layouts were mixed; results would silently "
+            "drop one side"
+        )
     if os.path.isdir(bkt_dir):
         # ids only — a plain path read suffices (no join on this side)
         docs = spark.read.parquet(bkt_dir).select("doc_id").distinct()

@@ -293,6 +293,52 @@ def test_near_dup_gate_bucketed_layout_identical(spark, tmp_path):
     assert "SortMergeJoin" in plan
 
 
+def test_near_dup_gate_bucketed_restart_and_guards(spark, tmp_path):
+    """Session-restart recovery (catalog lost, files kept) must
+    re-register the FULL bucket spec incl. SORTED BY or the next
+    append fails; bucket count is pinned; flat<->bucketed layout
+    switches refuse instead of silently dropping state."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from deepicedrain_spark.streaming.neardup import (
+        _bucket_specs,
+        near_dup_gate,
+        read_gate_result,
+    )
+
+    docs = _gate_docs(spark)
+    st = str(tmp_path / "gate_restart")
+    gate = near_dup_gate(spark, st, threshold=0.8, workers=2, bucketed=4)
+    gate(docs.filter(F.col("doc_id") < 4), 0)
+    before = sorted(tuple(r) for r in read_gate_result(spark, st).collect())
+
+    # simulate a session restart: the in-memory catalog loses the
+    # tables but the files stay — drop metadata only
+    for name in _bucket_specs(st):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    gate2 = near_dup_gate(spark, st, threshold=0.8, workers=2, bucketed=4)
+    gate2(docs.filter(F.col("doc_id") >= 4), 1)  # append after recovery
+    final = {d: (k, p) for d, k, p in (
+        tuple(r) for r in read_gate_result(spark, st).collect()
+    )}
+    assert final[5] == (False, 0)  # cross-restart near-dup still caught
+    assert all(final[d] == (k, p) for d, k, p in before)
+
+    # bucket-count pinning
+    with pytest.raises(ValueError, match="bucketed=4"):
+        near_dup_gate(spark, st, bucketed=8)
+    # bucketed state refuses a flat reopen
+    with pytest.raises(ValueError, match="BUCKETED layout"):
+        near_dup_gate(spark, st, bucketed=0)
+    # flat state refuses a bucketed reopen
+    st2 = str(tmp_path / "gate_flat")
+    flat = near_dup_gate(spark, st2, threshold=0.8, workers=2)
+    flat(docs.filter(F.col("doc_id") < 4), 0)
+    with pytest.raises(ValueError, match="FLAT docs/"):
+        near_dup_gate(spark, st2, bucketed=4)
+
+
 def test_near_dup_gate_replay_idempotent(spark, tmp_path):
     import pyspark.sql.functions as F
 
