@@ -164,6 +164,7 @@ def psi_drift(
     cur: DataFrame,
     value_col: str = "value",
     buckets: int = 10,
+    epsilon: float | None = None,
 ) -> DataFrame:
     """Population Stability Index between a reference slice and a
     current slice of a numeric feature — the standard
@@ -180,7 +181,10 @@ def psi_drift(
     slices by the same formula, and their contribution is NULL
     (p·ln(p/q) is undefined at zero mass; psi_total sums the defined
     buckets — the exclusion is part of the contract, not a silent
-    cap).
+    cap, and a gate can alarm on ``contrib IS NULL`` row counts).
+    Pass ``epsilon`` (e.g. 1e-4) for the conventional smoothed PSI
+    where zero-mass buckets contribute their full floored-probability
+    penalty instead — see psi_from_bucket_counts.
 
     Determinism: counts exact integers; p = c/total and the
     (p_cur − p_ref)·ln(p_cur/p_ref) contribution are identical double
@@ -199,7 +203,7 @@ def psi_drift(
     edges = psi_ref_edges(ref, value_col, buckets).localCheckpoint()
     r = psi_bucket_counts(ref, edges, value_col, "c_ref")
     c = psi_bucket_counts(cur, edges, value_col, "c_cur")
-    return psi_from_bucket_counts(ref.sparkSession, r, c, buckets)
+    return psi_from_bucket_counts(ref.sparkSession, r, c, buckets, epsilon=epsilon)
 
 
 def psi_ref_edges(ref: DataFrame, value_col: str, buckets: int) -> DataFrame:
@@ -250,21 +254,40 @@ def psi_bucket_counts(
 
 
 def psi_from_bucket_counts(
-    spark, r: DataFrame, c: DataFrame, buckets: int
+    spark, r: DataFrame, c: DataFrame, buckets: int,
+    epsilon: float | None = None,
 ) -> DataFrame:
     """Finalize PSI from per-bucket (bucket, c_ref) / (bucket, c_cur)
     count tables — counts are MERGEABLE, so a streaming gate can
-    maintain them incrementally and finalize identically."""
+    maintain them incrementally and finalize identically.
+
+    ``epsilon=None`` (default): a bucket where either slice has zero
+    mass contributes NULL ((p)·ln(p/q) is undefined at zero mass) and
+    is excluded from psi_total — the exclusion is visible as NULL
+    ``contrib`` rows, so a gate can alarm on ``contrib IS NULL`` counts
+    directly. That understates drift for the most extreme shifts
+    (current mass landing where the reference had none, and vice
+    versa); pass ``epsilon`` (e.g. 1e-4) for the conventional smoothed
+    PSI: both proportions are floored at epsilon
+    (p' = greatest(p, ε)) and EVERY bucket contributes
+    (p_cur' − p_ref')·ln(p_cur'/p_ref') — mass deserting or invading an
+    empty bucket then scores its full, large penalty instead of
+    vanishing."""
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     grid = spark.range(1, buckets + 1).select(F.col("id").cast("int").alias("bucket"))
     tot_r = F.sum("c_ref").over(w_all)
     tot_c = F.sum("c_cur").over(w_all)
     p_ref = F.col("c_ref").cast("double") / tot_r
     p_cur = F.col("c_cur").cast("double") / tot_c
-    contrib = F.when(
-        (F.col("c_ref") > 0) & (F.col("c_cur") > 0),
-        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6),
-    )
+    if epsilon is not None:
+        p_ref = F.greatest(p_ref, F.lit(float(epsilon)))
+        p_cur = F.greatest(p_cur, F.lit(float(epsilon)))
+        contrib = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+    else:
+        contrib = F.when(
+            (F.col("c_ref") > 0) & (F.col("c_cur") > 0),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6),
+        )
     joined = (
         grid.join(r, "bucket", "left")
         .join(c, "bucket", "left")

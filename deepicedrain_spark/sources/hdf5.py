@@ -431,6 +431,17 @@ def read_hdf5_dir(
             raise ValueError(
                 f"read_hdf5_dir: no granule under {out_dir} has group {group!r}"
             )
+        # a requested dataset present in NO granule has no inferable
+        # dtype — silence here would hide a caller typo behind a
+        # silently-narrower frame that only fails (or skews) downstream
+        nowhere = [n for n in datasets if n not in union_dtypes]
+        if nowhere:
+            raise ValueError(
+                f"read_hdf5_dir: requested dataset(s) {nowhere} appear in no "
+                f"granule under {out_dir}:{group} — missing_ok null-fills "
+                "datasets absent from SOME granules, but a dataset absent "
+                "everywhere has no dtype to infer (check the name)"
+            )
         # deterministic column order: the caller's datasets order
         dtypes_ref = {n: union_dtypes[n] for n in datasets if n in union_dtypes}
     schema = spark_schema_for(dtypes_ref)

@@ -866,6 +866,19 @@ def read_zarr_dir(
         tasks.extend((s, cid) for cid in range(n_chunks))
 
     if schema_mode == "union":
+        # a requested column present in NO store would silently vanish
+        # from the union schema (the per-store check above only fires
+        # when a store has ZERO requested columns) — a typo'd name must
+        # raise here, not surface as a narrower frame downstream
+        if columns is not None:
+            nowhere = [c for c in columns if c not in union_sig]
+            if nowhere:
+                raise ValueError(
+                    f"read_zarr_dir: requested column(s) {nowhere} appear "
+                    f"in no store under {parent} — union mode null-fills "
+                    "columns absent from SOME stores, but a column absent "
+                    "everywhere has no dtype to infer (check the name)"
+                )
         cols = sorted(union_sig)
         col_sig = union_sig
     else:

@@ -174,12 +174,24 @@ def _check_bucket_count(state_dir: str, buckets: int) -> None:
     try:
         with open(meta) as f:
             existing = int(json.load(f)["buckets"])
-    except (FileNotFoundError, KeyError, ValueError):
+    except FileNotFoundError:
         tmp = meta + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"buckets": int(buckets)}, f)
         os.replace(tmp, meta)
         return
+    except (KeyError, ValueError, json.JSONDecodeError) as e:
+        # a corrupt/malformed meta file must NOT silently re-pin to the
+        # caller's B — that bypasses the guard exactly when the
+        # metadata is damaged and lets a wrong B corrupt the physical
+        # layout. Make the operator repair it explicitly.
+        raise ValueError(
+            f"near_dup_gate: bucket-count metadata at {meta} is unreadable "
+            f"({type(e).__name__}: {e}); refusing to guess the layout's "
+            "bucket count — restore or delete the file (deleting re-pins "
+            "to the caller's value, which is only safe if it matches the "
+            "count the state files were written with)"
+        ) from e
     if existing != int(buckets):
         raise ValueError(
             f"near_dup_gate: state at {state_dir} was written with "

@@ -926,102 +926,39 @@ def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. three near-identical scalar filters, all driver-green in r1)
 # follow after, still registered and locally checked.
 PRIORITY: list[str] = [
-    # --- driver top-50 window, round-11 rotation ----------------------
+    # --- driver top-50 window, round-12 rotation ----------------------
     # STANDING POLICY (amended r9): the window is filled in strict
     # priority order (1) anchors, (2) queries with NO driver row ever,
     # (3) queries whose CODE changed since their last driver row,
     # (4) oldest driver rows first. Whatever overflows the 50 is
     # re-verified locally with tools/check.py at round close (recorded
     # in ROADMAP) and leads the next round's window.
-    # (1) anchors
-    "dhdt_per_point_regression",
-    "parquet_roundtrip",
-    # (2) never driver-checked: the r11 additions — schema-evolution
-    # multi-store Zarr union (VERDICT r10 task 3) and the quantized
-    # ROC-AUC variant (task 6)
-    "zarr_evolving_union",
-    "classifier_auc_quantized",
-    # (3) code changed since last driver row (all r10 rows, touched in
-    # r11): read_zarr_dir gained schema_mode (strict path refactored —
-    # zarr_multistore_scan is the in-window representative; the other
-    # three consumers overflow to tier-2 head below), containment's
-    # self-join aliasing (task 5), mmr_select's bounded-collect guard +
-    # prune path (ADVICE + task 7), roc_auc's quantize parameter
-    # (classifier_auc_eval exercises the default path), and the
-    # streaming LSH gate's bucketed-state flag (flat path re-certified)
-    "zarr_multistore_scan",
-    "containment_dedup",
-    "mmr_diversified_topk",
-    "classifier_auc_eval",
-    "streaming_lsh_dedup",
-    # (4) oldest rows first: ALL 41 rows aged <= r6 (VERDICT r10 task 1
-    # — after this window no row's latest driver check predates r7).
-    # First the 8 r5 rows,
-    "oov_rate",
-    "quality_scores",
-    "revenue_cube",
-    "revenue_rollup",
-    "source_mixture_balance",
-    "stratified_sample_events",
-    "text_cleaning",
-    "weighted_sample_docs",
-    # then the 33 r6 rows
-    "streaming_running_anomaly",
-    "streaming_kmeans_assign",
-    "streaming_raster_counts",
-    "streaming_hll_users",
-    "streaming_bloom_bits",
-    "embedding_near_dup_lsh",
-    "embedding_near_dup",
-    "ivf_topk",
-    "cosine_topk",
-    "tfidf_top_terms",
-    "doc_fingerprints",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "array_to_columns",
-    "bbox_subset",
-    "corpus_vocabulary",
-    "dedup_distinct",
-    "dhdt_wide_maponly",
-    "doc_chunk_overlap",
-    "expression_filter",
-    "gps_time_convert",
-    "grouped_median_mad",
-    "json_extract_filter",
-    "lake_region_subset",
-    "large_order_customers",
-    "null_threshold",
-    "outlier_clip_sigma",
-    "repetition_scores",
-    "rolling_time_mean",
-    "shipping_priority",
-    "topk_per_segment",
-    "track_densify_greatcircle",
-    "wide_long_roundtrip",
-    # --- tier 2: past the driver's 50-query window -------------------
-    # r11 never-checked overflow: the union-mode whole-ATL11 pipeline
-    # (built on the r11 schema_mode='union' path already certified by
-    # the in-window zarr_evolving_union), then the r11 code-changed
-    # overflow: four r10-row queries whose code was touched in r11 but
-    # which the 41-aged-rows directive displaced (window arithmetic:
-    # 2 anchors + 2 never-checked + 41 aged leaves 5 changed slots for
-    # 9 changed queries). Each re-verified locally with tools/check.py
-    # at round close (ROADMAP r11); they lead the r12 window.
+    # THIS round's window is fixed by the r11 VERDICT (task 1):
+    # 9 never-driver-checked r11 queries + 4 r11 code-changed overflow
+    # + ALL 37 rows aged r7 = exactly 50. The two anchors hold fresh
+    # r11 rows and are displaced for one round by that directive (they
+    # head tier 2 and resume the window in r13). Queries NEW in r12
+    # overflow to the tier-2 head, 3x locally swept at close, and lead
+    # the r13 window exactly as the r11 additions did this round.
+    # (2) never driver-checked (all r11-new)
     "atl11_union_dhdt",
     "bigram_pmi_top",
-    "psi_value_drift",
     "classifier_agreement_kappa",
-    "keyness_terms_per_source",
+    "hdf5_missing_beam_union",
     "js_divergence_sources",
+    "keyness_terms_per_source",
+    "psi_value_drift",
     "streaming_psi_drift",
     "zarr_unconsolidated_scan",
-    "hdf5_missing_beam_union",
+    # (3) code changed in r11, displaced from the r11 window by the
+    # 41-aged-rows directive (each locally re-verified at r11 close,
+    # ROADMAP r11; 13/13 re-verified independently by the r11 judge)
     "auc_by_source",
     "atl11_zarr_cube",
     "atl11_dhdt_end_to_end",
     "zarr_sharded_cube",
-    # r7 rows (next after the overflow)
+    # (4) oldest rows first: ALL 37 rows whose latest driver check is
+    # r7 — after this window no row's latest check predates r8
     "anomaly_vs_first",
     "argmax_top1",
     "bin_labels",
@@ -1059,7 +996,13 @@ PRIORITY: list[str] = [
     "time_rollup",
     "track_id_format",
     "union_split_labels",
-    # r8 rows
+    # --- tier 2: past the driver's 50-query window -------------------
+    # r12 additions land here at close (never driver-checked; 3x
+    # locally swept; lead the r13 window)
+    # anchors (fresh r11 rows; displaced one round per the VERDICT)
+    "dhdt_per_point_regression",
+    "parquet_roundtrip",
+    # r8 rows (oldest past the window)
     "adaptive_median_filter",
     "asof_last_purchase",
     "benchmark_contamination",
@@ -1104,7 +1047,7 @@ PRIORITY: list[str] = [
     "token_count_stats",
     "tsv_roundtrip",
     "volume_time_series",
-    # r9 rows (youngest; every one driver-green last round)
+    # r9 rows
     "ann_recall_at_k",
     "bloom_cross_corpus",
     "bloom_semijoin_reduction",
@@ -1146,49 +1089,95 @@ PRIORITY: list[str] = [
     "time_travel_read",
     "triangle_count",
     "version_diff_cdf",
-    # r10 rows (youngest, untouched in r11): the ATL11 cube, the r10
-    # session-2/3 families, the hdf5lite/zarr roundtrips and the
-    # multimodal codecs, and the r5-cohort remainder that got fresh
     # r10 rows
+    "atl06_dhdt_end_to_end",
+    "atl06_ingest_dense_layout",
+    "atl06_ingest_pipeline",
     "atl11_ingest_cube",
-    "url_dedup_hosts",
-    "knn_graph_blocked",
+    "bigram_lm_score",
+    "bm25_topk_per_lang",
+    "calibration_brier",
+    "constraint_audit",
+    "conversion_funnel",
+    "customers_without_orders",
+    "dsir_importance_weights",
     "embedding_covariance",
     "embedding_drift",
-    "bm25_topk_per_lang",
-    "kneser_ney_lm_score",
-    "precision_recall_curve",
+    "embedding_int8_quantize",
     "entropy_quality",
-    "ngram_decontamination",
-    "negative_sampling",
+    "feature_hash_embed",
+    "grouped_correlation",
     "hard_negative_mining",
-    "calibration_brier",
-    "tokenizer_fertility",
-    "orc_roundtrip",
-    "streaming_decontamination",
     "hdf5_roundtrip",
-    "zarr_v3_roundtrip",
-    "zarr_roundtrip",
-    "atl06_ingest_pipeline",
-    "atl06_ingest_dense_layout",
-    "atl06_dhdt_end_to_end",
+    "keyword_snippets",
+    "kneser_ney_lm_score",
+    "knn_graph_blocked",
+    "lang_id_heuristic",
+    "multimodal_audio_resample",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_progressive",
     "multimodal_mjpeg_frames",
     "multimodal_real_audio",
-    "multimodal_real_video",
-    "multimodal_audio_resample",
     "multimodal_real_decode",
-    "dsir_importance_weights",
-    "bigram_lm_score",
-    "constraint_audit",
-    "conversion_funnel",
-    "customers_without_orders",
-    "embedding_int8_quantize",
-    "feature_hash_embed",
-    "grouped_correlation",
-    "keyword_snippets",
-    "lang_id_heuristic",
+    "multimodal_real_video",
+    "negative_sampling",
+    "ngram_decontamination",
+    "orc_roundtrip",
+    "precision_recall_curve",
+    "streaming_decontamination",
+    "tokenizer_fertility",
+    "url_dedup_hosts",
+    "zarr_roundtrip",
+    "zarr_v3_roundtrip",
+    # r11 rows (youngest; every one driver-green last round)
+    "array_to_columns",
+    "bbox_subset",
+    "classifier_auc_eval",
+    "classifier_auc_quantized",
+    "containment_dedup",
+    "corpus_vocabulary",
+    "cosine_topk",
+    "dedup_distinct",
+    "dhdt_wide_maponly",
+    "doc_chunk_overlap",
+    "doc_fingerprints",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "expression_filter",
+    "gps_time_convert",
+    "grouped_median_mad",
+    "ivf_topk",
+    "json_extract_filter",
+    "lake_region_subset",
+    "large_order_customers",
+    "mmr_diversified_topk",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "null_threshold",
+    "oov_rate",
+    "outlier_clip_sigma",
+    "quality_scores",
+    "repetition_scores",
+    "revenue_cube",
+    "revenue_rollup",
+    "rolling_time_mean",
+    "shipping_priority",
+    "source_mixture_balance",
+    "stratified_sample_events",
+    "streaming_bloom_bits",
+    "streaming_hll_users",
+    "streaming_kmeans_assign",
+    "streaming_lsh_dedup",
+    "streaming_raster_counts",
+    "streaming_running_anomaly",
+    "text_cleaning",
+    "tfidf_top_terms",
+    "topk_per_segment",
+    "track_densify_greatcircle",
+    "weighted_sample_docs",
+    "wide_long_roundtrip",
+    "zarr_evolving_union",
+    "zarr_multistore_scan",
 ]
 
 

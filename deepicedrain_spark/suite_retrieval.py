@@ -772,6 +772,68 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, "value", buckets=10)
 
 
+# --- epsilon-smoothed PSI (round 12, ADVICE r11) ----------------------------
+# The default psi_drift excludes zero-mass buckets from psi_total (the
+# contribution is mathematically undefined there) — which understates
+# exactly the most extreme shifts: current mass landing where the
+# reference had none, or deserting reference-heavy buckets. The
+# conventional smoothed PSI floors both proportions at ε so EVERY
+# bucket contributes. This query manufactures such a shift: the
+# current slice is the odd users' value compressed by half, so the top
+# reference deciles are empty in the current slice; with ε=1e-4 those
+# buckets contribute their full (p_ref' − ε)-scale penalty instead of
+# vanishing, and psi_total reads "badly shifted" as it should.
+PSI_SMOOTHED_SQL = """
+    WITH ref AS (SELECT value AS v FROM events WHERE user_id % 2 = 0),
+    cur AS (SELECT value * 0.5 AS v FROM events WHERE user_id % 2 = 1),
+    counts AS (SELECT v, count(*) AS n FROM ref GROUP BY 1),
+    cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS c,
+                   sum(n) OVER () AS total FROM counts),
+    edges AS (
+      SELECT list(e ORDER BY q) AS edges FROM (
+        SELECT q, min(v) AS e
+        FROM generate_series(1, 9) g(q) JOIN cum
+          ON cum.c >= ceil(q * cum.total / 10.0)
+        GROUP BY q)),
+    rb AS (SELECT 1 + len(list_filter(edges.edges, e -> v > e)) AS bucket,
+                  count(*) AS c_ref FROM ref, edges GROUP BY 1),
+    cb AS (SELECT 1 + len(list_filter(edges.edges, e -> v > e)) AS bucket,
+                  count(*) AS c_cur FROM cur, edges GROUP BY 1),
+    grid AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS bucket),
+    j AS (
+      SELECT g.bucket,
+             CAST(coalesce(rb.c_ref, 0) AS BIGINT) AS c_ref,
+             CAST(coalesce(cb.c_cur, 0) AS BIGINT) AS c_cur
+      FROM grid g
+      LEFT JOIN rb ON rb.bucket = g.bucket
+      LEFT JOIN cb ON cb.bucket = g.bucket),
+    k AS (
+      SELECT bucket, c_ref, c_cur,
+             round((greatest(CAST(c_cur AS DOUBLE) / (sum(c_cur) OVER ()), 1e-4)
+                    - greatest(CAST(c_ref AS DOUBLE) / (sum(c_ref) OVER ()), 1e-4))
+                   * ln(greatest(CAST(c_cur AS DOUBLE) / (sum(c_cur) OVER ()), 1e-4)
+                        / greatest(CAST(c_ref AS DOUBLE) / (sum(c_ref) OVER ()), 1e-4)),
+                   6) AS contrib
+      FROM j)
+    SELECT bucket, c_ref, c_cur, contrib,
+           round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+             AS psi_total
+    FROM k ORDER BY bucket
+    """
+
+
+@register("psi_value_drift_smoothed", PSI_SMOOTHED_SQL)
+def q_psi_value_drift_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.evalmetrics import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.pmod("user_id", F.lit(2)) == 0)
+    cur = ev.filter(F.pmod("user_id", F.lit(2)) == 1).withColumn(
+        "value", F.col("value") * F.lit(0.5)
+    )
+    return psi_drift(ref, cur, "value", buckets=10, epsilon=1e-4)
+
+
 # --- Cohen's kappa labeler agreement (round 11) ----------------------------
 # Chance-corrected agreement between the heuristic quality gate
 # (quality > 0.5) and the English-language labeler (lang = 'en') — the

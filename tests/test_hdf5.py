@@ -807,6 +807,11 @@ def test_read_hdf5_dir_missing_ok_union(spark, tmp_path):
     r = back.where((F.col("granule") == "b.h5") & (F.col("v") == 107.0)).collect()[0]
     assert r["t"] is None
 
+    # a requested dataset present in NO granule has no inferable dtype
+    # — a typo'd name must raise, not narrow the frame (ADVICE r11)
+    with pytest.raises(ValueError, match="appear in no granule"):
+        read_hdf5_dir(spark, d, "g/x", ["v", "typo"], missing_ok=True)
+
     # a granule with the group but none of the datasets is an error
     write_hdf5(os.path.join(d, "e.h5"), {"g/x": {"w": i.astype("f8")}}, chunk_rows=16)
     with pytest.raises(ValueError, match="none of the requested"):

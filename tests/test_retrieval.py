@@ -584,6 +584,24 @@ def test_psi_drift_identical_and_shifted(spark):
     assert by[1]["c_cur"] == 0 and by[1]["contrib"] is None
     assert by[10]["c_cur"] > by[10]["c_ref"]
 
+    # epsilon smoothing: every bucket contributes (no NULLs), the
+    # deserted buckets score their full floored-probability penalty, so
+    # smoothed PSI strictly exceeds the exclusion-mode total; where
+    # both slices have mass the contribution matches the exact python
+    # formula with the same floor
+    import math
+
+    sm = psi_drift(ref, cur, "value", epsilon=1e-4).collect()
+    assert len(sm) == 10 and all(r["contrib"] is not None for r in sm)
+    sby = {r["bucket"]: r for r in sm}
+    # deserted bucket: p_cur floored at eps, p_ref = 0.1
+    exp1 = round((1e-4 - 0.1) * math.log(1e-4 / 0.1), 6)
+    assert sby[1]["contrib"] == exp1
+    assert sm[0]["psi_total"] > out[0]["psi_total"]
+    # identical slices still read 0 under smoothing
+    sm0 = psi_drift(ref, ref, "value", epsilon=1e-4).collect()
+    assert sm0[0]["psi_total"] == 0.0 and all(r["contrib"] == 0.0 for r in sm0)
+
 
 def test_cohens_kappa_matches_python(spark):
     from deepicedrain_spark.operators.evalmetrics import cohens_kappa

@@ -328,6 +328,24 @@ def test_near_dup_gate_bucketed_restart_and_guards(spark, tmp_path):
     # bucket-count pinning
     with pytest.raises(ValueError, match="bucketed=4"):
         near_dup_gate(spark, st, bucketed=8)
+    # a CORRUPT meta file must refuse, not silently re-pin to the
+    # caller's B (ADVICE r11: the guard was bypassed exactly when the
+    # metadata was damaged)
+    import os
+
+    from deepicedrain_spark.streaming.neardup import _buckets_meta_path
+
+    meta = _buckets_meta_path(st)
+    saved = open(meta).read()
+    open(meta, "w").write("{not json")
+    with pytest.raises(ValueError, match="unreadable"):
+        near_dup_gate(spark, st, bucketed=4)
+    open(meta, "w").write('{"wrong_key": 4}')
+    with pytest.raises(ValueError, match="unreadable"):
+        near_dup_gate(spark, st, bucketed=4)
+    open(meta, "w").write(saved)
+    assert os.path.isfile(meta)
+    near_dup_gate(spark, st, bucketed=4)  # restored meta reopens fine
     # bucketed state refuses a flat reopen
     with pytest.raises(ValueError, match="BUCKETED layout"):
         near_dup_gate(spark, st, bucketed=0)

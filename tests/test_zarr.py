@@ -340,6 +340,12 @@ def test_read_zarr_dir_union_schema_evolution(spark, tmp_path):
     assert set(sub.columns) == {"store", "row_index", "k", "v"}
     with pytest.raises(ValueError, match="none of the requested"):
         read_zarr_dir(spark, parent, columns=["v"], schema_mode="union")
+    # a requested column in NO store must raise too — the per-store
+    # check above can't see it when every store still has SOME
+    # requested column (ADVICE r11: a typo'd name silently narrowed
+    # the frame)
+    with pytest.raises(ValueError, match="appear in no store"):
+        read_zarr_dir(spark, parent, columns=["k", "typo"], schema_mode="union")
 
     # conflicting dtype for a PRESENT variable still raises in union mode
     bad = spark.range(0, 5).select(F.col("id").cast("double").alias("k"))
