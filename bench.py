@@ -9,7 +9,12 @@ collect. A warmup query amortizes JVM/codegen startup, and every query
 is timed over two passes with the MIN reported: single-pass timings on
 a shared host swing 2-3x under transient CPU contention (observed:
 same suite 60s vs 156s minutes apart), and min-of-2 recovers the
-machine-capability number instead of the noise.
+machine-capability number instead of the noise. Queries carrying
+one-time memoized work (fixture synthesis, codebook/LM training —
+see WARMUP_QUERIES) additionally get one UNTIMED warmup run first, so
+their min-of-2 also compares two warm samples instead of one
+fixture-loaded sample and one contention-exposed single (r12; the
+r10/r11 min-of-2 starvation artifact).
 """
 
 from __future__ import annotations
@@ -31,6 +36,48 @@ from deepicedrain_spark import suite_streaming  # noqa: E402,F401
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Queries whose FIRST run pays one-time memoized work that later runs
+# skip: their pass-1 timing lands the fixture/model cost, so min-of-2
+# degenerates to a SINGLE warm sample — maximally exposed to transient
+# host contention — while ordinary queries min over two clean samples.
+# This starved the r10 and r11 driver benches (21 lines >2x the
+# same-SHA solo close, ~70 s phantom wall in BENCH_r11). Each of these
+# gets one UNTIMED warmup run before the timing loop so both timed
+# passes are warm (VERDICT r11 task 2). Classes:
+#   fixture  — synth_once / write-once Zarr+HDF5 stores on local disk
+#   catalog  — lake-catalog GeoJSON fixture reads
+#   trainer  — memoized Lloyd/IVF/PQ codebooks, BPE merges, logreg fits
+#   pairs    — memoized MinHash near-dup pair tables (_PAIRS_CACHE)
+#   pyworker — heavy mapInPandas paths whose first run pays Python
+#              worker fork + numpy import across all executor threads
+WARMUP_QUERIES = frozenset([
+    # fixture
+    "zarr_roundtrip", "zarr_v3_roundtrip", "zarr_multistore_scan",
+    "zarr_unconsolidated_scan", "zarr_evolving_union", "zarr_sharded_cube",
+    "hdf5_roundtrip", "catalog_named_source", "hdf5_missing_beam_union",
+    "atl06_ingest_pipeline", "atl06_ingest_dense_layout",
+    "atl06_dhdt_end_to_end", "atl11_ingest_cube", "atl11_zarr_cube",
+    "atl11_dhdt_end_to_end", "atl11_union_dhdt",
+    # catalog
+    "reference_lake_catalog", "lake_catalog_dissolve", "dissolve_input_holes",
+    "dissolve_snapped_catalog", "lake_geometry_gmt", "lake_region_subset",
+    # trainer
+    "bpe_merge_table", "bpe_encode_tokens", "tokenizer_fertility",
+    "quality_classifier_train", "quality_classifier_score",
+    "streaming_classifier_score", "kmeans_clusters", "ivf_topk_trained",
+    "ann_recall_at_k", "pq_encode", "pq_adc_topk", "ivfpq_topk",
+    "ivfpq_recall_at_k", "semantic_dedup_kmeans",
+    # pairs
+    "minhash_near_dup", "near_dup_components", "leakage_safe_split",
+    "pagerank_near_dup", "dedup_keep_best", "triangle_count",
+    # pyworker
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_resize", "multimodal_audio_resample",
+    "multimodal_jpeg_decode", "multimodal_jpeg_progressive",
+    "multimodal_mjpeg_frames", "multimodal_real_audio",
+    "multimodal_real_decode", "multimodal_real_video", "knn_graph_blocked",
+])
+
 
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
@@ -50,6 +97,19 @@ def main() -> None:
         run_one(spark, suite.q_height_range, SF_DIR)
     except Exception as e:  # noqa: BLE001
         print(f"bench warmup error: {e}", file=sys.stderr)
+
+    # untimed warmup pass for memoized-fixture queries (see
+    # WARMUP_QUERIES above): lands the one-time fixture/model cost
+    # OUTSIDE the timing loop so min-of-2 compares two warm samples
+    qdict = suite.queries()
+    n_warm = 0
+    for name in (n for n in qdict if n in WARMUP_QUERIES):
+        try:
+            run_one(spark, qdict[name], SF_DIR)
+            n_warm += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"bench warmup error {name}: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for _pass in range(2):
@@ -81,7 +141,12 @@ def main() -> None:
         json.dump(
             {"metric": "suite_total_wall", "value": total, "unit": "sec",
              "queries": timings, "n_queries": len(timings), "sf": sf,
-             "errors": errors},
+             "errors": errors,
+             # harness provenance: r12 added the untimed memoized-
+             # fixture warmup pass — r12+ totals are not directly
+             # comparable to r11-and-earlier lines for the warmed
+             # cohort (whose earlier mins carried one-time cost)
+             "harness": {"memoized_warmup": True, "n_warmup": n_warm}},
             f, indent=1, sort_keys=True,
         )
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])

@@ -694,6 +694,111 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quality_col: str | None = None,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    cache_key: tuple | str | None = None,
+) -> DataFrame:
+    """SemDeDup-class semantic deduplication — cluster-then-prune
+    (Abbas et al. 2023, arXiv:2303.09540, public): k-means buckets the
+    corpus in embedding space (train-once Lloyd centroids,
+    operators/kmeans.py, memoized under ``cache_key``), then a
+    PER-CLUSTER cosine dominance prune drops every vector that has a
+    better near-twin in its own cluster. This is the semantic layer a
+    training-data pipeline runs AFTER syntactic MinHash/SimHash dedup:
+    paraphrases and re-renders share no shingles but land in the same
+    embedding neighborhood.
+
+    Dominance semantics (deterministic, non-iterative): y dominates x
+    when they share a cluster, ``round(cos(x, y), 6) >= threshold``,
+    and (quality_y, −id_y) > (quality_x, −id_x) lexicographically —
+    higher quality wins, smaller id breaks ties; with
+    ``quality_col=None`` every quality is 0 and the smaller id wins.
+    Dominance is by QUALITY ORDER, not survivorship: in a chain
+    a > b > c with cos(a,b) ≥ t and cos(b,c) ≥ t but cos(a,c) < t,
+    both b and c drop (c is dominated by b even though b itself
+    drops). That is the aggressive end of SemDeDup's
+    keep-one-per-ε-ball family, chosen because it needs no iterative
+    component propagation — one self-join plus one rank — so a SQL
+    oracle replays it in a single statement and the distributed plan
+    is two shuffles (cluster-key join, per-x rank).
+
+    Scale shape: NEVER all-pairs — the self-join equi-joins on the
+    cluster key, so pair work is Σ_c n_c² (SemDeDup's own bound); pick
+    k so clusters stay ~N/k small and grow k with corpus size (the
+    paper runs 110 000 clusters for LAION). A skewed giant cluster is
+    the documented failure mode — raise k or pre-split hot clusters.
+    Assignment is map-only against literal centroids (no shuffle);
+    cosine/dominance run inside whole-stage codegen.
+
+    Output, one row per input vector:
+    (id, cluster, quality, keep, kept_by, cos_best) — ``kept_by`` is
+    the strongest dominator's id (quality-desc, id-asc first), NULL
+    for survivors; ``cos_best`` its round-6 cosine.
+    """
+    from deepicedrain_spark.operators.kmeans import lloyd_kmeans
+    from deepicedrain_spark.operators.similarity import cosine_expr
+
+    assigned, _ = lloyd_kmeans(emb, vec_col, id_col, k=k, iters=iters,
+                               cache_key=cache_key)
+    q_expr = (
+        F.col(quality_col).cast("double") if quality_col else F.lit(0.0)
+    )
+    base = assigned.select(
+        F.col(id_col).alias("_sd_id"),
+        F.col("cluster").alias("_sd_cluster"),
+        F.col(vec_col).cast("array<double>").alias("_sd_v"),
+        q_expr.alias("_sd_q"),
+    )
+    a = base.select(
+        F.col("_sd_id").alias("id_x"),
+        F.col("_sd_cluster").alias("cl"),
+        F.col("_sd_v").alias("vx"),
+        F.col("_sd_q").alias("qx"),
+    )
+    b = base.select(
+        F.col("_sd_id").alias("id_y"),
+        F.col("_sd_cluster").alias("cl"),
+        F.col("_sd_v").alias("vy"),
+        F.col("_sd_q").alias("qy"),
+    )
+    dominates = (F.col("qy") > F.col("qx")) | (
+        (F.col("qy") == F.col("qx")) & (F.col("id_y") < F.col("id_x"))
+    )
+    dom = (
+        a.join(b, "cl")
+        .where(F.col("id_x") != F.col("id_y"))
+        .withColumn("cos", F.round(cosine_expr("vx", "vy"), 6))
+        .where((F.col("cos") >= F.lit(float(threshold))) & dominates)
+    )
+    w = Window.partitionBy("id_x").orderBy(F.col("qy").desc(), F.col("id_y"))
+    best = (
+        dom.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("id_x").alias("_sd_id"),
+            F.col("id_y").alias("kept_by"),
+            F.col("cos").alias("cos_best"),
+        )
+    )
+    return (
+        base.join(best, "_sd_id", "left")
+        .select(
+            F.col("_sd_id").alias(id_col),
+            F.col("_sd_cluster").alias("cluster"),
+            F.col("_sd_q").alias("quality"),
+            F.col("kept_by").isNull().alias("keep"),
+            "kept_by",
+            "cos_best",
+        )
+    )
+
+
 def embedding_near_duplicates_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -997,8 +997,13 @@ PRIORITY: list[str] = [
     "track_id_format",
     "union_split_labels",
     # --- tier 2: past the driver's 50-query window -------------------
-    # r12 additions land here at close (never driver-checked; 3x
-    # locally swept; lead the r13 window)
+    # r12 additions (never driver-checked; 3x locally swept at close;
+    # lead the r13 window): SemDeDup cluster-then-prune (VERDICT r11
+    # task 5), quantized sliced AUC (task 4), epsilon-smoothed PSI
+    # (ADVICE r11)
+    "semantic_dedup",
+    "auc_by_source_quantized",
+    "psi_value_drift_smoothed",
     # anchors (fresh r11 rows; displaced one round per the VERDICT)
     "dhdt_per_point_regression",
     "parquet_roundtrip",

@@ -671,6 +671,50 @@ def q_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(scored, "score", "label", by=["source"]).orderBy("source")
 
 
+# --- quantized per-slice AUC (round 12, VERDICT r11 task 4) -----------------
+# The sliced pass above is exact per slice — at 100 TB a HOT slice has
+# the same unbounded distinct-score exposure the global pass had before
+# quantize. roc_auc's quantize composes with `by`: scores bucket to
+# floor(s·Q)/Q map-side BEFORE the per-(slice, score) groupBy, so the
+# per-slice ordered window is bounded at Q buckets regardless of slice
+# size. Oracle buckets identically; result = exact AUC of the
+# quantized scores (in-bucket ties count ½, like equal raw scores).
+@register(
+    "auc_by_source_quantized",
+    f"""
+    WITH {_QUALITY_FEATS},
+    per AS (
+      SELECT source, floor(s * 64) / 64 AS s,
+             sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN lab THEN 0 ELSE 1 END) AS nn
+      FROM scored GROUP BY 1, 2),
+    cum AS (
+      SELECT source, np, nn,
+             coalesce(sum(nn) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM per),
+    agg AS (
+      SELECT source,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             sum(np * (2 * cnb + nn)) AS num2
+      FROM cum GROUP BY 1)
+    SELECT source, n_pos, n_neg,
+           round(num2 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(2.0 * (num2 / (2.0 * n_pos * n_neg)) - 1.0, 6) AS gini
+    FROM agg ORDER BY source
+    """,
+)
+def q_auc_by_source_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(docs).select(
+        "source", F.col("quality").alias("score"), (F.col("lang") == "en").alias("label")
+    )
+    return roc_auc(scored, "score", "label", by=["source"], quantize=64).orderBy(
+        "source"
+    )
+
+
 # --- bigram PMI collocations (round 11) ------------------------------------
 # Phrase mining over the corpus: top-25 adjacent-bigram collocations by
 # pointwise mutual information with a min-count floor — the signal a

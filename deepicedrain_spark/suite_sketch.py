@@ -247,14 +247,23 @@ _KM_DIST = (
 )
 
 
-def _kmeans_chain(k: int = _KM_K, iters: int = _KM_ITERS, d: int = _KM_D) -> str:
+def _kmeans_chain(
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    d: int = _KM_D,
+    src: str = "embeddings",
+    prelude: tuple[str, ...] = (),
+) -> str:
     """DuckDB CTE chain replaying lloyd_kmeans iteration-for-iteration:
     cent0 (md5-seeded) → assign1/cent1 → … → assign{iters}/cent{iters}.
     Per-iteration centroid rounding to 6 d.p. matches the Spark side,
-    so cross-engine fp drift cannot compound."""
+    so cross-engine fp drift cannot compound. ``src`` names the input
+    relation (columns vec_id, embedding); ``prelude`` CTE definitions
+    are emitted BEFORE the chain so ``src`` can itself be a CTE."""
     parts = [
+        *prelude,
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings)",
+        f" FROM {src})",
         f"""cent0 AS (
       SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                   AS BIGINT) AS cluster, v AS cvec
@@ -2724,6 +2733,87 @@ SELECT cluster, vec_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
 FROM reps WHERE rk = 1
 ORDER BY cluster
 """
+
+
+# --- SemDeDup cluster-then-prune (round 12, VERDICT r11 task 5) -------
+# Full SemDeDup semantics (Abbas et al. 2023): k-means bucket, then a
+# per-cluster cosine DOMINANCE prune keeping the highest-quality
+# representative of each near-dup neighborhood — the semantic layer
+# paired with syntactic MinHash in a training-data pipeline (it
+# catches paraphrases that share no shingles). Differs from
+# semantic_dedup_kmeans above (keep-one-per-CLUSTER, the aggressive
+# diversity cut): here only vectors with an ACTUAL near-twin
+# (round-6 cos >= 0.9) above them in quality order are dropped.
+# The fixture has no natural pairs above 0.9 (max cross-cos ~0.44),
+# so the query plants shifted-id twins exactly like embedding_near_dup
+# (cos in [0.946, 0.966], 4 sigma clear of the threshold); quality is
+# the deterministic vec_id % 7, so each twin pair has a well-defined
+# winner and the dominance rank tie-breaks on id.
+_SEMANTIC_POOL_CTE = """pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + 0.05 * ((i % 3) - 1)) AS embedding
+      FROM embeddings WHERE vec_id < 100)"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+{_kmeans_chain(src="pool", prelude=(_SEMANTIC_POOL_CTE,))},
+    qa AS (
+      SELECT vec_id, cluster, v,
+             CAST(vec_id % 7 AS DOUBLE) AS q
+      FROM assign{_KM_ITERS}),
+    dom AS (
+      SELECT x.vec_id AS id_x, y.vec_id AS id_y, y.q AS qy,
+             round(list_sum(list_transform(generate_series(1, {_KM_D}),
+                     i -> x.v[i] * y.v[i]))
+                   / sqrt(list_sum(list_transform(generate_series(1, {_KM_D}),
+                            i -> x.v[i] * x.v[i]))
+                        * list_sum(list_transform(generate_series(1, {_KM_D}),
+                            i -> y.v[i] * y.v[i]))), 6) AS cos
+      FROM qa x JOIN qa y
+        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+      WHERE y.q > x.q OR (y.q = x.q AND y.vec_id < x.vec_id)),
+    best AS (
+      SELECT id_x, id_y AS kept_by, cos AS cos_best,
+             row_number() OVER (PARTITION BY id_x
+                                ORDER BY qy DESC, id_y) AS rk
+      FROM dom WHERE cos >= 0.9)
+SELECT p.vec_id, p.cluster, p.q AS quality,
+       b.kept_by IS NULL AS keep, b.kept_by, b.cos_best
+FROM qa p LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+  ON b.id_x = p.vec_id
+ORDER BY p.vec_id
+"""
+
+
+@register("semantic_dedup", _SEMANTIC_DEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05D * (((i + 1) % 3) - 1))"
+        ).alias("embedding"),
+    )
+    pool = base.unionByName(planted).withColumn(
+        "q", F.pmod("vec_id", F.lit(7)).cast("double")
+    )
+    out = semantic_dedup(
+        pool, "vec_id", "embedding", quality_col="q",
+        k=_KM_K, iters=_KM_ITERS, threshold=0.9, cache_key=None,
+    )
+    return out.select(
+        "vec_id", "cluster", "quality", "keep", "kept_by", "cos_best"
+    ).orderBy("vec_id")
 
 
 @register("semantic_dedup_kmeans", _SEMDUP_SQL)

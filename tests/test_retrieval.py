@@ -293,6 +293,39 @@ def test_roc_auc_quantized_matches_bucketed_exact(spark):
     assert roc_auc(negdf, quantize=4).collect()[0]["auc"] == 1.0
 
 
+def test_roc_auc_quantized_sliced_matches_bucketed_exact(spark):
+    """quantize composes with `by` (VERDICT r11 task 4): per-slice
+    quantized AUC equals the exact sliced AUC of the pre-bucketed
+    scores, slice by slice."""
+    import math
+    import random
+
+    rng = random.Random(12)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.random(), rng.random() < 0.4)
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame([Row(src=g, score=s, label=l) for g, s, l in rows])
+    q = 8
+    got = {r["src"]: r for r in roc_auc(df, by=["src"], quantize=q).collect()}
+    pre = spark.createDataFrame(
+        [Row(src=g, score=math.floor(s * q) / q, label=l) for g, s, l in rows]
+    )
+    exact = {r["src"]: r for r in roc_auc(pre, by=["src"]).collect()}
+    assert set(got) == {"a", "b", "c"} and set(exact) == set(got)
+    for g in got:
+        assert got[g]["n_pos"] == exact[g]["n_pos"]
+        assert got[g]["n_neg"] == exact[g]["n_neg"]
+        assert got[g]["auc"] == exact[g]["auc"]
+        assert got[g]["gini"] == exact[g]["gini"]
+    # python oracle for one slice
+    a = [(math.floor(s * q) / q, l) for g, s, l in rows if g == "a"]
+    pos = [s for s, l in a if l]
+    neg = [s for s, l in a if not l]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got["a"]["auc"] == pytest.approx(num / (len(pos) * len(neg)), abs=5e-7)
+
+
 def test_pr_grid_counts_and_nulls(spark):
     rows = [(0.9, True), (0.6, False), (0.4, True), (0.1, False)]
     df = spark.createDataFrame([Row(score=s, label=l) for s, l in rows])

@@ -448,3 +448,109 @@ def test_dsir_leaves_no_storage_residue(spark):
     assert df.count() > 0
     after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert after - before == set(), after - before
+
+
+def test_semantic_dedup_dominance_semantics(spark):
+    """SemDeDup cluster-then-prune: quality winner survives, chains
+    drop every dominated vector (dominance by quality order, not
+    survivorship), cross-cluster twins are NOT pruned, and
+    quality_col=None falls back to min-id-wins."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.operators.dedup import semantic_dedup
+
+    # two well-separated directions so k=2 Lloyd splits them cleanly;
+    # within direction A a three-vector chain a~b~c with cos(a,b) and
+    # cos(b,c) above 0.99 but cos(a,c) below it
+    def unit(theta):
+        import math
+
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        Row(vec_id=0, embedding=unit(0.000), q=3.0),
+        Row(vec_id=1, embedding=unit(0.030), q=2.0),
+        Row(vec_id=2, embedding=unit(0.060), q=1.0),
+        Row(vec_id=3, embedding=unit(1.570), q=9.0),
+        Row(vec_id=4, embedding=unit(1.600), q=8.0),
+    ]
+    # cos(0.03)=0.99955 >= 0.9993; cos(0.06)=0.9982 < 0.9993
+    df = spark.createDataFrame(rows)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", quality_col="q", k=2, iters=2,
+            threshold=0.9993, cache_key=None,
+        ).collect()
+    }
+    assert out[0]["keep"] is True                       # best of chain
+    assert out[1]["keep"] is False and out[1]["kept_by"] == 0
+    # c dominated by b (cos ok) but NOT by a (cos below threshold);
+    # b itself dropped — dominance is by quality order, c still drops
+    assert out[2]["keep"] is False and out[2]["kept_by"] == 1
+    # other cluster: 3 beats 4 (cos(0.03)>t)
+    assert out[3]["keep"] is True
+    assert out[4]["keep"] is False and out[4]["kept_by"] == 3
+
+    # quality ties -> smaller id wins; quality_col=None is all-ties
+    tied = spark.createDataFrame(
+        [Row(vec_id=i, embedding=unit(0.01 * i)) for i in range(3)]
+    )
+    res = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            tied, "vec_id", "embedding", k=1, iters=1,
+            threshold=0.999, cache_key=None,
+        ).collect()
+    }
+    assert res[0]["keep"] is True
+    assert res[1]["keep"] is False and res[1]["kept_by"] == 0
+    assert res[2]["keep"] is False and res[2]["kept_by"] == 0  # cos(0.02)=0.9998>t
+
+
+def test_semantic_dedup_matches_python_bruteforce(spark):
+    """Randomized pool: the distributed dominance prune equals a
+    python replay over the SAME cluster assignment."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    rows = [Row(vec_id=i, embedding=v, q=float(i % 5)) for i, v in enumerate(base)]
+    # plant twins of the first 10 with a small nudge
+    for i in range(10):
+        v = [x + 0.01 * ((j % 3) - 1) for j, x in enumerate(base[i])]
+        rows.append(Row(vec_id=100 + i, embedding=v, q=float((100 + i) % 5)))
+    df = spark.createDataFrame(rows)
+    got = semantic_dedup(
+        df, "vec_id", "embedding", quality_col="q", k=4, iters=2,
+        threshold=0.98, cache_key=None,
+    ).collect()
+    by_id = {r["vec_id"]: r for r in got}
+
+    # python replay using the operator's own cluster output
+    import math
+
+    def cos(u, v):
+        num = sum(a * b for a, b in zip(u, v))
+        return round(num / math.sqrt(sum(a * a for a in u) * sum(b * b for b in v)), 6)
+
+    vecs = {r.vec_id: r.embedding for r in rows}
+    qs = {r.vec_id: r.q for r in rows}
+    cl = {r["vec_id"]: r["cluster"] for r in got}
+    for x in vecs:
+        doms = [
+            y for y in vecs
+            if y != x and cl[y] == cl[x] and cos(vecs[x], vecs[y]) >= 0.98
+            and (qs[y] > qs[x] or (qs[y] == qs[x] and y < x))
+        ]
+        if not doms:
+            assert by_id[x]["keep"] is True and by_id[x]["kept_by"] is None
+        else:
+            best = sorted(doms, key=lambda y: (-qs[y], y))[0]
+            assert by_id[x]["keep"] is False and by_id[x]["kept_by"] == best
