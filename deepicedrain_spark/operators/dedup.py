@@ -799,6 +799,70 @@ def semantic_dedup(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-similarity decontamination: flag every corpus vector
+    whose round-6 cosine to ANY benchmark vector meets ``threshold`` —
+    the SEMANTIC counterpart of exact 13-gram decontamination
+    (ngram_overlap_hits): a paraphrased eval question shares no
+    13-gram with its source but lands in the same embedding
+    neighborhood, so n-gram screens miss exactly the leakage this one
+    catches. Run both, like dedup runs MinHash + SemDeDup.
+
+    Scale shape: the benchmark side is eval-set-sized (10³–10⁵ rows) —
+    BROADCAST; the corpus side is one map-side scan scoring each row
+    against the broadcast bench table inside codegen, followed by a
+    groupBy on the corpus id over the HIT pairs only (hits are rare by
+    construction, so the one shuffle is contamination-sized, not
+    corpus-sized). For benchmark sets too big to broadcast, pre-bucket
+    both sides with the LSH machinery
+    (:func:`embedding_near_duplicates_lsh`) and verify within buckets
+    — same candidate-then-verify shape as the streaming gate.
+
+    Output, one row per CONTAMINATED corpus vector:
+    (id, n_bench_hits, bench_id, cos) — bench_id/cos identify the
+    strongest benchmark match (highest round-6 cosine, smaller
+    bench id on ties).
+    """
+    from deepicedrain_spark.operators.similarity import cosine_expr
+
+    bcol = bench_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("_dc_id"),
+        F.col(vec_col).cast("array<double>").alias("_dc_v"),
+    )
+    b = benchmark.select(
+        F.col(bcol).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("_db_v"),
+    )
+    hits = (
+        c.crossJoin(F.broadcast(b))
+        .withColumn("cos", F.round(cosine_expr("_dc_v", "_db_v"), 6))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("_dc_id").orderBy(F.col("cos").desc(), F.col("bench_id"))
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_bench_hits",
+            F.count(F.lit(1)).over(Window.partitionBy("_dc_id")).cast("long"),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("_dc_id").alias(id_col),
+            "n_bench_hits",
+            "bench_id",
+            "cos",
+        )
+    )
+
+
 def embedding_near_duplicates_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1002,6 +1002,8 @@ PRIORITY: list[str] = [
     # task 5), quantized sliced AUC (task 4), epsilon-smoothed PSI
     # (ADVICE r11)
     "semantic_dedup",
+    "semantic_decontamination",
+    "streaming_semantic_decontamination",
     "auc_by_source_quantized",
     "psi_value_drift_smoothed",
     # anchors (fresh r11 rows; displaced one round per the VERDICT)

@@ -440,6 +440,73 @@ def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_hits(docs, bench, n=13)
 
 
+# --- semantic decontamination (round 12) -----------------------------------
+# The semantic counterpart of ngram_decontamination just above, closing
+# the same symmetry SemDeDup closes for dedup: 13-grams catch verbatim
+# eval leakage, embeddings catch PARAPHRASED leakage that shares no
+# n-gram. Benchmark = nudged copies of vec_id < 30 (the planted-twin
+# recipe embedding_near_dup certifies: cosines land in [0.946, 0.966],
+# 4 sigma clear of the 0.9 threshold on the round-6 value both engines
+# agree on). The bench side is broadcast; the only shuffle is the
+# per-corpus-id rank over HIT pairs (contamination-sized, not
+# corpus-sized).
+# exported: streaming_semantic_decontamination (suite_streaming)
+# registers the SAME oracle — one definition keeps the batch and
+# streaming contracts in sync (the DECON_ORACLE_SQL pattern)
+SEMANTIC_DECON_SQL = """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings),
+    bench AS (
+      SELECT vec_id AS bench_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + 0.05 * ((i % 3) - 1)) AS v
+      FROM embeddings WHERE vec_id < 30),
+    pairs AS (
+      SELECT c.vec_id, b.bench_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.v[i] * b.v[i]))
+                   / sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> c.v[i] * c.v[i]))
+                        * list_sum(list_transform(generate_series(1, 64),
+                            i -> b.v[i] * b.v[i]))), 6) AS cos
+      FROM corpus c CROSS JOIN bench b),
+    hits AS (SELECT * FROM pairs WHERE cos >= 0.9),
+    best AS (
+      SELECT vec_id, bench_id, cos,
+             count(*) OVER (PARTITION BY vec_id) AS n_bench_hits,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, bench_id) AS rk
+      FROM hits)
+    SELECT vec_id, CAST(n_bench_hits AS BIGINT) AS n_bench_hits,
+           bench_id, cos
+    FROM best WHERE rk = 1 ORDER BY vec_id
+    """
+
+
+@register("semantic_decontamination", SEMANTIC_DECON_SQL)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import semantic_decontamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    bench = emb.filter(F.col("vec_id") < 30).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05D * (((i + 1) % 3) - 1))"
+        ).alias("embedding"),
+    )
+    return semantic_decontamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.9
+    ).orderBy("vec_id")
+
+
 # --- deterministic negative sampling (contrastive training prep) ----------
 _H15 = (
     "(SELECT sum(CAST(strpos('0123456789abcdef', substring({h}, j+1, 1)) - 1 AS BIGINT)"

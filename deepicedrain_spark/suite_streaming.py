@@ -991,6 +991,89 @@ def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(gated, "append").orderBy("doc_id")
 
 
+# Streaming SEMANTIC decontamination gate (round 12): the ingest-side
+# twin of semantic_decontamination (suite_retrieval) exactly as
+# streaming_decontamination twins ngram_decontamination — block a doc
+# the moment it arrives if its embedding lands within cos >= t of ANY
+# benchmark vector. The benchmark is eval-set-sized, so its vectors
+# fold into the stream projection as LITERAL arrays (the
+# kmeans-centroid bounded-model pattern: 30 x 64 doubles of driver
+# state): per-row work is 30 codegen cosine trees + an array filter —
+# map-side, append mode, no state, no shuffle. Stream-final == batch
+# exactly (stateless map + filter), so the batch SQL is the oracle
+# verbatim (one definition, both contracts in sync).
+def _semantic_decon_oracle() -> str:
+    from deepicedrain_spark.suite_retrieval import SEMANTIC_DECON_SQL
+
+    return SEMANTIC_DECON_SQL
+
+
+@register("streaming_semantic_decontamination", _semantic_decon_oracle())
+def q_streaming_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deepicedrain_spark.io import load_table
+    from deepicedrain_spark.operators.similarity import cosine_expr
+    from deepicedrain_spark.streaming.windows import _stream_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = (
+        emb.filter(F.col("vec_id") < 30)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x as double)"
+                " + 0.05D * (((i + 1) % 3) - 1))"
+            ).alias("bv"),
+        )
+        .collect()
+    )  # benchmark-sized driver state, literal-folded below
+
+    stream = spark.readStream.schema(emb.schema).parquet(
+        _stream_dir(sf_dir, "embeddings")
+    )
+    corpus = stream.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
+    )
+    def _lit_vec(vals) -> str:
+        # shortest-repr decimal literals cast to double round-trip to
+        # the exact same IEEE value cosine_expr's fold consumes
+        return (
+            "array("
+            + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vals)
+            + ")"
+        )
+
+    cand = F.array(
+        *[
+            F.struct(
+                F.round(cosine_expr("_v", _lit_vec(r["bv"])), 6).alias("cos"),
+                F.lit(int(r["vec_id"])).alias("bench_id"),
+            )
+            for r in sorted(bench, key=lambda r: r["vec_id"])
+        ]
+    )
+    hits = F.filter(cand, lambda c: c["cos"] >= F.lit(0.9))
+    # strongest match: max (cos, -bench_id) struct — highest cosine,
+    # smaller bench id on round-6 ties
+    best = F.array_max(
+        F.transform(
+            hits, lambda c: F.struct(c["cos"].alias("cos"), (-c["bench_id"]).alias("nid"))
+        )
+    )
+    gated = (
+        corpus.select(
+            "vec_id",
+            F.size(hits).cast("long").alias("n_bench_hits"),
+            (-best["nid"]).cast("bigint").alias("bench_id"),
+            best["cos"].alias("cos"),
+        )
+        .filter(F.col("n_bench_hits") > 0)
+    )
+    return run_to_batch(gated, "append").orderBy("vec_id")
+
+
 # Streaming PSI drift gate (round 11): the Population Stability Index
 # as an INGEST monitor — the reference-slice decile edges are computed
 # once batch-side (value-domain shape, then collected: 9 doubles, the

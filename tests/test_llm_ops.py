@@ -627,3 +627,45 @@ def test_canonicalize_url_variant_axes(spark):
     assert got == [want for _, want in cases]
     hosts = df.select(url_host(canonicalize_url("url")).alias("h")).collect()
     assert {r["h"] for r in hosts} == {"ex.com", "ex.com:8080", "ex.com:80"}
+
+
+def test_semantic_decontamination_flags_paraphrases_only(spark):
+    """Planted paraphrase-neighborhood vectors are flagged with the
+    right best-match and hit count; orthogonal corpus rows pass."""
+    import math
+
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.operators.dedup import semantic_decontamination
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=unit(0.00)),   # near bench 10 AND 11
+            Row(vec_id=1, embedding=unit(1.57)),   # clean
+            Row(vec_id=2, embedding=unit(0.02)),   # near bench 10/11 too
+        ]
+    )
+    bench = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=unit(0.01)),
+            Row(vec_id=11, embedding=unit(-0.01)),
+            Row(vec_id=12, embedding=unit(3.0)),
+        ]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontamination(
+            corpus, bench, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    assert set(out) == {0, 2}  # the clean vector is absent
+    # vec 0: cos to both bench twins = cos(0.01) = 0.99995 -> 2 hits,
+    # equal round-6 cosines -> smaller bench id wins
+    assert out[0]["n_bench_hits"] == 2 and out[0]["bench_id"] == 10
+    # vec 2: cos(0.01)=0.99995 to b10, cos(0.03)=0.99955 to b11 — both
+    # hits, b10 strictly best
+    assert out[2]["n_bench_hits"] == 2 and out[2]["bench_id"] == 10
+    assert out[2]["cos"] == round(math.cos(0.01), 6)
