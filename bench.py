@@ -102,6 +102,11 @@ def main() -> None:
     # WARMUP_QUERIES above): lands the one-time fixture/model cost
     # OUTSIDE the timing loop so min-of-2 compares two warm samples
     qdict = suite.queries()
+    stale = WARMUP_QUERIES - set(qdict)
+    if stale:  # a renamed/retired query would otherwise silently lose
+        # its warmup and quietly re-grow the starvation artifact
+        print(f"bench warmup: stale WARMUP_QUERIES names {sorted(stale)}",
+              file=sys.stderr)
     n_warm = 0
     for name in (n for n in qdict if n in WARMUP_QUERIES):
         try:

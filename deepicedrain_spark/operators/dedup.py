@@ -799,6 +799,87 @@ def semantic_dedup(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Robust winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    fingerprinting scheme, public): hash every word k-gram, slide a
+    window of ``window`` consecutive hashes, and keep each window's
+    MINIMUM hash — the RIGHTMOST occurrence on ties (the "robust"
+    rule: a re-occurring minimum is fingerprinted once per run, so an
+    edit outside a shared region cannot change which fingerprint the
+    shared region contributes). Distinct (doc, position, hash) rows
+    come out.
+
+    The winnowing guarantee: any token run of length ``window + k − 1``
+    shared by two documents yields at least one SHARED fingerprint —
+    so matching fingerprints localize plagiarism/copy spans, which
+    all-document hashes (doc_fingerprints) and set sketches (MinHash)
+    cannot do. Expected density ≈ 2/(window+1) of positions.
+
+    Scale shape: map-only per document (token split, k-gram hash,
+    per-window min — all inside codegen); the only shuffle is the
+    final distinct, whose payload is the fingerprint set
+    (≈ 2n/(window+1) rows, a fraction of the token stream). A
+    downstream match join equi-joins on the fp hash — the same
+    banded-candidate shape as every dedup op here, never all-pairs.
+
+    Docs with fewer than ``k`` tokens carry no grams and drop; docs
+    with 1 ≤ n_grams < window form a single window. Hash =
+    md5_long60 of the space-joined gram (engine-portable: DuckDB
+    computes the identical 60-bit value).
+
+    Output: (id, pos, fp) distinct — pos is the 1-based position of
+    the selected gram.
+    """
+    toks = f"filter(split({text_col}, ' '), x -> x != '')"
+    gram = " || ' ' || ".join(f"_ws[i+{j}]" for j in range(k))
+    hashed = (
+        docs.withColumn("_ws", F.expr(toks))
+        .where(F.size("_ws") >= k)
+        # positional gram hashes — NO distinct (winnowing needs runs);
+        # sequence(0, negative) DESCENDS in Spark, hence the size guard
+        .withColumn(
+            "_hs",
+            F.expr(
+                f"transform(sequence(0, size(_ws) - {k}), "
+                f"i -> cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint))"
+            ),
+        )
+    )
+    # per window start s (1-based): win = slice(_hs, s, window);
+    # rightmost min = size(win) - position of min in REVERSED win + 1
+    fp = (
+        hashed.withColumn(
+            "_s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.size("_hs") - F.lit(window - 1)),
+                )
+            ),
+        )
+        .withColumn("_win", F.slice("_hs", F.col("_s"), window))
+        .withColumn("_minh", F.array_min("_win"))
+        .withColumn(
+            "_rrel",
+            F.size("_win")
+            - F.array_position(F.reverse("_win"), F.col("_minh"))
+            + 1,
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_s") + F.col("_rrel") - 1).cast("long").alias("pos"),
+            F.col("_minh").alias("fp"),
+        )
+    )
+    return fp.distinct()
+
+
 def semantic_decontamination(
     corpus: DataFrame,
     benchmark: DataFrame,

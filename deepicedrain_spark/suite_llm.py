@@ -612,6 +612,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Robust winnowing (round 12): the MOSS fingerprinting scheme —
+# per-window rightmost-minimum k-gram hashes, guaranteeing any shared
+# window+k-1 token run yields a shared fingerprint (copy-span
+# LOCALIZATION, which whole-doc hashes and MinHash sketches can't do).
+# Map-only per doc; the one shuffle is the final distinct over the
+# winnowed set (~2n/(w+1) of the gram stream).
+@register(
+    "winnowing_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ws) - 2),
+               i -> CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT)) AS hs
+      FROM toks WHERE len(ws) >= 3),
+    st AS (
+      SELECT doc_id, hs, unnest(generate_series(1, greatest(1, len(hs) - 3))) AS s
+      FROM h),
+    win AS (SELECT doc_id, s, hs[s:s+3] AS w FROM st),
+    sel AS (
+      SELECT doc_id, s, list_min(w) AS minh,
+             len(w) - list_position(list_reverse(w), list_min(w)) + 1 AS rrel
+      FROM win)
+    SELECT DISTINCT doc_id, CAST(s + rrel - 1 AS BIGINT) AS pos, minh AS fp
+    FROM sel ORDER BY doc_id, pos
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4).orderBy(
+        "doc_id", "pos"
+    )
+
+
 @register(
     "rolling_hash_fingerprints",
     f"""

@@ -669,3 +669,50 @@ def test_semantic_decontamination_flags_paraphrases_only(spark):
     # hits, b10 strictly best
     assert out[2]["n_bench_hits"] == 2 and out[2]["bench_id"] == 10
     assert out[2]["cos"] == round(math.cos(0.01), 6)
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Distributed winnowing equals a transparent python replay
+    (rightmost-min robust rule), and the winnowing GUARANTEE holds:
+    docs sharing a (window + k - 1)-token run share a fingerprint."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.operators.dedup import winnowing_fingerprints
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "a different prefix but the quick brown fox jumps over something",
+        3: "completely unrelated words with no overlap at all here",
+        4: "tiny doc",            # < k tokens -> no fingerprints
+        5: "four token doc here",  # n_grams=2 < window -> one window
+    }
+    k, w = 3, 4
+
+    def py_winnow(text):
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < k:
+            return set()
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        out = set()
+        for s in range(max(1, len(hs) - w + 1)):
+            win = hs[s:s + w]
+            m = min(win)
+            r = max(j for j, h in enumerate(win) if h == m)
+            out.add((s + r + 1, m))  # 1-based gram position
+        return out
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {}
+    for r in winnowing_fingerprints(df, "text", "doc_id", k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts.items():
+        assert got.get(i, set()) == py_winnow(t), f"doc {i}"
+    # guarantee: docs 1 and 2 share the 6-token run "the quick brown
+    # fox jumps over" (= window + k - 1) -> >= 1 shared HASH
+    fps1 = {fp for _, fp in got[1]}
+    fps2 = {fp for _, fp in got[2]}
+    assert fps1 & fps2
+    assert not ({fp for _, fp in got[3]} & fps1)

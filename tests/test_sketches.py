@@ -554,3 +554,42 @@ def test_semantic_dedup_matches_python_bruteforce(spark):
         else:
             best = sorted(doms, key=lambda y: (-qs[y], y))[0]
             assert by_id[x]["keep"] is False and by_id[x]["kept_by"] == best
+
+
+def test_semantic_ops_plan_shapes(spark):
+    """Scale-killer audit as pytest: semantic_dedup's pair join is a
+    CLUSTER-KEY equi-join (no CartesianProduct anywhere in the plan),
+    and semantic_decontamination scores against a BROADCAST benchmark
+    (BroadcastNestedLoopJoin, never a shuffled cartesian)."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.operators.dedup import (
+        semantic_decontamination,
+        semantic_dedup,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=unit(0.3 * i), q=float(i % 3)) for i in range(12)]
+    )
+    plan = (
+        semantic_dedup(df, "vec_id", "embedding", quality_col="q", k=2,
+                       iters=1, threshold=0.99, cache_key=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the dominance join is keyed on the cluster column, not all-pairs
+    assert "cl" in plan
+
+    bench = spark.createDataFrame([Row(vec_id=i, embedding=unit(0.1 * i)) for i in range(3)])
+    plan2 = (
+        semantic_decontamination(df, bench, "vec_id", "embedding", threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastExchange" in plan2

@@ -48,11 +48,16 @@ def stage(spark, n_vecs: int, out_dir: str) -> None:
     rows = spark.range(n_vecs)
     anchor = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(LATENT))
     # component j: anchor direction (one-hot-ish ramp) + small hash noise
+    # per-dim noise ±0.1: within-anchor cosine lands ~0.74 (well below
+    # the 0.98 prune threshold — anchor-mates are NEIGHBORS, not dups),
+    # while the ±0.01-nudged planted twin stays ~0.999 — so the prune
+    # drops exactly the planted 1-in-50 and the pair scan still pays
+    # full same-cluster cost (the thing the gate measures)
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(D - 1)),
         lambda j: (
             F.when(F.pmod(anchor + j, F.lit(D)) < 4, F.lit(1.0)).otherwise(F.lit(0.0))
-            + (F.pmod(F.xxhash64("id", j, F.lit(7)), F.lit(1000)) - 500.0) / 50_000.0
+            + (F.pmod(F.xxhash64("id", j, F.lit(7)), F.lit(1000)) - 500.0) / 5_000.0
         ),
     )
     base = rows.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
