@@ -880,6 +880,55 @@ def winnowing_fingerprints(
     return fp.distinct()
 
 
+def winnowing_matches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Copy-span localization on top of :func:`winnowing_fingerprints`
+    — the end-to-end MOSS shape: equi-join the winnowed sets on the
+    fingerprint hash, group by document pair, and report how many
+    distinct fingerprints the pair shares plus the position span of
+    the matched region on EACH side. A pair sharing a
+    ``window + k − 1`` token run is guaranteed at least one shared
+    fingerprint; ``min_shared`` (default 2) screens single-hash
+    coincidences.
+
+    Scale shape: the join is the standard banded-candidate equi-join
+    (on fp), never all-pairs; pair work is Σ_f n_f² over per-
+    fingerprint occurrence counts. At corpus scale, cap fingerprint
+    document-frequency first (drop ubiquitous boilerplate fps — the
+    PPJoin-style frequency prune) exactly as the LSH band join does.
+
+    Output: (id_a, id_b, n_shared, a_start, a_end, b_start, b_end),
+    id_a < id_b; spans are 1-based gram positions of the matched
+    fingerprints.
+    """
+    fp = winnowing_fingerprints(docs, text_col, id_col, k, window)
+    a = fp.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    b = fp.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("fp").cast("long").alias("n_shared"),
+            F.min("pos_a").cast("long").alias("a_start"),
+            F.max("pos_a").cast("long").alias("a_end"),
+            F.min("pos_b").cast("long").alias("b_start"),
+            F.max("pos_b").cast("long").alias("b_end"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def semantic_decontamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1005,6 +1005,7 @@ PRIORITY: list[str] = [
     "semantic_decontamination",
     "streaming_semantic_decontamination",
     "winnowing_fingerprints",
+    "winnowing_matches",
     "auc_by_source_quantized",
     "psi_value_drift_smoothed",
     # anchors (fresh r11 rows; displaced one round per the VERDICT)

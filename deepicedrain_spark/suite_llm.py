@@ -618,12 +618,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LOCALIZATION, which whole-doc hashes and MinHash sketches can't do).
 # Map-only per doc; the one shuffle is the final distinct over the
 # winnowed set (~2n/(w+1) of the gram stream).
-@register(
-    "winnowing_fingerprints",
-    """
-    WITH toks AS (
+def _winnow_cte(src: str) -> str:
+    """DuckDB CTE chain replaying winnowing_fingerprints (k=3, w=4)
+    over relation ``src`` (doc_id, text) — ends in ``wfp`` holding the
+    distinct (doc_id, pos, fp) rows. Shared by the fingerprint query
+    and the match join so both contracts stay one definition."""
+    return f"""toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
-      FROM documents),
+      FROM {src}),
     h AS (
       SELECT doc_id,
              list_transform(generate_series(1, len(ws) - 2),
@@ -636,9 +638,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel AS (
       SELECT doc_id, s, list_min(w) AS minh,
              len(w) - list_position(list_reverse(w), list_min(w)) + 1 AS rrel
-      FROM win)
-    SELECT DISTINCT doc_id, CAST(s + rrel - 1 AS BIGINT) AS pos, minh AS fp
-    FROM sel ORDER BY doc_id, pos
+      FROM win),
+    wfp AS (
+      SELECT DISTINCT doc_id, CAST(s + rrel - 1 AS BIGINT) AS pos, minh AS fp
+      FROM sel)"""
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH {_winnow_cte("documents")}
+    SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos
     """,
 )
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,6 +658,58 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4).orderBy(
         "doc_id", "pos"
     )
+
+
+# End-to-end MOSS match join (round 12): plant 19-token quotes the
+# containment_dedup way (-id copies of tokens 2..20 of doc_id < 40),
+# join the winnowed sets on fp, and report per-pair shared-fingerprint
+# counts + matched spans on both sides — copy LOCALIZATION, the thing
+# the guarantee buys. min_shared=2 screens single-hash coincidences.
+@register(
+    "winnowing_matches",
+    f"""
+    WITH ws0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents),
+    pool AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -(doc_id + 1) AS doc_id, array_to_string(ws[2:20], ' ') AS text
+      FROM ws0 WHERE len(ws) >= 21 AND doc_id < 40),
+    {_winnow_cte("pool")},
+    j AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+    g AS (
+      SELECT id_a, id_b,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_shared,
+             CAST(min(pos_a) AS BIGINT) AS a_start,
+             CAST(max(pos_a) AS BIGINT) AS a_end,
+             CAST(min(pos_b) AS BIGINT) AS b_start,
+             CAST(max(pos_b) AS BIGINT) AS b_end
+      FROM j GROUP BY 1, 2)
+    SELECT * FROM g WHERE n_shared >= 2 ORDER BY id_a, id_b
+    """,
+)
+def q_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepicedrain_spark.operators.dedup import winnowing_matches
+    from deepicedrain_spark.operators.textstats import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    quotes = (
+        docs.select("doc_id", w.alias("_w"))
+        .filter((F.size("_w") >= 21) & (F.col("doc_id") < 40))
+        .select(
+            (-(F.col("doc_id") + F.lit(1))).alias("doc_id"),
+            F.array_join(F.slice("_w", 2, 19), " ").alias("text"),
+        )
+    )
+    pool = docs.select("doc_id", "text").unionByName(quotes)
+    return winnowing_matches(
+        pool, "text", "doc_id", k=3, window=4, min_shared=2
+    ).orderBy("id_a", "id_b")
 
 
 @register(

@@ -716,3 +716,32 @@ def test_winnowing_matches_python_reference(spark):
     fps2 = {fp for _, fp in got[2]}
     assert fps1 & fps2
     assert not ({fp for _, fp in got[3]} & fps1)
+
+
+def test_winnowing_matches_localizes_copy_span(spark):
+    """The match join localizes the copied region: a doc quoting
+    tokens 10..24 of another matches with spans inside that region on
+    the source side and spanning the quote on the quote side."""
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.operators.dedup import winnowing_matches
+
+    src_toks = [f"w{i * 7 % 101}" for i in range(40)]
+    quote = src_toks[9:24]  # 15 tokens -> 13 grams at k=3
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(src_toks)),
+            Row(doc_id=2, text=" ".join(quote)),
+            Row(doc_id=3, text="nothing in common with either document here"),
+        ]
+    )
+    out = winnowing_matches(df, "text", "doc_id", k=3, window=4, min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    m = pairs[(1, 2)]
+    assert m["n_shared"] >= 2
+    # source-side span falls inside the quoted gram range (grams of
+    # the quote occupy source positions 10..22, 1-based)
+    assert 10 <= m["a_start"] <= m["a_end"] <= 22
+    # quote-side span inside its own 13 grams
+    assert 1 <= m["b_start"] <= m["b_end"] <= 13
