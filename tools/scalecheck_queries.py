@@ -108,6 +108,12 @@ QUERIES = [
     # (30k vocab cap); PSI is a value-domain edge pass + two map-side
     # bucket counts; the streaming PSI gate adds only the
     # complete-mode count maintenance.
+    # round 12: winnowing fingerprint family (map-only selection +
+    # winnowed-set distinct; the match join adds the fp equi-join) and
+    # the broadcast-benchmark semantic decontamination scan
+    "winnowing_fingerprints",
+    "winnowing_matches",
+    "semantic_decontamination",
     "bigram_pmi_top",
     "keyness_terms_per_source",
     "js_divergence_sources",
