@@ -66,7 +66,7 @@ WARMUP_QUERIES = frozenset([
     "quality_classifier_train", "quality_classifier_score",
     "streaming_classifier_score", "kmeans_clusters", "ivf_topk_trained",
     "ann_recall_at_k", "pq_encode", "pq_adc_topk", "ivfpq_topk",
-    "ivfpq_recall_at_k", "semantic_dedup_kmeans",
+    "ivfpq_recall_at_k", "semantic_dedup_kmeans", "semantic_dedup",
     # pairs
     "minhash_near_dup", "near_dup_components", "leakage_safe_split",
     "pagerank_near_dup", "dedup_keep_best", "triangle_count",

@@ -129,3 +129,22 @@ def bpe_encode(
 
     words = F.expr(_WORDS.format(col=text_col))
     return df.withColumn(out, F.flatten(F.transform(words, encode_word)))
+
+
+def encode_word_expr(w: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol array for ONE word column under a learned merge list —
+    the same literal fold chain bpe_encode applies per occurrence.
+
+    Exists so aggregate-shaped consumers (fertility, vocabulary stats)
+    can pay the O(len²·merges) fold once per DISTINCT word instead of
+    once per occurrence: tokenize → per-word counts (vocab-sized
+    shuffle) → encode the distinct words → join counts back. That is
+    exactly the DuckDB oracle's own shape (wlc JOIN state USING word),
+    and for integer-sum aggregates the result is bit-identical to
+    encoding every occurrence."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return syms

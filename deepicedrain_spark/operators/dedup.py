@@ -742,7 +742,7 @@ def semantic_dedup(
     for survivors; ``cos_best`` its round-6 cosine.
     """
     from deepicedrain_spark.operators.kmeans import lloyd_kmeans
-    from deepicedrain_spark.operators.similarity import cosine_expr
+    from deepicedrain_spark.operators.similarity import dot_expr, norm2_expr
 
     assigned, _ = lloyd_kmeans(emb, vec_col, id_col, k=k, iters=iters,
                                cache_key=cache_key)
@@ -755,26 +755,42 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("_sd_v"),
         q_expr.alias("_sd_q"),
     )
+    # norms fold ONCE per row before the cluster-key join: inside the
+    # join each side's norm would re-fold per PAIR (Σ n_c² times), a
+    # 3x O(d) overhead per scored pair; sqrt(nx*ny) over the
+    # pre-folded norms is the identical IEEE value (same ops, same
+    # order), so the round-6 cosine is bit-unchanged (r12 opt; the
+    # cosine_topk recipe)
     a = base.select(
         F.col("_sd_id").alias("id_x"),
         F.col("_sd_cluster").alias("cl"),
         F.col("_sd_v").alias("vx"),
         F.col("_sd_q").alias("qx"),
-    )
+    ).withColumn("nx", norm2_expr("vx"))
     b = base.select(
         F.col("_sd_id").alias("id_y"),
         F.col("_sd_cluster").alias("cl"),
         F.col("_sd_v").alias("vy"),
         F.col("_sd_q").alias("qy"),
-    )
+    ).withColumn("ny", norm2_expr("vy"))
     dominates = (F.col("qy") > F.col("qx")) | (
         (F.col("qy") == F.col("qx")) & (F.col("id_y") < F.col("id_x"))
     )
+    # dominance BEFORE the cosine projection: the conjuncts land in
+    # the join condition in this order, so the O(d) dot fold runs only
+    # on the ~half of each cluster's pairs that are quality-ordered
+    # (exactly one direction per unordered pair) — same rows out,
+    # conjunctive filters commute
     dom = (
         a.join(b, "cl")
-        .where(F.col("id_x") != F.col("id_y"))
-        .withColumn("cos", F.round(cosine_expr("vx", "vy"), 6))
-        .where((F.col("cos") >= F.lit(float(threshold))) & dominates)
+        .where((F.col("id_x") != F.col("id_y")) & dominates)
+        .withColumn(
+            "cos",
+            F.round(
+                dot_expr("vx", "vy") / F.sqrt(F.col("nx") * F.col("ny")), 6
+            ),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
     )
     w = Window.partitionBy("id_x").orderBy(F.col("qy").desc(), F.col("id_y"))
     best = (
@@ -960,20 +976,31 @@ def semantic_decontamination(
     strongest benchmark match (highest round-6 cosine, smaller
     bench id on ties).
     """
-    from deepicedrain_spark.operators.similarity import cosine_expr
+    from deepicedrain_spark.operators.similarity import dot_expr, norm2_expr
 
     bcol = bench_id_col or id_col
+    # norms fold ONCE per row on each side before the crossJoin —
+    # inside it each corpus norm would re-fold per BENCHMARK vector
+    # and vice versa; sqrt(nc*nb) is the identical IEEE value, so the
+    # round-6 cosine is bit-unchanged (r12 opt, cosine_topk recipe)
     c = corpus.select(
         F.col(id_col).alias("_dc_id"),
         F.col(vec_col).cast("array<double>").alias("_dc_v"),
-    )
+    ).withColumn("_dc_n", norm2_expr("_dc_v"))
     b = benchmark.select(
         F.col(bcol).alias("bench_id"),
         F.col(vec_col).cast("array<double>").alias("_db_v"),
-    )
+    ).withColumn("_db_n", norm2_expr("_db_v"))
     hits = (
         c.crossJoin(F.broadcast(b))
-        .withColumn("cos", F.round(cosine_expr("_dc_v", "_db_v"), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot_expr("_dc_v", "_db_v")
+                / F.sqrt(F.col("_dc_n") * F.col("_db_n")),
+                6,
+            ),
+        )
         .where(F.col("cos") >= F.lit(float(threshold)))
     )
     w = Window.partitionBy("_dc_id").orderBy(F.col("cos").desc(), F.col("bench_id"))
@@ -1106,11 +1133,19 @@ def containment_pairs(
     Output: (contained_id, container_id, containment) with rounded
     containment ≥ threshold, self-pairs excluded.
     """
+    # checkpoint BEFORE the size filter: a filter on the derived
+    # shingle count would sink below the projection into the scan's
+    # interpreted (non-codegen) filter path, re-evaluating the whole
+    # shingle expression per row — the r9/r10 "filter-on-derived-
+    # count cliff" (measured +7.7 s at sf0.1 on this exact stage).
+    # Filtering the materialized rows costs one cheap pass instead;
+    # the checkpoint carries only the handful of shingle-less docs
+    # extra (r12 optimization round).
     sh = (
         word_shingles(df, text_col, n)
+        .localCheckpoint()
         .withColumn("_n", F.size("shingles"))
         .filter(F.col("_n") > 0)
-        .localCheckpoint()
     )
     ex = sh.select(F.col(id_col), "_n", F.explode("shingles").alias("_s"))
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df")).localCheckpoint()

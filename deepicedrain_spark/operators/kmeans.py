@@ -37,10 +37,32 @@ def _lit_vec(vals: list[float]) -> Column:
     return F.lit([float(v) for v in vals]).cast("array<double>")
 
 
+def _sql_vec(vals: list[float]) -> str:
+    """array<double> literal as SQL text: ``<repr>D`` double literals
+    parse via Double.parseDouble — bit-exact round trip for every
+    finite double incl. -0.0 (verified r12; the CAST-decimal form
+    loses the -0.0 sign)."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def sq_dist_sql(vec_col: str, centroid: list[float]) -> str:
+    """SQL text of :func:`sq_dist_to` — the same zip_with + aggregate
+    fold, assembled as ONE parser call instead of a nested Column tree
+    (r12 optimization round: Column-API construction of the k×d
+    literal scoring expressions cost seconds of py4j round trips per
+    query build; the parsed tree — and therefore every value — is
+    identical)."""
+    return (
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"{_sql_vec(centroid)}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def sq_dist_to(vec_col: str, centroid: list[float]) -> Column:
     """Squared L2 distance from a (float) array column to a literal
     centroid, folded left-to-right like DuckDB's list_sum."""
-    return sq_dist_cols(F.col(vec_col), _lit_vec(centroid))
+    return F.expr(sq_dist_sql(vec_col, centroid))
 
 
 def sq_dist_cols(a: Column, b: Column) -> Column:
@@ -73,25 +95,22 @@ def assign_to_centroids(
     stays unrounded for downstream use. The raw distances are computed
     ONCE per centroid (base array), then re-projected with the rounded
     key via transform — and the argmin is array_min (O(k) struct
-    compare on (key, cluster, dist), unique per (key, cluster))."""
-    base = F.array(
-        *[
-            F.struct(
-                sq_dist_to(vec_col, c).alias("dist"),
-                F.lit(i).cast("long").alias("cluster"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    compare on (key, cluster, dist), unique per (key, cluster)).
+
+    Assembled as ONE SQL string (r12 optimization round): the former
+    nested Column-API construction of the k × d literal tree cost
+    ~1-2 s of py4j round trips per query BUILD; the parsed expression
+    — struct fields, fold order, round-6 tie key — is identical, so
+    every assignment and distance is bit-unchanged."""
+    structs = ", ".join(
+        f"struct({sq_dist_sql(vec_col, c)} AS dist, "
+        f"CAST({i} AS BIGINT) AS cluster)"
+        for i, c in enumerate(centroids)
     )
-    scored = F.array_min(
-        F.transform(
-            base,
-            lambda s: F.struct(
-                F.round(s["dist"], 6).alias("key"),
-                s["cluster"].alias("cluster"),
-                s["dist"].alias("dist"),
-            ),
-        )
+    scored = F.expr(
+        f"array_min(transform(array({structs}), "
+        f"s -> struct(round(s.dist, 6) AS key, "
+        f"s.cluster AS cluster, s.dist AS dist)))"
     )
     return df.withColumn("_best", scored).withColumn(
         "cluster", F.col("_best.cluster")

@@ -240,6 +240,7 @@ def near_dup_gate(
     shingle_n: int = 3,
     workers: int = 8,
     bucketed: int = 0,
+    broadcast_batch: bool = True,
 ):
     """Returns the foreachBatch callable. Feed it document batches;
     read the verdicts back with :func:`read_gate_result`.
@@ -346,9 +347,22 @@ def near_dup_gate(
             )
 
         # candidates: any band shared between a batch doc and ANY doc
-        # (prior state or this batch); orient each pair (later, earlier)
+        # (prior state or this batch); orient each pair (later, earlier).
+        # The batch side is micro-batch-sized by definition while the
+        # index side grows with ingested history, so broadcast the
+        # batch side (broadcast_batch=True): the state/index side then
+        # NEVER shuffles, in flat mode too — without the hint the
+        # localCheckpoint leaves both sides with unknown size stats and
+        # Spark sort-merge-joins, re-shuffling the ENTIRE accumulated
+        # index every batch (O(history) per batch, the cost profile
+        # the gate exists to avoid). Pass broadcast_batch=False when
+        # micro-batches outgrow the broadcast cap — the bucketed
+        # layout's pre-partitioning then carries the join instead.
+        batch_side = (
+            F.broadcast(batch_bands) if broadcast_batch else batch_bands
+        )
         cand = (
-            batch_bands.alias("b")
+            batch_side.alias("b")
             .join(
                 index.alias("i"),
                 (F.col("b.band_idx") == F.col("i.band_idx"))
@@ -375,8 +389,13 @@ def near_dup_gate(
             store = prior.select("doc_id", "hs", "n").unionByName(store)
 
         inter = F.size(F.array_intersect("a.hs", "b.hs")).cast("double")
+        # candidate pairs are batch-bounded (band collisions of ONE
+        # micro-batch) while the store is the whole ingested history:
+        # broadcast the candidates so the verify reads the store
+        # map-side instead of shuffling it by doc_id twice per batch
+        cand_side = F.broadcast(cand) if broadcast_batch else cand
         verified = (
-            cand.join(store.alias("a"), F.col("id_hi") == F.col("a.doc_id"))
+            cand_side.join(store.alias("a"), F.col("id_hi") == F.col("a.doc_id"))
             .join(store.alias("b"), F.col("id_lo") == F.col("b.doc_id"))
             .withColumn("jac", inter / (F.col("a.n") + F.col("b.n") - inter))
             .filter(F.col("jac") >= threshold)

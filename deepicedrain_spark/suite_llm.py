@@ -1165,7 +1165,20 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("top_bg")
     )
     wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    d = g.withColumn("_rk", F.row_number().over(wd)).where(F.col("_rk") == 1).drop("_rk")
+    # localCheckpoint fences (r12 optimization round): d feeds the LM
+    # bigram/unigram/vocab subtrees AND stage_counts, p feeds quota,
+    # ranked AND stage_counts — un-fenced, every consumer re-executed
+    # the whole upstream text pass (gopher metrics ran ~4x, the LM
+    # subtree 3x; measured 7.2 s warm → 3.4 s fenced at sf0.1).  The
+    # fences hold the post-gate survivor table / the kept-id list —
+    # the same inter-stage materialization a production curation run
+    # writes between stages anyway; values are unchanged.
+    d = (
+        g.withColumn("_rk", F.row_number().over(wd))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .localCheckpoint()
+    )
 
     bg = d.select(
         "doc_id",
@@ -1206,6 +1219,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nt", F.ntile(3).over(wn))
         .where(F.col("nt") <= 2)
         .select("doc_id", "lang", "source")
+        .localCheckpoint()
     )
 
     counts = p.groupBy("source").agg(F.count(F.lit(1)).alias("c"))

@@ -640,18 +640,42 @@ def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # placeholder, replaced below after importing the BPE chain
 )
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deepicedrain_spark.operators.bpe import bpe_train, bpe_encode
+    from deepicedrain_spark.operators.bpe import bpe_train, encode_word_expr
     from deepicedrain_spark.suite_llm import _BPE_MERGES
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=_BPE_MERGES)
-    enc = bpe_encode(docs, merges, out="_bpe")
+    # encode each DISTINCT word once, not each occurrence (r12
+    # optimization round): the merge fold is O(len²·merges) per word,
+    # and fertility only needs per-(lang, word) COUNTS times the
+    # per-word symbol length — so collapse the corpus to the
+    # vocab-sized (lang, word) count table first (one word-sized
+    # shuffle, partial map-side aggregation), fold the merge chain
+    # over the distinct words of that table, and weight by count.
+    # This is exactly the oracle's own plan (wlc JOIN state USING
+    # word); all aggregates are integer sums (c, c·ns, c·nc), so the
+    # per-lang totals — and the round-6 double ratios derived from
+    # them — are bit-identical to encoding every occurrence.
     w = ts_ops.whitespace_tokens(F.col("text"))
-    per = enc.select(
+    wlc = (
+        docs.select("lang", F.explode(w).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    encw = (
+        wlc.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(encode_word_expr(F.col("word"), merges)).alias("_ns"),
+            F.length("word").cast("long").alias("_nc"),
+        )
+    )
+    per = wlc.join(encw, "word").select(
         "lang",
-        F.size(w).alias("_nw"),
-        F.size("_bpe").alias("_nb"),
-        F.aggregate(w, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("_nc"),
+        F.col("_c").alias("_nw"),
+        (F.col("_c") * F.col("_ns")).alias("_nb"),
+        (F.col("_c") * F.col("_nc")).alias("_ncs"),
     )
     return (
         per.groupBy("lang")
@@ -659,7 +683,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_nw").cast("long").alias("n_words"),
             F.sum("_nb").cast("long").alias("n_bpe_tokens"),
             F.round(F.sum("_nb").cast("double") / F.sum("_nw"), 6).alias("fertility"),
-            F.round(F.sum("_nc").cast("double") / F.sum("_nb"), 6).alias("chars_per_token"),
+            F.round(F.sum("_ncs").cast("double") / F.sum("_nb"), 6).alias("chars_per_token"),
         )
         .orderBy("lang")
     )

@@ -1013,7 +1013,7 @@ def q_streaming_semantic_decontamination(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from deepicedrain_spark.io import load_table
-    from deepicedrain_spark.operators.similarity import cosine_expr
+    from deepicedrain_spark.operators.similarity import dot_expr, norm2_expr
     from deepicedrain_spark.streaming.windows import _stream_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1032,23 +1032,42 @@ def q_streaming_semantic_decontamination(
     stream = spark.readStream.schema(emb.schema).parquet(
         _stream_dir(sf_dir, "embeddings")
     )
+    # stream-row norm folds ONCE per row (column _n) instead of once
+    # per BENCHMARK literal inside every cosine; the benchmark-side
+    # norm is an aggregate over a literal array, which constant-folds.
+    # sqrt(_n * <folded const>) is the identical IEEE product the
+    # fused cosine computed, so the round-6 value is bit-unchanged
+    # (r12 opt, cosine_topk recipe).
     corpus = stream.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
-    )
+    ).withColumn("_n", norm2_expr("_v"))
     def _lit_vec(vals) -> str:
         # shortest-repr decimal literals cast to double round-trip to
-        # the exact same IEEE value cosine_expr's fold consumes
+        # the exact same IEEE value the dot fold consumes
         return (
             "array("
             + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vals)
             + ")"
         )
 
+    def _py_norm2(vals) -> float:
+        # the SAME left-to-right fold norm2_expr runs in the JVM
+        # (acc = 0.0; acc += x*x in element order, all float64), so
+        # the literal is bit-identical to the folded expression
+        acc = 0.0
+        for x in vals:
+            acc = acc + float(x) * float(x)
+        return acc
+
     cand = F.array(
         *[
             F.struct(
-                F.round(cosine_expr("_v", _lit_vec(r["bv"])), 6).alias("cos"),
+                F.round(
+                    dot_expr("_v", _lit_vec(r["bv"]))
+                    / F.sqrt(F.col("_n") * F.lit(_py_norm2(r["bv"]))),
+                    6,
+                ).alias("cos"),
                 F.lit(int(r["vec_id"])).alias("bench_id"),
             )
             for r in sorted(bench, key=lambda r: r["vec_id"])
