@@ -109,14 +109,110 @@ def minhash_sig_from_hashes(
     :func:`minhash_signature` over the original shingles."""
     p = F.lit(_MERSENNE31)
     base = F.transform(hashes, lambda h: F.pmod(h, p)) if raw else hashes
-    pa = F.lit([_minhash_coef(k, "a") for k in range(num_hashes)]).alias("a")
-    pb = F.lit([_minhash_coef(k, "b") for k in range(num_hashes)]).alias("b")
-    return F.transform(
-        F.arrays_zip(pa, pb),
-        lambda ab: F.array_min(
-            F.transform(base, lambda h: F.pmod(ab["a"] * h + ab["b"], p))
-        ),
+    # ONE traversal of the hash array (r12 optimization round, guide
+    # §4.1): the former shape — transform over the 64 (a,b) pairs,
+    # array_min(transform(base, ...)) per pair — re-evaluated the
+    # ``base`` argument expression once per PERMUTATION in the
+    # interpreted HOF path (64× the pmod pre-fold, plus 64 array
+    # allocations per row; measured 1.85 → 1.29 s for the gate's
+    # signature stage at sf0.1). Folding instead over the hash array
+    # with an element-wise running min computes base once and walks
+    # the array once. Integer min is order-free, so every signature
+    # slot is the IDENTICAL value; the empty-array case is pinned to
+    # the old semantics (array_min over an empty transform = NULL per
+    # slot) by the explicit guard.
+    pa_arr = F.lit([_minhash_coef(k, "a") for k in range(num_hashes)])
+    pb_arr = F.lit([_minhash_coef(k, "b") for k in range(num_hashes)])
+    imgs = lambda h: F.zip_with(  # noqa: E731 - the 64 affine images of one hash
+        pa_arr, pb_arr, lambda a, b: F.pmod(a * h + b, p)
     )
+    init = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)), lambda k: p.cast("long")
+    )
+    folded = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(acc, imgs(h), lambda x, y: F.least(x, y)),
+    )
+    empty = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.lit(None).cast("long"),
+    )
+    return F.when(F.size(hashes) > 0, folded).otherwise(empty)
+
+
+def with_minhash_sig_arrow(
+    df: DataFrame,
+    hashes_col: str = "hs",
+    num_hashes: int = 64,
+    out: str = "sig",
+) -> DataFrame:
+    """Append the MinHash signature as a vectorized Arrow/numpy kernel
+    (guide §4.2): sig[k] = min over h in ``hashes_col`` of
+    (a_k·(h mod p) + b_k) mod p — the same integers, bit-for-bit, as
+    :func:`minhash_sig_from_hashes` (affine images over int64, floor
+    mod, integer min; a_k, h mod p < 2³¹ keep products < 2⁶² — no
+    overflow in either engine), with the same pinned empty-array
+    semantics (64 NULL slots). Exists because the per-element work is
+    64 multiply-mods per hash and Catalyst evaluates higher-order
+    functions INTERPRETED — ~350 ns per scalar op, 1.4 s per
+    1250-doc micro-batch at sf0.1 — while the numpy kernel runs the
+    identical arithmetic at memory bandwidth (~0.1 s). Only the
+    signature fold crosses the boundary; shingle hashing (xxhash64)
+    and band digests stay in the JVM, so every hash value is still
+    Spark-computed. Used by the streaming gate's per-batch prep; the
+    batch operators keep the pure-Catalyst expression
+    (:func:`minhash_sig_from_hashes`), which is not hot there."""
+    import numpy as np
+    import pyarrow as pa_mod
+
+    p = _MERSENNE31
+    a_np = np.array(
+        [_minhash_coef(k, "a") for k in range(num_hashes)], dtype=np.int64
+    )[:, None]
+    b_np = np.array(
+        [_minhash_coef(k, "b") for k in range(num_hashes)], dtype=np.int64
+    )[:, None]
+    names = df.columns
+    hs_ix = names.index(hashes_col)
+
+    def kernel(batches):
+        for batch in batches:
+            hs_arr = batch.column(hs_ix)
+            if hs_arr.null_count:  # pragma: no cover - hs is never null here
+                raise ValueError("minhash arrow kernel: NULL hash arrays")
+            n_rows = len(hs_arr)
+            offs = hs_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(hs_arr.values, dtype=np.int64)
+            starts, ends = offs[:-1], offs[1:]
+            nonempty = starts < ends
+            sig_vals = np.empty((n_rows, num_hashes), dtype=np.int64)
+            mask = np.repeat(~nonempty, num_hashes)
+            if nonempty.any():
+                h = flat % p
+                imgs = (a_np * h[None, :] + b_np) % p  # (k, total)
+                mins = np.minimum.reduceat(imgs, starts[nonempty], axis=1)
+                sig_vals[nonempty] = mins.T
+            values = pa_mod.array(
+                sig_vals.reshape(-1), type=pa_mod.int64(), mask=mask
+            )
+            sig = pa_mod.ListArray.from_arrays(
+                pa_mod.array(
+                    np.arange(n_rows + 1, dtype=np.int32) * num_hashes,
+                    type=pa_mod.int32(),
+                ),
+                values,
+            )
+            yield pa_mod.record_batch(
+                [*batch.columns, sig], names=[*names, out]
+            )
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        [*df.schema.fields, StructField(out, ArrayType(LongType()))]
+    )
+    return df.mapInArrow(kernel, schema=schema)
 
 
 def band_hash_array(

@@ -296,15 +296,40 @@ def _auto_salt(cells: DataFrame, key_cols: list[str]) -> int:
     return max(1, min(_SALT_CAP, math.ceil(mx * mx / _PAIR_TARGET)))
 
 
-def _pair_cols(prefix: str) -> list:
+def _q(c: str) -> str:
+    """Backtick-quote an identifier for the SQL-text fragments below.
+
+    r12 optimization round: the dissolve DataFrame construction cost
+    ~2.2 s of driver wall PER BUILD in py4j round trips (6.9k calls —
+    every Column operator and alias is one socket round trip, and the
+    bench builds each query twice). The hot constructors below are
+    assembled as selectExpr/expr SQL text — one parser call per
+    projection — producing the IDENTICAL analyzed expression trees
+    (same ops, same order, same aliases), so every value is
+    bit-unchanged."""
+    return f"`{c}`"
+
+
+# shared SQL fragments over the a/b-prefixed pair columns — identical
+# arithmetic to the former Column-API trees (same ops, same order)
+_D1X, _D1Y = "(ax2 - ax1)", "(ay2 - ay1)"
+_D2X, _D2Y = "(bx2 - bx1)", "(by2 - by1)"
+_QPX, _QPY = "(bx1 - ax1)", "(by1 - ay1)"
+_DEN = f"({_D1X} * {_D2Y} - {_D1Y} * {_D2X})"
+_T_SQL = f"(({_QPX} * {_D2Y} - {_QPY} * {_D2X}) / {_DEN})"
+_U_SQL = f"(({_QPX} * {_D1Y} - {_QPY} * {_D1X}) / {_DEN})"
+_LEN2 = f"({_D1X} * {_D1X} + {_D1Y} * {_D1Y})"
+
+
+def _pair_cols(prefix: str) -> list[str]:
     return [
-        F.col("pid").alias(f"{prefix}pid"),
-        F.col("rid").alias(f"{prefix}rid"),
-        F.col("eid").alias(f"{prefix}eid"),
-        F.col("x1").alias(f"{prefix}x1"),
-        F.col("y1").alias(f"{prefix}y1"),
-        F.col("x2").alias(f"{prefix}x2"),
-        F.col("y2").alias(f"{prefix}y2"),
+        f"pid AS {prefix}pid",
+        f"rid AS {prefix}rid",
+        f"eid AS {prefix}eid",
+        f"x1 AS {prefix}x1",
+        f"y1 AS {prefix}y1",
+        f"x2 AS {prefix}x2",
+        f"y2 AS {prefix}y2",
     ]
 
 
@@ -321,8 +346,8 @@ def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFr
     per shared cell, and only hot inputs pay replication (S=1 keeps
     the salt columns out of the plan entirely)."""
     if not bucketed:
-        a = edges.select(*key_cols, *_pair_cols("a"))
-        b = edges.select(*key_cols, *_pair_cols("b"))
+        a = edges.selectExpr(*[_q(c) for c in key_cols], *_pair_cols("a"))
+        b = edges.selectExpr(*[_q(c) for c in key_cols], *_pair_cols("b"))
         return a.join(b, key_cols)
     cells = edges.join(F.broadcast(_key_cell(edges, key_cols)), key_cols)
     cx_lo = F.floor(F.least("x1", "x2") / F.col("_cell"))
@@ -340,8 +365,8 @@ def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFr
     )
     salt = _auto_salt(cells, key_cols)
     keys = [*key_cols, "cx", "cy"]
-    a = cells.select(*keys, *_pair_cols("a"))
-    b = cells.select(*keys, *_pair_cols("b"))
+    a = cells.selectExpr(*[_q(c) for c in keys], *_pair_cols("a"))
+    b = cells.selectExpr(*[_q(c) for c in keys], *_pair_cols("b"))
     if salt > 1:
         a = a.withColumn("_salt", F.pmod(F.xxhash64("apid", "arid", "aeid"), F.lit(salt)))
         b = b.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
@@ -364,30 +389,18 @@ def _crossings(
     share one candidate-pair table across its two overlay passes."""
     if pairs is None:
         pairs = _edge_pairs(edges, key_cols, bucketed)
-    pair = pairs.where(F.col("apid") != F.col("bpid"))
-    d1x = F.col("ax2") - F.col("ax1")
-    d1y = F.col("ay2") - F.col("ay1")
-    d2x = F.col("bx2") - F.col("bx1")
-    d2y = F.col("by2") - F.col("by1")
-    qpx = F.col("bx1") - F.col("ax1")
-    qpy = F.col("by1") - F.col("ay1")
-    denom = d1x * d2y - d1y * d2x
-    t = (qpx * d2y - qpy * d2x) / denom
-    u = (qpx * d1y - qpy * d1x) / denom
-    out_cols = [
-        *key_cols,
-        F.col("apid").alias("pid"),
-        F.col("arid").alias("rid"),
-        F.col("aeid").alias("eid"),
-        "t",
-    ]
+    # SQL-text assembly (see _q): the same arithmetic trees as the
+    # former Column-API construction — ops, order and parenthesisation
+    # mirrored exactly, so every t is the identical double
+    pair = pairs.where("apid != bpid")
+    keys_q = [_q(c) for c in key_cols]
+    out_exprs = [*keys_q, "apid AS pid", "arid AS rid", "aeid AS eid"]
     hit = (
-        pair.withColumn("_den", denom)
+        pair.withColumn("_den", F.expr(_DEN))
         .where(F.col("_den") != 0)
-        .withColumn("t", t)
-        .withColumn("u", u)
-        .where((F.col("t") > 0) & (F.col("t") < 1) & (F.col("u") > 0) & (F.col("u") < 1))
-        .select(*out_cols)
+        .selectExpr(*out_exprs, f"{_T_SQL} AS t", f"{_U_SQL} AS u")
+        .where("t > 0 AND t < 1 AND u > 0 AND u < 1")
+        .drop("u")
     )
     # Degenerate (but exactly-representable) contacts: an endpoint of f
     # lying ON e — covers T-junctions AND the endpoints of collinear
@@ -395,20 +408,16 @@ def _crossings(
     # side). cross(d1, p - e1) == 0 exactly ⇒ split e at p's
     # projection. Float general-position data never triggers this
     # branch; constructed shapes (tests, gridded products) do.
-    len2 = d1x * d1x + d1y * d1y
     touches = []
     for px_c, py_c in (("bx1", "by1"), ("bx2", "by2")):
-        on_line = d1x * (F.col(py_c) - F.col("ay1")) - d1y * (
-            F.col(px_c) - F.col("ax1")
-        )
+        on_line = f"{_D1X} * ({py_c} - ay1) - {_D1Y} * ({px_c} - ax1)"
         tp = (
-            (F.col(px_c) - F.col("ax1")) * d1x + (F.col(py_c) - F.col("ay1")) * d1y
-        ) / len2
+            f"(({px_c} - ax1) * {_D1X} + ({py_c} - ay1) * {_D1Y}) / {_LEN2}"
+        )
         touches.append(
-            pair.where(on_line == 0)
-            .withColumn("t", tp)
-            .where((F.col("t") > 0) & (F.col("t") < 1))
-            .select(*out_cols)
+            pair.where(F.expr(f"({on_line}) = 0"))
+            .selectExpr(*out_exprs, f"{tp} AS t")
+            .where("t > 0 AND t < 1")
         )
     out = hit
     for tdf in touches:
@@ -489,33 +498,30 @@ def boundary_subedges(
         .where(F.col("tb") > F.col("ta"))
     )
     # endpoint arithmetic pinned at t=0 / t=1 so chained sub-edges of
-    # one edge share exact bits with the ring vertices (both engines)
-    px = lambda t: F.when(F.col(t) == 0.0, F.col("x1")).otherwise(  # noqa: E731
-        F.when(F.col(t) == 1.0, F.col("x2")).otherwise(
-            F.col("x1") + F.col(t) * (F.col("x2") - F.col("x1"))
-        )
+    # one edge share exact bits with the ring vertices (both engines).
+    # SQL-text assembly (see _q): the CASE chains and products mirror
+    # the former when()/Column trees op for op.
+    px = lambda t, x1, x2: (  # noqa: E731
+        f"CASE WHEN {t} = 0.0D THEN {x1} ELSE "
+        f"CASE WHEN {t} = 1.0D THEN {x2} ELSE "
+        f"{x1} + {t} * ({x2} - {x1}) END END"
     )
-    py = lambda t: F.when(F.col(t) == 0.0, F.col("y1")).otherwise(  # noqa: E731
-        F.when(F.col(t) == 1.0, F.col("y2")).otherwise(
-            F.col("y1") + F.col(t) * (F.col("y2") - F.col("y1"))
-        )
-    )
-    tm = (F.col("ta") + F.col("tb")) / 2
     # probe offset: eps × the SUB-edge vector (tb - ta scales the full
     # edge direction down to the sub-edge span), so the probe distance
     # is proportional to the sliver being classified — an unnormalized
     # full-edge offset overshoots short sub-edges near tangencies
     # (ADVICE r5, dissolve.py:214)
-    span = F.col("tb") - F.col("ta")
-    sub = (
-        sub.withColumn("ax", px("ta"))
-        .withColumn("ay", py("ta"))
-        .withColumn("bx", px("tb"))
-        .withColumn("by", py("tb"))
-        .withColumn("mx", F.col("x1") + tm * (F.col("x2") - F.col("x1")))
-        .withColumn("my", F.col("y1") + tm * (F.col("y2") - F.col("y1")))
-        .withColumn("ox", F.lit(-eps) * span * (F.col("y2") - F.col("y1")))
-        .withColumn("oy", F.lit(eps) * span * (F.col("x2") - F.col("x1")))
+    e_lit = f"{float(eps)!r}D"
+    sub = sub.selectExpr(
+        "*",
+        f"{px('ta', 'x1', 'x2')} AS ax",
+        f"{px('ta', 'y1', 'y2')} AS ay",
+        f"{px('tb', 'x1', 'x2')} AS bx",
+        f"{px('tb', 'y1', 'y2')} AS by",
+        "x1 + ((ta + tb) / 2) * (x2 - x1) AS mx",
+        "y1 + ((ta + tb) / 2) * (y2 - y1) AS my",
+        f"-{e_lit} * (tb - ta) * (y2 - y1) AS ox",
+        f"{e_lit} * (tb - ta) * (x2 - x1) AS oy",
     )
     sub_keys = [*key_cols, "pid", "rid", "eid", "ta", "tb", "ax", "ay", "bx", "by", "_xref", "_yref"]
     # ray CROSSING COUNT (not parity): identical straddle test on both
@@ -792,21 +798,21 @@ def overlap_components(
     # only needs split params), so pairs are derived directly here
     if _pairs is None:
         _pairs = _edge_pairs(edges, key_cols, bucketed)
-    pair = _pairs.where(F.col("apid") < F.col("bpid"))
-    d1x = F.col("ax2") - F.col("ax1")
-    d1y = F.col("ay2") - F.col("ay1")
-    d2x = F.col("bx2") - F.col("bx1")
-    d2y = F.col("by2") - F.col("by1")
-    qpx = F.col("bx1") - F.col("ax1")
-    qpy = F.col("by1") - F.col("ay1")
-    denom = d1x * d2y - d1y * d2x
-    t = (qpx * d2y - qpy * d2x) / denom
-    u = (qpx * d1y - qpy * d1x) / denom
+    # SQL-text assembly (see _q) — trees identical to the former
+    # Column-API construction
+    pair = _pairs.where("apid < bpid")
+    keys_q = [_q(c) for c in key_cols]
+    pq_exprs = [*keys_q, "apid AS p", "bpid AS q"]
     cross_pairs = (
-        pair.withColumn("_den", denom)
+        pair.withColumn("_den", F.expr(_DEN))
         .where(F.col("_den") != 0)
-        .where((t > 0) & (t < 1) & (u > 0) & (u < 1))
-        .select(*key_cols, F.col("apid").alias("p"), F.col("bpid").alias("q"))
+        .where(
+            F.expr(
+                f"{_T_SQL} > 0 AND {_T_SQL} < 1 "
+                f"AND {_U_SQL} > 0 AND {_U_SQL} < 1"
+            )
+        )
+        .selectExpr(*pq_exprs)
         .distinct()
     )
     # positive-length collinear overlap: parallel (den == 0), b1 on
@@ -814,13 +820,16 @@ def overlap_components(
     # strictly overlaps (0, 1). Endpoint-only contact projects to
     # exactly {0} or {1} — measure zero, excluded by the strict
     # inequalities, so corner touches stay separate parts.
-    len2 = d1x * d1x + d1y * d1y
-    t1 = (qpx * d1x + qpy * d1y) / len2
-    t2 = ((F.col("bx2") - F.col("ax1")) * d1x + (F.col("by2") - F.col("ay1")) * d1y) / len2
+    t1 = f"(({_QPX} * {_D1X} + {_QPY} * {_D1Y}) / {_LEN2})"
+    t2 = f"(((bx2 - ax1) * {_D1X} + (by2 - ay1) * {_D1Y}) / {_LEN2})"
     touch_pairs = (
-        pair.where((denom == 0) & (d1x * qpy - d1y * qpx == 0))
-        .where((F.least(t1, t2) < 1) & (F.greatest(t1, t2) > 0))
-        .select(*key_cols, F.col("apid").alias("p"), F.col("bpid").alias("q"))
+        pair.where(
+            F.expr(
+                f"{_DEN} = 0 AND ({_D1X} * {_QPY} - {_D1Y} * {_QPX}) = 0"
+            )
+        )
+        .where(F.expr(f"least({t1}, {t2}) < 1 AND greatest({t1}, {t2}) > 0"))
+        .selectExpr(*pq_exprs)
         .distinct()
     )
     # containment: ANY vertex of p strictly inside polygon q (parity

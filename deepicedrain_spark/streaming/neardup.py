@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 from deepicedrain_spark.operators.dedup import (
     band_hash_array,
     minhash_sig_from_hashes,
+    with_minhash_sig_arrow,
     word_shingles,
 )
 
@@ -295,7 +296,13 @@ def near_dup_gate(
         sh = word_shingles(
             batch_df.repartition(workers), text_col=text_col, n=shingle_n
         )
-        sig = minhash_sig_from_hashes(F.col("hs"), num_hashes, raw=True)
+        # signature via the vectorized Arrow kernel (r12 optimization
+        # round, guide §4.2): the interpreted-HOF expression form
+        # (minhash_sig_from_hashes) cost ~1.4 s per micro-batch at
+        # sf0.1 — the dominant per-batch cost of the whole gate; the
+        # numpy fold runs the identical integer arithmetic (bit-equal
+        # signatures, pytest-pinned) at memory bandwidth. Shingle
+        # xxhash64 and band digests stay JVM-side.
         prep = (
             sh.select(
                 F.col(id_col).cast("long").alias("doc_id"),
@@ -304,12 +311,17 @@ def near_dup_gate(
                 ).alias("hs"),
             )
             .withColumn("n", F.size("hs").cast("long"))
+        )
+        prep = (
+            with_minhash_sig_arrow(prep, "hs", num_hashes, out="_sig")
             .withColumn(
                 "bands",
                 F.when(
-                    F.col("n") > 0, band_hash_array(sig, num_hashes, bands)
+                    F.col("n") > 0,
+                    band_hash_array(F.col("_sig"), num_hashes, bands),
                 ).otherwise(F.array().cast("array<long>")),
             )
+            .drop("_sig")
             # ONE eager pin per batch: every downstream consumer
             # (candidate join, verify, state append) reads this
             .localCheckpoint(eager=True)

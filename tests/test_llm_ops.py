@@ -745,3 +745,51 @@ def test_winnowing_matches_localizes_copy_span(spark):
     assert 10 <= m["a_start"] <= m["a_end"] <= 22
     # quote-side span inside its own 13 grams
     assert 1 <= m["b_start"] <= m["b_end"] <= 13
+
+
+def test_minhash_sig_fold_and_arrow_kernel_bit_equal(spark):
+    """r12: the one-traversal aggregate() fold and the vectorized Arrow
+    kernel must both reproduce the ORIGINAL per-permutation definition
+    sig[k] = min over h of (a_k*(h mod p) + b_k) mod p bit-for-bit,
+    including the empty-array case (num_hashes NULL slots)."""
+    from pyspark.sql import Row
+
+    from deepicedrain_spark.operators.dedup import (
+        _MERSENNE31,
+        _minhash_coef,
+        minhash_sig_from_hashes,
+        with_minhash_sig_arrow,
+    )
+
+    p = _MERSENNE31
+    nh = 8
+    coefs = [(_minhash_coef(k, "a"), _minhash_coef(k, "b")) for k in range(nh)]
+    rows = [
+        Row(doc_id=0, hs=[0, 1, p - 1, 123456789, -987654321, 2**62, -(2**61)]),
+        Row(doc_id=1, hs=[42]),
+        Row(doc_id=2, hs=[]),  # pinned: all-NULL signature
+        Row(doc_id=3, hs=[-1, -p, p, 7, 7]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, hs array<long>")
+
+    def ref_sig(hs):
+        if not hs:
+            return [None] * nh
+        base = [h % p for h in hs]  # Python % == pmod for positive p
+        return [min((a * h + b) % p for h in base) for a, b in coefs]
+
+    expect = {r.doc_id: ref_sig(r.hs) for r in rows}
+
+    expr_out = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", minhash_sig_from_hashes(F.col("hs"), nh, raw=True).alias("sig")
+        ).collect()
+    }
+    assert expr_out == expect
+
+    arrow_out = {
+        r["doc_id"]: r["sig"]
+        for r in with_minhash_sig_arrow(df, "hs", nh, out="sig").collect()
+    }
+    assert arrow_out == expect
