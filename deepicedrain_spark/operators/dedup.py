@@ -1019,7 +1019,13 @@ def winnowing_matches(
     id_a < id_b; spans are 1-based gram positions of the matched
     fingerprints.
     """
-    fp = winnowing_fingerprints(docs, text_col, id_col, k, window)
+    # fence the fingerprint table (r12 batch 3): both self-join sides
+    # consume it, and un-fenced the md5 gram hashing + window-min
+    # selection — the expensive pass — executed once PER SIDE (the
+    # planner does not reuse the exchange across the differently-
+    # aliased sides). The winnowed set is ≈ 2n/(window+1) rows, a
+    # fraction of the token stream, so the materialization is small.
+    fp = winnowing_fingerprints(docs, text_col, id_col, k, window).localCheckpoint()
     a = fp.select(
         F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "fp"
     )

@@ -276,24 +276,55 @@ def _key_cell(edges: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-def _auto_salt(cells: DataFrame, key_cols: list[str]) -> int:
-    """Scalar hot-cell salt from the (key, cx, cy) histogram — same
-    absolute-budget rule as crossover._auto_salt: a cell whose own
-    pair work n² exceeds one task's budget straggles regardless of
-    siblings; S = ceil(max²/target), capped (side B pays S×
-    replication of its edge rows)."""
+def _auto_salt(cells: DataFrame, key_cols: list[str]) -> tuple[int, int]:
+    """(salt, total_rows) from ONE pass over the (key, cx, cy)
+    histogram.  Salt: same absolute-budget rule as
+    crossover._auto_salt — a cell whose own pair work n² exceeds one
+    task's budget straggles regardless of siblings; S =
+    ceil(max²/target), capped (side B pays S× replication of its edge
+    rows).  total_rows rides along on the same probe job (r12
+    optimization round) so callers can right-size the checkpointed
+    cell/edge partitioning without a second job."""
     import math
 
     row = (
         cells.groupBy(*key_cols, "cx", "cy")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
         .first()
     )
     mx = int(row["mx"] or 0)
+    tot = int(row["tot"] or 0)
     if mx * mx <= _PAIR_TARGET:
-        return 1
-    return max(1, min(_SALT_CAP, math.ceil(mx * mx / _PAIR_TARGET)))
+        return 1, tot
+    return max(1, min(_SALT_CAP, math.ceil(mx * mx / _PAIR_TARGET))), tot
+
+
+# target rows per task for the checkpointed edge/cell tables (r12
+# optimization round, guide §2.2/§6.1): a localCheckpoint freezes its
+# parent's partitioning, so a 32-partition parent made EVERY
+# downstream scan stage a 32-task stage even when the table holds a
+# few hundred rows — dissolve_hot_key_bucketed ran 3,309 tasks for 66
+# input polygons, almost all empty (measured ~2 s of pure scheduling
+# at sf0.1).  Sizing is data-derived (row count from the salt probe,
+# which materializes the checkpoint anyway), never core-count-derived:
+# big inputs keep (or exceed) their parallelism because coalesce(k)
+# with k ≥ current partitions is a no-op.  ~13 doubles/row ≈ 150 B ⇒
+# 500k rows ≈ 75 MB per task, inside the guide's 100 MB–1 GB band
+# (the pair join fanning OUT of these scans re-partitions on its own
+# shuffle, so task width here only governs the scan/map stages).
+_CKPT_ROWS_PER_TASK = 500_000
+
+
+def _sized(df: DataFrame, rows: int) -> DataFrame:
+    """Coalesce a (checkpointed) table to ceil(rows/target) partitions
+    — purely physical: narrow dependency, no shuffle, no recompute of
+    the materialized checkpoint, and a no-op when the table already
+    has fewer partitions."""
+    import math
+
+    k = max(1, math.ceil(rows / _CKPT_ROWS_PER_TASK))
+    return df.coalesce(k)
 
 
 def _q(c: str) -> str:
@@ -334,7 +365,17 @@ def _pair_cols(prefix: str) -> list[str]:
 
 
 def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFrame:
-    """Candidate edge pairs of a key, a-prefixed × b-prefixed.
+    pairs, _rows = _edge_pairs_counted(edges, key_cols, bucketed)
+    return pairs
+
+
+def _edge_pairs_counted(
+    edges: DataFrame, key_cols: list[str], bucketed: bool
+) -> tuple[DataFrame, int | None]:
+    """Candidate edge pairs of a key, a-prefixed × b-prefixed; also
+    returns the cell-row count observed by the salt probe (None in
+    plain mode, where no probe runs) so callers can right-size their
+    shared edge checkpoint (see _sized).
 
     plain: in-key self-join — every pair, exactly once per direction.
     cells: pairs co-located in a per-key grid cell (every contact —
@@ -348,7 +389,7 @@ def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFr
     if not bucketed:
         a = edges.selectExpr(*[_q(c) for c in key_cols], *_pair_cols("a"))
         b = edges.selectExpr(*[_q(c) for c in key_cols], *_pair_cols("b"))
-        return a.join(b, key_cols)
+        return a.join(b, key_cols), None
     cells = edges.join(F.broadcast(_key_cell(edges, key_cols)), key_cols)
     cx_lo = F.floor(F.least("x1", "x2") / F.col("_cell"))
     cx_hi = F.floor(F.greatest("x1", "x2") / F.col("_cell"))
@@ -363,7 +404,10 @@ def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFr
         # checkpoint would spend a separate job first)
         .localCheckpoint(eager=False)
     )
-    salt = _auto_salt(cells, key_cols)
+    salt, rows = _auto_salt(cells, key_cols)
+    # the probe just materialized the checkpoint; size every scan of
+    # it to the data (see _sized/_CKPT_ROWS_PER_TASK)
+    cells = _sized(cells, rows)
     keys = [*key_cols, "cx", "cy"]
     a = cells.selectExpr(*[_q(c) for c in keys], *_pair_cols("a"))
     b = cells.selectExpr(*[_q(c) for c in keys], *_pair_cols("b"))
@@ -371,7 +415,7 @@ def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFr
         a = a.withColumn("_salt", F.pmod(F.xxhash64("apid", "arid", "aeid"), F.lit(salt)))
         b = b.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         keys = [*keys, "_salt"]
-    return a.join(b, keys).drop("cx", "cy", "_salt")
+    return a.join(b, keys).drop("cx", "cy", "_salt"), rows
 
 
 def _crossings(
@@ -460,6 +504,9 @@ def boundary_subedges(
             # join does the same). Lazy: the pair join's salt probe
             # forces it.
             edges = edges.localCheckpoint(eager=False)
+    if _pairs is None and bucketed:
+        _pairs, _cell_rows = _edge_pairs_counted(edges, key_cols, bucketed)
+        edges = _sized(edges, _cell_rows)
     splits = (
         _crossings(edges, key_cols, bucketed, _pairs)
         .groupBy(*key_cols, "pid", "rid", "eid")
@@ -797,7 +844,9 @@ def overlap_components(
     # crossing PAIRS (pid, pid) — _crossings drops the partner pid (it
     # only needs split params), so pairs are derived directly here
     if _pairs is None:
-        _pairs = _edge_pairs(edges, key_cols, bucketed)
+        _pairs, _cell_rows = _edge_pairs_counted(edges, key_cols, bucketed)
+        if _cell_rows is not None:
+            edges = _sized(edges, _cell_rows)
     # SQL-text assembly (see _q) — trees identical to the former
     # Column-API construction
     pair = _pairs.where("apid < bpid")
@@ -1048,7 +1097,11 @@ def dissolve_stats(
     edges = _edges(polys, key_cols, pid)
     if bucketed:
         edges = edges.localCheckpoint(eager=False)
-    pairs = _edge_pairs(edges, key_cols, bucketed)
+    pairs, _cell_rows = _edge_pairs_counted(edges, key_cols, bucketed)
+    if _cell_rows is not None:
+        # the salt probe materialized the edge checkpoint; size every
+        # downstream scan of it (cell rows ≥ edge rows — same scale)
+        edges = _sized(edges, _cell_rows)
     bnd = boundary_subedges(
         polys, key_cols, pid, eps, strategy, _edges_df=edges, _pairs=pairs
     )

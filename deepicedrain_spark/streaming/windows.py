@@ -30,6 +30,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# schema-read memo (r12 optimization round; io.load_table pattern):
+# every streaming query paid a fresh driver-side parquet footer read
+# (~0.1 s) per build just to recover the source schema. Caches the
+# SCHEMA only — no data, no plans; (mtime_ns, size) invalidates on a
+# regenerated table.
+_SCHEMA_CACHE: dict[tuple, StructType] = {}
+_SCHEMA_CACHE_CAP = 64
+
+
 def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Stream-source schema = the batch reader's parquet footer schema
     (file streams need an explicit schema; deriving it from the footer
@@ -37,7 +46,21 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     or TIMESTAMP(MICROS) — see io.load_table)."""
     import os
 
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(path)
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), fp)
+    if fp is not None and key in _SCHEMA_CACHE:
+        return _SCHEMA_CACHE[key]
+    schema = spark.read.parquet(path).schema
+    if fp is not None:
+        while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_CAP:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+        _SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def _stream_dir(sf_dir: str, table: str = "events") -> str:

@@ -1163,6 +1163,11 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("top_bg") <= 0.2)
         )
         .drop("top_bg")
+        # fence at g, not only d (r12 batch 3): g feeds the dedup
+        # window AND stage_counts' n_gopher column — un-fenced, the
+        # full gopher pass (bigram explode + per-doc agg over the
+        # whole corpus) re-executed a second time for stage_counts.
+        .localCheckpoint()
     )
     wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     # localCheckpoint fences (r12 optimization round): d feeds the LM
@@ -1172,7 +1177,8 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree 3x; measured 7.2 s warm → 3.4 s fenced at sf0.1).  The
     # fences hold the post-gate survivor table / the kept-id list —
     # the same inter-stage materialization a production curation run
-    # writes between stages anyway; values are unchanged.
+    # writes between stages anyway; values are unchanged.  d's fence
+    # is cheap on top of g's (one survivor-sized dedup window).
     d = (
         g.withColumn("_rk", F.row_number().over(wd))
         .where(F.col("_rk") == 1)

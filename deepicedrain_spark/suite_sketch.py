@@ -2038,14 +2038,25 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE lit(list) call, not m/32 F.lit()s — each F.lit is a py4j
     # round trip, and 2048 of them cost ~5 s of DRIVER time before any
     # job ran (measured round 8; the folded literal array is identical)
-    lit_bits = F.lit([words.get(w, 0) for w in range(m_bits // 32)]).cast(
-        "array<long>"
+    #
+    # r12 batch 3: carry the packed filter as a one-row BROADCAST
+    # relation instead of an inline literal. The optimizer's project
+    # collapse used to clone the 2048-long literal into each of the 4
+    # probe predicates (a 161 KB physical plan — planning/codegen cost
+    # ~1.5 s per build for a 16 KB filter); joined as a column, the
+    # bitmap lives once in the broadcast value and the per-row
+    # membership arithmetic is unchanged (same element_at/shiftright
+    # tree ⇒ identical surviving rows; the exact join then removes
+    # false positives either way).
+    bits_payload = [words.get(w, 0) for w in range(m_bits // 32)]
+    bits_rel = spark.createDataFrame(
+        [(bits_payload,)], "_bits_arr: array<bigint>"
     )
     okey = F.col("o_custkey").cast("string")
     probed = orders.withColumn("_k", okey)
     for j in range(k_hashes):
         probed = probed.withColumn(f"_p{j}", _bloom_pos(F.col("_k"), F.lit(j), m_bits))
-    probed = probed.withColumn("_bits_arr", lit_bits)
+    probed = probed.crossJoin(F.broadcast(bits_rel))
     pred = " AND ".join(
         f"(shiftright(element_at(_bits_arr, CAST(_p{j} DIV 32 AS INT) + 1), "
         f"CAST(_p{j} % 32 AS INT)) & 1) = 1"

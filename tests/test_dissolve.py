@@ -714,3 +714,49 @@ def test_snap_parameter_matches_explicit_composition(spark):
     st_none = dissolve_stats(df, ["key"]).collect()[0]
     st_legacy = dissolve_stats(df, ["key"], snap=None).collect()[0]
     assert tuple(st_none) == tuple(st_legacy)
+
+
+def test_cells_checkpoint_sized_to_data(spark):
+    """r12 optimization round: the cells-strategy checkpoint tables are
+    coalesced to a row-count-derived partition count (the salt probe's
+    own histogram pays for the count), so a 32-partition tiny input no
+    longer fans every downstream scan stage out to 32 near-empty tasks
+    — and the sizing must never LOSE pairs or change the overlay."""
+    from deepicedrain_spark.operators.dissolve import (
+        _CKPT_ROWS_PER_TASK,
+        _auto_salt,
+        _sized,
+    )
+
+    # _auto_salt returns (salt, total rows) from one probe
+    cells = spark.createDataFrame(
+        [("k", 0, 0), ("k", 0, 0), ("k", 1, 0)], "key string, cx long, cy long"
+    )
+    salt, tot = _auto_salt(cells, ["key"])
+    assert salt == 1 and tot == 3
+
+    # _sized only ever reduces partitions, and scales with rows
+    wide = spark.range(0, 10, 1, 16).toDF("id")
+    assert _sized(wide, 10).rdd.getNumPartitions() == 1
+    assert _sized(wide, 3 * _CKPT_ROWS_PER_TASK).rdd.getNumPartitions() == 3
+    assert (
+        _sized(wide, 100 * _CKPT_ROWS_PER_TASK).rdd.getNumPartitions() == 16
+    )  # no-op above current
+
+    # end-to-end: a deliberately wide-partitioned input through the
+    # cells strategy matches the single-partition plain result exactly
+    rows = []
+    xs, ys = _sq(0, 0, 1)
+    rows.append(("a", 0, xs, ys))
+    xs, ys = _sq(0.5, 0, 1)
+    rows.append(("a", 1, xs, ys))
+    xs, ys = _sq(5, 5, 1)
+    rows.append(("a", 2, xs, ys))
+    df_wide = _df(spark, rows).repartition(32)
+    df_one = _df(spark, rows).coalesce(1)
+    got = sorted(map(tuple, dissolve_stats(df_wide, ["key"], strategy="cells").collect()))
+    want = sorted(map(tuple, dissolve_stats(df_one, ["key"], strategy="plain").collect()))
+    for rg, rw in zip(got, want):
+        assert rg[:2] == rw[:2] and rg[3] == rw[3]
+        assert rg[2] == pytest.approx(rw[2], rel=1e-12)
+        assert rg[4] == pytest.approx(rw[4], rel=1e-12)
