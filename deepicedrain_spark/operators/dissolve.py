@@ -439,34 +439,44 @@ def _crossings(
     pair = pairs.where("apid != bpid")
     keys_q = [_q(c) for c in key_cols]
     out_exprs = [*keys_q, "apid AS pid", "arid AS rid", "aeid AS eid"]
-    hit = (
-        pair.withColumn("_den", F.expr(_DEN))
-        .where(F.col("_den") != 0)
-        .selectExpr(*out_exprs, f"{_T_SQL} AS t", f"{_U_SQL} AS u")
-        .where("t > 0 AND t < 1 AND u > 0 AND u < 1")
-        .drop("u")
-    )
-    # Degenerate (but exactly-representable) contacts: an endpoint of f
-    # lying ON e — covers T-junctions AND the endpoints of collinear
-    # overlapping runs (e.g. two axis-aligned squares sharing part of a
-    # side). cross(d1, p - e1) == 0 exactly ⇒ split e at p's
-    # projection. Float general-position data never triggers this
-    # branch; constructed shapes (tests, gridded products) do.
-    touches = []
+    # ONE pass over the candidate-pair join (r12 optimization round,
+    # guide §2.4/§5.4): the former three branches — the proper-crossing
+    # hit plus one degenerate endpoint-on-edge touch per endpoint of f
+    # (T-junctions AND the endpoints of collinear shared runs; float
+    # general-position data never triggers those, constructed shapes
+    # do) — each re-executed the pair join (5 executions per
+    # dissolve_stats with overlap_components' two). Fused as a per-row
+    # candidate array + explode: the same predicate and split-parameter
+    # SQL text per branch, so every surviving (pid, rid, eid, t) row is
+    # bit-identical and the final DISTINCT sees the same set.
+    # CASE guards keep every division inside its branch's original
+    # filter domain (den != 0 / endpoint-on-line), matching the former
+    # where-then-project order — required under ANSI mode and
+    # evaluation-order-identical without it
+    cands = [
+        f"named_struct('ok', CASE WHEN ({_DEN}) != 0 THEN"
+        f" {_T_SQL} > 0 AND {_T_SQL} < 1"
+        f" AND {_U_SQL} > 0 AND {_U_SQL} < 1 ELSE false END,"
+        f" 't', CASE WHEN ({_DEN}) != 0 THEN {_T_SQL} END)"
+    ]
     for px_c, py_c in (("bx1", "by1"), ("bx2", "by2")):
         on_line = f"{_D1X} * ({py_c} - ay1) - {_D1Y} * ({px_c} - ax1)"
         tp = (
             f"(({px_c} - ax1) * {_D1X} + ({py_c} - ay1) * {_D1Y}) / {_LEN2}"
         )
-        touches.append(
-            pair.where(F.expr(f"({on_line}) = 0"))
-            .selectExpr(*out_exprs, f"{tp} AS t")
-            .where("t > 0 AND t < 1")
+        cands.append(
+            f"named_struct('ok', CASE WHEN ({on_line}) = 0 THEN"
+            f" {tp} > 0 AND {tp} < 1 ELSE false END,"
+            f" 't', CASE WHEN ({on_line}) = 0 THEN {tp} END)"
         )
-    out = hit
-    for tdf in touches:
-        out = out.unionByName(tdf)
-    return out.distinct()
+    return (
+        pair.selectExpr(
+            *out_exprs,
+            f"explode(filter(array({', '.join(cands)}), c -> c.ok)) AS _c",
+        )
+        .selectExpr(*keys_q, "pid", "rid", "eid", "_c.t AS t")
+        .distinct()
+    )
 
 
 def boundary_subedges(
@@ -852,32 +862,34 @@ def overlap_components(
     pair = _pairs.where("apid < bpid")
     keys_q = [_q(c) for c in key_cols]
     pq_exprs = [*keys_q, "apid AS p", "bpid AS q"]
-    cross_pairs = (
-        pair.withColumn("_den", F.expr(_DEN))
-        .where(F.col("_den") != 0)
-        .where(
-            F.expr(
-                f"{_T_SQL} > 0 AND {_T_SQL} < 1 "
-                f"AND {_U_SQL} > 0 AND {_U_SQL} < 1"
-            )
-        )
-        .selectExpr(*pq_exprs)
-        .distinct()
-    )
-    # positive-length collinear overlap: parallel (den == 0), b1 on
-    # e's line (cross == 0), and the projection interval of f onto e
-    # strictly overlaps (0, 1). Endpoint-only contact projects to
-    # exactly {0} or {1} — measure zero, excluded by the strict
-    # inequalities, so corner touches stay separate parts.
+    # ONE pass over the candidate-pair join (r12 optimization round,
+    # guide §2.4/§5.4 — the _crossings fusion's sibling): proper
+    # crossings and positive-length collinear overlaps are disjoint on
+    # ``den`` (≠0 vs =0), so a single OR filter yields exactly the
+    # union of the former two branch scans — same predicate SQL text,
+    # same surviving rows, one execution of the pair join instead of
+    # two.
+    #
+    # collinear-overlap leg: parallel (den == 0), b1 on e's line
+    # (cross == 0), and the projection interval of f onto e strictly
+    # overlaps (0, 1). Endpoint-only contact projects to exactly {0}
+    # or {1} — measure zero, excluded by the strict inequalities, so
+    # corner touches stay separate parts.
     t1 = f"(({_QPX} * {_D1X} + {_QPY} * {_D1Y}) / {_LEN2})"
     t2 = f"(((bx2 - ax1) * {_D1X} + (by2 - ay1) * {_D1Y}) / {_LEN2})"
-    touch_pairs = (
-        pair.where(
-            F.expr(
-                f"{_DEN} = 0 AND ({_D1X} * {_QPY} - {_D1Y} * {_QPX}) = 0"
-            )
-        )
-        .where(F.expr(f"least({t1}, {t2}) < 1 AND greatest({t1}, {t2}) > 0"))
+    # CASE guards keep the divisions inside their branch's original
+    # filter domain (see _crossings) — ANSI-safe, same evaluation order
+    cross_cond = (
+        f"CASE WHEN ({_DEN}) != 0 THEN {_T_SQL} > 0 AND {_T_SQL} < 1 "
+        f"AND {_U_SQL} > 0 AND {_U_SQL} < 1 ELSE false END"
+    )
+    touch_cond = (
+        f"CASE WHEN {_DEN} = 0 AND ({_D1X} * {_QPY} - {_D1Y} * {_QPX}) = 0"
+        f" THEN least({t1}, {t2}) < 1 AND greatest({t1}, {t2}) > 0"
+        f" ELSE false END"
+    )
+    contact_pairs = (
+        pair.where(F.expr(f"({cross_cond}) OR ({touch_cond})"))
         .selectExpr(*pq_exprs)
         .distinct()
     )
@@ -891,9 +903,7 @@ def overlap_components(
         contain_pairs = _contain_cells(polys, key_cols, pid)
     else:
         contain_pairs = _contain_rings(polys, key_cols, pid)
-    all_pairs = (
-        cross_pairs.unionByName(touch_pairs).unionByName(contain_pairs).distinct()
-    )
+    all_pairs = contact_pairs.unionByName(contain_pairs).distinct()
     # ONE row per key on both sides of the join: joining the pair LIST
     # onto per-node rows (pre-round-7) replicated an O(polys)-sized
     # list to every node — O(polys²) shuffle bytes on a hot key, the
