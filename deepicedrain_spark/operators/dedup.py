@@ -712,6 +712,12 @@ def simhash_near_pairs(
     ``n_docs``: pass the known corpus size to take the brute-force
     path (identical result set) below ``SMALL_CORPUS_DOCS``, where the
     banding explode + distinct overhead exceeds the tiny quadratic."""
+    # fence the fingerprint table: both sides of the candidate join
+    # consume it and the planner does not reuse the exchange across
+    # the aliased sides (same lesson as winnowing_matches), so the
+    # tokenize+hash+aggregate pass ran twice. O(docs) rows of
+    # (id, long) — safe to materialize at any scale.
+    fps = fps.localCheckpoint(eager=False)
     if n_docs is not None and n_docs <= SMALL_CORPUS_DOCS:
         return simhash_near_pairs_bruteforce(fps, id_col, max_hamming)
     nb = max_hamming + 1
