@@ -433,11 +433,19 @@ def ngram_jaccard_pairs(
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     wcanon = Window.partitionBy(id_col).orderBy("_df", "_s")
     prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + 1
+    # fence the prefix table: BOTH sides of the candidate self-join
+    # consume it and the planner does not reuse the exchange across
+    # the aliased sides (winnowing/simhash lesson), so the freq join +
+    # per-doc canonical-order window ran twice. Prefix rows are a
+    # (1-t) fraction of the shingle occurrences — the table the join
+    # shuffles anyway — so materializing it costs less than one of
+    # the two eliminated passes at any scale.
     prefixes = (
         ex.join(freq, "_s")
         .withColumn("_pos", F.row_number().over(wcanon))
         .filter(F.col("_pos") <= prefix_len)
         .select(id_col, "_n", "_s")
+        .localCheckpoint(eager=False)
     )
     a = prefixes.select(
         F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_s"
@@ -851,12 +859,20 @@ def semantic_dedup(
     q_expr = (
         F.col(quality_col).cast("double") if quality_col else F.lit(0.0)
     )
+    # fence the assigned table: THREE consumers (both sides of the
+    # cluster-key join below plus the final output join) and the
+    # planner does not reuse subtrees across aliased sides — the
+    # map-only assignment (a k×d-literal scoring tree per row, the
+    # expensive map here) executed three times. One lazy
+    # localCheckpoint runs it once; SemDeDup pipelines materialize
+    # assignments anyway (the table is the corpus being pruned, the
+    # same bytes the join shuffles).
     base = assigned.select(
         F.col(id_col).alias("_sd_id"),
         F.col("cluster").alias("_sd_cluster"),
         F.col(vec_col).cast("array<double>").alias("_sd_v"),
         q_expr.alias("_sd_q"),
-    )
+    ).localCheckpoint(eager=False)
     # norms fold ONCE per row before the cluster-key join: inside the
     # join each side's norm would re-fold per PAIR (Σ n_c² times), a
     # 3x O(d) overhead per scored pair; sqrt(nx*ny) over the
