@@ -224,7 +224,15 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    # fence the tf table: the df roll-up and the scoring join both
+    # consume it, so the corpus token explode + (doc, term) count
+    # shuffle ran twice (r12 optimization round). One row per distinct
+    # (doc, term) — the same table the scoring join shuffles anyway.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     scored = (

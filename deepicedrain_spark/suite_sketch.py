@@ -153,7 +153,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(whitespace_tokens(F.col("text"))).alias("t"))
     sketch = cms_table(toks, "t", d=_CMS_D, w=_CMS_W)
-    exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # fence the exact-count table: the estimate probe and the final
+    # join both consume it, so the corpus token explode + count
+    # shuffle ran twice (r12 optimization round). Vocabulary-sized.
+    exact = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=False)
+    )
     est = cms_estimate(exact.select("t"), sketch, "t", d=_CMS_D, w=_CMS_W)
     return (
         est.join(exact, "t")
@@ -2426,7 +2433,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    # fence the bigram-count model: the unigram roll-up AND the
+    # scoring join both consume it, and without the fence the corpus
+    # explode + count shuffle executed once per consumer (r12
+    # optimization round — the plan carried the documents scan 4x).
+    # Materialized it is model-sized (one row per distinct bigram),
+    # strictly smaller than the explode it replaces.
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb")).localCheckpoint(
+        eager=False
+    )
     ugc = (
         bgc.select(F.split(F.col("b"), " ").getItem(0).alias("u"), "nb")
         .groupBy("u")
@@ -2523,7 +2538,13 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    # fence the bigram-count model (same rationale as bigram_lm_score:
+    # the unigram roll-up and the scoring join each re-ran the corpus
+    # explode + count shuffle). Distributed materialization, NOT a
+    # broadcast — bgc grows with the data (see the join note below).
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb")).localCheckpoint(
+        eager=False
+    )
     ugc = (
         bgc.select(F.split(F.col("b"), " ").getItem(0).alias("u"), "nb")
         .groupBy("u")
