@@ -1164,7 +1164,13 @@ def embedding_near_duplicates_lsh(
     )
 
     sig = hyperplane_signature(vec_col, planes, dims)
-    t = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    # fence the signature table: both sides of the bucket self-join
+    # consume it and the planner does not reuse the exchange across
+    # the aliased sides, so the planes x dims signature projection ran
+    # twice and the plan inlined it twice (r12 optimization round).
+    t = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
+    ).localCheckpoint(eager=False)
     a = t.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_sig").alias("sa")
     )

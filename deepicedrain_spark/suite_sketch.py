@@ -512,8 +512,14 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=3).select(
-        "query_id", "cand_id"
+    # fence the exact side: the semi-join AND the per-query roll-up
+    # frame both consume it, so the brute-force cosine scan (the
+    # expensive pass here) executed twice (r12 optimization round).
+    # k x n_queries rows — trivially safe to materialize.
+    exact = (
+        cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
     )
     ivf = q_ivf_topk_trained(spark, sf_dir).select("query_id", "cand_id")
     hit = exact.join(ivf, ["query_id", "cand_id"], "left_semi")
@@ -1859,10 +1865,14 @@ def q_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.round(sq_dist_cols(F.col("qv"), F.col("cv")), 6), "cand_id"
     )
+    # fence the exact side (same rationale as ann_recall_at_k): the
+    # semi-join and the roll-up frame both consumed the brute-force L2
+    # scan. k x n_queries rows.
     exact = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
     )
     ivf = q_ivfpq_topk(spark, sf_dir).select("query_id", "cand_id")
     hits = exact.join(ivf, ["query_id", "cand_id"], "left_semi").groupBy(
