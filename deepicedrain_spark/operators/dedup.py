@@ -433,19 +433,16 @@ def ngram_jaccard_pairs(
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     wcanon = Window.partitionBy(id_col).orderBy("_df", "_s")
     prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("int") + 1
-    # fence the prefix table: BOTH sides of the candidate self-join
-    # consume it and the planner does not reuse the exchange across
-    # the aliased sides (winnowing/simhash lesson), so the freq join +
-    # per-doc canonical-order window ran twice. Prefix rows are a
-    # (1-t) fraction of the shingle occurrences — the table the join
-    # shuffles anyway — so materializing it costs less than one of
-    # the two eliminated passes at any scale.
+    # NOT fenced (r12 optimization round, measured): checkpointing the
+    # prefix table regressed 3.6 -> 7.4 s (min-of-5 warm) — the
+    # materialized RDD loses size statistics, the candidate join drops
+    # its broadcast, and the saved second window pass is cheaper than
+    # the SMJ both-sides shuffle that replaces it.
     prefixes = (
         ex.join(freq, "_s")
         .withColumn("_pos", F.row_number().over(wcanon))
         .filter(F.col("_pos") <= prefix_len)
         .select(id_col, "_n", "_s")
-        .localCheckpoint(eager=False)
     )
     a = prefixes.select(
         F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_s"
