@@ -74,27 +74,58 @@ def scd2_apply(
     )
     has_upd = F.col("upd._upd").isNotNull()
     has_cur = F.col("cur._cur").isNotNull()
+    # One pass over the join (r12 optimization round, guide §2.4): the
+    # former three-branch UNION (keep_open / closed_now / opened_now)
+    # consumed `j` three times, so the dimension join (and the updates
+    # window dedup under it) EXECUTED three times per apply. Each
+    # branch's projection now becomes a CASE-guarded struct in a 3-slot
+    # array; explode + null-filter emits exactly the same row multiset
+    # (a changed key still yields its closed AND opened rows — slots 2
+    # and 3 of its single join row). Branch predicates and per-branch
+    # column expressions are verbatim, so every surviving value is
+    # bit-identical to the union form.
+    def _row(cols: list) -> F.Column:
+        return F.struct(
+            cols[0].alias(key),
+            *[c.alias(a) for c, a in zip(cols[1:-2], attrs)],
+            cols[-2].alias("valid_from"),
+            cols[-1].alias("valid_to"),
+        )
+
     # open rows with no update, or update equal to current → unchanged
-    keep_open = j.where(~has_upd | (has_cur & ~changed_cond)).select(
-        F.col(f"cur.{key}").alias(key),
-        *[F.col(f"cur.{a}").alias(a) for a in attrs],
-        F.col("cur.valid_from").alias("valid_from"),
-        F.col("cur.valid_to").alias("valid_to"),
+    keep_open_row = F.when(
+        ~has_upd | (has_cur & ~changed_cond),
+        _row(
+            [F.col(f"cur.{key}")]
+            + [F.col(f"cur.{a}") for a in attrs]
+            + [F.col("cur.valid_from"), F.col("cur.valid_to")]
+        ),
     )
     # changed keys: close the old row
-    closed_now = j.where(has_cur & has_upd & changed_cond).select(
-        F.col(f"cur.{key}").alias(key),
-        *[F.col(f"cur.{a}").alias(a) for a in attrs],
-        F.col("cur.valid_from").alias("valid_from"),
-        F.lit(batch_time).cast("long").alias("valid_to"),
+    closed_now_row = F.when(
+        has_cur & has_upd & changed_cond,
+        _row(
+            [F.col(f"cur.{key}")]
+            + [F.col(f"cur.{a}") for a in attrs]
+            + [F.col("cur.valid_from"), F.lit(batch_time).cast("long")]
+        ),
     )
     # changed + brand-new keys: open a fresh row
-    opened_now = j.where(has_upd & (~has_cur | changed_cond)).select(
-        F.col(f"upd.{key}").alias(key),
-        *[F.col(f"upd.{a}").alias(a) for a in attrs],
-        F.lit(batch_time).cast("long").alias("valid_from"),
-        F.lit(None).cast("long").alias("valid_to"),
+    opened_now_row = F.when(
+        has_upd & (~has_cur | changed_cond),
+        _row(
+            [F.col(f"upd.{key}")]
+            + [F.col(f"upd.{a}") for a in attrs]
+            + [F.lit(batch_time).cast("long"), F.lit(None).cast("long")]
+        ),
     )
-    return cur_closed.unionByName(keep_open).unionByName(closed_now).unionByName(
-        opened_now
+    merged = (
+        j.select(
+            F.explode(
+                F.array(keep_open_row, closed_now_row, opened_now_row)
+            ).alias("_r")
+        )
+        .where(F.col("_r").isNotNull())
+        .select("_r.*")
     )
+    return cur_closed.unionByName(merged)

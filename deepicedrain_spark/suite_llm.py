@@ -992,7 +992,11 @@ def q_temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("w6").cast("double") / F.col("sw").cast("double"))
             ).cast("long"),
         ).alias("q"),
-    )
+        # quota feeds BOTH the kept-join and the final left join —
+        # unfenced, the corpus count pass under it ran twice per plan.
+        # The table is one row per source (mixture-bounded), so the
+        # checkpoint is O(sources) (r12 optimization round, §5.4).
+    ).localCheckpoint(eager=False)
     rk = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )

@@ -98,14 +98,22 @@ def q_bloom_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 3 == 0)
-    bits = bloom_bits(a, normalize_text(F.col("text")), k=_BLOOM_K, m=_BLOOM_M)
-    probed = bloom_probe(
-        b, bits, normalize_text(F.col("text")), "doc_id", k=_BLOOM_K, m=_BLOOM_M
+    # each corpus side is consumed twice (A: filter build + exact key
+    # set; B: probe + exact join) — unfenced, normalize_text ran 4
+    # corpus passes per plan. One normalized projection per side,
+    # lazily checkpointed, halves that (r12 optimization round, §5.4);
+    # the fenced tables carry only (doc_id,) nt, not the raw text.
+    an = a.select(normalize_text(F.col("text")).alias("nt")).localCheckpoint(
+        eager=False
     )
-    a_keys = a.select(normalize_text(F.col("text")).alias("nt")).distinct()
+    bn = b.select(
+        "doc_id", normalize_text(F.col("text")).alias("nt")
+    ).localCheckpoint(eager=False)
+    bits = bloom_bits(an, F.col("nt"), k=_BLOOM_K, m=_BLOOM_M)
+    probed = bloom_probe(bn, bits, F.col("nt"), "doc_id", k=_BLOOM_K, m=_BLOOM_M)
+    a_keys = an.distinct()
     exact = (
-        b.select("doc_id", normalize_text(F.col("text")).alias("nt"))
-        .join(F.broadcast(a_keys.withColumn("_in", F.lit(1))), "nt", "left")
+        bn.join(F.broadcast(a_keys.withColumn("_in", F.lit(1))), "nt", "left")
         .groupBy("doc_id")
         .agg((F.count("_in") > 0).alias("exact_member"))
     )
@@ -2369,16 +2377,22 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", ns_to_us(F.col("ts")).alias("t")
     )
+    # each stage table feeds BOTH the next stage's join and its own
+    # count — unfenced, the v→c→p chain re-executes per consumer
+    # (events scanned 6x in one plan; the nc count re-ran the whole
+    # v→c join). Lazy localCheckpoints make each stage run once; the
+    # tables are per-user minima, the bounded state a funnel keeps
+    # anyway (r12 optimization round, guide §2.4/§5.4).
     v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("t").alias("t_view")
-    )
+    ).localCheckpoint(eager=False)
     c = (
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("t") >= F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("t").alias("t_click"))
-    )
+    ).localCheckpoint(eager=False)
     p = (
         ev.where(F.col("event_type") == "purchase")
         .join(c, "user_id")
