@@ -101,26 +101,61 @@ def _with_rid(polys: DataFrame) -> DataFrame:
     return polys.withColumn("rid", F.lit(0).cast("int"))
 
 
-def _use_cells(polys: DataFrame, key_cols: list[str], strategy: str) -> bool:
-    """Resolve the physical strategy: ``plain``/``cells`` are forced,
-    ``auto`` probes max edges-per-key (one tiny scalar job over the
-    ring-length metadata — no geometry touched) and picks the bucketed
-    plan iff some key's all-pairs work E² exceeds the per-task budget,
-    the same absolute criterion the hot-cell salt uses."""
-    if strategy == "plain":
-        return False
+# total-edge bound under which the plain pair/coverage joins take the
+# broadcast-small-side + round-robin-spread plan (r13 optimization
+# round, guide §2.5/§7.4 "one task runs 50x longer than the median"):
+# the pair arithmetic and ray casts are CPU-bound at near-zero BYTES,
+# so AQE's byte-based coalescing collapsed every compute stage to ONE
+# task (measured: the whole lake-catalog crossings pass ran on one
+# core, 1.8 s vs 0.6 s spread). 500k edge rows ≈ 60 MB framed — inside
+# the session's 64 MB auto-broadcast threshold — and the bound is
+# probed from the DATA (same job as the strategy probe), so at scale
+# the plan falls back to the ordinary co-partitioned key join and the
+# broadcast never outgrows an executor.
+_SPREAD_EDGE_ROWS = 500_000
+
+
+def _resolve_strategy(
+    polys: DataFrame, key_cols: list[str], strategy: str
+) -> tuple[bool, int | None]:
+    """(bucketed, spread_n): resolve the physical strategy and the
+    plain-mode compute fan-out in ONE probe job.
+
+    ``plain``/``cells`` force the strategy; ``auto`` probes max
+    edges-per-key (one tiny scalar job over the ring-length metadata —
+    no geometry touched) and picks the bucketed plan iff some key's
+    all-pairs work E² exceeds the per-task budget, the same absolute
+    criterion the hot-cell salt uses.  The same probe also sums the
+    TOTAL edge count: when the whole edge set is broadcast-safe
+    (≤ _SPREAD_EDGE_ROWS) the plain pair/coverage joins broadcast the
+    build side and round-robin the probe side over ``spread_n``
+    partitions, so the CPU-heavy pair arithmetic runs cluster-wide
+    instead of on the single task AQE's byte-based sizing would leave
+    (spread_n = None ⇒ keep the ordinary co-partitioned key join)."""
     if strategy == "cells":
-        return True
-    if strategy != "auto":
+        return True, None
+    if strategy not in ("auto", "plain"):
         raise ValueError(f"dissolve strategy must be auto|plain|cells, got {strategy!r}")
     row = (
         polys.groupBy(*key_cols)
         .agg(F.sum(F.expr("size(xs) - 1")).alias("_n"))
-        .agg(F.max("_n").alias("mx"))
+        .agg(F.max("_n").alias("mx"), F.sum("_n").alias("tot"))
         .first()
     )
     mx = int(row["mx"] or 0)
-    return mx * mx > _PAIR_TARGET
+    tot = int(row["tot"] or 0)
+    if strategy == "auto" and mx * mx > _PAIR_TARGET:
+        return True, None
+    spread = (
+        polys.sparkSession.sparkContext.defaultParallelism
+        if tot <= _SPREAD_EDGE_ROWS
+        else None
+    )
+    return False, spread
+
+
+def _use_cells(polys: DataFrame, key_cols: list[str], strategy: str) -> bool:
+    return _resolve_strategy(polys, key_cols, strategy)[0]
 
 
 def snap_vertices(
@@ -364,13 +399,21 @@ def _pair_cols(prefix: str) -> list[str]:
     ]
 
 
-def _edge_pairs(edges: DataFrame, key_cols: list[str], bucketed: bool) -> DataFrame:
-    pairs, _rows = _edge_pairs_counted(edges, key_cols, bucketed)
+def _edge_pairs(
+    edges: DataFrame,
+    key_cols: list[str],
+    bucketed: bool,
+    spread_n: int | None = None,
+) -> DataFrame:
+    pairs, _rows = _edge_pairs_counted(edges, key_cols, bucketed, spread_n)
     return pairs
 
 
 def _edge_pairs_counted(
-    edges: DataFrame, key_cols: list[str], bucketed: bool
+    edges: DataFrame,
+    key_cols: list[str],
+    bucketed: bool,
+    spread_n: int | None = None,
 ) -> tuple[DataFrame, int | None]:
     """Candidate edge pairs of a key, a-prefixed × b-prefixed; also
     returns the cell-row count observed by the salt probe (None in
@@ -389,6 +432,16 @@ def _edge_pairs_counted(
     if not bucketed:
         a = edges.selectExpr(*[_q(c) for c in key_cols], *_pair_cols("a"))
         b = edges.selectExpr(*[_q(c) for c in key_cols], *_pair_cols("b"))
+        if spread_n:
+            # broadcast-safe edge set (see _SPREAD_EDGE_ROWS): spread
+            # the probe side round-robin over spread_n explicit
+            # partitions (explicit N opts the exchange out of AQE's
+            # byte-based 1-task coalescing) and broadcast the build
+            # side — the O(E_key²) pair arithmetic then runs on every
+            # core instead of one. Physical only: same join predicate,
+            # same rows, and the callers' DISTINCTs see the same sets.
+            a = a.repartition(spread_n)
+            b = F.broadcast(b)
         return a.join(b, key_cols), None
     cells = edges.join(F.broadcast(_key_cell(edges, key_cols)), key_cols)
     cx_lo = F.floor(F.least("x1", "x2") / F.col("_cell"))
@@ -488,6 +541,7 @@ def boundary_subedges(
     snap: float | str | None = None,
     _edges_df: DataFrame | None = None,
     _pairs: DataFrame | None = None,
+    _spread_n: int | None = None,
 ) -> DataFrame:
     """Union-boundary sub-edges per key, oriented interior-LEFT:
     (key..., pid, eid, ax, ay, bx, by, _xref, _yref). ``polys`` needs
@@ -496,12 +550,16 @@ def boundary_subedges(
     ``strategy``: auto|plain|cells — see module docstring; both
     produce bit-identical output. ``snap``: None|float|"auto" — see
     :func:`_apply_snap` (default None keeps exact input vertices).
-    ``_edges_df``/``_pairs`` are dissolve_stats' internal share of the
-    edge/candidate-pair tables (it runs two overlay passes over the
-    same input, already snapped — internal calls pass snap=None)."""
+    ``_edges_df``/``_pairs``/``_spread_n`` are dissolve_stats' internal
+    share of the edge/candidate-pair tables and the resolved plain-mode
+    compute fan-out (it runs two overlay passes over the same input,
+    already snapped — internal calls pass snap=None)."""
     polys = _apply_snap(polys, key_cols, snap)
     has_rid = "rid" in polys.columns  # hole-bearing inputs only
-    bucketed = _use_cells(polys, key_cols, strategy)
+    if _edges_df is not None or _pairs is not None:
+        bucketed = strategy == "cells"  # dissolve_stats resolved it
+    else:
+        bucketed, _spread_n = _resolve_strategy(polys, key_cols, strategy)
     polys = _with_rid(polys)
     if _edges_df is not None:
         edges = _edges_df
@@ -517,6 +575,8 @@ def boundary_subedges(
     if _pairs is None and bucketed:
         _pairs, _cell_rows = _edge_pairs_counted(edges, key_cols, bucketed)
         edges = _sized(edges, _cell_rows)
+    if _pairs is None and not bucketed:
+        _pairs = _edge_pairs(edges, key_cols, bucketed, _spread_n)
     splits = (
         _crossings(edges, key_cols, bucketed, _pairs)
         .groupBy(*key_cols, "pid", "rid", "eid")
@@ -590,7 +650,15 @@ def boundary_subedges(
     if bucketed:
         cov = _coverage_cells(sub, polys, key_cols, pid, sub_keys, has_rid)
     else:
-        cov = _coverage_rings(sub, polys, key_cols, pid, sub_keys, has_rid)
+        if _spread_n:
+            # the ray-cast lambda per (sub-edge × ring) row is the
+            # coverage pass's whole cost at near-zero bytes — spread it
+            # like the pair join (see _SPREAD_EDGE_ROWS)
+            sub = sub.repartition(_spread_n)
+        cov = _coverage_rings(
+            sub, polys, key_cols, pid, sub_keys, has_rid,
+            broadcast_rings=bool(_spread_n),
+        )
     cov = cov.where(F.col("covl") != F.col("covr"))
     # orient interior-left: the +eps side is the left of (a -> b); if
     # only the right side is covered, flip the direction. The final
@@ -615,10 +683,16 @@ def _coverage_rings(
     pid: str,
     sub_keys: list[str],
     has_rid: bool,
+    broadcast_rings: bool = False,
 ) -> DataFrame:
     """plain-strategy coverage: probe × whole-ring array join on the
     key, ray cast as an array lambda — fewest exchanges, O(E²·rings)
-    work inside each key's partition (fine under the budget probe)."""
+    work inside each key's partition (fine under the budget probe).
+    ``broadcast_rings`` pins the ring side as the build side so the
+    spread probe partitioning survives the join (only set when the
+    probe proved the edge set broadcast-safe — see _SPREAD_EDGE_ROWS;
+    unhinted, the planner may broadcast the PROBE side and collapse
+    the ray-cast compute back to the rings' single partition)."""
     refs = polys.groupBy(*key_cols).agg(
         F.min(F.array_min("xs")).alias("_rxref"),
         F.min(F.array_min("ys")).alias("_ryref"),
@@ -646,6 +720,8 @@ def _coverage_rings(
         ))
         """
     )
+    if broadcast_rings:
+        rings = F.broadcast(rings)
     joined = (
         sub.join(rings, key_cols)
         .withColumn("_hl", hits("(mx + ox)", "(my + oy)"))
@@ -823,6 +899,7 @@ def overlap_components(
     strategy: str = "auto",
     _edges_df: DataFrame | None = None,
     _pairs: DataFrame | None = None,
+    _spread_n: int | None = None,
 ) -> DataFrame:
     """(key..., pid, part) — connected components of the per-key
     overlap graph. ``part`` = min pid of the component. Edges of the
@@ -843,7 +920,10 @@ def overlap_components(
     Union-find runs one call per key over O(polygons) pairs — the
     dissolve analogue of the hull UDF's per-group altitude; state is
     O(polygons per key), never O(vertices)."""
-    bucketed = _use_cells(polys, key_cols, strategy)
+    if _edges_df is not None or _pairs is not None:
+        bucketed = strategy == "cells"  # dissolve_stats resolved it
+    else:
+        bucketed, _spread_n = _resolve_strategy(polys, key_cols, strategy)
     polys = _with_rid(polys)
     if _edges_df is not None:
         edges = _edges_df
@@ -854,7 +934,9 @@ def overlap_components(
     # crossing PAIRS (pid, pid) — _crossings drops the partner pid (it
     # only needs split params), so pairs are derived directly here
     if _pairs is None:
-        _pairs, _cell_rows = _edge_pairs_counted(edges, key_cols, bucketed)
+        _pairs, _cell_rows = _edge_pairs_counted(
+            edges, key_cols, bucketed, _spread_n
+        )
         if _cell_rows is not None:
             edges = _sized(edges, _cell_rows)
     # SQL-text assembly (see _q) — trees identical to the former
@@ -902,7 +984,7 @@ def overlap_components(
     if bucketed:
         contain_pairs = _contain_cells(polys, key_cols, pid)
     else:
-        contain_pairs = _contain_rings(polys, key_cols, pid)
+        contain_pairs = _contain_rings(polys, key_cols, pid, _spread_n)
     all_pairs = contact_pairs.unionByName(contain_pairs).distinct()
     # ONE row per key on both sides of the join: joining the pair LIST
     # onto per-node rows (pre-round-7) replicated an O(polys)-sized
@@ -958,9 +1040,18 @@ def overlap_components(
     return keyed.groupBy(*key_cols).applyInPandas(uf, schema=out_schema)
 
 
-def _contain_rings(polys: DataFrame, key_cols: list[str], pid: str) -> DataFrame:
+def _contain_rings(
+    polys: DataFrame,
+    key_cols: list[str],
+    pid: str,
+    spread_n: int | None = None,
+) -> DataFrame:
     """plain-strategy containment: vertex × whole-ring array join on
-    the key, parity + on-boundary as array lambdas."""
+    the key, parity + on-boundary as array lambdas.  ``spread_n``:
+    spread the vertex side and broadcast the ring side when the probe
+    proved the edge set broadcast-safe (see _SPREAD_EDGE_ROWS) — the
+    per-(vertex, ring) parity lambda is CPU-bound at near-zero bytes,
+    the same single-task collapse the pair join fixes."""
     va = (
         polys.select(
             *key_cols,
@@ -976,6 +1067,9 @@ def _contain_rings(polys: DataFrame, key_cols: list[str], pid: str) -> DataFrame
     pb = polys.select(
         *key_cols, F.col(pid).alias("q"), F.col("xs").alias("rxs"), F.col("ys").alias("rys")
     )
+    if spread_n:
+        va = va.repartition(spread_n)
+        pb = F.broadcast(pb)
     ray_hits = F.expr(
         """
         size(filter(sequence(0, size(rxs) - 2), i ->
@@ -1102,21 +1196,23 @@ def dissolve_stats(
     # salt-probe fixed cost); pass the ORIGINAL frame so
     # boundary_subedges keys its single-ring fast path off the absence
     # of a rid column (ADVICE r6)
-    bucketed = _use_cells(polys, key_cols, strategy)
+    bucketed, spread_n = _resolve_strategy(polys, key_cols, strategy)
     strategy = "cells" if bucketed else "plain"
     edges = _edges(polys, key_cols, pid)
     if bucketed:
         edges = edges.localCheckpoint(eager=False)
-    pairs, _cell_rows = _edge_pairs_counted(edges, key_cols, bucketed)
+    pairs, _cell_rows = _edge_pairs_counted(edges, key_cols, bucketed, spread_n)
     if _cell_rows is not None:
         # the salt probe materialized the edge checkpoint; size every
         # downstream scan of it (cell rows ≥ edge rows — same scale)
         edges = _sized(edges, _cell_rows)
     bnd = boundary_subedges(
-        polys, key_cols, pid, eps, strategy, _edges_df=edges, _pairs=pairs
+        polys, key_cols, pid, eps, strategy,
+        _edges_df=edges, _pairs=pairs, _spread_n=spread_n,
     )
     components = overlap_components(
-        polys, key_cols, pid, strategy, _edges_df=edges, _pairs=pairs
+        polys, key_cols, pid, strategy,
+        _edges_df=edges, _pairs=pairs, _spread_n=spread_n,
     )
     polys = _with_rid(polys)
     area = bnd.groupBy(*key_cols).agg(

@@ -19,7 +19,7 @@ import __spark_entry__ as entry  # noqa: E402
 from deepicedrain_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join("/root/repo", "plans", "r12")
+OUT_DIR = os.path.join("/root/repo", "plans", "r13")
 
 
 def main() -> None:
