@@ -99,6 +99,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow scan across the cluster when the file
+    layout under-parallelizes it (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    CPU-heavy operators (pair cosines, shingle walks, ray casts) are
+    compute-bound at near-zero bytes: a corpus that fits one 128 MB
+    input split arrives as ONE partition and every downstream map — and
+    the stream side of every broadcast join — runs on one core (r13
+    optimization round; measured 13x on the embedding pair scorer).
+    Gated on the scan's own partition count, so at scale — where the
+    table spans thousands of splits — this is a NO-OP and no shuffle of
+    real data is ever added; the repartition only fires when the whole
+    input is a handful of splits, i.e. when the shuffle is kilobytes.
+    Callers must not rely on row order (every certified query compares
+    order-insensitively)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Row count straight from parquet footer metadata — no Spark job.
     Used to pick small-corpus fast paths (dedup banding break-even)

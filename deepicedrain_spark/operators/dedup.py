@@ -442,21 +442,42 @@ def ngram_jaccard_pairs(
         ex.join(freq, "_s")
         .withColumn("_pos", F.row_number().over(wcanon))
         .filter(F.col("_pos") <= prefix_len)
-        .select(id_col, "_n", "_s")
+        .select(id_col, "_n", "_pos", "_s")
     )
     a = prefixes.select(
-        F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_s"
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("_na"),
+        F.col("_pos").alias("_pa"),
+        "_s",
     )
     b = prefixes.select(
-        F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), "_s"
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_pos").alias("_pb"),
+        "_s",
     )
+    # PPJoin POSITION filter (Xiao et al. 2008, public; r13 optimization
+    # round — the exact verify was 310k candidate pairs for 5k docs at
+    # t=0.5, ~70% of the query's wall): a shared canonical-order token
+    # at positions (pa, pb) bounds the overlap at
+    # ub = 1 + min(|A|−pa, |B|−pb) (every other common token sorts
+    # AFTER it), and J ≥ t needs overlap ≥ t·(|A|+|B|)/(1+t). Pairs are
+    # kept when ANY shared prefix token passes — a superset of the
+    # classic first-match rule (the first common token always passes
+    # for a truly qualifying pair), so the pruning is LOSSLESS and the
+    # exact verify sees the identical qualifying set.
     cands = (
         a.join(
             b,
             (a["_s"] == b["_s"])
             & (F.col("id_a") < F.col("id_b"))
             & (F.lit(threshold) * F.col("_na") <= F.col("_nb"))
-            & (F.lit(threshold) * F.col("_nb") <= F.col("_na")),
+            & (F.lit(threshold) * F.col("_nb") <= F.col("_na"))
+            & (
+                (F.least(F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")) + 1)
+                * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("_na") + F.col("_nb"))
+            ),
         )
         .select("id_a", "id_b")
         .distinct()
@@ -848,11 +869,20 @@ def semantic_dedup(
     the strongest dominator's id (quality-desc, id-asc first), NULL
     for survivors; ``cos_best`` its round-6 cosine.
     """
-    from deepicedrain_spark.operators.kmeans import lloyd_kmeans
+    from deepicedrain_spark.io import spread_scan
+    from deepicedrain_spark.operators.kmeans import (
+        assign_to_centroids,
+        trained_centroids,
+    )
     from deepicedrain_spark.operators.similarity import dot_expr, norm2_expr
 
-    assigned, _ = lloyd_kmeans(emb, vec_col, id_col, k=k, iters=iters,
-                               cache_key=cache_key)
+    # train on the ORIGINAL layout (the distributed centroid means'
+    # partial-agg order must stay byte-stable vs the memo/oracle), then
+    # spread an under-parallelized scan before the CPU-heavy
+    # assignment + pair-cosine maps (io.spread_scan: no-op at scale)
+    prev_cents, _ = trained_centroids(emb, vec_col, id_col, k=k, iters=iters,
+                                      cache_key=cache_key)
+    assigned = assign_to_centroids(spread_scan(emb), vec_col, prev_cents)
     q_expr = (
         F.col(quality_col).cast("double") if quality_col else F.lit(0.0)
     )
@@ -1097,9 +1127,13 @@ def semantic_decontamination(
     strongest benchmark match (highest round-6 cosine, smaller
     bench id on ties).
     """
+    from deepicedrain_spark.io import spread_scan
     from deepicedrain_spark.operators.similarity import dot_expr, norm2_expr
 
     bcol = bench_id_col or id_col
+    # spread an under-parallelized corpus scan before the per-(corpus,
+    # bench) cosine map (io.spread_scan: no-op at scale)
+    corpus = spread_scan(corpus)
     # norms fold ONCE per row on each side before the crossJoin —
     # inside it each corpus norm would re-fold per BENCHMARK vector
     # and vice versa; sqrt(nc*nb) is the identical IEEE value, so the

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deepicedrain_spark.io import load_table
+from deepicedrain_spark.io import load_table, spread_scan
 from deepicedrain_spark.operators import textstats as ts_ops
 from deepicedrain_spark.operators.dedup import (
     exact_duplicates,
@@ -135,7 +135,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index path (identical, lossless result set)."""
     from deepicedrain_spark.io import table_rows
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     return ngram_jaccard_op(docs, threshold=0.5, n_docs=table_rows(sf_dir, "documents"))
 
 
@@ -186,7 +186,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.dedup import ngram_contamination
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     bench = docs.filter(F.col("doc_id") < 50).select(
         (-(F.col("doc_id") + F.lit(1))).alias("doc_id"), "text"
     )
@@ -654,7 +654,7 @@ def _winnow_cte(src: str) -> str:
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.dedup import winnowing_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     return winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4).orderBy(
         "doc_id", "pos"
     )
@@ -696,7 +696,7 @@ def q_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.dedup import winnowing_matches
     from deepicedrain_spark.operators.textstats import whitespace_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     w = whitespace_tokens(F.col("text"))
     quotes = (
         docs.select("doc_id", w.alias("_w"))
@@ -1425,7 +1425,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.dedup import duplicated_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     return duplicated_spans(docs, k=8)
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from deepicedrain_spark.io import load_table
+from deepicedrain_spark.io import load_table, spread_scan
 from deepicedrain_spark.operators import textstats as ts_ops
 from deepicedrain_spark.operators.evalmetrics import pr_at_thresholds, roc_auc
 from deepicedrain_spark.operators.lm import kneser_ney_score
@@ -76,7 +76,7 @@ _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
     """,
 )
 def q_bm25_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     toks = docs.select(
         "lang", F.explode(ts_ops.whitespace_tokens(F.col("text"))).alias("term")
     )
@@ -179,7 +179,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     return kneser_ney_score(docs, discount=0.75)
 
 
@@ -384,7 +384,7 @@ def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepicedrain_spark.operators.dedup import containment_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     w = ts_ops.whitespace_tokens(F.col("text"))
     quotes = (
         docs.select("doc_id", w.alias("_w"))

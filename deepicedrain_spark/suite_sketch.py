@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from deepicedrain_spark.io import load_table
+from deepicedrain_spark.io import load_table, spread_scan
 from deepicedrain_spark.operators.dedup import normalize_text
 from deepicedrain_spark.operators.kmeans import (
     assign_to_centroids,
@@ -158,7 +158,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top tokens by count-min estimate, with the exact count beside
     the (upper-bound) estimate.  The sketch is d*w counters whatever
     the corpus size; candidates and sketch join broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     toks = docs.select(F.explode(whitespace_tokens(F.col("text"))).alias("t"))
     sketch = cms_table(toks, "t", d=_CMS_D, w=_CMS_W)
     # fence the exact-count table: the estimate probe and the final
@@ -2443,7 +2443,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, self-trained so there is no model artifact to ship.  Two
     count aggregates build the model; scoring joins each document's
     bigrams against the (broadcastable) count tables."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     w = whitespace_tokens(F.col("text"))
     bg = (
         docs.select("doc_id", w.alias("_w"))
@@ -2546,7 +2546,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per document, not per token).  At cluster scale a skewed
     giant language ranks in one task — the documented swap is
     approx-quantile cutoffs, traded away here for the exact oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     w = whitespace_tokens(F.col("text"))
     # size guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so a 0/1-
     # token doc would hit element_at(_w, 0) and throw; the oracle's
@@ -2673,7 +2673,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from deepicedrain_spark.operators.sketches import md5_long60
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))  # 1-split scan, CPU-heavy text pass (io.spread_scan: no-op at scale)
     w = whitespace_tokens(F.col("text"))
     bg = (
         docs.select("doc_id", "lang", w.alias("_w"))
