@@ -85,6 +85,12 @@ def scd2_apply(
     # column expressions are verbatim, so every surviving value is
     # bit-identical to the union form.
     def _row(cols: list) -> F.Column:
+        # positional layout: [key, *attrs, valid_from, valid_to] — zip
+        # would truncate silently on a wrong-length list, so pin it
+        assert len(cols) == len(attrs) + 3, (
+            f"_row expects {len(attrs) + 3} columns "
+            f"(key, {len(attrs)} attrs, valid_from, valid_to), got {len(cols)}"
+        )
         return F.struct(
             cols[0].alias(key),
             *[c.alias(a) for c, a in zip(cols[1:-2], attrs)],

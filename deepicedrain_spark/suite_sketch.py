@@ -98,20 +98,27 @@ def q_bloom_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 3 == 0)
-    # each corpus side is consumed twice (A: filter build + exact key
-    # set; B: probe + exact join) — unfenced, normalize_text ran 4
-    # corpus passes per plan. One normalized projection per side,
-    # lazily checkpointed, halves that (r12 optimization round, §5.4);
-    # the fenced tables carry only (doc_id,) nt, not the raw text.
-    an = a.select(normalize_text(F.col("text")).alias("nt")).localCheckpoint(
-        eager=False
+    # Corpus A is consumed twice (filter build + exact key set). The
+    # r12 fence checkpointed one normalized row PER DOCUMENT —
+    # corpus-sized executor state, against the repo's own rule of
+    # fencing only model/candidate-sized tables (r13, ADVICE item 1).
+    # Fence the DISTINCT key set instead and build the Bloom filter
+    # FROM it: bit_or is idempotent, so bits(distinct nt) == bits(all
+    # nt) bit-for-bit, normalize_text still runs ONCE over A (inside
+    # the distinct's materialization), and the fenced state is the
+    # deduplicated key set, not the corpus. Corpus B stays UNFENCED:
+    # both its consumers (probe + exact join) need per-document rows,
+    # so the honest 100 TB trade is one extra map-only normalize pass
+    # over B rather than holding a corpus-sized non-reliable
+    # checkpoint (lineage-truncated state dies with an executor).
+    a_keys = (
+        a.select(normalize_text(F.col("text")).alias("nt"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    bn = b.select(
-        "doc_id", normalize_text(F.col("text")).alias("nt")
-    ).localCheckpoint(eager=False)
-    bits = bloom_bits(an, F.col("nt"), k=_BLOOM_K, m=_BLOOM_M)
+    bn = b.select("doc_id", normalize_text(F.col("text")).alias("nt"))
+    bits = bloom_bits(a_keys, F.col("nt"), k=_BLOOM_K, m=_BLOOM_M)
     probed = bloom_probe(bn, bits, F.col("nt"), "doc_id", k=_BLOOM_K, m=_BLOOM_M)
-    a_keys = an.distinct()
     exact = (
         bn.join(F.broadcast(a_keys.withColumn("_in", F.lit(1))), "nt", "left")
         .groupBy("doc_id")
