@@ -22,8 +22,27 @@ and every earlier round.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Checkpointed per-round state tables inherit their parent shuffle's
+# partition count (32 locally), so on a small graph every round ran
+# dozens of near-empty tasks per stage. Like dissolve._CKPT_ROWS_PER_TASK
+# (r12): coalesce the state to ceil(rows/500k) partitions before each
+# checkpoint — a narrow no-shuffle merge that is a NO-OP whenever the
+# table already needs that many partitions, so big graphs keep their
+# parallelism (r13 optimization round, guide §2.2/§6.1).
+_CKPT_ROWS_PER_TASK = 500_000
+
+
+def _sized(df: DataFrame, rows: int) -> DataFrame:
+    # no partition probe: .rdd costs a full physical-planning pass
+    # (~0.16 s/call driver-side, measured r13), while coalesce(k) is
+    # already a plan-level no-op when the input has <= k partitions
+    k = max(1, math.ceil(rows / _CKPT_ROWS_PER_TASK))
+    return df.coalesce(k)
 
 
 def connected_components(
@@ -47,10 +66,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # one cheap count over the checkpointed RDD sizes every per-round
+    # state table (labels rows <= sym rows) — see _sized
+    n_sym = sym.count()
+    sym = _sized(sym, n_sym)
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        _sized(
+            sym.select(F.col("a").alias("node")).distinct().withColumn(
+                "label", F.col("node")
+            ),
+            n_sym,
+        )
         .localCheckpoint(eager=True)
     )
     # labels only ever decrease, so the label sum is a strictly
@@ -77,6 +103,14 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
             )
+            # lazy fence (r13, guide §5.4): the pointer jump consumes
+            # stepped on BOTH sides of an aliased self-join keyed on
+            # DIFFERENT columns (label vs node), so the planner cannot
+            # reuse one exchange and the neighbor-min join executed
+            # twice per round. The fence materializes stepped once
+            # (when jumped's eager checkpoint runs) — O(nodes) state,
+            # the same table the round keeps anyway.
+            .localCheckpoint(eager=False)
         )
         # pointer jump: label <- label's label (labels are node ids, so
         # an inner self-join always finds the parent row)
@@ -90,8 +124,11 @@ def connected_components(
         # checkpoint every round: label tables are tiny (one row per
         # node in the edge set) and a truncated plan keeps round
         # planning O(1) instead of O(iterations)
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = _sized(jumped, n_sym).localCheckpoint(eager=True)
         new_sum = jumped.agg(F.sum("label")).collect()[0][0]
+        # jumped is materialized — stepped's lazily-checkpointed blocks
+        # are no longer needed (same hygiene as labels below)
+        stepped.unpersist()
         labels.unpersist()
         labels = jumped
         if new_sum == prev_sum:
@@ -132,19 +169,28 @@ def pagerank(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
-    nodes = (
+    # one cheap count over the checkpointed RDD sizes the per-round
+    # state tables (nodes/deg/ranks rows <= 2*edge rows) — see _sized
+    n_e = e.count()
+    e = _sized(e, n_e)
+    nodes = _sized(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        .distinct(),
+        n_e,
+    ).localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
         # legitimately empty edge set (e.g. a near-dup threshold that
         # matched nothing): empty ranks, not a ZeroDivisionError
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n_nodes
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # fence deg ONCE (r13, guide §5.4): unfenced, its groupBy shuffle
+    # re-executed per round for BOTH consumers (contribution join +
+    # dangling anti-join) — 2*iters shuffles of an O(nodes) table
+    deg = _sized(
+        e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")), n_e
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n_nodes), round_dp))
     for _ in range(iters):
         contrib = (
@@ -175,8 +221,8 @@ def pagerank(
                     round_dp,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = _sized(ranks, n_e).localCheckpoint(eager=True)
         # drop the superseded round's checkpointed blocks (same hygiene
         # as connected_components) — without this a long run pins
         # `iters` copies of the O(nodes) rank table in executor storage

@@ -238,7 +238,10 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII scrub: count and redact emails / IPv4s with
     engine-portable regexes.  Map-only — no shuffle; the redacted text
     is emitted as md5 so the compare stays compact."""
-    docs = load_table(spark, sf_dir, "documents")
+    # 1-split scan, CPU-heavy per-row regex pass; map-only per-row
+    # outputs, so the spread is value-free (io.spread_scan: no-op at
+    # scale)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     t = F.concat(
         F.col("text"),
         F.lit(" contact user"),
