@@ -1134,6 +1134,19 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = spark.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
+    # fence right-sizing (r13, guide §2.2/§6.1, the dissolve/graph
+    # _CKPT_ROWS_PER_TASK rule): the three stage fences below inherit
+    # their parent shuffle's fan-out (32 near-empty partitions
+    # locally), so every downstream scan of a fenced stage ran dozens
+    # of near-empty tasks. Survivor tables are bounded by the corpus
+    # row count (footer metadata, no job) — coalesce to
+    # ceil(rows/500k): plan-level no-op at scale, measured
+    # 4.45 → 3.44 s warm min-of-4 at sf0.1.
+    import math
+
+    from deepicedrain_spark.io import table_rows
+
+    _k = max(1, math.ceil(table_rows(sf_dir, "documents") / 500_000))
     w = ts_ops.whitespace_tokens(F.col("text"))
     t = docs.select("doc_id", "lang", "source", "text", w.alias("w"))
 
@@ -1171,7 +1184,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # window AND stage_counts' n_gopher column — un-fenced, the
         # full gopher pass (bigram explode + per-doc agg over the
         # whole corpus) re-executed a second time for stage_counts.
-        .localCheckpoint()
+        .coalesce(_k).localCheckpoint()
     )
     wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     # localCheckpoint fences (r12 optimization round): d feeds the LM
@@ -1187,7 +1200,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn("_rk", F.row_number().over(wd))
         .where(F.col("_rk") == 1)
         .drop("_rk")
-        .localCheckpoint()
+        .coalesce(_k).localCheckpoint()
     )
 
     bg = d.select(
@@ -1229,7 +1242,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nt", F.ntile(3).over(wn))
         .where(F.col("nt") <= 2)
         .select("doc_id", "lang", "source")
-        .localCheckpoint()
+        .coalesce(_k).localCheckpoint()
     )
 
     counts = p.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
