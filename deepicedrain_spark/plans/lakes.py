@@ -72,6 +72,7 @@ def lake_attributes_and_significance(
     rgt_col: str | None = "referencegroundtrack",
     donut_m: float = DONUT_BUFFER,
     k: float = SIGNIFICANCE_K,
+    ckpt_parts: int | None = None,
 ) -> DataFrame:
     """M2+M3: per surviving cluster — hull geometry, donut significance
     test against the surrounding points, and the reference's attribute
@@ -85,7 +86,17 @@ def lake_attributes_and_significance(
     # driver planning time dominated this query's wall clock. members
     # is the post-threshold active set (a small fraction of the input
     # by construction), so executor-local storage holds it at scale.
-    members = clustered.filter(F.col("cluster_id").isNotNull()).localCheckpoint()
+    # fence right-sizing (r13, the dissolve/graph _CKPT_ROWS_PER_TASK
+    # rule): the fences below inherit their parent shuffle's fan-out
+    # (32 near-empty partitions locally); ``ckpt_parts`` — an
+    # input-row-derived upper bound from the caller (ceil(rows/500k),
+    # plan-level no-op at scale) — sizes them to the data
+    def _sized(df: DataFrame) -> DataFrame:
+        return df if ckpt_parts is None else df.coalesce(ckpt_parts)
+
+    members = _sized(
+        clustered.filter(F.col("cluster_id").isNotNull())
+    ).localCheckpoint()
 
     aggs = [
         F.count(F.lit(1)).alias("num_points"),
@@ -104,7 +115,7 @@ def lake_attributes_and_significance(
     # one row per cluster — checkpoint so the three ring consumers
     # (outer polys, inner polys, final join) plan against a leaf
     hulls = convex_hulls(members, [basin_col, "cluster_id"])
-    rings = buffered(hulls, "hull", donut_m).localCheckpoint()
+    rings = _sized(buffered(hulls, "hull", donut_m)).localCheckpoint()
 
     # donut membership: inside buffered hull, outside hull
     from deepicedrain_spark.operators.spatial import bbox_predicate
@@ -128,15 +139,14 @@ def lake_attributes_and_significance(
     )
     # narrow donut point set, computed ONCE (the MAD pass needs
     # deviations from the outer median → two aggregations over it)
-    donut_pts = (
+    donut_pts = _sized(
         in_outer.join(
             F.broadcast(inner_polys),
             (F.col("_b") == F.col("_b2")) & (F.col("_c") == F.col("_c2")),
         )
         .filter(~inner_pred)
         .select("_b", "_c", dhdt)
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     donut = donut_pts.groupBy(
         F.col("_b").alias(basin_col), F.col("_c").alias("cluster_id")
     ).agg(
@@ -181,6 +191,7 @@ def find_lakes(
     eps: float = DBSCAN_EPS,
     min_samples: int = DBSCAN_MIN_SAMPLES,
     basin_col: str = "basin_name",
+    ckpt_parts: int | None = None,
 ) -> DataFrame:
     """Full pipeline: PIP basins → filters → signed DBSCAN → hulls +
     donut significance → lake attribute table.
@@ -198,8 +209,11 @@ def find_lakes(
             labeled, basin_col, eps=eps, min_samples=min_samples
         )
         out = lake_attributes_and_significance(
-            clustered, labeled, basin_col
-        ).localCheckpoint(eager=True)
+            clustered, labeled, basin_col, ckpt_parts=ckpt_parts
+        )
+        if ckpt_parts:
+            out = out.coalesce(ckpt_parts)
+        out = out.localCheckpoint(eager=True)
     finally:
         labeled.unpersist()
     return out
